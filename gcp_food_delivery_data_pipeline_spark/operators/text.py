@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data pipelines.
+
+These go beyond the reference (which has only the P1-P4 string cleans,
+SURVEY.md §2.6) and cover what an LLM-data pipeline runs over a
+``documents(doc_id, text, lang, source, n_chars)`` table at 100 TB:
+
+* token counting        — whitespace tokenization, JVM-side
+* quality scoring       — length / punctuation / stopword / uppercase
+                          ratio features + a composite score
+* language ID           — stopword-hit n-gram heuristic (no model deps)
+* document fingerprint  — md5 content hash (exact-dup key) + a
+                          locality-insensitive normalized fingerprint
+
+Everything is a Column expression (no UDFs): at scale these run inside
+WholeStageCodegen directly over the parquet scan, and Catalyst prunes
+the scan to the ``text`` column alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword lists — heuristic language ID without models.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "es": ["el", "la", "de", "y", "los", "las", "un", "una", "del", "es"],
+    "de": ["der", "die", "das", "und", "den", "von", "zu", "mit", "ist", "ein"],
+}
+
+TOKEN_SPLIT_RE = r"\s+"
+PUNCT_RE = r"[^\w\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of a trimmed string (empty string → no tokens)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), TOKEN_SPLIT_RE)
+
+
+def token_count(col: Column | str) -> Column:
+    """Number of whitespace-delimited tokens; 0 for empty/blank text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c)))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation characters / total characters (0 for empty)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(c, r"[\w\s]", "")).cast("double") / n
+    )
+
+
+def stopword_hits(col: Column | str, lang: str = "en") -> Column:
+    """Count of tokens that are stopwords of ``lang`` (duplicates count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(
+        F.filter(tokens(F.lower(c)), lambda t: F.array_contains(sw, t))
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-signal columns used for corpus filtering."""
+    c = F.col(text_col)
+    ntok = token_count(c)
+    return (
+        df.withColumn("n_chars_q", F.length(c).cast("bigint"))
+        .withColumn("n_tokens", ntok.cast("bigint"))
+        .withColumn(
+            "mean_token_len",
+            F.when(ntok > 0, (F.length(F.regexp_replace(c, r"\s+", "")).cast("double") / ntok)).otherwise(F.lit(0.0)),
+        )
+        .withColumn("punct_ratio", punct_ratio(c))
+        .withColumn(
+            "stopword_ratio",
+            F.when(ntok > 0, stopword_hits(c).cast("double") / ntok).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0-1 quality score: length-bounded, low-punct, stopword-y.
+
+    Deliberately simple and deterministic (the point is the *pipeline
+    shape* — a pure-columnar scorer that a filter can consume — not the
+    specific heuristic).
+    """
+    feat = quality_features(df, text_col)
+    score = (
+        F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))) * 0.3
+        + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.3
+    )
+    return feat.withColumn("quality_score", F.round(score, 6))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hits.
+
+    Ties / zero hits → 'und' (undetermined). Pure column expressions —
+    a ``greatest``-based argmax, no UDF, no shuffle.
+    """
+    hits = {lang: stopword_hits(F.col(text_col), lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    # First-match-wins on ties (stable en→fr→es→de ordering).
+    pred = F.coalesce(
+        *[
+            F.when((hits[lang] == best) & (best > 0), F.lit(lang))
+            for lang in STOPWORDS
+        ],
+        F.lit("und"),
+    )
+    return df.withColumn("lang_pred", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprints: ``fp_md5`` (exact) and ``fp_norm`` (md5 of
+    lowercased whitespace-collapsed text — catches trivial reflows)."""
+    c = F.col(text_col)
+    return df.withColumn("fp_md5", F.md5(c)).withColumn(
+        "fp_norm",
+        F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))),
+    )

@@ -1,0 +1,60 @@
+"""Batch pipeline entry point — the reference's whole dataflow graph
+(SURVEY.md §2.8) as one Spark job group.
+
+Reference graph (code/beam.py:109-193): read → P1..P4 → fan-out to
+{F1→count→sink, F2→count→sink, global count}. Beam executes all five
+terminal edges in one run; Spark runs one job per action, so the one
+deliberate physical decision here is to ``persist()`` the cleaned
+DataFrame at the fan-out point (SURVEY.md §4) — the scan+clean is
+computed once, then two partitioned writes and one single-pass
+3-way count reuse it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark import StorageLevel
+from pyspark.sql import SparkSession
+
+from gcp_food_delivery_data_pipeline_spark.operators.clean import clean_orders
+from gcp_food_delivery_data_pipeline_spark.operators.metrics import Counts, run_counts
+from gcp_food_delivery_data_pipeline_spark.operators.split import split_by_status
+from gcp_food_delivery_data_pipeline_spark.sources.readers import read_orders_csv
+from gcp_food_delivery_data_pipeline_spark.sources.writers import (
+    with_ingest_date,
+    write_status_table,
+)
+
+
+@dataclass(frozen=True)
+class PipelineResult:
+    counts: Counts
+    delivered_path: str
+    other_path: str
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+) -> PipelineResult:
+    """Clean one batch of orders, split by status, append both tables,
+    and return the three run counts (reference entry point B, §3.2).
+    """
+    raw = read_orders_csv(spark, input_path)
+    cleaned = with_ingest_date(clean_orders(raw))
+    # Fan-out point: 2 writes + 1 count reuse this materialization.
+    cleaned.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        delivered, other = split_by_status(cleaned)
+        delivered_path = f"{output_dir}/delivered_orders"
+        other_path = f"{output_dir}/other_status_orders"
+        write_status_table(delivered, delivered_path)
+        write_status_table(other, other_path)
+        counts = run_counts(cleaned)
+    finally:
+        cleaned.unpersist()
+    return PipelineResult(
+        counts=counts, delivered_path=delivered_path, other_path=other_path
+    )

@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place where execution knobs live so every entry point (tests,
+bench, driver contract, streaming) runs with the same, deliberately
+chosen configuration. The defaults are tuned for correctness at small
+scale factors *and* for surviving a 100 TB / 1000-executor deployment:
+
+* AQE on (runtime re-plan, partition coalescing, skew-join splitting) —
+  at large scale the static ``spark.sql.shuffle.partitions`` is only an
+  upper bound; AQE right-sizes post-shuffle partitions from actual map
+  output statistics.
+* ``maxPartitionBytes`` kept at 128m so a 100 TB scan fans out to
+  ~800k input splits instead of a handful of giant ones.
+* Broadcast threshold left at Spark's default (10 MB) — dimension
+  tables (region/nation/supplier) are *also* explicitly broadcast at
+  call sites, so plans do not silently degrade to sort-merge joins when
+  statistics are missing.
+* Arrow enabled for the pandas-UDF extension points (similarity /
+  multimodal operators).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "gcp-food-delivery-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    in this container; on a real cluster the caller passes nothing and
+    spark-submit supplies the master.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

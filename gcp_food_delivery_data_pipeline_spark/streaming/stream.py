@@ -1,0 +1,104 @@
+"""Incremental (streaming) pipeline — reference O1-O5 re-expressed as one
+Structured Streaming query (SURVEY.md §3.4).
+
+Mapping:
+  O1 GCS prefix sensor (airflow_pipe.py:73-80)  → file-source discovery
+  O2 claim/move file   (airflow_pipe.py:44-57)  → cleanSource=archive
+  O3 XCom hand-off                              → in-process (none needed)
+  O4 Flex-template launch + 10-min cron         → processingTime trigger
+  O5 max_active_runs=1                          → serialized micro-batches
+
+Exactly-once improvement over the reference: the reference deletes the
+source file BEFORE the job is known to succeed (airflow_pipe.py:53-54 —
+a crash loses the file). Here the checkpoint records files only after
+the micro-batch commits, and archival happens post-commit.
+
+Each micro-batch runs the same fan-out as the batch pipeline via
+``foreachBatch`` (2 partitioned appends + 3 counts over one cached
+micro-batch — Beam's one-graph-many-sinks shape). foreachBatch is
+at-least-once per sink, so replayed batches are made idempotent by
+overwriting a per-batch subdirectory keyed by ``batch_id``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from gcp_food_delivery_data_pipeline_spark.operators.clean import clean_orders
+from gcp_food_delivery_data_pipeline_spark.operators.metrics import run_counts
+from gcp_food_delivery_data_pipeline_spark.operators.split import split_by_status
+from gcp_food_delivery_data_pipeline_spark.schema import RAW_SCHEMA
+from gcp_food_delivery_data_pipeline_spark.sources.writers import with_ingest_date
+
+
+def _process_batch_fn(
+    output_dir: str,
+    on_counts: Callable[[int, "object"], None] | None,
+) -> Callable[[DataFrame, int], None]:
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        cleaned = with_ingest_date(clean_orders(batch_df)).persist()
+        try:
+            delivered, other = split_by_status(cleaned)
+            # Idempotent replay: per-batch subdir, overwritten on retry.
+            (
+                delivered.write.mode("overwrite")
+                .partitionBy("ingest_date")
+                .parquet(f"{output_dir}/delivered_orders/batch_id={batch_id}")
+            )
+            (
+                other.write.mode("overwrite")
+                .partitionBy("ingest_date")
+                .parquet(f"{output_dir}/other_status_orders/batch_id={batch_id}")
+            )
+            if on_counts is not None:
+                on_counts(batch_id, run_counts(cleaned))
+        finally:
+            cleaned.unpersist()
+
+    return process
+
+
+def run_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    archive_dir: str | None = None,
+    trigger: dict | None = None,
+    max_files_per_trigger: int = 1,
+    on_counts: Callable[[int, "object"], None] | None = None,
+) -> StreamingQuery:
+    """Start the incremental pipeline over a watched directory.
+
+    ``trigger`` defaults to ``{"availableNow": True}`` (drain-and-stop,
+    used by tests); pass ``{"processingTime": "10 minutes"}`` for the
+    reference's cadence (airflow_pipe.py:63).
+    """
+    reader = (
+        spark.readStream.option("header", True)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .schema(RAW_SCHEMA)
+    )
+    if archive_dir is not None:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    stream = reader.csv(input_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(_process_batch_fn(output_dir, on_counts))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
+def read_status_table(spark: SparkSession, output_dir: str, table: str) -> DataFrame:
+    """Read back a streamed status table across all batch subdirs."""
+    return spark.read.option("basePath", f"{output_dir}/{table}").parquet(
+        f"{output_dir}/{table}/batch_id=*"
+    )

@@ -1,0 +1,112 @@
+"""Golden + unit tests for the reference-parity slice (SURVEY.md §5.1-§5.4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_food_delivery_data_pipeline_spark.operators.clean import clean_orders, typed_orders
+from gcp_food_delivery_data_pipeline_spark.operators.metrics import run_counts
+from gcp_food_delivery_data_pipeline_spark.operators.split import split_by_status
+from gcp_food_delivery_data_pipeline_spark.pipeline import run_pipeline
+from gcp_food_delivery_data_pipeline_spark.schema import OUT_COLS
+from gcp_food_delivery_data_pipeline_spark.sources.readers import read_orders_csv
+from tests.fixtures import N_DELIVERED, N_OTHER, N_TOTAL
+
+
+@pytest.fixture(scope="module")
+def cleaned(spark, food_csv):
+    return clean_orders(read_orders_csv(spark, food_csv)).cache()
+
+
+def test_schema_and_counts(cleaned):
+    assert cleaned.columns == OUT_COLS
+    assert cleaned.count() == N_TOTAL  # short row dropped
+
+
+def test_golden_sentinel_row(cleaned):
+    row = cleaned.filter(F.col("order_id") == "654s654").collect()[0]
+    # P1: exactly one trailing colon stripped; P2 lower; P3 '?' removed.
+    assert row["items"] == "pizza:margarita:waterzooi:crispy onion rings"
+    assert row["customer_id"] == "abcd123456xy"
+    assert row["amount"] == "21"
+    assert row["new_col"] == "1"
+    assert row["restaurant"] == "brussels mussels "  # trailing space survives
+    assert row["status"] == "delivered"
+
+
+def test_p1_strips_at_most_one_colon(cleaned):
+    # multi-colon, no trailing colon → untouched
+    row = cleaned.filter(F.col("order_id") == "111a222").collect()[0]
+    assert row["items"] == "benedict:pickle"
+    # trailing colon on multi-item value → only final char dropped
+    row = cleaned.filter(F.col("order_id") == "909j010").collect()[0]
+    assert row["items"] == "ramen:gyoza:edamame"
+
+
+def test_p3_strips_only_special_chars(cleaned):
+    row = cleaned.filter(F.col("order_id") == "343g454").collect()[0]
+    assert row["items"] == "fish and chips"
+    assert row["feedback"] == "why so salty"
+    row = cleaned.filter(F.col("order_id") == "999e000").collect()[0]
+    assert row["items"] == "burger  fries"  # '&' deleted, spaces remain
+    assert row["feedback"] == "cold  soggy"
+
+
+def test_split_partition_invariants(cleaned):
+    delivered, other = split_by_status(cleaned)
+    nd, no = delivered.count(), other.count()
+    assert nd == N_DELIVERED and no == N_OTHER
+    assert nd + no == cleaned.count()
+    # 'not delivered' is in OTHER, not delivered (exact equality)
+    assert other.filter(F.col("status") == "not delivered").count() == 1
+    # disjoint
+    assert delivered.intersect(other).count() == 0
+
+
+def test_counts_single_pass(cleaned):
+    c = run_counts(cleaned)
+    assert (c.total, c.delivered, c.other) == (N_TOTAL, N_DELIVERED, N_OTHER)
+
+
+def test_cleaning_idempotent(spark, cleaned):
+    """P1..P4 applied twice ≡ once (outputs contain no ?%&, no trailing
+    colon, no uppercase) — SURVEY.md §5.4."""
+    from gcp_food_delivery_data_pipeline_spark.functions.cleaning import (
+        clean_text_columns,
+        strip_one_trailing_colon,
+    )
+
+    again = clean_text_columns(
+        cleaned.withColumn("items", strip_one_trailing_colon("items"))
+    )
+    assert again.exceptAll(cleaned).count() == 0
+    assert cleaned.exceptAll(again).count() == 0
+
+
+def test_typed_orders(cleaned):
+    t = typed_orders(cleaned)
+    row = t.filter(F.col("order_id") == "654s654").collect()[0]
+    assert str(row["order_date"]) == "2023-11-10"
+    assert row["order_ts"].hour == 8 and row["order_ts"].minute == 31
+    assert row["items"] == ["pizza", "margarita", "waterzooi", "crispy onion rings"]
+    assert float(row["amount"]) == 21.0
+    assert row["ratings"] == 5
+
+
+def test_run_pipeline_end_to_end(spark, food_csv, tmp_path):
+    out = str(tmp_path / "warehouse")
+    res = run_pipeline(spark, food_csv, out)
+    assert (res.counts.total, res.counts.delivered, res.counts.other) == (
+        N_TOTAL,
+        N_DELIVERED,
+        N_OTHER,
+    )
+    delivered = spark.read.parquet(res.delivered_path)
+    other = spark.read.parquet(res.other_path)
+    assert delivered.count() == N_DELIVERED
+    assert other.count() == N_OTHER
+    assert "ingest_date" in delivered.columns
+    # append semantics: second run doubles the rows
+    run_pipeline(spark, food_csv, out)
+    assert spark.read.parquet(res.delivered_path).count() == 2 * N_DELIVERED
