@@ -16,6 +16,7 @@ from dataclasses import dataclass
 
 from pyspark import StorageLevel
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from gcp_food_delivery_data_pipeline_spark.operators.clean import clean_orders
 from gcp_food_delivery_data_pipeline_spark.operators.metrics import Counts, run_counts
@@ -43,11 +44,16 @@ def run_pipeline(
     and return the three run counts (reference entry point B, §3.2).
     """
     raw = read_orders_csv(spark, input_path)
-    cleaned = with_ingest_date(clean_orders(raw))
+    # drop_malformed=False: the reference counts C1-C3 on cleaned_data
+    # BEFORE the len<12 drop (the guard lives in to_json at the sink,
+    # code/beam.py:50-51,140-162) — so counts include short rows and
+    # only the sinks exclude them.
+    cleaned = with_ingest_date(clean_orders(raw, drop_malformed=False))
     # Fan-out point: 2 writes + 1 count reuse this materialization.
     cleaned.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        delivered, other = split_by_status(cleaned)
+        sink_ready = cleaned.filter(~F.col("is_short")).drop("is_short")
+        delivered, other = split_by_status(sink_ready)
         delivered_path = f"{output_dir}/delivered_orders"
         other_path = f"{output_dir}/other_status_orders"
         write_status_table(delivered, delivered_path)

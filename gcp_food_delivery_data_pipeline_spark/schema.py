@@ -45,6 +45,15 @@ RAW_COLS = [
 
 RAW_SCHEMA = StructType([StructField(c, StringType(), True) for c in RAW_COLS])
 
+# Spark populates this column exactly when a row's token count differs
+# from the schema (short OR long rows) — the engine's field-count
+# detector for the reference's ``len(cols) < 12`` guard.
+CORRUPT_COL = "_corrupt_record"
+
+RAW_SCHEMA_WITH_CORRUPT = StructType(
+    list(RAW_SCHEMA.fields) + [StructField(CORRUPT_COL, StringType(), True)]
+)
+
 # Output columns in the reference's declared sink order (code/beam.py:73-86).
 OUT_COLS = [
     "customer_id",

@@ -10,23 +10,36 @@ experiments.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from gcp_food_delivery_data_pipeline_spark.schema import RAW_SCHEMA
+from gcp_food_delivery_data_pipeline_spark.schema import (
+    CORRUPT_COL,
+    RAW_SCHEMA_WITH_CORRUPT,
+)
 
 
 def read_orders_csv(spark: SparkSession, path: str) -> DataFrame:
     """Structured scan of a food-orders CSV (header skipped, 11 string cols).
 
-    ``mode=PERMISSIVE`` maps short rows to trailing NULLs; the cleaning
-    step's malformed-row guard then reproduces the reference's drop
-    (code/beam.py:50-51). An explicit schema (never inferSchema) keeps
-    the scan single-pass and the types deterministic.
+    ``mode=PERMISSIVE`` + ``columnNameOfCorruptRecord`` gives the clean
+    step a real field-count signal: Spark fills ``_corrupt_record`` with
+    the raw line exactly when the token count differs from the schema,
+    which is how short rows (reference drop, code/beam.py:50-51) are
+    told apart from rows that merely have empty fields. An explicit
+    schema (never inferSchema) keeps the scan single-pass and the types
+    deterministic.
+
+    Divergence note (documented, deliberate): this parser honors CSV
+    quoting; the reference splits raw lines on ``,``
+    (code/beam.py:34-37). For byte-fidelity on quoted-comma data use
+    ``read_orders_lines`` + ``clean_order_lines``.
     """
     return (
         spark.read.option("header", True)
         .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .option("encoding", "UTF-8")
-        .schema(RAW_SCHEMA)
+        .schema(RAW_SCHEMA_WITH_CORRUPT)
         .csv(path)
     )
 
@@ -34,6 +47,27 @@ def read_orders_csv(spark: SparkSession, path: str) -> DataFrame:
 def read_orders_text(spark: SparkSession, path: str) -> DataFrame:
     """Raw-fidelity mode: the file as lines (reference ReadFromText)."""
     return spark.read.text(path)
+
+
+def read_orders_lines(
+    spark: SparkSession, path: str, header_first_field: str = "customer_id"
+) -> DataFrame:
+    """Byte-fidelity scan: raw lines, BOM stripped, header dropped.
+
+    Mirrors ``ReadFromText(skip_header_lines=1)`` (code/beam.py:113-116)
+    — the header is recognized by its first field (case-insensitive,
+    the real file spells it ``Customer_id`` with a UTF-8 BOM,
+    data/food_daily.csv:1). Feed the result to ``clean_order_lines``
+    for naive comma-split semantics.
+    """
+    line = F.regexp_replace(F.col("value"), "^﻿", "")
+    return (
+        spark.read.text(path)
+        .select(line.alias("line"))
+        .filter(
+            ~F.lower(F.col("line")).startswith(header_first_field.lower() + ",")
+        )
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

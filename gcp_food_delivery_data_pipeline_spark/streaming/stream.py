@@ -25,12 +25,13 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from gcp_food_delivery_data_pipeline_spark.operators.clean import clean_orders
 from gcp_food_delivery_data_pipeline_spark.operators.metrics import run_counts
 from gcp_food_delivery_data_pipeline_spark.operators.split import split_by_status
-from gcp_food_delivery_data_pipeline_spark.schema import RAW_SCHEMA
+from gcp_food_delivery_data_pipeline_spark.schema import RAW_SCHEMA_WITH_CORRUPT
 from gcp_food_delivery_data_pipeline_spark.sources.writers import with_ingest_date
 
 
@@ -39,9 +40,15 @@ def _process_batch_fn(
     on_counts: Callable[[int, "object"], None] | None,
 ) -> Callable[[DataFrame, int], None]:
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        cleaned = with_ingest_date(clean_orders(batch_df)).persist()
+        # Pre-drop frame: reference counts before the len<12 guard
+        # (code/beam.py:140-162 vs :50-51) — sinks exclude short rows,
+        # counts include them.
+        cleaned = with_ingest_date(
+            clean_orders(batch_df, drop_malformed=False)
+        ).persist()
         try:
-            delivered, other = split_by_status(cleaned)
+            sink_ready = cleaned.filter(~F.col("is_short")).drop("is_short")
+            delivered, other = split_by_status(sink_ready)
             # Idempotent replay: per-batch subdir, overwritten on retry.
             (
                 delivered.write.mode("overwrite")
@@ -80,7 +87,9 @@ def run_stream(
     reader = (
         spark.readStream.option("header", True)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .schema(RAW_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(RAW_SCHEMA_WITH_CORRUPT)
     )
     if archive_dir is not None:
         reader = reader.option("cleanSource", "archive").option(

@@ -34,14 +34,29 @@ ROWS = [
     "GHIJ777777MN,11/10/2023,16.30.00,565H676,Pad Thai:,29,Cash,Bangkok Bites,Delivered,5,Perfect",
     # short row (<11 fields) — exercises the malformed-row drop
     "KLMN888888OP,11/10/2023,17.00.00,787I898,Dumplings:",
+    # 11 fields with EMPTY feedback — must be KEPT (reference keeps it:
+    # fields[10]='' and len==12 after the ',1' append; ADVICE r1)
+    "WXYZ000000ST,11/10/2023,20.00.00,232K323,Pasta:,35,Card,Roma Roma,Delivered,5,",
     # delivered with multiple inner colons and trailing colon
     "QRSU999999QR,11/10/2023,19.45.12,909J010,Ramen:Gyoza:Edamame:,41,Online,Tokyo Table,Delivered,4,Nice",
 ]
 
-# Expected post-clean invariants for the fixture (excluding the short row):
-N_TOTAL = 11
-N_DELIVERED = 8
+# Expected post-clean invariants for the fixture (excluding the short
+# row, which the sink drops — reference code/beam.py:50-51; the
+# empty-feedback row IS kept):
+N_TOTAL = 12
+N_DELIVERED = 9
 N_OTHER = 3
+
+# Pre-drop run counts: the reference counts cleaned_data BEFORE the
+# len<12 guard (code/beam.py:140-146 vs :50-51), so the short row is
+# counted in total. Its status field is missing → NULL → it lands in
+# the "other" count. (The reference itself would IndexError on a
+# <9-field row at the filter, code/beam.py:126 — counting it as
+# "other" is this engine's documented, non-crashing choice.)
+N_COUNT_TOTAL = 13
+N_COUNT_DELIVERED = 9
+N_COUNT_OTHER = 4
 
 
 def write_food_csv(path: str) -> str:

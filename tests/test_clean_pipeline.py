@@ -11,7 +11,14 @@ from gcp_food_delivery_data_pipeline_spark.operators.split import split_by_statu
 from gcp_food_delivery_data_pipeline_spark.pipeline import run_pipeline
 from gcp_food_delivery_data_pipeline_spark.schema import OUT_COLS
 from gcp_food_delivery_data_pipeline_spark.sources.readers import read_orders_csv
-from tests.fixtures import N_DELIVERED, N_OTHER, N_TOTAL
+from tests.fixtures import (
+    N_COUNT_DELIVERED,
+    N_COUNT_OTHER,
+    N_COUNT_TOTAL,
+    N_DELIVERED,
+    N_OTHER,
+    N_TOTAL,
+)
 
 
 @pytest.fixture(scope="module")
@@ -51,6 +58,18 @@ def test_p3_strips_only_special_chars(cleaned):
     row = cleaned.filter(F.col("order_id") == "999e000").collect()[0]
     assert row["items"] == "burger  fries"  # '&' deleted, spaces remain
     assert row["feedback"] == "cold  soggy"
+
+
+def test_empty_field_kept_as_empty_string(cleaned):
+    """An 11-field row with an empty last field is a VALID row: the
+    reference's split yields fields[10]='' (not a missing field), so it
+    survives the len guard and the empty field stays ''. Spark's CSV
+    reader parses the empty field to NULL; the clean step coalesces it
+    back to '' for parity (ADVICE r1)."""
+    rows = cleaned.filter(F.col("order_id") == "232k323").collect()
+    assert len(rows) == 1
+    assert rows[0]["feedback"] == ""
+    assert rows[0]["status"] == "delivered"
 
 
 def test_split_partition_invariants(cleaned):
@@ -97,10 +116,12 @@ def test_typed_orders(cleaned):
 def test_run_pipeline_end_to_end(spark, food_csv, tmp_path):
     out = str(tmp_path / "warehouse")
     res = run_pipeline(spark, food_csv, out)
+    # Run counts are PRE-drop (reference counts before the len<12
+    # guard); sink row counts below are post-drop.
     assert (res.counts.total, res.counts.delivered, res.counts.other) == (
-        N_TOTAL,
-        N_DELIVERED,
-        N_OTHER,
+        N_COUNT_TOTAL,
+        N_COUNT_DELIVERED,
+        N_COUNT_OTHER,
     )
     delivered = spark.read.parquet(res.delivered_path)
     other = spark.read.parquet(res.other_path)
