@@ -1,38 +1,679 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship star-join query at sf0.001.
+``queries()`` exposes every implemented operator (SURVEY.md §2 parity
+rows + the M4 analytics layer + the M5 LLM-pipeline operators) as a
+(spark, sf_dir) → DataFrame callable; ``oracle_sql()`` carries the
+DuckDB-equivalent SQL for each. Column names and rounding are aligned
+on both sides so the driver's order-insensitive value-hash matches.
+
+Float policy: aggregates of money-like doubles are rounded to 2
+decimals (inputs are 2-decimal values, so the true sum is exactly
+representable and both engines' summation orders agree after
+rounding); ratios/averages/cosines are rounded to 6.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_food_delivery_data_pipeline_spark.config import load_conf
+from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    lsh_candidate_pairs,
+)
+from gcp_food_delivery_data_pipeline_spark.operators.multimodal import (
+    attach_fake_payload,
+    extract_features,
+    filter_by_meta,
+)
+from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+    lsh_bucketed_topk,
+    topk_exact,
+    topk_exact_scalable,
+)
+from gcp_food_delivery_data_pipeline_spark.operators.text import (
+    language_id,
+    quality_score,
+    token_count,
+)
+from gcp_food_delivery_data_pipeline_spark.plans import analytics as A
+from gcp_food_delivery_data_pipeline_spark.sources.readers import load_table
+from gcp_food_delivery_data_pipeline_spark.sources.writers import ensure_database
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+# Deterministic pseudo-random hyperplanes for the ANN path (8 bits,
+# 64 dims) — a fixed linear-congruential stream, no runtime RNG.
+def _hyperplanes(bits: int = 8, dim: int = 64) -> list[list[float]]:
+    x = 88172645463325252
+    planes = []
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            # xorshift64
+            x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 7
+            x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+            row.append(((x % 2001) - 1000) / 1000.0)
+        planes.append(row)
+    return planes
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: revenue per nation in one region — star join with
+    broadcast dims + group-agg (plans/analytics.py:q5_nation_revenue)."""
+    t = {n: load_table(spark, SF_SMALL, n) for n in
+         ["customer", "orders", "lineitem", "nation", "region"]}
+    return A.q5_nation_revenue(
+        t["customer"], t["orders"], t["lineitem"], t["nation"], t["region"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries() helpers — each returns a (spark, sf_dir) -> DataFrame callable.
+# ---------------------------------------------------------------------------
+
+def _q_s1_scan_count(spark: SparkSession, sf: str) -> DataFrame:
+    """S1: structured scan, row count (scan prunes to zero columns)."""
+    return load_table(spark, sf, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def _q_p1_strip_colon(spark: SparkSession, sf: str) -> DataFrame:
+    """P1: strip AT MOST ONE trailing colon (reference code/beam.py:35-39)."""
+    d = load_table(spark, sf, "documents")
+    one = F.concat(F.col("source"), F.lit(":"))
+    two = F.concat(F.col("source"), F.lit("::"))
+    return d.select(
+        "doc_id",
+        F.regexp_replace(one, ":$", "").alias("items_one"),
+        F.regexp_replace(two, ":$", "").alias("items_two"),
+    )
+
+
+def _q_p2_p3_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """P2+P3: lowercase + strip [?%&] on every projected column."""
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace(F.lower("c_name"), "[?%&]", "").alias("name_clean"),
+        F.regexp_replace(F.lower("c_mktsegment"), "[?%&]", "").alias(
+            "segment_clean"
+        ),
+    )
+
+
+def _q_p4_constant(spark: SparkSession, sf: str) -> DataFrame:
+    """P4: constant string column appended to a projection."""
+    return load_table(spark, sf, "orders").select(
+        "o_orderkey", F.lit("1").alias("new_col")
+    )
+
+
+def _q_p5_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """P5: dict projection — positional naming + renames + null-drop."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.filter(F.col("props").isNotNull())
+        .select(
+            F.col("event_id").alias("id"),
+            F.col("event_type").alias("kind"),
+            F.col("value"),
+        )
+    )
+
+
+def _q_clean_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """P1→P2→P3→P4 composed in reference operator order."""
+    d = load_table(spark, sf, "documents")
+    s = F.concat(F.col("text"), F.lit(":"))
+    s = F.regexp_replace(s, ":$", "")       # P1
+    s = F.lower(s)                           # P2
+    s = F.regexp_replace(s, "[?%&]", "")   # P3
+    return d.select(
+        "doc_id", s.alias("cleaned"), F.lit("1").alias("new_col")  # P4
+    )
+
+
+def _q_f1_delivered(spark: SparkSession, sf: str) -> DataFrame:
+    """F1: equality filter (status == sentinel)."""
+    return load_table(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def _q_f2_other(spark: SparkSession, sf: str) -> DataFrame:
+    """F2: complement filter, NULL-inclusive (split.py semantics)."""
+    return load_table(spark, sf, "orders").filter(
+        (F.col("o_orderstatus") != "F") | F.col("o_orderstatus").isNull()
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def _q_c1_c3_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """C1-C3: the single-pass 3-way conditional count (metrics.py)."""
+    return load_table(spark, sf, "orders").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("delivered"),
+        F.count(
+            F.when(
+                (F.col("o_orderstatus") != "F")
+                | F.col("o_orderstatus").isNull(),
+                1,
+            )
+        ).alias("other"),
+    )
+
+
+def _q_s3_write_readback(spark: SparkSession, sf: str) -> DataFrame:
+    """S3/S4: partitioned write + readback parity (counts + value sum)."""
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_s3_check")
+    orders = load_table(spark, sf, "orders")
+    (
+        orders.write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def _q_s5_ddl(spark: SparkSession, sf: str) -> DataFrame:
+    """S5: CREATE DATABASE IF NOT EXISTS (reference beam.py:141-150)."""
+    ensure_database(spark, "food_orders")
+    dbs = [r.namespace for r in spark.sql("SHOW DATABASES").collect()]
+    return spark.range(1).select(
+        F.lit(1).alias("ok"),
+        F.lit("food_orders" in dbs).cast("int").alias("db_exists"),
+    )
+
+
+def _q_o6_conf(spark: SparkSession, sf: str) -> DataFrame:
+    """O6: key=value conf-file loader (reference airflow_pipe.py:23-38)."""
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_conf.conf")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(
+            "# engine config\n\nPROJECT_ID = demo-project\n"
+            "BQ_DATASET=food_orders\nVERSION=v1\n"
+            "URL=http://example.com/a=b\n"  # value containing '='
+        )
+    conf = load_conf(path)
+    rows = [(k, v) for k, v in sorted(conf.items())]
+    return spark.createDataFrame(rows, ["key", "value"])
+
+
+# ----- analytics (M4) -----
+
+def _tables(spark: SparkSession, sf: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf, n) for n in names}
+
+
+def _q_q1(spark: SparkSession, sf: str) -> DataFrame:
+    return A.q1_pricing_summary(load_table(spark, sf, "lineitem"))
+
+
+def _q_q3(spark: SparkSession, sf: str) -> DataFrame:
+    t = _tables(spark, sf, "customer", "orders", "lineitem")
+    out = A.q3_top_revenue_orders(t["customer"], t["orders"], t["lineitem"])
+    return out.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "revenue",
+    )
+
+
+def _q_q5(spark: SparkSession, sf: str) -> DataFrame:
+    t = _tables(spark, sf, "customer", "orders", "lineitem", "nation", "region")
+    return A.q5_nation_revenue(
+        t["customer"], t["orders"], t["lineitem"], t["nation"], t["region"]
+    )
+
+
+def _q_q4(spark: SparkSession, sf: str) -> DataFrame:
+    t = _tables(spark, sf, "orders", "lineitem")
+    return A.q4_order_priority(t["orders"], t["lineitem"])
+
+
+def _q_anti(spark: SparkSession, sf: str) -> DataFrame:
+    t = _tables(spark, sf, "customer", "orders")
+    return A.q_customers_without_orders(t["customer"], t["orders"])
+
+
+def _q_window_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return A.q_top_customers_per_segment(load_table(spark, sf, "customer"))
+
+
+def _q_window_running(spark: SparkSession, sf: str) -> DataFrame:
+    out = A.q_customer_running_spend(load_table(spark, sf, "orders"))
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "running_spend",
+    )
+
+
+def _q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    out = A.q_events_hourly(load_table(spark, sf, "events"))
+    return out.select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def _q_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    return A.q_distinct_users(load_table(spark, sf, "events"))
+
+
+def _q_props_extract(spark: SparkSession, sf: str) -> DataFrame:
+    return A.q_props_extract(load_table(spark, sf, "events"))
+
+
+# ----- text analysis (M5) -----
+
+def _q_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )
+
+
+def _q_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    out = quality_score(d.select("doc_id", "text"))
+    return out.select(
+        "doc_id",
+        "n_chars_q",
+        "n_tokens",
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        "quality_score",
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return language_id(d.select("doc_id", "text")).select("doc_id", "lang_pred")
+
+
+def _q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("fp_md5"),
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias(
+            "fp_norm"
+        ),
+    )
+
+
+# ----- dedup (M5) -----
+
+def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").withColumn("fp", F.md5("text"))
+    kept = dedup_exact(d, "fp")
+    return kept.select("doc_id", "lang", "source")
+
+
+def _q_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+def _q_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    pairs = lsh_candidate_pairs(d, "text", "doc_id", num_hashes=64, bands=16)
+    return pairs.filter(F.col("jaccard") >= 0.8)
+
+
+# ----- similarity (M5) -----
+
+def _q_topk_exact(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    return topk_exact(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+def _q_topk_scalable(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    return topk_exact_scalable(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+def _q_topk_ann(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    return lsh_bucketed_topk(
+        e, e.filter(F.col("vec_id") < 5), _hyperplanes(), k=10
+    )
+
+
+def _q_embedding_dims(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    return e.select("vec_id", F.size("embedding").alias("dim"), "label")
+
+
+# ----- multimodal (M5) -----
+
+def _q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    mm = filter_by_meta(attach_fake_payload(d), formats=["png"], min_width=10)
+    return mm.select(
+        "doc_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    feats = extract_features(attach_fake_payload(d), dim=16, decode_mode="fake")
+    return feats.select(
+        "doc_id", "n_bytes", F.size("features").alias("feat_dim")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # reference parity (SURVEY.md §2)
+        "s1_scan_count": _q_s1_scan_count,
+        "p1_strip_colon": _q_p1_strip_colon,
+        "p2_p3_clean": _q_p2_p3_clean,
+        "p4_constant": _q_p4_constant,
+        "p5_projection": _q_p5_projection,
+        "clean_chain": _q_clean_chain,
+        "f1_delivered": _q_f1_delivered,
+        "f2_other": _q_f2_other,
+        "c1_c3_counts": _q_c1_c3_counts,
+        "s3_write_readback": _q_s3_write_readback,
+        "s5_ddl": _q_s5_ddl,
+        "o6_conf": _q_o6_conf,
+        # analytics (M4)
+        "q1_pricing_summary": _q_q1,
+        "q3_top_revenue": _q_q3,
+        "q5_nation_revenue": _q_q5,
+        "q4_order_priority": _q_q4,
+        "q_customers_no_orders": _q_anti,
+        "q_top3_per_segment": _q_window_topk,
+        "q_running_spend": _q_window_running,
+        "q_events_hourly": _q_events_hourly,
+        "q_distinct_users": _q_distinct_users,
+        "q_props_extract": _q_props_extract,
+        # text analysis (M5)
+        "t_token_count": _q_token_count,
+        "t_quality": _q_quality,
+        "t_lang_id": _q_lang_id,
+        "t_fingerprint": _q_fingerprint,
+        # dedup (M5)
+        "d_dedup_exact": _q_dedup_exact,
+        "d_dedup_groups": _q_dedup_groups,
+        "d_near_dup_pairs": _q_near_dup_pairs,
+        # similarity (M5)
+        "v_topk_exact": _q_topk_exact,
+        "v_topk_scalable": _q_topk_scalable,
+        "v_topk_ann": _q_topk_ann,
+        "v_embedding_dims": _q_embedding_dims,
+        # multimodal (M5)
+        "m_meta_filter": _q_multimodal_meta,
+        "m_features": _q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles. Note DuckDB regexp_replace needs the 'g' flag (Spark's
+# replaces all matches by default); rounding mirrors the Spark side.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_SQL = "['the','a','of','and','to','in','is','it','that','for']"
+_TOKENS = r"regexp_split_to_array(trim(text), '\s+')"
+_NTOK = rf"CASE WHEN trim(text)='' THEN 0 ELSE len({_TOKENS}) END"
+
+
+def _lang_hits(words: list[str]) -> str:
+    lst = "[" + ",".join(f"'{w}'" for w in words) + "]"
+    return (
+        r"len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), "
+        f"x -> list_contains({lst}, x)))"
+    )
+
+
+_LANGS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "es": ["el", "la", "de", "y", "los", "las", "un", "una", "del", "es"],
+    "de": ["der", "die", "das", "und", "den", "von", "zu", "mit", "ist", "ein"],
+}
+
+_SHINGLES = (
+    r"list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1), "
+    r"i -> array_to_string(toks[i:i+2], ' ')))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    hits = {lang: _lang_hits(ws) for lang, ws in _LANGS.items()}
+    best = "greatest(" + ",".join(f"h_{lang}" for lang in _LANGS) + ")"
+    lang_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN h_{lang} = {best} AND {best} > 0 THEN '{lang}'"
+            for lang in _LANGS
+        )
+        + " ELSE 'und' END"
+    )
+    return {
+        "s1_scan_count": "SELECT count(*) AS n_rows FROM lineitem",
+        "p1_strip_colon": (
+            "SELECT doc_id, regexp_replace(source || ':', ':$', '') AS items_one, "
+            "regexp_replace(source || '::', ':$', '') AS items_two FROM documents"
+        ),
+        "p2_p3_clean": (
+            "SELECT c_custkey, regexp_replace(lower(c_name), '[?%&]', '', 'g') AS name_clean, "
+            "regexp_replace(lower(c_mktsegment), '[?%&]', '', 'g') AS segment_clean FROM customer"
+        ),
+        "p4_constant": "SELECT o_orderkey, '1' AS new_col FROM orders",
+        "p5_projection": (
+            "SELECT event_id AS id, event_type AS kind, value FROM events "
+            "WHERE props IS NOT NULL"
+        ),
+        "clean_chain": (
+            "SELECT doc_id, regexp_replace(lower(regexp_replace(text || ':', ':$', '')), "
+            "'[?%&]', '', 'g') AS cleaned, '1' AS new_col FROM documents"
+        ),
+        "f1_delivered": (
+            "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+            "WHERE o_orderstatus = 'F'"
+        ),
+        "f2_other": (
+            "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+            "WHERE o_orderstatus <> 'F' OR o_orderstatus IS NULL"
+        ),
+        "c1_c3_counts": (
+            "SELECT count(*) AS total, "
+            "count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS delivered, "
+            "count(CASE WHEN o_orderstatus <> 'F' OR o_orderstatus IS NULL THEN 1 END) AS other "
+            "FROM orders"
+        ),
+        "s3_write_readback": (
+            "SELECT o_orderstatus AS status, count(*) AS n, "
+            "round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY o_orderstatus"
+        ),
+        "s5_ddl": "SELECT 1 AS ok, 1 AS db_exists",
+        "o6_conf": (
+            "SELECT 'BQ_DATASET' AS key, 'food_orders' AS value "
+            "UNION ALL SELECT 'PROJECT_ID', 'demo-project' "
+            "UNION ALL SELECT 'URL', 'http://example.com/a=b' "
+            "UNION ALL SELECT 'VERSION', 'v1'"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price, "
+            "round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2) AS sum_charge, "
+            "round(avg(l_quantity), 6) AS avg_qty, "
+            "round(avg(l_discount), 6) AS avg_disc, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q3_top_revenue": (
+            "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, "
+            "round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "GROUP BY o_orderkey, o_orderdate "
+            "ORDER BY revenue DESC, o_orderkey LIMIT 10"
+        ),
+        "q5_nation_revenue": (
+            "SELECT n_name, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue, "
+            "count(*) AS n_lineitems "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' GROUP BY n_name"
+        ),
+        "q4_order_priority": (
+            "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+            "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey) "
+            "GROUP BY o_orderpriority"
+        ),
+        "q_customers_no_orders": (
+            "SELECT c_custkey, c_name, c_mktsegment FROM customer "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)"
+        ),
+        "q_top3_per_segment": (
+            "SELECT c_mktsegment, rank_in_segment, c_custkey, c_name, c_acctbal FROM ("
+            "SELECT c_mktsegment, c_custkey, c_name, c_acctbal, "
+            "row_number() OVER (PARTITION BY c_mktsegment "
+            "ORDER BY c_acctbal DESC, c_custkey) AS rank_in_segment FROM customer) "
+            "WHERE rank_in_segment <= 3"
+        ),
+        "q_running_spend": (
+            "SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, "
+            "round(sum(o_totalprice) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend "
+            "FROM orders"
+        ),
+        "q_events_hourly": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, "
+            "event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY date_trunc('hour', ts), event_type"
+        ),
+        "q_distinct_users": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_users, "
+            "count(*) AS n_events FROM events GROUP BY event_type"
+        ),
+        "q_props_extract": (
+            "SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k "
+            "FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50"
+        ),
+        "t_token_count": (
+            f"SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens FROM documents"
+        ),
+        "t_quality": (
+            "SELECT doc_id, n_chars_q, n_tokens, "
+            "round(mean_token_len, 6) AS mean_token_len, "
+            "round(punct_ratio, 6) AS punct_ratio, "
+            "round(stopword_ratio, 6) AS stopword_ratio, "
+            "round(least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.4 "
+            " + (1.0 - least(punct_ratio*5.0, 1.0))*0.3 "
+            " + least(stopword_ratio*5.0, 1.0)*0.3, 6) AS quality_score "
+            "FROM ("
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_q, "
+            f"CAST({_NTOK} AS BIGINT) AS n_tokens, "
+            rf"CASE WHEN {_NTOK} > 0 THEN CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)/{_NTOK} ELSE 0.0 END AS mean_token_len, "
+            r"CASE WHEN length(text)=0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)/length(text) END AS punct_ratio, "
+            f"CASE WHEN {_NTOK} > 0 THEN CAST({_lang_hits(_LANGS['en'])} AS DOUBLE)/{_NTOK} ELSE 0.0 END AS stopword_ratio "
+            "FROM documents)"
+        ),
+        "t_lang_id": (
+            f"SELECT doc_id, {lang_case} AS lang_pred FROM ("
+            "SELECT doc_id, "
+            + ", ".join(f"{hits[lang]} AS h_{lang}" for lang in _LANGS)
+            + " FROM documents)"
+        ),
+        "t_fingerprint": (
+            "SELECT doc_id, md5(text) AS fp_md5, "
+            r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_norm "
+            "FROM documents"
+        ),
+        "d_dedup_exact": (
+            "SELECT doc_id, lang, source FROM documents "
+            "WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))"
+        ),
+        "d_dedup_groups": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents "
+            "GROUP BY md5(text)"
+        ),
+        "d_near_dup_pairs": (
+            "WITH sh AS (SELECT doc_id, "
+            f"{_SHINGLES} AS s "
+            r"FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks "
+            "FROM documents)) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "/ len(list_distinct(a.s || b.s)), 6) AS jaccard "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "/ len(list_distinct(a.s || b.s)) >= 0.8"
+        ),
+        "v_topk_exact": (
+            "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id < 5), "
+            "c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv "
+            "FROM embeddings) "
+            "SELECT query_id, rank, neighbor_id, round(sim, 6) AS cosine_sim FROM ("
+            "SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY "
+            "list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank "
+            "FROM q, c WHERE neighbor_id <> query_id) WHERE rank <= 10"
+        ),
+        "v_topk_scalable": (
+            "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id < 5), "
+            "c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv "
+            "FROM embeddings) "
+            "SELECT query_id, rank, neighbor_id, round(sim, 6) AS cosine_sim FROM ("
+            "SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY "
+            "list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank "
+            "FROM q, c WHERE neighbor_id <> query_id) WHERE rank <= 10"
+        ),
+        # v_topk_ann: approximate — no SQL oracle (recall tested in pytest).
+        "v_embedding_dims": (
+            "SELECT vec_id, len(embedding) AS dim, label FROM embeddings"
+        ),
+        "m_meta_filter": (
+            "SELECT doc_id, fmt AS format, width, height, n_bytes FROM ("
+            "SELECT doc_id, "
+            "CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt, "
+            "CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS width, "
+            "CAST(octet_length(encode(text)) % 48 + 1 AS INTEGER) AS height, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes "
+            "FROM documents) WHERE fmt = 'png' AND width >= 10"
+        ),
+        "m_features": (
+            "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "16 AS feat_dim FROM documents"
+        ),
+    }

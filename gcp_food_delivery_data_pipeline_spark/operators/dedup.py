@@ -1,0 +1,245 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference (which has no dedup — SURVEY.md §2.6), these are
+the corpus-hygiene operators an LLM-data pipeline runs over a
+``documents(doc_id, text, ...)`` table:
+
+* ``dedup_exact``      — exact duplicates by content hash, deterministic
+                         keep-first (smallest id). One shuffle.
+* ``minhash_signature``/ ``lsh_candidate_pairs`` — near-duplicate
+  candidate generation via MinHash + LSH banding: shingle → minhash →
+  band → bucket-join. NEVER an all-pairs cross join: candidates come
+  from an equi-join on (band_index, band_hash), so the shuffle is
+  proportional to the data, not its square.
+* ``near_dedup``       — greedy drop of any doc whose verified-similar
+  neighbor has a smaller id.
+
+Everything is Column-expression based (higher-order functions
+``transform``/``filter``/``array_min`` — JVM-side, no Python UDFs).
+
+Determinism note: ``dropDuplicates`` keeps an arbitrary row; here the
+survivor is always ``min(id)`` per key via ``row_number`` so reruns and
+the DuckDB oracle agree bit-for-bit.
+
+Hash design: shingle → 32-bit integer via the first 8 hex chars of
+``md5`` (stable across engines and languages, unlike ``xxhash64``
+seeds), then ``n`` universal-hash permutations ``(a*h + b) mod p`` with
+fixed odd constants — the classic MinHash construction (Broder 1997).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gcp_food_delivery_data_pipeline_spark.operators.text import tokens
+
+# Mersenne prime 2^61-1: products a*h stay inside the 63-bit positive
+# range (a < 2^30, h < 2^32) so the modular hash never overflows a LONG.
+_MERSENNE_P = (1 << 61) - 1
+_SEED_A = 0x9E3779B1  # golden-ratio odd constant
+_SEED_B = 0x85EBCA77
+
+
+def _hash_params(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for n universal hash functions."""
+    params = []
+    a, b = _SEED_A, _SEED_B
+    for _ in range(n):
+        # xorshift-style scramble; keep a odd and within 30 bits.
+        a = ((a * 0x2545F491) ^ (a >> 13)) & ((1 << 30) - 1) | 1
+        b = ((b * 0x27D4EB2F) ^ (b >> 15)) & ((1 << 30) - 1)
+        params.append((a, b))
+    return params
+
+
+def shingles(text_col: Column | str, k: int = 3) -> Column:
+    """Distinct k-token shingles of a text column (array<string>).
+
+    A doc with fewer than k tokens yields its whole token sequence as
+    one shingle so short docs still participate.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(c)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(grams)
+
+
+def _shingle_hash(s: Column) -> Column:
+    """Stable 32-bit hash of one shingle: first 8 hex chars of md5."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def _signature_from_hashes(hashes: Column, num_hashes: int) -> Column:
+    """MinHash signature (array<long>) from a pre-hashed shingle array.
+
+    Callers MUST materialize ``hashes`` as its own projection first
+    (see ``with_minhash``): the signature references it ``num_hashes``
+    times, and without a staged column the md5 of every shingle would
+    be recomputed per hash function.
+    """
+    sig = []
+    for a, b in _hash_params(num_hashes):
+        sig.append(
+            F.coalesce(
+                F.array_min(
+                    F.transform(
+                        hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE_P)
+                    )
+                ),
+                F.lit(_MERSENNE_P),
+            )
+        )
+    return F.array(*sig)
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Append a MinHash signature column, staged so each shingle is
+    hashed exactly once. No shuffle, no UDF. Empty texts get an all-p
+    signature (matches nothing real)."""
+    staged = df.withColumn("_sh", shingles(text_col, k=shingle_k)).withColumn(
+        "_h", F.transform(F.col("_sh"), _shingle_hash)
+    )
+    return staged.withColumn(
+        out_col, _signature_from_hashes(F.col("_h"), num_hashes)
+    ).drop("_h")
+
+
+def minhash_signature(
+    text_col: Column | str, num_hashes: int = 64, shingle_k: int = 3
+) -> Column:
+    """Single-Column MinHash (convenience; prefer ``with_minhash`` —
+    this form re-evaluates the shingle md5s per hash function unless
+    Catalyst CSEs them)."""
+    sh = shingles(text_col, k=shingle_k)
+    hashes = F.transform(sh, _shingle_hash)
+    return _signature_from_hashes(hashes, num_hashes)
+
+
+def dedup_exact(
+    df: DataFrame, key: Column | str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the smallest-``id_col`` row per ``key``.
+
+    One shuffle on the key; ``row_number`` (not ``dropDuplicates``)
+    makes the survivor deterministic. Skew-safe: content-hash keys are
+    uniform unless the corpus is pathological, and AQE splits any hot
+    hash bucket.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(k).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate CANDIDATE pairs via LSH banding.
+
+    Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs sharing any band hash become a candidate pair. The self-join
+    is an equi-join on (band, band_hash) — shuffle ∝ corpus size. The
+    returned pairs carry the exact shingle-set Jaccard (computed via
+    ``array_intersect``/``array_union`` on the two shingle arrays) so
+    callers threshold on the true similarity, not the LSH estimate.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, distinct.
+    """
+    rows = num_hashes // bands
+    with_sig = with_minhash(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)),
+        text_col,
+        num_hashes=num_hashes,
+        shingle_k=shingle_k,
+        out_col="_sig",
+    ).select("_id", F.col("_sh").alias("_shingles"), "_sig")
+
+    banded = with_sig.select(
+        "_id",
+        "_shingles",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",", F.transform(F.slice("_sig", b * rows + 1, rows), lambda v: v.cast("string"))
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select("_id", "_shingles", "bh.band", "bh.band_hash")
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._shingles").alias("sh_a"),
+            F.col("b._shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # same pair from several bands
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(jaccard, 6).alias("jaccard")
+    )
+
+
+def near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Greedy near-dedup: drop every doc with a verified neighbor
+    (jaccard ≥ threshold) of smaller id.
+
+    Not a transitive closure (A~B, B~C, A≁C keeps A and C — standard
+    greedy semantics; full clustering would need iterative connected
+    components). The drop set is an anti-join — no payload shuffle.
+    """
+    pairs = lsh_candidate_pairs(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
+    )
+    to_drop = (
+        pairs.filter(F.col("jaccard") >= threshold).select(
+            F.col("id_b").alias("_drop_id")
+        )
+    ).distinct()
+    return df.join(
+        to_drop, df[id_col] == F.col("_drop_id"), "left_anti"
+    )

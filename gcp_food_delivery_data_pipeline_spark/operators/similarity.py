@@ -1,0 +1,179 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Three tiers, same result contract (top-k neighbors per query):
+
+* ``topk_exact``     — brute-force cosine top-k. The oracle-verifiable
+  baseline: queries are broadcast (small side), candidates stream
+  through one codegen stage, and the per-query top-k is a ranked
+  window. Correct at any scale but O(N·Q) similarity computations.
+* ``topk_exact_scalable`` — same answer, two-phase: a per-partition
+  local top-k (``applyInPandas``-free — uses a partition-id salted
+  window) shrinks N·Q candidate rows to ~partitions·Q·k before the
+  global rank. This is the shape that survives 100 TB: the wide
+  shuffle carries only local winners.
+* ``lsh_bucketed_topk`` — approximate: sign-random-projection LSH
+  (Charikar 2002) buckets; only same-bucket pairs are scored. Probe
+  multiple hyperplane tables to trade recall for cost. Recall is
+  validated in tests against the exact baseline.
+
+Vector arithmetic is ``zip_with``+``aggregate`` (functions/vectors.py)
+— JVM-side, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gcp_food_delivery_data_pipeline_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+)
+
+
+def _scored(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Broadcast cross join query×candidate with cosine similarity.
+
+    Self-match rows (query_id == candidate id) are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("_qvec", "_cvec").alias("_sim"),
+        )
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic top-k per query: (sim DESC, neighbor_id) order."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round(F.col("_sim"), 6).alias("cosine_sim"),
+        )
+    )
+
+
+def topk_exact(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query (brute force, oracle baseline)."""
+    return _rank_topk(_scored(candidates, queries, id_col, vec_col), k)
+
+
+def topk_exact_scalable(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k with a two-phase shuffle-thin plan.
+
+    Phase 1 ranks within (query, input-partition) — the window key
+    includes ``spark_partition_id()`` so rows never leave their
+    partition's shuffle bucket group and the heavy candidate set is cut
+    to partitions·k per query. Phase 2 ranks the survivors globally.
+    Identical output to ``topk_exact`` (asserted in tests).
+    """
+    scored = _scored(candidates, queries, id_col, vec_col).withColumn(
+        "_part", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("query_id", "_part").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id")
+    )
+    local = (
+        scored.withColumn("_lrn", F.row_number().over(w_local))
+        .filter(F.col("_lrn") <= k)
+        .drop("_lrn", "_part")
+    )
+    return _rank_topk(local, k)
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    hyperplanes: list[list[float]],
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Append a sign-random-projection bucket id (Charikar SimHash for
+    vectors): bit i = sign(v · h_i), packed into a LONG.
+
+    Hyperplanes arrive as plain Python floats (caller generates them
+    deterministically) and are embedded as literals — broadcast-free.
+    """
+    bits = []
+    for i, h in enumerate(hyperplanes):
+        hp = F.array(*[F.lit(float(x)) for x in h])
+        bits.append(
+            F.when(dot_product(F.col(vec_col), hp) >= 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+        )
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.withColumn(bucket_col, bucket.cast("long"))
+
+
+def lsh_bucketed_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    hyperplanes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only same-LSH-bucket pairs.
+
+    The equi-join on the bucket id replaces the cross join — at scale
+    the shuffle is ∝ bucket occupancy, not N·Q. Recall depends on the
+    number of hyperplanes (fewer bits → bigger buckets → higher recall
+    & cost); tests pin recall ≥ 0.5 @ 8 bits on the driver embeddings
+    versus the exact baseline.
+    """
+    cb = with_lsh_bucket(candidates, hyperplanes, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        "bucket",
+    )
+    qb = with_lsh_bucket(queries, hyperplanes, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        "bucket",
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("_qvec", "_cvec").alias("_sim"),
+        )
+    )
+    return _rank_topk(scored, k)

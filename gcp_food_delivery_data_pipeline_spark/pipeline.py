@@ -18,6 +18,7 @@ from pyspark import StorageLevel
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from gcp_food_delivery_data_pipeline_spark.config import log_counts
 from gcp_food_delivery_data_pipeline_spark.operators.clean import clean_orders
 from gcp_food_delivery_data_pipeline_spark.operators.metrics import Counts, run_counts
 from gcp_food_delivery_data_pipeline_spark.operators.split import split_by_status
@@ -59,6 +60,8 @@ def run_pipeline(
         write_status_table(delivered, delivered_path)
         write_status_table(other, other_path)
         counts = run_counts(cleaned)
+        # S6 parity: reference logs the three counts (code/beam.py:140-162).
+        log_counts(counts.total, counts.delivered, counts.other)
     finally:
         cleaned.unpersist()
     return PipelineResult(

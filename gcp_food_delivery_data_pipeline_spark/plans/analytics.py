@@ -1,0 +1,227 @@
+"""Analytics query plans (SURVEY.md §7.1 M4) over the engine's tables.
+
+The reference's two BigQuery tables exist to be queried (reference
+README.md:9,193-198) but the reference itself ships no queries — this
+module supplies the relational layer a user of those tables needs:
+aggregations, joins (broadcast + shuffle), semi/anti joins, window
+functions, and event-time bucketing.
+
+Scale design notes (these hold at 100 TB / 1000 executors):
+
+* Dimension tables (``region``/``nation``/``supplier``/``customer`` at
+  TPC-H shape) are explicitly ``F.broadcast()`` so the fact-side scan
+  never shuffles for the join — statistics-free plans stay hash-join.
+* Every aggregation is a single ``groupBy`` → one shuffle on the group
+  key; partial (map-side) aggregation happens automatically.
+* Top-k queries always order by a unique tie-break column so LIMIT is
+  deterministic (hash-comparable against the DuckDB oracle).
+* Double-typed money columns are rounded at the FINAL projection only
+  (2 decimals for sums of 2-decimal inputs) so Spark's and the oracle's
+  different float summation orders cannot flip the hashed output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def q1_pricing_summary(lineitem: DataFrame, ship_cutoff: str = "2000-12-01") -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter → single-shuffle group-agg.
+
+    The scan prunes to 7 columns and the shipdate filter is pushed to
+    parquet; the groupBy on two low-cardinality keys produces a handful
+    of groups — partial aggregation collapses almost everything map-side.
+    """
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_top_revenue_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    limit: int = 10,
+) -> DataFrame:
+    """Revenue top-k: broadcast-filtered customer dim → fact join → agg.
+
+    The filtered customer side is small → broadcast; lineitem joins
+    orders on the orderkey (one shuffle at TPC-H shape; at 100 TB this
+    is the join to co-partition/bucket on orderkey). Deterministic
+    LIMIT via (revenue DESC, o_orderkey) ordering.
+    """
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(limit)
+    )
+
+
+def q5_nation_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """Revenue per nation within a region — star join, dims broadcast.
+
+    region→nation→customer are all broadcast: the only shuffles are the
+    lineitem⋈orders join and the final small group-agg.
+    """
+    dims = (
+        customer.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == region_name)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q4_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Order counts per priority for orders having ≥1 lineitem — LEFT SEMI.
+
+    The semi join shuffles only the distinct keys of the probe side;
+    no lineitem payload columns move.
+    """
+    return (
+        orders.join(
+            lineitem.select("l_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_customers_without_orders(
+    customer: DataFrame, orders: DataFrame, min_totalprice: float = 300000.0
+) -> DataFrame:
+    """Customers with no order above a value threshold — LEFT ANTI join.
+
+    The probe side is pre-filtered and projected to the key column
+    only, so no payload shuffles; with threshold 0 this is the classic
+    customers-with-zero-orders query.
+    """
+    big = orders.filter(F.col("o_totalprice") > min_totalprice).select("o_custkey")
+    return (
+        customer.join(
+            big, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q_top_customers_per_segment(customer: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k customers by account balance per market segment — ranked
+    window with a unique tie-break (c_custkey) for determinism."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        customer.withColumn("rank_in_segment", F.row_number().over(w))
+        .filter(F.col("rank_in_segment") <= k)
+        .select("c_mktsegment", "rank_in_segment", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def q_customer_running_spend(orders: DataFrame) -> DataFrame:
+    """Per-customer running total of order value over time — an
+    unbounded-preceding window ordered by (date, orderkey).
+
+    One shuffle on o_custkey; rows within a customer sort locally.
+    """
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+def q_events_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour event-time rollup per event type.
+
+    ``date_trunc`` keeps the bucketing columnar; in streaming mode the
+    same aggregation runs as ``F.window(ts, '1 hour')`` + watermark
+    (streaming/stream.py) — semantics identical for on-time data.
+    """
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_distinct_users(events: DataFrame) -> DataFrame:
+    """Exact distinct users per event type (two-phase distinct agg)."""
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_props_extract(events: DataFrame, min_k: int = 50) -> DataFrame:
+    """JSON payload extraction + predicate — semi-structured column path.
+
+    ``get_json_object`` runs JVM-side; the filter on the extracted
+    value stays in the same codegen stage as the parse.
+    """
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.select("event_id", "event_type", k.alias("k"))
+        .filter(F.col("k") >= min_k)
+    )

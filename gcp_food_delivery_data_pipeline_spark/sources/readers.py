@@ -71,8 +71,22 @@ def read_orders_lines(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one of the driver's parquet tables from a scale-factor dir."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load one of the driver's parquet tables from a scale-factor dir.
+
+    Nanosecond TIMESTAMP columns (stored by the generator, unreadable
+    by Spark's parquet reader) arrive as LONG nanos via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and are normalized to
+    microsecond timestamps here (`` div 1000`` stays in integer math —
+    a double division would lose precision above 2^53).
+    """
+    from pyspark.sql.types import LongType
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    ts_nanos = {"events": ["ts"]}.get(name, [])
+    for c in ts_nanos:
+        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str, DataFrame]:

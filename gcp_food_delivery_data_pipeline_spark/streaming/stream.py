@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from gcp_food_delivery_data_pipeline_spark.config import log_counts
 from gcp_food_delivery_data_pipeline_spark.operators.clean import clean_orders
 from gcp_food_delivery_data_pipeline_spark.operators.metrics import run_counts
 from gcp_food_delivery_data_pipeline_spark.operators.split import split_by_status
@@ -60,8 +61,11 @@ def _process_batch_fn(
                 .partitionBy("ingest_date")
                 .parquet(f"{output_dir}/other_status_orders/batch_id={batch_id}")
             )
+            counts = run_counts(cleaned)
+            # S6 parity: per-batch count log lines (code/beam.py:140-162).
+            log_counts(counts.total, counts.delivered, counts.other)
             if on_counts is not None:
-                on_counts(batch_id, run_counts(cleaned))
+                on_counts(batch_id, counts)
         finally:
             cleaned.unpersist()
 

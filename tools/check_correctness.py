@@ -1,0 +1,119 @@
+"""Self-check: run every __spark_entry__.queries() entry against its
+oracle_sql() via DuckDB at sf0.01 — the same contract the driver grades
+(row-count + column names + order-insensitive value hash).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from gcp_food_delivery_data_pipeline_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def value_hash(rows, columns) -> str:
+    idx = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted(
+        "|".join(_norm_cell(r[i]) for i in idx) for r in rows
+    )
+    h = hashlib.md5()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    spark = get_spark(app_name="check-correctness")
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {ex}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS {name}: {len(s_rows)} rows (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            o_cols = [c for c in rel.columns]
+            o_rows = rel.fetchall()
+        except Exception as ex:
+            print(f"FAIL {name}: oracle error: {ex}")
+            n_fail += 1
+            continue
+        rows_ok = len(s_rows) == len(o_rows)
+        schema_ok = sorted(s_cols) == sorted(o_cols)
+        hash_ok = (
+            value_hash(s_rows, s_cols) == value_hash(o_rows, o_cols)
+            if rows_ok and schema_ok
+            else False
+        )
+        status = "PASS" if (rows_ok and schema_ok and hash_ok) else "FAIL"
+        detail = ""
+        if not rows_ok:
+            detail = f" rows {len(s_rows)} vs {len(o_rows)}"
+        elif not schema_ok:
+            detail = f" schema {sorted(s_cols)} vs {sorted(o_cols)}"
+        elif not hash_ok:
+            detail = " value-hash mismatch"
+            for sr, orow in zip(
+                sorted(map(str, s_rows))[:3], sorted(map(str, o_rows))[:3]
+            ):
+                if sr != orow:
+                    detail += f"\n    spark : {sr}\n    oracle: {orow}"
+        print(f"{status} {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]{detail}")
+        if status == "PASS":
+            n_pass += 1
+        else:
+            n_fail += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
