@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "total_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query executes end-to-end via a ``noop`` sink write (full plan
+runs, nothing is collected to the driver), timed after a one-off
+session warmup so JVM startup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from gcp_food_delivery_data_pipeline_spark.session import get_spark  # noqa: E402
+
+# Headline set: every major operator family at its heaviest shape.
+BENCH_QUERIES = [
+    "q1_pricing_summary",   # scan-heavy group-agg
+    "q3_top_revenue",       # 3-way join + agg + top-k
+    "q5_nation_revenue",    # star join, broadcast dims
+    "q4_order_priority",    # semi join
+    "q_running_spend",      # window over full orders table
+    "q_events_hourly",      # event-time rollup
+    "q_distinct_users",     # distinct aggregation
+    "c1_c3_counts",         # single-pass 3-way count
+    "t_quality",            # text feature pipeline (columnar)
+    "d_dedup_exact",        # hash-dedup shuffle
+    "d_near_dup_pairs",     # MinHash-LSH banding + verify
+    "v_topk_exact",         # brute-force cosine top-k
+    "v_topk_scalable",      # two-phase top-k
+    "m_features",           # Arrow-batched mapInPandas
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

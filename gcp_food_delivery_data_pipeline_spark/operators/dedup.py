@@ -152,6 +152,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    cache_signatures: bool = True,
 ) -> DataFrame:
     """Near-duplicate CANDIDATE pairs via LSH banding.
 
@@ -172,10 +173,21 @@ def lsh_candidate_pairs(
         shingle_k=shingle_k,
         out_col="_sig",
     ).select("_id", F.col("_sh").alias("_shingles"), "_sig")
+    if cache_signatures:
+        # The signature frame feeds the band join AND both shingle
+        # re-attach joins; without a persist the shingling+minhash of
+        # the whole corpus runs three times. MEMORY_AND_DISK — Spark
+        # LRU-evicts when executors need the room.
+        from pyspark import StorageLevel
 
+        with_sig = with_sig.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # Shuffle-width discipline: the band self-join moves ONLY
+    # (id, band, band_hash) — never the (large) shingle arrays; those
+    # are re-attached to the (much smaller) deduped candidate pairs.
+    shingle_side = with_sig.select("_id", "_shingles")
     banded = with_sig.select(
         "_id",
-        "_shingles",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -189,29 +201,37 @@ def lsh_candidate_pairs(
                 ),
             )
         ).alias("bh"),
-    ).select("_id", "_shingles", "bh.band", "bh.band_hash")
+    ).select("_id", "bh.band", "bh.band_hash")
 
-    left = banded.alias("a")
-    right = banded.alias("b")
     pairs = (
-        left.join(
-            right,
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._shingles").alias("sh_a"),
-            F.col("b._shingles").alias("sh_b"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])  # same pair from several bands
+    )
+    verified = (
+        pairs.join(
+            shingle_side.select(
+                F.col("_id").alias("id_a"), F.col("_shingles").alias("sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            shingle_side.select(
+                F.col("_id").alias("id_b"), F.col("_shingles").alias("sh_b")
+            ),
+            "id_b",
+        )
     )
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return pairs.select(
+    return verified.select(
         "id_a", "id_b", F.round(jaccard, 6).alias("jaccard")
     )
 
