@@ -48,21 +48,26 @@ from gcp_food_delivery_data_pipeline_spark.sources.writers import ensure_databas
 
 SF_SMALL = "/root/testdata/sf0.001"
 
-# Deterministic pseudo-random hyperplanes for the ANN path (8 bits,
-# 64 dims) — a fixed linear-congruential stream, no runtime RNG.
-def _hyperplanes(bits: int = 8, dim: int = 64) -> list[list[float]]:
+# Deterministic pseudo-random LSH hash tables (L tables × b bits over
+# 64 dims) — a fixed xorshift stream, no runtime RNG.
+def _lsh_tables(
+    n_tables: int = 8, bits: int = 3, dim: int = 64
+) -> list[list[list[float]]]:
     x = 88172645463325252
-    planes = []
-    for _ in range(bits):
-        row = []
-        for _ in range(dim):
-            # xorshift64
-            x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
-            x ^= x >> 7
-            x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
-            row.append(((x % 2001) - 1000) / 1000.0)
-        planes.append(row)
-    return planes
+    tables = []
+    for _ in range(n_tables):
+        planes = []
+        for _ in range(bits):
+            row = []
+            for _ in range(dim):
+                # xorshift64
+                x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+                x ^= x >> 7
+                x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+                row.append(((x % 2001) - 1000) / 1000.0)
+            planes.append(row)
+        tables.append(planes)
+    return tables
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -357,7 +362,7 @@ def _q_topk_scalable(spark: SparkSession, sf: str) -> DataFrame:
 def _q_topk_ann(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "embeddings")
     return lsh_bucketed_topk(
-        e, e.filter(F.col("vec_id") < 5), _hyperplanes(), k=10
+        e, e.filter(F.col("vec_id") < 5), _lsh_tables(), k=10
     )
 
 

@@ -141,35 +141,88 @@ def with_lsh_bucket(
     return df.withColumn(bucket_col, bucket.cast("long"))
 
 
+def _with_lsh_tables(
+    df: DataFrame, tables: list[list[list[float]]], vec_col: str
+) -> DataFrame:
+    """Explode a row into one (table, bucket) pair per hash table."""
+    entries = []
+    for t, planes in enumerate(tables):
+        bucket = F.lit(0)
+        for i, h in enumerate(planes):
+            hp = F.array(*[F.lit(float(x)) for x in h])
+            bucket = bucket + F.when(
+                dot_product(F.col(vec_col), hp) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+        entries.append(
+            F.struct(F.lit(t).alias("table"), bucket.cast("long").alias("bucket"))
+        )
+    return df.withColumn("_tb", F.explode(F.array(*entries))).select(
+        *df.columns, F.col("_tb.table").alias("table"), F.col("_tb.bucket").alias("bucket")
+    )
+
+
 def lsh_bucketed_topk(
     candidates: DataFrame,
     queries: DataFrame,
-    hyperplanes: list[list[float]],
+    tables: list[list[list[float]]],
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only same-LSH-bucket pairs.
+    """Approximate top-k: score only pairs sharing an LSH bucket in at
+    least one hash table (OR-amplification).
 
-    The equi-join on the bucket id replaces the cross join — at scale
-    the shuffle is ∝ bucket occupancy, not N·Q. Recall depends on the
-    number of hyperplanes (fewer bits → bigger buckets → higher recall
-    & cost); tests pin recall ≥ 0.5 @ 8 bits on the driver embeddings
-    versus the exact baseline.
+    ``tables`` is L lists of b hyperplanes each: a pair collides with
+    probability 1-(1-p^b)^L where p = 1-θ/π — more tables raise
+    recall, more bits per table cut candidates. The (table, bucket)
+    equi-join replaces the cross join, so the shuffle is ∝ total
+    bucket occupancy, not N·Q; colliding pairs are deduped BEFORE the
+    similarity computation so each survivor is scored once.
+
+    On near-random embeddings (the driver's synthetic table) the
+    neighbor/background contrast is inherently small, so the gain is
+    bounded; on real clustered embeddings the same machinery prunes
+    orders of magnitude. Tests pin recall ≥ 0.5 @ 8 tables × 3 bits.
     """
-    cb = with_lsh_bucket(candidates, hyperplanes, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        "bucket",
+    cb = _with_lsh_tables(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        ),
+        tables,
+        "_cvec",
     )
-    qb = with_lsh_bucket(queries, hyperplanes, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        "bucket",
+    qb = _with_lsh_tables(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        ),
+        tables,
+        "_qvec",
+    )
+    pairs = (
+        cb.select("neighbor_id", "table", "bucket")
+        .join(
+            F.broadcast(qb.select("query_id", "table", "bucket")),
+            ["table", "bucket"],
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = (
-        cb.join(F.broadcast(qb), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        pairs.join(
+            candidates.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+                )
+            ),
+            "query_id",
+        )
         .select(
             "query_id",
             "neighbor_id",

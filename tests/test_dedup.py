@@ -1,0 +1,96 @@
+"""Dedup operator tests: exact keep-first determinism, MinHash-LSH
+candidate generation on planted near-duplicates, greedy near-dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    lsh_candidate_pairs,
+    near_dedup,
+    shingles,
+    with_minhash,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+# Near-dup: one word APPENDED → only one new shingle, jaccard ≈ 0.96
+# (a mid-text substitution would replace 3 shingles → jaccard ≈ 0.77)
+NEAR = BASE + " indeed"
+# Unrelated text
+OTHER = (
+    "completely different content about distributed query engines and "
+    "columnar execution with vectorized operators and shuffle exchange"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),          # exact dup of 1
+        (3, NEAR),          # near dup of 1
+        (4, OTHER),
+        (5, BASE),          # another exact dup of 1
+        (6, OTHER + " with extra trailing words appended here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_keeps_smallest_id(corpus):
+    kept = dedup_exact(corpus.withColumn("fp", F.md5("text")), "fp")
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    # 1 survives for {1,2,5}; 3, 4, 6 unique
+    assert ids == [1, 3, 4, 6]
+
+
+def test_dedup_exact_is_deterministic(corpus):
+    a = dedup_exact(corpus.withColumn("fp", F.md5("text")), "fp")
+    b = dedup_exact(
+        corpus.orderBy(F.col("doc_id").desc()).withColumn("fp", F.md5("text")),
+        "fp",
+    )
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "just two")], ["doc_id", "text"])
+    sh = df.select(shingles("text", k=3).alias("s")).collect()[0]["s"]
+    assert sh == ["just two"]  # <k tokens → whole sequence, one shingle
+
+
+def test_minhash_signature_shape_and_determinism(corpus):
+    sig = with_minhash(corpus, num_hashes=64).select("doc_id", "minhash")
+    rows = {r.doc_id: r.minhash for r in sig.collect()}
+    assert all(len(v) == 64 for v in rows.values())
+    assert rows[1] == rows[2] == rows[5]  # identical text → identical sig
+    assert rows[1] != rows[4]
+    # near-dup shares most minhash slots with the original
+    shared = sum(1 for x, y in zip(rows[1], rows[3]) if x == y)
+    assert shared >= 48  # jaccard ~0.96 → E[shared] ≈ 61/64
+
+
+def test_lsh_finds_planted_pairs(corpus):
+    pairs = lsh_candidate_pairs(corpus, cache_signatures=False)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    # exact dups: jaccard 1.0
+    assert got[(1, 2)] == 1.0 and got[(1, 5)] == 1.0 and got[(2, 5)] == 1.0
+    # planted near-dup found with high jaccard
+    assert (1, 3) in got and got[(1, 3)] > 0.8
+    # unrelated docs never become verified high-jaccard pairs
+    assert all(
+        j < 0.5 for (a, b), j in got.items() if (a in (4, 6)) != (b in (4, 6))
+    )
+
+
+def test_near_dedup_drops_copies_keeps_originals(corpus):
+    kept = near_dedup(corpus, threshold=0.8)
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    # 2, 3, 5 all near/exact-dup of 1 → dropped; 6 vs 4 below threshold
+    assert ids == [1, 4, 6]

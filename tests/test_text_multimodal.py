@@ -1,0 +1,120 @@
+"""Golden-value tests for text analysis and multimodal operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_food_delivery_data_pipeline_spark.operators.multimodal import (
+    attach_fake_payload,
+    extract_features,
+    filter_by_meta,
+)
+from gcp_food_delivery_data_pipeline_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat is on the mat and it is warm"),   # en
+        (2, "le chat est sur le tapis et la table"),   # fr
+        (3, "el gato es un animal y la mesa es del patio"),  # es
+        (4, "der hund und die katze sind mit dem ball"),     # de
+        (5, ""),                                        # empty
+        (6, "zzz qqq xxx"),                             # no stopwords → und
+        (7, "  spaced   out\ttokens  "),               # whitespace soup
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_count_edges(docs):
+    got = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", token_count("text").alias("n")).collect()
+    }
+    assert got[1] == 10
+    assert got[5] == 0          # empty string → 0, not 1
+    assert got[7] == 3          # multi-whitespace collapsed
+
+
+def test_language_id_and_tiebreak(docs):
+    got = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[2] == "fr"
+    assert got[3] == "es"
+    assert got[4] == "de"
+    assert got[5] == "und"      # zero hits
+    assert got[6] == "und"
+
+
+def test_quality_score_bounds_and_empty(docs):
+    out = quality_score(docs)
+    for r in out.collect():
+        assert 0.0 <= r.quality_score <= 1.0
+        if r.doc_id == 5:
+            assert r.n_tokens == 0 and r.quality_score == 0.3
+            # (0 tokens → only the punct term contributes: 1.0 * 0.3)
+
+
+def test_fingerprint_reflow_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "hello   WORLD ")],
+        ["doc_id", "text"],
+    )
+    out = fingerprint(df).collect()
+    md5s = {r.doc_id: r.fp_md5 for r in out}
+    norms = {r.doc_id: r.fp_norm for r in out}
+    assert len(set(md5s.values())) == 3       # all byte-distinct
+    assert len(set(norms.values())) == 1      # reflow-equivalent
+
+
+@pytest.fixture(scope="module")
+def multimodal(spark, docs):
+    return attach_fake_payload(docs.filter(F.col("doc_id") != 5))
+
+
+def test_payload_schema_and_meta(multimodal):
+    assert [f.name for f in multimodal.schema] == ["doc_id", "payload", "meta"]
+    row = multimodal.filter(F.col("doc_id") == 1).collect()[0]
+    text = "the cat is on the mat and it is warm"
+    assert bytes(row.payload) == text.encode()
+    assert row.meta.n_bytes == len(text.encode())
+    assert row.meta.media_type == "image"
+    assert 1 <= row.meta.width <= 64
+
+
+def test_filter_by_meta(multimodal):
+    pngs = filter_by_meta(multimodal, formats=["png"]).collect()
+    assert all(r.meta.format == "png" for r in pngs)
+    assert all(r.meta.n_bytes % 2 == 0 for r in pngs)
+
+
+def test_extract_features_fake(multimodal):
+    feats = extract_features(multimodal, dim=8, decode_mode="fake")
+    rows = {r.doc_id: r for r in feats.collect()}
+    text = "the cat is on the mat and it is warm"
+    r1 = rows[1]
+    assert r1.n_bytes == len(text)
+    assert len(r1.features) == 8
+    # deterministic golden: fold byte histogram by hand
+    expected = [0.0] * 8
+    for i, b in enumerate(text.encode()):
+        expected[i % 8] += b / 255.0
+    for got, want in zip(r1.features, expected):
+        assert abs(got - want) < 1e-5   # float32 storage
+
+
+def test_extract_features_real_raises(multimodal):
+    feats = extract_features(multimodal, decode_mode="real")
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        feats.collect()
+
+
+def test_extract_features_bad_mode(multimodal):
+    with pytest.raises(ValueError):
+        extract_features(multimodal, decode_mode="nope")
