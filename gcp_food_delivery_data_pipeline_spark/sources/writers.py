@@ -2,15 +2,22 @@
 
 The reference appends to two BigQuery tables with ingestion-time DAY
 partitioning (``WriteToBigQuery(..., timePartitioning=DAY)``,
-code/beam.py:167-193). Spark equivalent: parquet append partitioned by
-an ``ingest_date`` column stamped at load time — note the reference
-partitions by LOAD time, not the order's ``date`` column.
+code/beam.py:167-193). Spark equivalent: parquet tables partitioned by
+``(ingest_date, batch_id)`` — ``ingest_date`` stamped at load time
+(the reference partitions by LOAD time, not the order's ``date``
+column), ``batch_id`` identifying the producing run.
+
+ONE layout for batch and streaming (round-1 defect fix): batch runs
+append under ``batch_id=<run id>``; streaming micro-batches OVERWRITE
+their own ``(ingest_date, batch_id)`` partitions via dynamic partition
+overwrite — replayed batches are idempotent, and a plain
+``spark.read.parquet(root)`` reads tables produced by either mode.
 
 Scale notes:
-* ``partitionBy('ingest_date')`` gives readers directory-level partition
-  pruning for free.
-* A 10-minute append cadence produces many small files; ``compact_table``
-  is the maintenance path (coalesce rewrite per partition).
+* ``partitionBy`` gives readers directory-level partition pruning.
+* A 10-minute append cadence produces many small files;
+  ``compact_table`` rewrites each date partition into ~N files and
+  atomically swaps the result into place.
 """
 
 from __future__ import annotations
@@ -18,39 +25,108 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+PARTITION_COLS = ["ingest_date", "batch_id"]
+
 
 def with_ingest_date(df: DataFrame) -> DataFrame:
     """Stamp the load-time partition column (BQ ingestion-time analog)."""
     return df.withColumn("ingest_date", F.current_date())
 
 
+BATCH_MODE_ID = -1  # batch runs; streaming micro-batch ids are >= 0
+
+
 def write_status_table(
     df: DataFrame,
     path: str,
-    mode: str = "append",
-    partition_col: str = "ingest_date",
+    batch_id: int = BATCH_MODE_ID,
+    idempotent: bool = False,
 ) -> None:
-    """Append-only, day-partitioned parquet write (S3/S4 semantics)."""
-    if partition_col not in df.columns:
+    """Day-partitioned parquet write (S3/S4 semantics).
+
+    ``idempotent=False`` (batch): plain append — repeated batch runs
+    accumulate, matching the reference's WRITE_APPEND. Batch writes
+    default to ``batch_id=-1``: streaming micro-batch ids are
+    non-negative, so a stream's dynamic overwrite of its own
+    ``(ingest_date, batch_id)`` partitions can never clobber
+    batch-written rows sharing the table.
+    ``idempotent=True`` (streaming replay): dynamic partition overwrite
+    — only the ``(ingest_date, batch_id)`` partitions present in ``df``
+    are replaced, so re-processing a micro-batch cannot duplicate rows.
+    """
+    if "ingest_date" not in df.columns:
         df = with_ingest_date(df)
-    df.write.mode(mode).partitionBy(partition_col).parquet(path)
+    if "batch_id" not in df.columns:
+        df = df.withColumn("batch_id", F.lit(batch_id))
+    writer = df.write.partitionBy(*PARTITION_COLS)
+    if idempotent:
+        writer = writer.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        )
+    else:
+        writer = writer.mode("append")
+    writer.parquet(path)
+
+
+def read_status_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a status table produced by batch and/or streaming runs —
+    one reader for both, since the layout is unified."""
+    return spark.read.parquet(path)
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
 
 
 def compact_table(
     spark: SparkSession, path: str, target_files_per_partition: int = 1
 ) -> None:
-    """Rewrite a partitioned table to fewer files per partition.
+    """Rewrite a partitioned table to ≤N files per date partition and
+    atomically swap it into place.
 
-    Maintenance for the many-tiny-files cadence (one small file per
-    10-minute run). Reads, coalesces within partitions, overwrites.
+    The shuffle key is ``(ingest_date, bucket)`` where ``bucket`` is a
+    deterministic hash of the row spread over N buckets — every date's
+    rows land in at most N tasks, so no single task funnels the whole
+    table (the round-1 defect: ``repartition(N, ingest_date)`` put each
+    date in ONE task regardless of N). ``batch_id`` is intentionally
+    dropped: compaction collapses the per-run bookkeeping partitions
+    into the date partition proper (post-compaction replay of those
+    batch ids would require re-ingest, which is the normal contract for
+    a compacted table).
+
+    Swap protocol: write to ``<path>.compact_tmp`` → rename original to
+    ``<path>.compact_old`` → rename tmp into place → delete old. On
+    HDFS/local these renames are atomic metadata ops; on object stores
+    use a manifest-based table format instead.
     """
     df = spark.read.parquet(path)
+    data_cols = [c for c in df.columns if c not in PARTITION_COLS]
+    bucket = F.pmod(
+        F.hash(*[F.col(c) for c in data_cols]),
+        F.lit(target_files_per_partition),
+    )
+    tmp, old = path + ".compact_tmp", path + ".compact_old"
     (
-        df.repartition(target_files_per_partition, "ingest_date")
+        df.drop("batch_id")
+        .repartition(F.col("ingest_date"), bucket)
         .write.mode("overwrite")
         .partitionBy("ingest_date")
-        .parquet(path + "_compacted")
+        .parquet(tmp)
     )
+    fs, jpath = _hadoop_fs(spark, path)
+    jtmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    jold = spark._jvm.org.apache.hadoop.fs.Path(old)
+    if fs.exists(jold):
+        fs.delete(jold, True)
+    if not fs.rename(jpath, jold):
+        raise IOError(f"compact_table: cannot move {path} aside")
+    if not fs.rename(jtmp, jpath):
+        fs.rename(jold, jpath)  # roll back
+        raise IOError(f"compact_table: cannot move {tmp} into place")
+    fs.delete(jold, True)
 
 
 def ensure_database(spark: SparkSession, name: str) -> None:

@@ -33,7 +33,10 @@ from gcp_food_delivery_data_pipeline_spark.operators.clean import clean_orders
 from gcp_food_delivery_data_pipeline_spark.operators.metrics import run_counts
 from gcp_food_delivery_data_pipeline_spark.operators.split import split_by_status
 from gcp_food_delivery_data_pipeline_spark.schema import RAW_SCHEMA_WITH_CORRUPT
-from gcp_food_delivery_data_pipeline_spark.sources.writers import with_ingest_date
+from gcp_food_delivery_data_pipeline_spark.sources.writers import (
+    with_ingest_date,
+    write_status_table,
+)
 
 
 def _process_batch_fn(
@@ -50,16 +53,20 @@ def _process_batch_fn(
         try:
             sink_ready = cleaned.filter(~F.col("is_short")).drop("is_short")
             delivered, other = split_by_status(sink_ready)
-            # Idempotent replay: per-batch subdir, overwritten on retry.
-            (
-                delivered.write.mode("overwrite")
-                .partitionBy("ingest_date")
-                .parquet(f"{output_dir}/delivered_orders/batch_id={batch_id}")
+            # Idempotent replay: dynamic partition overwrite of this
+            # batch's (ingest_date, batch_id) partitions — same table
+            # layout as batch-mode writes (sources/writers.py).
+            write_status_table(
+                delivered,
+                f"{output_dir}/delivered_orders",
+                batch_id=batch_id,
+                idempotent=True,
             )
-            (
-                other.write.mode("overwrite")
-                .partitionBy("ingest_date")
-                .parquet(f"{output_dir}/other_status_orders/batch_id={batch_id}")
+            write_status_table(
+                other,
+                f"{output_dir}/other_status_orders",
+                batch_id=batch_id,
+                idempotent=True,
             )
             counts = run_counts(cleaned)
             # S6 parity: per-batch count log lines (code/beam.py:140-162).
@@ -111,7 +118,6 @@ def run_stream(
 
 
 def read_status_table(spark: SparkSession, output_dir: str, table: str) -> DataFrame:
-    """Read back a streamed status table across all batch subdirs."""
-    return spark.read.option("basePath", f"{output_dir}/{table}").parquet(
-        f"{output_dir}/{table}/batch_id=*"
-    )
+    """Read back a status table — batch- and stream-produced tables
+    share one ``(ingest_date, batch_id)`` layout (sources/writers.py)."""
+    return spark.read.parquet(f"{output_dir}/{table}")

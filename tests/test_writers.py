@@ -1,0 +1,48 @@
+"""Writer maintenance tests: compaction actually reduces file counts,
+swaps in place, and preserves every row."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from gcp_food_delivery_data_pipeline_spark.sources.writers import (
+    compact_table,
+    read_status_table,
+    write_status_table,
+)
+
+
+def _parquet_files(path: str) -> list[str]:
+    return glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+
+
+def test_compact_table_reduces_files_and_keeps_rows(spark, tmp_path):
+    out = str(tmp_path / "delivered_orders")
+    df = spark.range(2000).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("string").alias("status"),
+    )
+    # Simulate the 10-minute cadence: many small appends (distinct
+    # batch ids), each fragmented across shuffle partitions.
+    for run in range(6):
+        write_status_table(df.repartition(8), out, batch_id=run)
+
+    before = _parquet_files(out)
+    assert len(before) >= 40  # genuinely fragmented
+
+    total_before = spark.read.parquet(out).count()
+    compact_table(spark, out, target_files_per_partition=2)
+
+    after = _parquet_files(out)
+    assert len(after) <= 2  # one date partition → ≤ target files
+    assert not os.path.exists(out + ".compact_tmp")
+    assert not os.path.exists(out + ".compact_old")
+
+    back = read_status_table(spark, out)
+    assert back.count() == total_before
+    assert "ingest_date" in back.columns
+    # every original row survives (12000 = 6 runs × 2000)
+    assert back.count() == 12000
