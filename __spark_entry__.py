@@ -285,6 +285,30 @@ def _q_props_extract(spark: SparkSession, sf: str) -> DataFrame:
     return A.q_props_extract(load_table(spark, sf, "events"))
 
 
+def _q_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    return A.q_rollup_revenue(load_table(spark, sf, "lineitem"))
+
+
+def _q_top_words(spark: SparkSession, sf: str) -> DataFrame:
+    return A.q_top_words(load_table(spark, sf, "documents"))
+
+
+def _q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    return A.q_sessionize(load_table(spark, sf, "events"))
+
+
+def _q_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    return A.q_custkeys_both_statuses(load_table(spark, sf, "orders"))
+
+
+def _q_except(spark: SparkSession, sf: str) -> DataFrame:
+    return A.q_custkeys_only_open(load_table(spark, sf, "orders"))
+
+
+def _q_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    return A.q_balance_quartiles(load_table(spark, sf, "customer"))
+
+
 # ----- text analysis (M5) -----
 
 def _q_token_count(spark: SparkSession, sf: str) -> DataFrame:
@@ -419,6 +443,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_hourly": _q_events_hourly,
         "q_distinct_users": _q_distinct_users,
         "q_props_extract": _q_props_extract,
+        "q_rollup_revenue": _q_rollup,
+        "q_top_words": _q_top_words,
+        "q_sessionize": _q_sessionize,
+        "q_custkeys_both": _q_intersect,
+        "q_custkeys_only_open": _q_except,
+        "q_balance_quartiles": _q_quartiles,
         # text analysis (M5)
         "t_token_count": _q_token_count,
         "t_quality": _q_quality,
@@ -591,6 +621,49 @@ def oracle_sql() -> dict[str, str]:
         "q_props_extract": (
             "SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k "
             "FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50"
+        ),
+        "q_rollup_revenue": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue, "
+            "count(*) AS n_items FROM lineitem "
+            "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "q_top_words": (
+            "SELECT word, count(*) AS n FROM ("
+            r"SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word "
+            "FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 20"
+        ),
+        "q_sessionize": (
+            "SELECT user_id, max(session_id) AS n_sessions, "
+            "count(*) AS n_events FROM ("
+            "SELECT user_id, sum(is_new) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
+            "FROM (SELECT user_id, ts, event_id, "
+            "CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "OR CAST(floor(epoch(ts)) AS BIGINT) "
+            "- lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
+            "THEN 1 ELSE 0 END AS is_new FROM events)) "
+            "GROUP BY user_id"
+        ),
+        "q_custkeys_both": (
+            "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' "
+            "INTERSECT "
+            "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"
+        ),
+        "q_custkeys_only_open": (
+            "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' "
+            "EXCEPT "
+            "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"
+        ),
+        "q_balance_quartiles": (
+            "SELECT c_mktsegment, "
+            "round(quantile_cont(c_acctbal, 0.25), 6) AS p25, "
+            "round(quantile_cont(c_acctbal, 0.5), 6) AS p50, "
+            "round(quantile_cont(c_acctbal, 0.75), 6) AS p75, "
+            "count(*) AS n_customers FROM customer GROUP BY c_mktsegment"
         ),
         "t_token_count": (
             f"SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens FROM documents"

@@ -214,6 +214,96 @@ def q_distinct_users(events: DataFrame) -> DataFrame:
     )
 
 
+def q_rollup_revenue(lineitem: DataFrame) -> DataFrame:
+    """Hierarchical totals via ROLLUP(returnflag, linestatus) — grand
+    total, per-flag subtotals, and leaf groups in ONE pass (Spark
+    expands the grouping sets map-side; still a single shuffle)."""
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_top_words(documents: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus word frequencies: explode tokens → count → top-k.
+
+    ``explode`` multiplies rows ~100× here; the aggregation immediately
+    map-side-combines on the word key, so the shuffle carries one row
+    per (partition, word) — the safe shape for a 100 TB corpus. Top-k
+    is deterministic via the (count DESC, word ASC) tie-break.
+    """
+    words = documents.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(k)
+    )
+
+
+def q_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the
+    gap since the user's previous event exceeds ``gap_seconds``.
+
+    Two windows over ONE shuffle on user_id (lag + running sum share
+    the partitioning); the final per-user aggregation reuses the same
+    key so AQE can skip the extra exchange.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("long")
+    prev = F.lag(ts_s).over(w)
+    is_new = F.when(
+        prev.isNull() | ((ts_s - prev) > gap_seconds), 1
+    ).otherwise(0)
+    sessions = events.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_custkeys_both_statuses(orders: DataFrame) -> DataFrame:
+    """INTERSECT: customers having orders in BOTH status classes."""
+    o = orders.select("o_custkey", "o_orderstatus")
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .intersect(o.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+    )
+
+
+def q_custkeys_only_open(orders: DataFrame) -> DataFrame:
+    """EXCEPT: customers with open ('O') orders and no finished ('F')."""
+    o = orders.select("o_custkey", "o_orderstatus")
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .subtract(o.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+    )
+
+
+def q_balance_quartiles(customer: DataFrame) -> DataFrame:
+    """Exact interpolated quartiles of account balance per segment —
+    ``percentile`` (exact) rather than the approximate sketch, so the
+    result is oracle-checkable; swap to ``percentile_approx`` when the
+    group cardinality makes exact sort-based percentiles too heavy."""
+    return customer.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(c_acctbal, 0.75)"), 6).alias("p75"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
 def q_props_extract(events: DataFrame, min_k: int = 50) -> DataFrame:
     """JSON payload extraction + predicate — semi-structured column path.
 

@@ -1,0 +1,157 @@
+"""Event-time streaming operators: watermarked windowed aggregation and
+a custom stateful per-key operator.
+
+The reference has no event-time code (SURVEY.md §2.6) — its whole
+incremental surface is file-arrival micro-batching (stream.py). This
+module supplies the streaming operators a user of the events table
+needs at scale:
+
+* ``run_events_hourly_stream`` — tumbling-window count/sum with a
+  watermark: late rows inside the watermark are merged into their
+  window; state for windows older than the watermark is dropped, which
+  is what bounds memory on an unbounded stream.
+* ``run_user_totals_stream`` — ``applyInPandasWithState``: explicit
+  per-key state (running per-user event/value totals), the extension
+  point for operators Spark's built-in aggregations can't express.
+
+Both mirror their batch twins (plans/analytics.py:q_events_hourly /
+q_distinct_users) so tests can assert stream == batch on a replayed
+directory of parquet files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+USER_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("s", DoubleType())]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming scan of events-shaped parquet files in a directory.
+
+    The schema comes from the files themselves at declaration time
+    (streams need explicit schemas; nanos-as-long normalization matches
+    sources/readers.py:load_table).
+    """
+    static = spark.read.parquet(input_dir)
+    df = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    from pyspark.sql.types import LongType as _Long
+
+    if isinstance(df.schema["ts"].dataType, _Long):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling 1-hour rollup per event type.
+
+    Late rows within ``watermark`` still merge into their hour; older
+    state is evicted. In append mode a window emits once finalized —
+    the exactly-once-per-window contract downstream sinks want.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_events_hourly_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "events_hourly",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Drain-and-stop windowed aggregation into an in-memory sink
+    (tests / smoke); production swaps the sink for parquet/Kafka."""
+    rollup = hourly_rollup(read_events_stream(spark, input_dir), watermark)
+    return (
+        rollup.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _user_totals_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Running per-user totals with explicit state (Arrow-batched)."""
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+    )
+
+
+def run_user_totals_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "user_totals",
+) -> StreamingQuery:
+    """Custom stateful operator: per-user running totals via
+    ``applyInPandasWithState`` — the pattern for stateful logic beyond
+    built-in aggregations (sessionizers, CDC mergers, counters whose
+    state must survive across micro-batches)."""
+    events = read_events_stream(spark, input_dir)
+    totals = events.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn,
+        outputStructType=USER_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        totals.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
