@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 from gcp_food_delivery_data_pipeline_spark.config import load_conf
 from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
     dedup_exact,
+    embedding_near_dup_pairs,
     lsh_candidate_pairs,
+    with_simhash,
+)
+from gcp_food_delivery_data_pipeline_spark.operators.joins import (
+    asof_join_backward,
+    range_join_within,
 )
 from gcp_food_delivery_data_pipeline_spark.operators.multimodal import (
     attach_fake_payload,
@@ -371,6 +377,59 @@ def _q_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.filter(F.col("jaccard") >= 0.8)
 
 
+def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return with_simhash(d.select("doc_id", "text")).select("doc_id", "simhash")
+
+
+def _q_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.35)
+
+
+def _q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join_backward(
+        clicks, purchases, on="ts", by="user_id", right_value_cols=["value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+        F.unix_micros("ts_matched").alias("purchase_us"),
+        F.col("value_matched").alias("purchase_value"),
+    )
+
+
+def _q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = range_join_within(
+        clicks, purchases, on="ts", by="user_id", window_seconds=3600
+    )
+    return out.select(
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        "user_id",
+        (
+            F.abs(
+                F.col("l_ts").cast("long") - F.col("r_ts").cast("long")
+            )
+        ).alias("dt_s"),
+    )
+
+
 # ----- similarity (M5) -----
 
 def _q_topk_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -458,6 +517,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_dedup_exact": _q_dedup_exact,
         "d_dedup_groups": _q_dedup_groups,
         "d_near_dup_pairs": _q_near_dup_pairs,
+        "d_simhash": _q_simhash,
+        "v_embedding_pairs": _q_embedding_pairs,
+        # joins Spark lacks natively (M5)
+        "j_asof_click_purchase": _q_asof_join,
+        "j_range_click_purchase": _q_range_join,
         # similarity (M5)
         "v_topk_exact": _q_topk_exact,
         "v_topk_scalable": _q_topk_scalable,
@@ -498,6 +562,24 @@ _SHINGLES = (
     r"list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1), "
     r"i -> array_to_string(toks[i:i+2], ' ')))"
 )
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    """32-bit SimHash in DuckDB: same md5-derived token hashes, same
+    sign-sum per bit as operators/dedup.py:with_simhash."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(th, "
+        f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return (
+        f"SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM ("
+        "SELECT doc_id, list_transform("
+        r"regexp_split_to_array(trim(text), '\s+'), "
+        "t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS th "
+        "FROM documents)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -714,6 +796,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
             "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
             "/ len(list_distinct(a.s || b.s)) >= 0.8"
+        ),
+        "d_simhash": _simhash_sql(),
+        "v_embedding_pairs": (
+            "SELECT id_a, id_b, cosine_sim FROM ("
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim "
+            "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) "
+            "WHERE cosine_sim >= 0.35"
+        ),
+        "j_asof_click_purchase": (
+            "SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us, "
+            "epoch_us(p.ts) AS purchase_us, p.value AS purchase_value "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+            "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ON c.user_id = p.user_id AND c.ts >= p.ts"
+        ),
+        "j_range_click_purchase": (
+            "SELECT l.event_id AS click_id, r.event_id AS purchase_id, "
+            "l.user_id, abs(CAST(floor(epoch(l.ts)) AS BIGINT) "
+            "- CAST(floor(epoch(r.ts)) AS BIGINT)) AS dt_s "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') l "
+            "JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
+            "ON l.user_id = r.user_id "
+            "AND abs(CAST(floor(epoch(l.ts)) AS BIGINT) "
+            "- CAST(floor(epoch(r.ts)) AS BIGINT)) <= 3600"
         ),
         "v_topk_exact": (
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "

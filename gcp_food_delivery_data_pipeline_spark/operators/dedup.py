@@ -126,6 +126,86 @@ def minhash_signature(
     return _signature_from_hashes(hashes, num_hashes)
 
 
+SIMHASH_BITS = 32  # positive-LONG-safe; 64 would need unsigned handling
+
+
+def _simhash_from_hashes(hashes: Column, bits: int) -> Column:
+    """SimHash from a staged token-hash array: bit b of the fingerprint
+    is the sign of Σ_tokens (±1 by bit b of the token hash)."""
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        bit_sum = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        fp = fp + F.when(bit_sum > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return fp
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """Append a SimHash fingerprint (Charikar 2002) of the token stream.
+
+    Token hash = first 8 hex of md5 (engine-stable, like MinHash),
+    staged as its own projection so the ``bits`` sign-sums share one
+    md5 pass. Near-identical texts differ in few fingerprint bits →
+    Hamming-distance bucketing (group by bands of the fingerprint)
+    finds near-dups without pairwise comparison. No UDFs, no shuffle.
+    """
+    staged = df.withColumn(
+        "_th", F.transform(tokens(F.col(text_col)), _shingle_hash)
+    )
+    return staged.withColumn(
+        out_col, _simhash_from_hashes(F.col("_th"), bits)
+    ).drop("_th")
+
+
+def hamming_distance(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two LONG fingerprints (bit_count of XOR)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine ≥ t).
+
+    Brute-force all-pairs — the oracle-checkable baseline; at corpus
+    scale route through ``operators.similarity.lsh_bucketed_topk``
+    buckets first and verify only candidates, exactly like the
+    MinHash-LSH text path.
+    """
+    from gcp_food_delivery_data_pipeline_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("_va", "_vb"), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def dedup_exact(
     df: DataFrame, key: Column | str, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1,0 +1,124 @@
+"""Joins Spark lacks natively: as-of (backward) and range (interval)
+joins, built from shuffle-friendly primitives.
+
+Spark has no ASOF or interval-join physical operator (the guide's
+"as-of / range join" gap). Naive formulations — a theta-join on
+``l.ts >= r.ts`` — degenerate to broadcast-nested-loop and die at
+scale. These implementations keep everything equi-join + window:
+
+* ``asof_join_backward`` — union the two sides, one shuffle on the key,
+  one in-partition sort, carry the most recent right row forward with
+  ``last_value(ignorenulls)``. O(n log n) per key group, no nested loop.
+  (The ``applyInPandas`` + ``pd.merge_asof`` alternative trades JVM
+  columnar execution for per-group Arrow batches; this stays JVM-side.)
+* ``range_join_within`` — bucketize the time axis, explode each left
+  row into the buckets its window can reach, equi-join on
+  (key, bucket), then filter the exact predicate. Shuffle is ∝ rows ×
+  (window/bucket + 2), never the cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_value_cols: list[str],
+    suffix: str = "_matched",
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``on`` ≤ the left row's ``on`` within the same ``by`` group
+    (pandas ``merge_asof(direction='backward')`` / DuckDB ASOF JOIN).
+
+    Left rows with no prior right row get NULLs. At equal timestamps
+    the right row is considered visible (≤ semantics): the union sorts
+    right rows before left rows on ties.
+    """
+    l_marked = left.withColumn("_is_left", F.lit(1))
+    r_marked = right.select(
+        F.col(by),
+        F.col(on),
+        *[F.col(c).alias(c + suffix) for c in right_value_cols],
+    ).withColumn("_is_left", F.lit(0))
+
+    unioned = l_marked.unionByName(r_marked, allowMissingColumns=True)
+    # One shuffle on the key; right rows sort first at equal `on` so a
+    # simultaneous right row is matched (backward-inclusive).
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(c + suffix), ignorenulls=True)
+            .over(w)
+            .alias(c + suffix + "_c")
+            for c in right_value_cols
+        ],
+        F.last(
+            F.when(F.col("_is_left") == 0, F.col(on)), ignorenulls=True
+        )
+        .over(w)
+        .alias(on + suffix),
+    )
+    out_cols = left.columns + [on + suffix] + [
+        c + suffix for c in right_value_cols
+    ]
+    return (
+        carried.filter(F.col("_is_left") == 1)
+        .select(
+            *left.columns,
+            F.col(on + suffix),
+            *[
+                F.col(c + suffix + "_c").alias(c + suffix)
+                for c in right_value_cols
+            ],
+        )
+        .select(*out_cols)
+    )
+
+
+def range_join_within(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    window_seconds: int,
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """All (left, right) pairs in the same ``by`` group whose ``on``
+    timestamps lie within ``window_seconds`` of each other.
+
+    Bucketization: each left row explodes to 3 adjacent buckets of
+    width ``window_seconds``; the right row maps to its own bucket;
+    the (key, bucket) equi-join then sees every pair within the window
+    exactly once after the exact-predicate filter.
+    """
+    bucket = lambda c: F.floor(c.cast("long") / window_seconds).cast("long")  # noqa: E731
+    l = left.select(
+        F.col(by),
+        *[F.col(c).alias(left_prefix + c) for c in left.columns if c != by],
+        F.explode(
+            F.array(
+                bucket(F.col(on)) - 1, bucket(F.col(on)), bucket(F.col(on)) + 1
+            )
+        ).alias("_bucket"),
+    )
+    r = right.select(
+        F.col(by),
+        *[F.col(c).alias(right_prefix + c) for c in right.columns if c != by],
+        bucket(F.col(on)).alias("_bucket"),
+    )
+    joined = l.join(r, [by, "_bucket"]).drop("_bucket")
+    dt = F.abs(
+        F.col(left_prefix + on).cast("long") - F.col(right_prefix + on).cast("long")
+    )
+    return joined.filter(dt <= window_seconds)

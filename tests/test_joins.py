@@ -1,0 +1,112 @@
+"""As-of and range join tests with hand-computed golden matches, plus
+SimHash fingerprint properties."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+    hamming_distance,
+    with_simhash,
+)
+from gcp_food_delivery_data_pipeline_spark.operators.joins import (
+    asof_join_backward,
+    range_join_within,
+)
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01 10:00:05")),
+            (2, "A", _ts("2024-01-01 10:00:10")),
+            (3, "B", _ts("2024-01-01 10:00:03")),
+            (4, "B", _ts("2024-01-01 09:59:00")),  # before any quote
+        ],
+        ["trade_id", "sym", "ts"],
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 100.0),
+            ("A", _ts("2024-01-01 10:00:07"), 101.0),
+            ("A", _ts("2024-01-01 10:00:10"), 102.0),  # exact tie with trade 2
+            ("B", _ts("2024-01-01 10:00:01"), 50.0),
+        ],
+        ["sym", "ts", "price"],
+    )
+    return trades, quotes
+
+
+def test_asof_backward_golden(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join_backward(
+        trades, quotes, on="ts", by="sym", right_value_cols=["price"]
+    )
+    got = {r.trade_id: r.price_matched for r in out.collect()}
+    assert got[1] == 100.0   # latest quote ≤ 10:00:05
+    assert got[2] == 102.0   # tie at 10:00:10 → inclusive (≤)
+    assert got[3] == 50.0
+    assert got[4] is None    # no quote before 09:59
+    assert out.count() == trades.count()  # left-join cardinality
+
+
+def test_range_join_golden(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01 10:00:00"))], ["lid", "key", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "u", _ts("2024-01-01 09:59:30")),   # -30s → in
+            (11, "u", _ts("2024-01-01 10:00:45")),   # +45s → in
+            (12, "u", _ts("2024-01-01 10:01:01")),   # +61s → out
+            (13, "v", _ts("2024-01-01 10:00:00")),   # other key → out
+        ],
+        ["rid", "key", "ts"],
+    )
+    out = range_join_within(left, right, on="ts", by="key", window_seconds=60)
+    assert sorted(r.r_rid for r in out.collect()) == [10, 11]
+
+
+def test_range_join_no_duplicate_pairs(spark):
+    """A pair within the window must appear exactly once despite the
+    3-bucket explode."""
+    left = spark.createDataFrame(
+        [(i, "k", _ts(f"2024-01-01 10:00:{i:02d}")) for i in range(10)],
+        ["lid", "key", "ts"],
+    )
+    out = range_join_within(left, left, on="ts", by="key", window_seconds=60)
+    # 10×10 pairs all within 60s — every pair exactly once
+    assert out.count() == 100
+    assert out.dropDuplicates(["l_lid", "r_lid"]).count() == 100
+
+
+def test_simhash_near_texts_close_in_hamming(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog near the quiet river "
+        "bank while autumn leaves drift slowly past the wooden bridge"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " today"),           # near-dup
+            (3, "completely different words about database engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = with_simhash(df)
+    rows = {r.doc_id: r.simhash for r in fp.collect()}
+    d12 = df.sparkSession.createDataFrame(
+        [(rows[1], rows[2]), (rows[1], rows[3])], ["a", "b"]
+    ).select(hamming_distance("a", "b").alias("d")).collect()
+    near, far = d12[0]["d"], d12[1]["d"]
+    assert near < far
+    assert near <= 6        # near-dup flips few of 32 bits
+    assert rows[1] != rows[3]
