@@ -304,6 +304,57 @@ def q_balance_quartiles(customer: DataFrame) -> DataFrame:
     )
 
 
+# ----- food-orders analytics (M4): the queries the reference's two
+# output tables exist to serve (reference README.md:9,193-198 describes
+# the tables; no queries ship with the reference). Input: the typed
+# projection (operators/clean.py:typed_orders). -----
+
+
+def food_restaurant_summary(typed: DataFrame) -> DataFrame:
+    """Per-restaurant order volume, revenue, and mean rating."""
+    return typed.groupBy("restaurant").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("amount").alias("revenue"),
+        F.round(F.avg("ratings"), 3).alias("avg_rating"),
+    )
+
+
+def food_mode_share(typed: DataFrame) -> DataFrame:
+    """Payment-mode share of orders (window over the grand total)."""
+    counts = typed.groupBy("mode").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = Window.partitionBy()
+    return counts.select(
+        "mode",
+        "n_orders",
+        F.round(
+            F.col("n_orders") / F.sum("n_orders").over(total), 4
+        ).alias("share"),
+    )
+
+
+def food_item_popularity(typed: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k items across the packed colon-delimited ``items`` column —
+    the explode the reference's string model never allowed."""
+    return (
+        typed.select(F.explode("items").alias("item"))
+        .filter(F.col("item") != "")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("item"))
+        .limit(k)
+    )
+
+
+def food_ratings_by_status(typed: DataFrame) -> DataFrame:
+    """Ratings distribution per delivery status (pivot-shaped output)."""
+    return (
+        typed.groupBy("status")
+        .pivot("ratings", [1, 2, 3, 4, 5])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
 def q_props_extract(events: DataFrame, min_k: int = 50) -> DataFrame:
     """JSON payload extraction + predicate — semi-structured column path.
 

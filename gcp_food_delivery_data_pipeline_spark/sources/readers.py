@@ -81,6 +81,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql.types import LongType
 
+    if name == "events":
+        # Runtime-settable; makes the nanos table readable even on a
+        # session built without the engine's defaults (session.py).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp_micros() below yields an LTZ timestamp: pin UTC so
+        # date_format/cast results don't depend on the host timezone.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     ts_nanos = {"events": ["ts"]}.get(name, [])
     for c in ts_nanos:

@@ -1,0 +1,56 @@
+"""M4 food-orders analytics over the typed projection of the fixture."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_food_delivery_data_pipeline_spark.operators.clean import (
+    clean_orders,
+    typed_orders,
+)
+from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+    food_item_popularity,
+    food_mode_share,
+    food_ratings_by_status,
+    food_restaurant_summary,
+)
+from gcp_food_delivery_data_pipeline_spark.sources.readers import read_orders_csv
+from tests.fixtures import N_TOTAL
+
+
+@pytest.fixture(scope="module")
+def typed(spark, food_csv):
+    return typed_orders(clean_orders(read_orders_csv(spark, food_csv))).cache()
+
+
+def test_restaurant_summary(typed):
+    rows = {r.restaurant: r for r in food_restaurant_summary(typed).collect()}
+    bm = rows["brussels mussels "]  # trailing space survives cleaning
+    assert bm.n_orders == 2
+    assert float(bm.revenue) == 75.0     # 21 + 54
+    assert bm.avg_rating == 5.0
+    assert rows["tokyo table"].n_orders == 2  # one delivered, one on hold
+
+
+def test_mode_share_sums_to_one(typed):
+    rows = food_mode_share(typed).collect()
+    assert sum(r.n_orders for r in rows) == N_TOTAL
+    assert abs(sum(r.share for r in rows) - 1.0) < 0.01
+
+
+def test_item_popularity_explodes_packed_items(typed):
+    top = food_item_popularity(typed, k=50).collect()
+    counts = {r.item: r.n_orders for r in top}
+    # 'waterzooi' appears in a multi-item order AND alone
+    assert counts["waterzooi"] == 2
+    assert counts["pizza"] == 1
+    assert "" not in counts
+
+
+def test_ratings_pivot_shape(typed):
+    piv = food_ratings_by_status(typed)
+    assert set(piv.columns) == {"status", "1", "2", "3", "4", "5"}
+    row = {r.status: r for r in piv.collect()}
+    assert row["delivered"]["5"] == 4   # four 5-star delivered orders
+    assert row["on hold"]["2"] == 1
