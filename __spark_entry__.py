@@ -46,6 +46,7 @@ from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
 from gcp_food_delivery_data_pipeline_spark.operators.text import (
     language_id,
     quality_score,
+    tf_idf_top_terms,
     token_count,
 )
 from gcp_food_delivery_data_pipeline_spark.plans import analytics as A
@@ -354,6 +355,11 @@ def _q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return tf_idf_top_terms(d.select("doc_id", "text"), k=1)
+
+
 # ----- dedup (M5) -----
 
 def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -513,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_quality": _q_quality,
         "t_lang_id": _q_lang_id,
         "t_fingerprint": _q_fingerprint,
+        "t_tfidf_top_term": _q_tfidf,
         # dedup (M5)
         "d_dedup_exact": _q_dedup_exact,
         "d_dedup_groups": _q_dedup_groups,
@@ -776,6 +783,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(text) AS fp_md5, "
             r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_norm "
             "FROM documents"
+        ),
+        "t_tfidf_top_term": (
+            "WITH d AS (SELECT doc_id, "
+            r"regexp_split_to_array(trim(text), '\s+') AS toks FROM documents), "
+            "tok AS (SELECT doc_id, unnest(toks) AS term, len(toks) AS n_tokens FROM d), "
+            "tf AS (SELECT doc_id, term, "
+            "CAST(count(*) AS DOUBLE) / any_value(n_tokens) AS tf "
+            "FROM tok GROUP BY doc_id, term), "
+            "dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+            "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents) "
+            "SELECT doc_id, term_rank, term AS top_term, tfidf FROM ("
+            "SELECT tf.doc_id, tf.term, "
+            "round(tf.tf * ln(n.n / dfx.df), 6) AS tfidf, "
+            "row_number() OVER (PARTITION BY tf.doc_id "
+            "ORDER BY tf.tf * ln(n.n / dfx.df) DESC, tf.term) AS term_rank "
+            "FROM tf JOIN dfx USING (term), n) WHERE term_rank <= 1"
         ),
         "d_dedup_exact": (
             "SELECT doc_id, lang, source FROM documents "

@@ -1,0 +1,77 @@
+"""Scale-engineering operators: bucketed co-located joins and salted
+skew joins.
+
+At 100 TB the two dominant shuffle pathologies are (1) re-shuffling the
+same fact table for every key-equal join, and (2) a handful of hot keys
+serializing one reducer. These helpers encode the standard cures:
+
+* ``write_bucketed`` / ``bucketed_join`` — persist both sides bucketed
+  (and sorted) by the join key: Spark's SortMergeJoin then reads the
+  co-located buckets directly, with NO Exchange on either side
+  (asserted in tests via the physical plan).
+* ``salted_join`` — explode the small side's hot keys into R salted
+  replicas and scatter the big side's rows across them: the hot key's
+  rows spread over R reducers instead of one. AQE's skew-join handles
+  moderate skew automatically (session.py enables it); explicit salting
+  is for the extreme tail where one key exceeds a single executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    num_buckets: int = 16,
+    sort: bool = True,
+) -> None:
+    """Persist as a bucketed (+sorted) managed table.
+
+    Both sides of a recurring join bucketed by the same key with the
+    same bucket count join WITHOUT a shuffle — the one-time write cost
+    amortizes over every subsequent join/aggregation on that key.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_key)
+    if sort:
+        writer = writer.sortBy(bucket_key)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-key bucketed tables (shuffle-free SortMergeJoin)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side scattered over ``salt`` sub-keys.
+
+    The small side replicates ``salt``× (explode — bounded, it's the
+    small side); the big side picks ONE pseudo-random salt per row via
+    a hash of the whole row (deterministic, no rand()). Each (key,
+    salt) bucket then holds ~1/salt of a hot key's rows. Results are
+    identical to the plain join (verified in tests).
+    """
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    big_salt = F.pmod(
+        F.hash(*[F.col(c) for c in big.columns]), F.lit(salt)
+    )
+    salted_big = big.withColumn("_salt", big_salt)
+    return salted_big.join(salted_small, [on, "_salt"], how).drop("_salt")

@@ -117,6 +117,51 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", pred)
 
 
+def tf_idf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 1
+) -> DataFrame:
+    """Top-k TF-IDF terms per document, pure DataFrame ops.
+
+    tf = term count / doc tokens; idf = ln(N / docs-containing-term).
+    Two aggregations (one per grouping key) + a broadcast join of the
+    (small) document-frequency vocabulary + one ranked window — the
+    same shuffles a 100 TB run needs, nothing more. N is a single
+    scalar count job. Deterministic tie-break: (tfidf DESC, term ASC).
+    """
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+        token_count(F.col(text_col)).alias("_n_tokens"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        (F.count(F.lit(1)) / F.first("_n_tokens")).alias("_tf")
+    )
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    scored = tf.join(F.broadcast(doc_freq), "term").select(
+        F.col(id_col),
+        "term",
+        (F.col("_tf") * F.log(F.lit(float(n_docs)) / F.col("_df"))).alias(
+            "_tfidf"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(
+            id_col,
+            "term_rank",
+            F.col("term").alias("top_term"),
+            F.round("_tfidf", 6).alias("tfidf"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprints: ``fp_md5`` (exact) and ``fp_norm`` (md5 of
     lowercased whitespace-collapsed text — catches trivial reflows)."""

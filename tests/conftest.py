@@ -24,6 +24,13 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def spark_global(spark):
+    """Session-scoped alias for hypothesis @given tests (hypothesis
+    forbids function-scoped fixtures, session scope is fine)."""
+    return spark
+
+
+@pytest.fixture(scope="session")
 def food_csv(tmp_path_factory) -> str:
     """Synthetic food_daily-shaped CSV per FIXTURES.md §1 (NOT copied
     from the reference's data file)."""

@@ -1,0 +1,93 @@
+"""Property-based parity: the byte-fidelity cleaning path must match a
+pure-Python model of the reference's transforms (split on ',', strip
+one trailing colon from field 4, lowercase line, delete [?%&] per
+field, append ',1', drop rows splitting to <12 fields) on arbitrary
+field content — including colons, specials, empty and extra fields.
+
+Reference semantics modeled from code/beam.py:35-66,113-120 (rewritten
+from the documented behavior, not copied).
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gcp_food_delivery_data_pipeline_spark.operators.clean import clean_order_lines
+from gcp_food_delivery_data_pipeline_spark.schema import OUT_COLS
+
+# Field alphabet: no commas/newlines (commas are the row structure).
+FIELD = st.text(
+    alphabet="aZ9 :?%&.'-_#", min_size=0, max_size=12
+)
+
+
+def model_clean(line: str) -> list[str] | None:
+    """Pure-Python model of the reference cleaning chain."""
+    cols = line.split(",")
+    if len(cols) > 4 and cols[4].endswith(":"):
+        cols[4] = cols[4][:-1]
+    line = ",".join(cols).lower()
+    line = ",".join(re.sub(r"[?%&]", "", c) for c in line.split(","))
+    line = line + ",1"
+    fields = line.split(",")
+    if len(fields) < 12:
+        return None
+    return fields[:12]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.lists(FIELD, min_size=4, max_size=13), min_size=1, max_size=25
+    )
+)
+def test_clean_lines_matches_reference_model(spark_global, rows):
+    # unique, clean-invariant key in field 0 so rows can be matched up
+    lines = [
+        ",".join([f"key{i}"] + fields) for i, fields in enumerate(rows)
+    ]
+    df = spark_global.createDataFrame([(l,) for l in lines], ["line"])
+    got = {
+        r["customer_id"]: [r[c] for c in OUT_COLS]
+        for r in clean_order_lines(df).collect()
+    }
+    expected = {}
+    for line in lines:
+        out = model_clean(line)
+        if out is not None:
+            expected[out[0]] = out
+    assert got == expected
+
+
+# NOTE: idempotence does NOT hold for items ending in '::' — P1 strips
+# AT MOST ONE trailing colon per pass (true of the reference as well),
+# so the property is stated over colon-free tails.
+FIELD_NO_COLON = st.text(alphabet="aZ9 ?%&.'-_#", min_size=0, max_size=12)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.lists(FIELD_NO_COLON, min_size=10, max_size=10),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_clean_idempotent_on_any_input(spark_global, rows):
+    """Cleaning twice ≡ once: outputs contain no uppercase, no [?%&]
+    (SURVEY §5.4); trailing-colon caveat documented above."""
+    lines = [",".join([f"key{i}"] + fields) for i, fields in enumerate(rows)]
+    df = spark_global.createDataFrame([(l,) for l in lines], ["line"])
+    once = clean_order_lines(df)
+    relined = once.selectExpr(
+        "concat_ws(',', {}) AS line".format(
+            ", ".join(OUT_COLS[:-1])  # rebuild the 11 input fields
+        )
+    )
+    twice = clean_order_lines(relined)
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b

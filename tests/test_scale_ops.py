@@ -1,0 +1,95 @@
+"""Scale-ops tests: bucketed joins must be shuffle-free (plan-level
+assertion), salted joins must equal plain joins row-for-row."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+from tests.conftest import SF_DIR
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", num_buckets=8)
+    write_bucketed(lineitem, "b_lineitem", "o_orderkey", num_buckets=8)
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force SortMergeJoin so the bucketed-vs-shuffled contrast shows
+    (at test scale Spark would otherwise broadcast the small side)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables, no_broadcast):
+    lt, rt = bucketed_tables
+    joined = bucketed_join(spark, lt, rt, "o_orderkey")
+    plan = _physical_plan(joined)
+    # co-located buckets: SortMergeJoin with NO shuffle on either side
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    # and the join result is correct
+    expected = (
+        spark.table(lt).join(spark.table(rt), "o_orderkey").count()
+    )
+    assert joined.count() == expected > 0
+
+
+def test_unbucketed_join_does_shuffle(spark, no_broadcast):
+    """Control: the same join over raw parquet needs an Exchange —
+    proving the bucketed assertion above is meaningful."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    joined = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    )
+    assert "Exchange" in _physical_plan(joined)
+
+
+def test_salted_join_equals_plain_join(spark):
+    # Skewed big side: 90% of rows share one key.
+    big = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias(
+            "k"
+        ),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dim_val")
+    )
+    plain = big.join(small, "k")
+    salted = salted_join(big, small, "k", salt=8)
+    assert salted.count() == plain.count()
+    a = sorted((r.k, r.payload, r.dim_val) for r in plain.collect())
+    b = sorted((r.k, r.payload, r.dim_val) for r in salted.collect())
+    assert a == b
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's rows must occupy multiple salt buckets."""
+    big = spark.range(0, 1000).select(F.lit(7).alias("k"), F.col("id"))
+    big_salt = big.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(8))
+    )
+    n_buckets = big_salt.select("_salt").distinct().count()
+    assert n_buckets == 8
