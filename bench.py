@@ -33,11 +33,15 @@ BENCH_QUERIES = [
     "q_events_hourly",      # event-time rollup
     "q_distinct_users",     # distinct aggregation
     "c1_c3_counts",         # single-pass 3-way count
+    "q_sessionize",         # gaps-and-islands windows
     "t_quality",            # text feature pipeline (columnar)
+    "t_tfidf_top_term",     # explode + 2 aggs + broadcast join + window
     "d_dedup_exact",        # hash-dedup shuffle
     "d_near_dup_pairs",     # MinHash-LSH banding + verify
+    "d_simhash",            # 32-bit fingerprints
     "v_topk_exact",         # brute-force cosine top-k
     "v_topk_scalable",      # two-phase top-k
+    "j_asof_click_purchase",  # as-of join (union + window)
     "m_features",           # Arrow-batched mapInPandas
 ]
 
