@@ -39,6 +39,7 @@ from gcp_food_delivery_data_pipeline_spark.operators.multimodal import (
     filter_by_meta,
 )
 from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+    ivf_topk,
     lsh_bucketed_topk,
     topk_exact,
     topk_exact_scalable,
@@ -455,6 +456,16 @@ def _q_topk_ann(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF with n_probe == n_clusters: exhaustive probing reproduces
+    the exact top-k, so this one IS oracle-checkable (the index changes
+    which pairs are scored, never their scores)."""
+    e = load_table(spark, sf, "embeddings")
+    return ivf_topk(
+        e, e.filter(F.col("vec_id") < 5), n_clusters=16, n_probe=16, k=10
+    )
+
+
 def _q_embedding_dims(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "embeddings")
     return e.select("vec_id", F.size("embedding").alias("dim"), "label")
@@ -533,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_topk_exact": _q_topk_exact,
         "v_topk_scalable": _q_topk_scalable,
         "v_topk_ann": _q_topk_ann,
+        "v_topk_ivf": _q_topk_ivf,
         "v_embedding_dims": _q_embedding_dims,
         # multimodal (M5)
         "m_meta_filter": _q_multimodal_meta,
@@ -869,6 +881,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM q, c WHERE neighbor_id <> query_id) WHERE rank <= 10"
         ),
         # v_topk_ann: approximate — no SQL oracle (recall tested in pytest).
+        # v_topk_ivf probes every cell → provably equals exact top-k.
+        "v_topk_ivf": (
+            "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id < 5), "
+            "c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv "
+            "FROM embeddings) "
+            "SELECT query_id, rank, neighbor_id, round(sim, 6) AS cosine_sim FROM ("
+            "SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY "
+            "list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank "
+            "FROM q, c WHERE neighbor_id <> query_id) WHERE rank <= 10"
+        ),
         "v_embedding_dims": (
             "SELECT vec_id, len(embedding) AS dim, label FROM embeddings"
         ),

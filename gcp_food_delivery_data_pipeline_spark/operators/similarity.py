@@ -161,6 +161,96 @@ def _with_lsh_tables(
     )
 
 
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: KMeans
+    centroids partition the corpus; each query scores only the
+    ``n_probe`` nearest cells.
+
+    Build: one KMeans fit (Spark ML, seeded) + a cluster-id column on
+    the candidates — amortized across queries, exactly like a persisted
+    IVF index. Probe: queries broadcast with their n_probe cell ids;
+    the (cell) equi-join bounds scored pairs to ~n_probe/n_clusters of
+    the corpus. Recall grows with n_probe (n_probe == n_clusters is
+    exact search).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    cand_vec = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"),
+    )
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="_features", predictionCol="_cell")
+    model = km.fit(cand_vec)
+    indexed = model.transform(cand_vec).select("neighbor_id", "_cvec", "_cell")
+
+    # Distance of each query to every centroid, JVM-side: centroids are
+    # a tiny literal array of structs (cell, vector).
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(x) for x in vec]).alias("cvec"),
+            )
+            for i, vec in centroids
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    ).withColumn(
+        "_cells",
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        cent_arr,
+                        lambda c: F.struct(
+                            F.aggregate(
+                                F.zip_with(
+                                    c["cvec"],
+                                    F.col("_qvec"),
+                                    lambda a, b: (a - b.cast("double"))
+                                    * (a - b.cast("double")),
+                                ),
+                                F.lit(0.0),
+                                lambda acc, v: acc + v,
+                            ).alias("dist"),
+                            c["cell"].alias("cell"),
+                        ),
+                    )
+                ),
+                lambda s: s["cell"],
+            ),
+            1,
+            n_probe,
+        ),
+    )
+    probed = q.select("query_id", "_qvec", F.explode("_cells").alias("_cell"))
+    scored = (
+        indexed.join(F.broadcast(probed), "_cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("_qvec", "_cvec").alias("_sim"),
+        )
+    )
+    return _rank_topk(scored, k)
+
+
 def lsh_bucketed_topk(
     candidates: DataFrame,
     queries: DataFrame,

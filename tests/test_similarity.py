@@ -14,6 +14,7 @@ from gcp_food_delivery_data_pipeline_spark.functions.vectors import (
     l2_norm,
 )
 from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+    ivf_topk,
     lsh_bucketed_topk,
     topk_exact,
     topk_exact_scalable,
@@ -101,6 +102,31 @@ def test_ann_recall_floor(embeddings):
     found = {(r.query_id, r.neighbor_id) for r in ann.collect()}
     recall = len(truth & found) / len(truth)
     assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_ivf_recall_curve_and_exhaustive_exactness(embeddings):
+    """IVF ANN: recall must rise with n_probe, and probing every cell
+    must reproduce the exact top-k (the index never changes scores,
+    only which pairs are scored)."""
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_exact(embeddings, queries, k=10).collect()
+    }
+    few = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            embeddings, queries, n_clusters=16, n_probe=4, k=10
+        ).collect()
+    }
+    allp = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            embeddings, queries, n_clusters=16, n_probe=16, k=10
+        ).collect()
+    }
+    assert len(few & truth) / len(truth) >= 0.5
+    assert allp == truth
 
 
 def test_ann_sims_match_exact_values(embeddings):
