@@ -99,15 +99,36 @@ def run_events_hourly_stream(
     checkpoint_dir: str,
     query_name: str = "events_hourly",
     watermark: str = "2 hours",
+    output_mode: str = "complete",
+    output_path: str | None = None,
 ) -> StreamingQuery:
     """Drain-and-stop windowed aggregation into an in-memory sink
-    (tests / smoke); production swaps the sink for parquet/Kafka."""
+    (tests / smoke); production swaps the sink for parquet/Kafka.
+
+    ``output_mode="complete"`` re-emits the full rollup per batch (easy
+    to read back); ``"append"`` emits each window exactly once when the
+    watermark passes its end, and rows arriving behind the watermark
+    are DROPPED (visible as numRowsDroppedByWatermark in progress).
+
+    ``output_path`` switches the sink to parquet (append-mode only) —
+    required when the query must RESUME from its checkpoint: the memory
+    sink does not support checkpoint recovery.
+    """
     rollup = hourly_rollup(read_events_stream(spark, input_dir), watermark)
+    if output_path is not None:
+        writer = (
+            rollup.writeStream.format("parquet")
+            .option("path", output_path)
+            .outputMode("append")
+        )
+    else:
+        writer = (
+            rollup.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+        )
     return (
-        rollup.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint_dir)
+        writer.option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )

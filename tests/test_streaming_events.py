@@ -47,6 +47,57 @@ def test_stream_hourly_rollup_matches_batch(spark, events_dir, tmp_path):
     assert streamed == batch
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append mode + 2h watermark: a row arriving behind the watermark
+    (established by an earlier batch, persisted in the checkpoint) is
+    dropped, and the finalized window emitted exactly once."""
+    from datetime import datetime
+
+    in_dir = str(tmp_path / "events_in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "rollup_out")
+
+    def write_file(name, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    # Batch 1: watermark advances to 13:50 - 2h = 11:50 →
+    # window [10:00, 11:00) finalizes and emits.
+    write_file(
+        "a",
+        [
+            (1, datetime(2024, 3, 1, 10, 15), 1, "click", 1.0),
+            (2, datetime(2024, 3, 1, 13, 50), 1, "click", 1.0),
+        ],
+    )
+    q1 = run_events_hourly_stream(spark, in_dir, ckpt, output_path=out)
+    q1.awaitTermination(120)
+    emitted = {
+        (r.hour, r.event_type): r.n_events
+        for r in spark.read.parquet(out).collect()
+    }
+    assert emitted == {(datetime(2024, 3, 1, 10, 0), "click"): 1}
+
+    # Batch 2 (restart on same checkpoint): 10:30 is behind the 11:50
+    # watermark → dropped by the state store, counted in progress.
+    write_file(
+        "b",
+        [
+            (3, datetime(2024, 3, 1, 10, 30), 1, "click", 1.0),  # LATE
+            (4, datetime(2024, 3, 1, 14, 10), 1, "click", 1.0),
+        ],
+    )
+    q2 = run_events_hourly_stream(spark, in_dir, ckpt, output_path=out)
+    q2.awaitTermination(120)
+    dropped = sum(
+        int(p["numRowsDroppedByWatermark"])
+        for p in (q2.recentProgress or [])
+        for p in p.get("stateOperators", [])
+    )
+    assert dropped == 1
+
+
 def test_stateful_user_totals_accumulate(spark, events_dir, tmp_path):
     q = run_user_totals_stream(
         spark,
