@@ -297,6 +297,14 @@ def _q_rollup(spark: SparkSession, sf: str) -> DataFrame:
     return A.q_rollup_revenue(load_table(spark, sf, "lineitem"))
 
 
+def _q_cube(spark: SparkSession, sf: str) -> DataFrame:
+    return A.q_cube_events(load_table(spark, sf, "events"))
+
+
+def _q_approx_users(spark: SparkSession, sf: str) -> DataFrame:
+    return A.q_approx_users(load_table(spark, sf, "events"))
+
+
 def _q_top_words(spark: SparkSession, sf: str) -> DataFrame:
     return A.q_top_words(load_table(spark, sf, "documents"))
 
@@ -520,6 +528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distinct_users": _q_distinct_users,
         "q_props_extract": _q_props_extract,
         "q_rollup_revenue": _q_rollup,
+        "q_cube_events": _q_cube,
+        "q_approx_users": _q_approx_users,
         "q_top_words": _q_top_words,
         "q_sessionize": _q_sessionize,
         "q_custkeys_both": _q_intersect,
@@ -729,6 +739,13 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_items FROM lineitem "
             "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
+        "q_cube_events": (
+            "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+            "count(*) AS n_events, round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY CUBE(event_type, strftime(ts, '%Y-%m-%d'))"
+        ),
+        # q_approx_users: HLL sketch — engine-specific, no SQL oracle;
+        # accuracy vs exact pinned in tests/test_analytics_extra.py.
         "q_top_words": (
             "SELECT word, count(*) AS n FROM ("
             r"SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word "

@@ -226,6 +226,27 @@ def q_rollup_revenue(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def q_cube_events(events: DataFrame) -> DataFrame:
+    """CUBE over (event_type, day): every subtotal combination in one
+    pass — the full grouping-sets lattice (ROLLUP's sibling)."""
+    return events.cube(
+        F.col("event_type"), F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_approx_users(events: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """HyperLogLog++ distinct-user sketch per event type — the
+    constant-memory path when exact distinct's two-phase shuffle is too
+    heavy; accuracy vs the exact count is pinned in tests (no SQL
+    oracle: sketch internals are engine-specific by nature)."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users")
+    )
+
+
 def q_top_words(documents: DataFrame, k: int = 20) -> DataFrame:
     """Corpus word frequencies: explode tokens → count → top-k.
 
