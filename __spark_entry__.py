@@ -388,7 +388,11 @@ def _q_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
-    pairs = lsh_candidate_pairs(d, "text", "doc_id", num_hashes=64, bands=16)
+    # bands=32 (2 rows/band): miss probability at jaccard 0.8 is
+    # (1-0.8^2)^32 ≈ 6e-15, so the LSH output is effectively exhaustive
+    # and safe to compare against the all-pairs DuckDB oracle even if
+    # the testdata is regenerated with threshold-adjacent pairs.
+    pairs = lsh_candidate_pairs(d, "text", "doc_id", num_hashes=64, bands=32)
     return pairs.filter(F.col("jaccard") >= 0.8)
 
 
@@ -568,8 +572,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _STOPWORDS_SQL = "['the','a','of','and','to','in','is','it','that','for']"
-_TOKENS = r"regexp_split_to_array(trim(text), '\s+')"
-_NTOK = rf"CASE WHEN trim(text)='' THEN 0 ELSE len({_TOKENS}) END"
+# Mirror operators/text.py:tokens — split yields [''] on empty text, so
+# filter phantom empty tokens out on the oracle side too.
+_TOKENS = (
+    r"list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')"
+)
+_NTOK = f"len({_TOKENS})"
 
 
 def _lang_hits(words: list[str]) -> str:
@@ -605,7 +613,7 @@ def _simhash_sql(bits: int = 32) -> str:
     return (
         f"SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM ("
         "SELECT doc_id, list_transform("
-        r"regexp_split_to_array(trim(text), '\s+'), "
+        f"{_TOKENS}, "
         "t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS th "
         "FROM documents)"
     )
@@ -748,7 +756,7 @@ def oracle_sql() -> dict[str, str]:
         # accuracy vs exact pinned in tests/test_analytics_extra.py.
         "q_top_words": (
             "SELECT word, count(*) AS n FROM ("
-            r"SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word "
+            f"SELECT unnest({_TOKENS}) AS word "
             "FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 20"
         ),
         "q_sessionize": (
@@ -815,7 +823,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "t_tfidf_top_term": (
             "WITH d AS (SELECT doc_id, "
-            r"regexp_split_to_array(trim(text), '\s+') AS toks FROM documents), "
+            f"{_TOKENS} AS toks FROM documents), "
             "tok AS (SELECT doc_id, unnest(toks) AS term, len(toks) AS n_tokens FROM d), "
             "tf AS (SELECT doc_id, term, "
             "CAST(count(*) AS DOUBLE) / any_value(n_tokens) AS tf "
@@ -840,7 +848,7 @@ def oracle_sql() -> dict[str, str]:
         "d_near_dup_pairs": (
             "WITH sh AS (SELECT doc_id, "
             f"{_SHINGLES} AS s "
-            r"FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks "
+            f"FROM (SELECT doc_id, {_TOKENS} AS toks "
             "FROM documents)) "
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "

@@ -115,13 +115,15 @@ def with_minhash(
 ) -> DataFrame:
     """Append a MinHash signature column, staged so each shingle is
     hashed exactly once. No shuffle, no UDF. Empty texts get an all-p
-    signature (matches nothing real)."""
+    signature (matches nothing real). Output = input columns + the
+    signature; the staged shingle/hash temporaries are dropped (leaking
+    the full shingle array would dominate every downstream shuffle)."""
     staged = df.withColumn("_sh", shingles(text_col, k=shingle_k)).withColumn(
         "_h", F.transform(F.col("_sh"), _shingle_hash)
     )
     return staged.withColumn(
         out_col, _signature_from_hashes(F.col("_h"), num_hashes)
-    ).drop("_h")
+    ).drop("_h", "_sh")
 
 
 def minhash_signature(
@@ -258,15 +260,28 @@ def lsh_candidate_pairs(
     callers threshold on the true similarity, not the LSH estimate.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, distinct.
+
+    Recall: a pair at Jaccard ``t`` is missed with probability
+    ``(1 - t^(num_hashes/bands))^bands`` — 64 hashes / 16 bands gives
+    ~2e-4 at t=0.8; pass ``bands=32`` (rows-per-band 2) when you need
+    effectively-exhaustive recall at 0.8 (miss ≈ 6e-15) and can afford
+    the extra low-similarity candidates the wider bands admit.
+
+    With ``cache_signatures=True`` the result is computed EAGERLY: the
+    corpus-sized signature cache is released as soon as the (small)
+    pair list is materialized, instead of pinning it for the session.
     """
     rows = num_hashes // bands
-    with_sig = with_minhash(
-        df.select(F.col(id_col).alias("_id"), F.col(text_col)),
-        text_col,
-        num_hashes=num_hashes,
-        shingle_k=shingle_k,
-        out_col="_sig",
-    ).select("_id", F.col("_sh").alias("_shingles"), "_sig")
+    staged = df.select(F.col(id_col).alias("_id"), F.col(text_col)).withColumn(
+        "_shingles", shingles(text_col, k=shingle_k)
+    )
+    with_sig = staged.withColumn(
+        "_h", F.transform(F.col("_shingles"), _shingle_hash)
+    ).select(
+        "_id",
+        "_shingles",
+        _signature_from_hashes(F.col("_h"), num_hashes).alias("_sig"),
+    )
     if cache_signatures:
         # The signature frame feeds the band join AND both shingle
         # re-attach joins; without a persist the shingling+minhash of
@@ -325,9 +340,20 @@ def lsh_candidate_pairs(
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return verified.select(
+    result = verified.select(
         "id_a", "id_b", F.round(jaccard, 6).alias("jaccard")
     )
+    if cache_signatures:
+        # Materialize the (small — pairs only) result so the
+        # corpus-sized signature cache can be released NOW rather than
+        # leaking for the session lifetime; the pair cache itself is a
+        # few narrow columns and LRU-evictable.
+        from pyspark import StorageLevel
+
+        result = result.persist(StorageLevel.MEMORY_AND_DISK)
+        result.count()
+        with_sig.unpersist()
+    return result
 
 
 def near_dedup(

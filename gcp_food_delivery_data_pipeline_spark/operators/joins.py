@@ -54,34 +54,28 @@ def asof_join_backward(
         .orderBy(F.col(on), F.col("_is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry the matched right row as ONE struct, not per-column
+    # last(ignorenulls): per-column carries can stitch the timestamp of
+    # one right row onto the value of an EARLIER one whenever the as-of
+    # row's value column is genuinely NULL (ignorenulls can't tell a
+    # left-row placeholder NULL from a right row's real NULL). The
+    # struct is non-null exactly for right rows, so ignorenulls skips
+    # left rows only and a NULL value inside the matched row stays NULL
+    # — pandas merge_asof / DuckDB ASOF JOIN semantics.
+    matched = F.struct(
+        F.col(on).alias("_ts"),
+        *[F.col(c + suffix).alias(c + suffix) for c in right_value_cols],
+    )
     carried = unioned.select(
         "*",
-        *[
-            F.last(F.col(c + suffix), ignorenulls=True)
-            .over(w)
-            .alias(c + suffix + "_c")
-            for c in right_value_cols
-        ],
-        F.last(
-            F.when(F.col("_is_left") == 0, F.col(on)), ignorenulls=True
-        )
+        F.last(F.when(F.col("_is_left") == 0, matched), ignorenulls=True)
         .over(w)
-        .alias(on + suffix),
+        .alias("_m"),
     )
-    out_cols = left.columns + [on + suffix] + [
-        c + suffix for c in right_value_cols
-    ]
-    return (
-        carried.filter(F.col("_is_left") == 1)
-        .select(
-            *left.columns,
-            F.col(on + suffix),
-            *[
-                F.col(c + suffix + "_c").alias(c + suffix)
-                for c in right_value_cols
-            ],
-        )
-        .select(*out_cols)
+    return carried.filter(F.col("_is_left") == 1).select(
+        *left.columns,
+        F.col("_m._ts").alias(on + suffix),
+        *[F.col(f"_m.{c}{suffix}").alias(c + suffix) for c in right_value_cols],
     )
 
 

@@ -65,8 +65,20 @@ def salted_join(
     small side); the big side picks ONE pseudo-random salt per row via
     a hash of the whole row (deterministic, no rand()). Each (key,
     salt) bucket then holds ~1/salt of a hot key's rows. Results are
-    identical to the plain join (verified in tests).
+    identical to the plain join (verified in tests) — but ONLY for
+    join types where an unmatched small-side row produces no output:
+    under right/full outer each of the ``salt`` unmatched replicas of
+    a small-side row would surface as its own null-padded output row,
+    so those types are rejected.
     """
+    how_norm = how.lower().replace("_", "")
+    if how_norm not in {"inner", "left", "leftouter", "leftsemi", "leftanti", "cross"}:
+        raise ValueError(
+            f"salted_join: how={how!r} is not salt-safe — unmatched "
+            f"small-side salt replicas would each emit an output row; "
+            f"use inner/left/left_semi/left_anti, or AQE skew-join for "
+            f"outer joins"
+        )
     salted_small = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )

@@ -34,15 +34,21 @@ PUNCT_RE = r"[^\w\s]"
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens of a trimmed string (empty string → no tokens)."""
+    """Whitespace tokens of a trimmed string (empty string → []).
+
+    ``split`` on an empty string yields ``['']``; the filter removes
+    that phantom token so empty/blank docs have NO tokens — otherwise
+    every consumer needs its own special case (and tf-idf's
+    count/token_count division hits DIVIDE_BY_ZERO under ANSI mode,
+    since token_count would be 0 while explode still emits a term).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), TOKEN_SPLIT_RE)
+    return F.filter(F.split(F.trim(c), TOKEN_SPLIT_RE), lambda t: t != "")
 
 
 def token_count(col: Column | str) -> Column:
     """Number of whitespace-delimited tokens; 0 for empty/blank text."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c)))
+    return F.size(tokens(col))
 
 
 def punct_ratio(col: Column | str) -> Column:

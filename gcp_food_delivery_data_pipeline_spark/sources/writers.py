@@ -34,6 +34,7 @@ def with_ingest_date(df: DataFrame) -> DataFrame:
 
 
 BATCH_MODE_ID = -1  # batch runs; streaming micro-batch ids are >= 0
+COMPACTED_BATCH_ID = -2  # rows merged by compact_table
 
 
 def write_status_table(
@@ -91,11 +92,14 @@ def compact_table(
     deterministic hash of the row spread over N buckets — every date's
     rows land in at most N tasks, so no single task funnels the whole
     table (the round-1 defect: ``repartition(N, ingest_date)`` put each
-    date in ONE task regardless of N). ``batch_id`` is intentionally
-    dropped: compaction collapses the per-run bookkeeping partitions
-    into the date partition proper (post-compaction replay of those
-    batch ids would require re-ingest, which is the normal contract for
-    a compacted table).
+    date in ONE task regardless of N). Compaction collapses the per-run
+    ``batch_id`` partitions into the single ``COMPACTED_BATCH_ID``
+    partition but KEEPS the ``(ingest_date, batch_id)`` directory
+    layout: dropping the column entirely would leave the table with two
+    conflicting partition schemas the moment the next micro-batch
+    appends (Spark refuses to read such a mix), and streaming's dynamic
+    overwrite of its own non-negative batch ids can never clobber the
+    compacted partition.
 
     Swap protocol: write to ``<path>.compact_tmp`` → rename original to
     ``<path>.compact_old`` → rename tmp into place → delete old. On
@@ -110,10 +114,10 @@ def compact_table(
     )
     tmp, old = path + ".compact_tmp", path + ".compact_old"
     (
-        df.drop("batch_id")
+        df.withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
         .repartition(F.col("ingest_date"), bucket)
         .write.mode("overwrite")
-        .partitionBy("ingest_date")
+        .partitionBy(*PARTITION_COLS)
         .parquet(tmp)
     )
     fs, jpath = _hadoop_fs(spark, path)

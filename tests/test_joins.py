@@ -58,6 +58,28 @@ def test_asof_backward_golden(trades_quotes):
     assert out.count() == trades.count()  # left-join cardinality
 
 
+def test_asof_null_value_in_matched_row_stays_null(spark):
+    """The matched row is carried atomically: when the as-of quote has
+    a NULL price, the output must NOT stitch an older row's price onto
+    the newer row's timestamp (pandas merge_asof / DuckDB ASOF
+    semantics — regression for the per-column ignorenulls carry)."""
+    trades = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01 10:00:30"))], ["trade_id", "sym", "ts"]
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 100.0),
+            ("A", _ts("2024-01-01 10:00:20"), None),
+        ],
+        ["sym", "ts", "price"],
+    )
+    row = asof_join_backward(
+        trades, quotes, on="ts", by="sym", right_value_cols=["price"]
+    ).collect()[0]
+    assert row.ts_matched == _ts("2024-01-01 10:00:20")
+    assert row.price_matched is None
+
+
 def test_range_join_golden(spark):
     left = spark.createDataFrame(
         [(1, "u", _ts("2024-01-01 10:00:00"))], ["lid", "key", "ts"]

@@ -85,6 +85,26 @@ def test_salted_join_equals_plain_join(spark):
     assert a == b
 
 
+def test_salted_join_rejects_right_and_full(spark):
+    """right/full would emit each unmatched small-side salt replica as
+    its own null-padded row — the operator must refuse, not corrupt."""
+    import pytest
+
+    big = spark.range(3).select(F.col("id").alias("k"))
+    small = spark.range(3).select(F.col("id").alias("k"))
+    for how in ("right", "full", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="salt-safe"):
+            salted_join(big, small, "k", how=how)
+
+
+def test_salted_join_left_keeps_unmatched_big_rows(spark):
+    big = spark.range(4).select(F.col("id").alias("k"))
+    small = spark.range(2).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    out = salted_join(big, small, "k", salt=4, how="left")
+    assert out.count() == 4  # unmatched big rows appear exactly once
+    assert out.filter(F.col("v").isNull()).count() == 2
+
+
 def test_salted_join_spreads_hot_key(spark):
     """The hot key's rows must occupy multiple salt buckets."""
     big = spark.range(0, 1000).select(F.lit(7).alias("k"), F.col("id"))

@@ -61,6 +61,23 @@ def test_quality_score_bounds_and_empty(docs):
             # (0 tokens → only the punct term contributes: 1.0 * 0.3)
 
 
+def test_tfidf_survives_empty_documents(spark):
+    """Empty/whitespace-only docs must not crash tf-idf with
+    DIVIDE_BY_ZERO under ANSI mode (tokens('') is [] — no phantom ''
+    term reaches the explode)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        tf_idf_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, "   "), (4, "beta gamma")],
+        ["doc_id", "text"],
+    )
+    out = tf_idf_top_terms(df).collect()
+    assert {r.doc_id for r in out} == {1, 4}  # token-less docs emit no terms
+    assert all(r.tfidf is not None for r in out)
+
+
 def test_fingerprint_reflow_invariance(spark):
     df = spark.createDataFrame(
         [(1, "Hello  World"), (2, "hello world"), (3, "hello   WORLD ")],

@@ -46,3 +46,30 @@ def test_compact_table_reduces_files_and_keeps_rows(spark, tmp_path):
     assert "ingest_date" in back.columns
     # every original row survives (12000 = 6 runs × 2000)
     assert back.count() == 12000
+
+
+def test_append_after_compaction_stays_readable(spark, tmp_path):
+    """Post-compaction appends must not fork the partition layout:
+    compaction keeps the (ingest_date, batch_id) directory scheme, so a
+    later micro-batch append leaves one readable table (regression for
+    CONFLICTING_PARTITION_COLUMN_NAMES)."""
+    out = str(tmp_path / "status")
+    df = spark.range(100).select(
+        F.col("id"), F.lit("delivered").alias("status")
+    )
+    write_status_table(df, out, batch_id=0)
+    write_status_table(df, out, batch_id=1)
+    compact_table(spark, out, target_files_per_partition=1)
+
+    # the next streaming micro-batch appends with its own batch_id
+    write_status_table(df, out, batch_id=2, idempotent=True)
+
+    back = read_status_table(spark, out)
+    assert back.count() == 300
+    assert set(back.select("batch_id").distinct().toPandas()["batch_id"]) == {
+        -2,
+        2,
+    }
+    # recompaction folds the new batch in too
+    compact_table(spark, out, target_files_per_partition=1)
+    assert read_status_table(spark, out).count() == 300
