@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from gcp_food_delivery_data_pipeline_spark.config import load_conf
 from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
     dedup_exact,
+    embedding_dedup,
     embedding_near_dup_pairs,
     lsh_candidate_pairs,
     with_simhash,
@@ -45,8 +46,10 @@ from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
     topk_exact_scalable,
 )
 from gcp_food_delivery_data_pipeline_spark.operators.text import (
+    bpe_token_count,
     language_id,
     quality_score,
+    rolling_fingerprint,
     tf_idf_top_terms,
     token_count,
 )
@@ -256,6 +259,32 @@ def _q_q4(spark: SparkSession, sf: str) -> DataFrame:
     return A.q4_order_priority(t["orders"], t["lineitem"])
 
 
+def _q_q6(spark: SparkSession, sf: str) -> DataFrame:
+    return A.q6_forecast_revenue(load_table(spark, sf, "lineitem"))
+
+
+def _q_q10(spark: SparkSession, sf: str) -> DataFrame:
+    t = _tables(spark, sf, "customer", "orders", "lineitem", "nation")
+    return A.q10_returned_items(
+        t["customer"], t["orders"], t["lineitem"], t["nation"]
+    )
+
+
+def _q_q14(spark: SparkSession, sf: str) -> DataFrame:
+    t = _tables(spark, sf, "lineitem", "part")
+    return A.q14_promo_revenue(t["lineitem"], t["part"])
+
+
+def _q_q18(spark: SparkSession, sf: str) -> DataFrame:
+    t = _tables(spark, sf, "customer", "orders", "lineitem")
+    return A.q18_large_volume_orders(t["customer"], t["orders"], t["lineitem"])
+
+
+def _q_q19(spark: SparkSession, sf: str) -> DataFrame:
+    t = _tables(spark, sf, "lineitem", "part")
+    return A.q19_discounted_revenue(t["lineitem"], t["part"])
+
+
 def _q_anti(spark: SparkSession, sf: str) -> DataFrame:
     t = _tables(spark, sf, "customer", "orders")
     return A.q_customers_without_orders(t["customer"], t["orders"])
@@ -362,6 +391,25 @@ def _q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
             "fp_norm"
         ),
     )
+
+
+def _q_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        bpe_token_count("text").alias("n_bpe"),
+        token_count("text").alias("n_ws"),
+    )
+
+
+def _q_rolling_fp(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", rolling_fingerprint("text").alias("rolling_fp"))
+
+
+def _q_embedding_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    return embedding_dedup(e, threshold=0.35).select("vec_id", "label")
 
 
 def _q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
@@ -525,6 +573,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_revenue": _q_q3,
         "q5_nation_revenue": _q_q5,
         "q4_order_priority": _q_q4,
+        "q6_forecast_revenue": _q_q6,
+        "q10_returned_items": _q_q10,
+        "q14_promo_revenue": _q_q14,
+        "q18_large_volume": _q_q18,
+        "q19_discounted_revenue": _q_q19,
         "q_customers_no_orders": _q_anti,
         "q_top3_per_segment": _q_window_topk,
         "q_running_spend": _q_window_running,
@@ -544,12 +597,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_quality": _q_quality,
         "t_lang_id": _q_lang_id,
         "t_fingerprint": _q_fingerprint,
+        "t_bpe_tokens": _q_bpe_tokens,
+        "t_rolling_fp": _q_rolling_fp,
         "t_tfidf_top_term": _q_tfidf,
         # dedup (M5)
         "d_dedup_exact": _q_dedup_exact,
         "d_dedup_groups": _q_dedup_groups,
         "d_near_dup_pairs": _q_near_dup_pairs,
         "d_simhash": _q_simhash,
+        "d_embedding_dedup": _q_embedding_dedup,
         "v_embedding_pairs": _q_embedding_pairs,
         # joins Spark lacks natively (M5)
         "j_asof_click_purchase": _q_asof_join,
@@ -709,6 +765,57 @@ def oracle_sql() -> dict[str, str]:
             "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey) "
             "GROUP BY o_orderpriority"
         ),
+        "q6_forecast_revenue": (
+            "SELECT round(sum(l_extendedprice*l_discount), 2) AS revenue, "
+            "count(*) AS n_items FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"
+        ),
+        "q10_returned_items": (
+            "SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name, revenue "
+            "FROM (SELECT o_custkey, "
+            "CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))), 2) "
+            "AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_returnflag = 'R' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01' "
+            "GROUP BY o_custkey) "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "q14_promo_revenue": (
+            "SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' "
+            "THEN l_extendedprice*(1-l_discount) ELSE 0 END) "
+            "/ sum(l_extendedprice*(1-l_discount)), 6) AS promo_pct, "
+            "count(*) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-02-01'"
+        ),
+        "q18_large_volume": (
+            "SELECT c_custkey, c_name, o_orderkey, "
+            "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            "round(o_totalprice, 2) AS o_totalprice, total_qty "
+            "FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty "
+            "FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "ORDER BY total_qty DESC, o_orderkey LIMIT 50"
+        ),
+        "q19_discounted_revenue": (
+            "SELECT round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue, "
+            "count(*) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 1 AND 20) "
+            "OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 "
+            "AND l_quantity BETWEEN 10 AND 30) "
+            "OR (p_brand = 'Brand#17' AND p_size BETWEEN 20 AND 50 "
+            "AND l_quantity BETWEEN 20 AND 40)"
+        ),
         "q_customers_no_orders": (
             "SELECT c_custkey, c_name, c_mktsegment FROM customer "
             "WHERE NOT EXISTS (SELECT 1 FROM orders "
@@ -821,6 +928,18 @@ def oracle_sql() -> dict[str, str]:
             r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_norm "
             "FROM documents"
         ),
+        "t_bpe_tokens": (
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            r"'''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9'']+|\s+'"
+            f")) AS n_bpe, {_NTOK} AS n_ws FROM documents"
+        ),
+        "t_rolling_fp": (
+            "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform({_TOKENS}, "
+            "t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))), "
+            "(acc, x) -> (acc * 1000003 + x) % 2147483647) AS rolling_fp "
+            "FROM documents"
+        ),
         "t_tfidf_top_term": (
             "WITH d AS (SELECT doc_id, "
             f"{_TOKENS} AS toks FROM documents), "
@@ -858,6 +977,12 @@ def oracle_sql() -> dict[str, str]:
             "/ len(list_distinct(a.s || b.s)) >= 0.8"
         ),
         "d_simhash": _simhash_sql(),
+        "d_embedding_dedup": (
+            "SELECT vec_id, label FROM embeddings e WHERE NOT EXISTS ("
+            "SELECT 1 FROM embeddings b WHERE b.vec_id < e.vec_id "
+            "AND round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])), 6) >= 0.35)"
+        ),
         "v_embedding_pairs": (
             "SELECT id_a, id_b, cosine_sim FROM ("
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

@@ -222,6 +222,27 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate DEDUP: drop every vector that
+    has a near-duplicate with a smaller id (the canonical keep-lowest
+    survivor rule — deterministic, and single-pass unlike clustering).
+
+    Pair generation is ``embedding_near_dup_pairs`` (brute-force
+    baseline; swap in the LSH-bucketed candidate generator at corpus
+    scale — the survivor rule is identical either way). The drop-set is
+    tiny relative to the corpus, so it rides into the anti-join as a
+    broadcast.
+    """
+    pairs = embedding_near_dup_pairs(df, id_col, vec_col, threshold)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
 def dedup_exact(
     df: DataFrame, key: Column | str, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -32,6 +32,12 @@ STOPWORDS = {
 TOKEN_SPLIT_RE = r"\s+"
 PUNCT_RE = r"[^\w\s]"
 
+# GPT-2-style pretokenizer shape (contractions | letter runs | digit
+# runs | punct runs | whitespace runs), restricted to ASCII classes so
+# Java regex (Spark), RE2 (DuckDB) and Python `re` all agree — the
+# \p{L}/unicode-class behaviors are where those engines diverge.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9']+|\s+"
+
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of a trimmed string (empty string → []).
@@ -49,6 +55,45 @@ def tokens(col: Column | str) -> Column:
 def token_count(col: Column | str) -> Column:
     """Number of whitespace-delimited tokens; 0 for empty/blank text."""
     return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pretokenizer
+    regex (contraction suffixes, letter runs, digit runs, punctuation
+    runs, whitespace runs). A cheap JVM-side proxy for "how many BPE
+    tokens will this doc cost" — real tokenizers sub-split long runs,
+    so this is a lower bound, but it ranks/filters documents the same
+    way at corpus scale without any Python in the hot path."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_RE), F.lit(0)))
+
+
+ROLLING_BASE = 1000003  # prime base of the polynomial rolling hash
+ROLLING_MOD = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def rolling_fingerprint(col: Column | str) -> Column:
+    """Order-sensitive polynomial rolling hash over the token stream:
+    ``h = (h*B + hash(token)) mod M`` with the engine-stable md5-based
+    token hash.
+
+    Unlike ``fp_md5`` (opaque content hash) the rolling form is
+    incrementally maintainable — a stream can extend a document's
+    fingerprint without re-reading its prefix — and it is defined
+    purely over tokens, so it is whitespace-reflow-invariant like
+    ``fp_norm``. Pure ``aggregate`` expression: no UDF, no shuffle.
+    Bounds: acc < 2^31, B ≈ 2^20, token hash < 2^32 → the fold's
+    intermediate stays far under 2^63.
+    """
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(ROLLING_BASE) + tok_hash(t))
+        % F.lit(ROLLING_MOD),
+    )
 
 
 def punct_ratio(col: Column | str) -> Column:

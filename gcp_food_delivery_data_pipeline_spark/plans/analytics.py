@@ -137,6 +137,221 @@ def q4_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.03,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6-shaped forecast revenue: pure filter → global agg.
+
+    Every predicate is a parquet-pushable range on a scanned column and
+    the projection prunes to 4 columns; the whole query is one scan +
+    one partial/final aggregation — zero shuffle beyond the single-row
+    exchange. The canonical "does pushdown work" probe.
+    """
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q10_returned_items(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    limit: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: which customers returned
+    the most revenue in a quarter.
+
+    lineitem is pre-filtered to returnflag='R' (pushed to the scan) and
+    orders to one quarter BEFORE the fact-fact join, so the orderkey
+    shuffle moves only the surviving slice; customer and nation ride in
+    as broadcasts. Deterministic top-k via (revenue DESC, c_custkey).
+    """
+    ret = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    ord_q = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    # Sum in exact decimal: the double product casts identically in any
+    # engine, and decimal addition is order-insensitive — float sums of
+    # the raw product can land a cent apart across engines (observed at
+    # sf0.01) because summation order differs.
+    rev_item = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        ret.join(ord_q, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(rev_item), 2).cast("double").alias("revenue")
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(limit)
+    )
+
+
+def q14_promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-02-01",
+) -> DataFrame:
+    """TPC-H Q14-shaped promo-revenue share: conditional aggregate over
+    a broadcast dimension join.
+
+    lineitem is filtered to one month at the scan; ``part`` (the dim)
+    broadcasts, so the only exchange is the single-row final agg. The
+    promo share is computed in the SAME pass as the total via
+    ``sum(when(...))`` — no second scan, no self-join.
+    """
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q18_large_volume_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 300.0,
+    limit: int = 50,
+) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-order report: HAVING-filtered
+    aggregate feeding a semi-selective join.
+
+    The quantity rollup shuffles (orderkey, partial-sum) pairs only —
+    map-side combine collapses each order's lines before the exchange.
+    The tiny surviving key set (orders over ``min_qty`` units) then
+    BROADCASTS into orders/customer rather than shuffling the big
+    sides. Deterministic via (total_qty DESC, o_orderkey).
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(limit)
+    )
+
+
+def q19_discounted_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: an OR of three
+    (brand, size-range, quantity-range) clauses across the join.
+
+    The brand/size disjunction prunes ``part`` BEFORE the broadcast
+    (only rows that can satisfy SOME clause ship), and the residual
+    per-clause quantity conditions evaluate post-join inside codegen —
+    the standard decomposition that keeps a disjunctive join predicate
+    from forcing a nested-loop plan.
+    """
+    p = part.select("p_partkey", "p_brand", "p_size").filter(
+        (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#17")
+            & F.col("p_size").between(20, 50)
+        )
+    )
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#17")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(clause)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_customers_without_orders(
     customer: DataFrame, orders: DataFrame, min_totalprice: float = 300000.0
 ) -> DataFrame:

@@ -94,3 +94,22 @@ def test_near_dedup_drops_copies_keeps_originals(corpus):
     ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
     # 2, 3, 5 all near/exact-dup of 1 → dropped; 6 vs 4 below threshold
     assert ids == [1, 4, 6]
+
+
+def test_embedding_dedup_keeps_lowest_id(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        embedding_dedup,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0], 0),   # near-dup of 1 -> dropped
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.0, 1.0], 2),
+        (5, [0.0, 0.999, 0.02], 1),   # near-dup of 3 -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    kept = sorted(
+        r.vec_id for r in embedding_dedup(df, threshold=0.95).collect()
+    )
+    assert kept == [1, 3, 4]

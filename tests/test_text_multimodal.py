@@ -135,3 +135,39 @@ def test_extract_features_real_raises(multimodal):
 def test_extract_features_bad_mode(multimodal):
     with pytest.raises(ValueError):
         extract_features(multimodal, decode_mode="nope")
+
+
+def test_bpe_token_count_golden(spark):
+    """Matches the Python `re` reference split of the same pattern."""
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        bpe_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "It's 2024, isn't it?  yes"), (2, ""), (3, "   "), (4, "a1b")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.n for r in df.select(
+        "doc_id", bpe_token_count("text").alias("n")
+    ).collect()}
+    # re.findall on doc 1 yields: It,'s, 2024, ',', ' isn', 't, ' it', ?, '  ', yes
+    assert got == {1: 10, 2: 0, 3: 1, 4: 3}
+
+
+def test_rolling_fingerprint_properties(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        rolling_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "b a"), (3, "a  b "), (4, ""), (5, "a b c")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.fp for r in df.select(
+        "doc_id", rolling_fingerprint("text").alias("fp")
+    ).collect()}
+    assert got[1] != got[2]          # order-sensitive
+    assert got[1] == got[3]          # whitespace-reflow invariant
+    assert got[4] == 0               # empty doc -> init value
+    assert got[5] != got[1]          # extension changes the hash
+    assert all(0 <= v < (1 << 31) for v in got.values())
