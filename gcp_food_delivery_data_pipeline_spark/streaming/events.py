@@ -134,6 +134,41 @@ def run_events_hourly_stream(
     )
 
 
+def run_stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_path: str,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Cross-batch streaming dedup: each key survives to the sink at
+    most once, no matter how many micro-batches (or replays of the same
+    file) re-deliver it — the at-least-once-source → exactly-once-sink
+    bridge an ingest pipeline needs.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key and
+    EXPIRES entries once the event-time watermark passes them, so state
+    is bounded by the key arrival rate × watermark horizon rather than
+    growing forever (plain ``dropDuplicates`` on a stream never evicts
+    — unusable on an unbounded corpus). State is hash-partitioned by
+    key across executors; the checkpoint persists it across restarts,
+    which is what makes re-delivered files idempotent.
+    """
+    events = read_events_stream(spark, input_dir).withWatermark(
+        "ts", watermark
+    )
+    deduped = events.dropDuplicatesWithinWatermark(list(key_cols))
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_path)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _user_totals_fn(
     key: tuple,
     pdfs: Iterable[pd.DataFrame],

@@ -128,3 +128,38 @@ def test_stateful_user_totals_accumulate(spark, events_dir, tmp_path):
     }
     for u in expected:
         assert abs(final[u][1] - expected[u][1]) < 0.05
+
+
+def test_stream_dedup_across_batches_and_restarts(spark, tmp_path):
+    """A key re-delivered in a LATER file (and a full re-run over the
+    same directory) reaches the sink exactly once: dedup state lives in
+    the checkpoint, not the micro-batch."""
+    from datetime import datetime
+
+    from gcp_food_delivery_data_pipeline_spark.streaming.events import (
+        run_stream_dedup,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write_file(name, rows):
+        spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value"]
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)
+    write_file("f1", [(1, t(0), 7, "click", 1.0), (2, t(1), 8, "click", 2.0)])
+    q = run_stream_dedup(spark, in_dir, ckpt, out)
+    q.awaitTermination(120)
+
+    # second file re-delivers id 2 (within the watermark) + new id 3
+    write_file("f2", [(2, t(1), 8, "click", 2.0), (3, t(2), 9, "buy", 3.0)])
+    q = run_stream_dedup(spark, in_dir, ckpt, out)
+    q.awaitTermination(120)
+
+    got = sorted(
+        r.event_id for r in spark.read.parquet(out).select("event_id").collect()
+    )
+    assert got == [1, 2, 3]
