@@ -29,6 +29,9 @@ BENCH_QUERIES = [
     "q3_top_revenue",       # 3-way join + agg + top-k
     "q5_nation_revenue",    # star join, broadcast dims
     "q4_order_priority",    # semi join
+    "q6_forecast_revenue",  # pushdown filter -> global agg (scan probe)
+    "q10_returned_items",   # fact-fact join + broadcast dims + top-k
+    "q18_large_volume",     # HAVING rollup feeding broadcast join
     "q_running_spend",      # window over full orders table
     "q_events_hourly",      # event-time rollup
     "q_distinct_users",     # distinct aggregation
@@ -36,7 +39,10 @@ BENCH_QUERIES = [
     "q_sessionize",         # gaps-and-islands windows
     "t_quality",            # text feature pipeline (columnar)
     "t_tfidf_top_term",     # explode + 2 aggs + broadcast join + window
+    "t_bpe_tokens",         # pretokenizer regex counting
+    "t_rolling_fp",         # polynomial rolling hash fold
     "d_dedup_exact",        # hash-dedup shuffle
+    "d_embedding_dedup",    # cosine near-dup drop (all-pairs baseline)
     "d_near_dup_pairs",     # MinHash-LSH banding + verify
     "d_simhash",            # 32-bit fingerprints
     "v_topk_exact",         # brute-force cosine top-k

@@ -1,0 +1,138 @@
+"""Physical-plan regression tests: the properties that make the
+queries scale are asserted, not just documented.
+
+Each test pins a plan property that would silently regress into a
+scale-killer at 100 TB if lost: parquet filter pushdown, column
+pruning, broadcast (vs shuffle) joins, semi-join shapes, and the
+absence of cartesian products outside the intentional all-pairs
+baselines. ``local[…]`` and a 1000-executor cluster pick the same
+logical shapes for these — that's exactly why they're testable here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gcp_food_delivery_data_pipeline_spark.sources.readers import load_table
+from tests.conftest import SF_DIR
+
+import __spark_entry__ as entry
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = entry.queries()
+    return lambda name: _plan(qs[name](spark, SF_DIR))
+
+
+def test_q6_filters_reach_parquet_scan(plans):
+    p = plans("q6_forecast_revenue")
+    assert "PushedFilters: [" in p
+    # at least the shipdate range must be pushed, not just IsNotNull
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_quantity,24.0)" in p
+
+
+def test_q6_scan_prunes_columns(plans):
+    p = plans("q6_forecast_revenue")
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read
+    assert "l_comment" not in read and "l_orderkey" not in read
+
+
+def test_star_joins_broadcast_their_dims(plans):
+    for name in (
+        "q5_nation_revenue",
+        "q10_returned_items",
+        "q14_promo_revenue",
+        "q18_large_volume",
+        "q19_discounted_revenue",
+    ):
+        p = plans(name)
+        assert "BroadcastHashJoin" in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_q1_scan_prunes_to_agg_columns(plans):
+    p = plans("q1_pricing_summary")
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_q4_semi_join_carries_no_payload(plans):
+    p = plans("q4_order_priority")
+    assert "LeftSemi" in p
+    # lineitem side must scan the join key only
+    li_reads = [
+        ln for ln in p.splitlines() if "ReadSchema" in ln and "l_orderkey" in ln
+    ]
+    assert li_reads and all("l_extendedprice" not in ln for ln in li_reads)
+
+
+def test_anti_join_prunes_probe_payload(plans):
+    p = plans("q_customers_no_orders")
+    assert "LeftAnti" in p
+    orders_reads = [
+        ln for ln in p.splitlines() if "ReadSchema" in ln and "o_custkey" in ln
+    ]
+    assert orders_reads and all(
+        "o_orderpriority" not in ln for ln in orders_reads
+    )
+
+
+def test_text_ops_prune_scan_to_text_column(plans):
+    for name in ("t_token_count", "t_rolling_fp", "t_bpe_tokens"):
+        p = plans(name)
+        read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+        assert "text" in read and "source" not in read, name
+
+
+def test_whole_stage_codegen_covers_clean_chain(plans):
+    # P1-P4 cleaning is pure Column expressions -> one codegen span,
+    # no Python (BatchEvalPython would mean a row-at-a-time UDF crept in)
+    p = plans("clean_chain")
+    # formatted explain stars codegen-stage operators ("* Project")
+    assert "* Project" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_no_python_udfs_in_relational_queries(plans):
+    for name in (
+        "q1_pricing_summary",
+        "q3_top_revenue",
+        "q5_nation_revenue",
+        "t_quality",
+        "t_lang_id",
+        "d_simhash",
+        "t_tfidf_top_term",
+    ):
+        p = plans(name)
+        assert "BatchEvalPython" not in p, name
+
+
+def test_exact_dedup_is_single_shuffle(plans):
+    import re
+
+    p = plans("d_dedup_exact")
+    # formatted explain lists each node once in the tree ("+- Exchange
+    # (5)") and once in the details ("(5) Exchange") — count details
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    assert n_exchanges == 1
+    # Spark 3.5+ plants WindowGroupLimit so only per-partition rank-1
+    # candidates cross the wire — the map-side-combine of dedup
+    assert "WindowGroupLimit" in p
+
+
+def test_topk_scalable_avoids_cross_join(plans):
+    # the two-phase top-k must not degenerate into a cartesian product
+    # of corpus x queries on the big side; BroadcastNestedLoopJoin over
+    # the tiny query set is the intended shape
+    p = plans("v_topk_scalable")
+    assert "CartesianProduct" not in p
