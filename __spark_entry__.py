@@ -38,6 +38,8 @@ from gcp_food_delivery_data_pipeline_spark.operators.multimodal import (
     attach_fake_payload,
     extract_features,
     filter_by_meta,
+    resize_payload,
+    sample_frames,
 )
 from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
     ivf_topk,
@@ -553,6 +555,52 @@ def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf, "documents")
+    rs = resize_payload(attach_fake_payload(d), width=32, height=24)
+    flat = rs.select(
+        "doc_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+    # checksum the RESIZED bytes (sum mod 2^31-1) so the oracle checks
+    # content, not just shape — the docs are ASCII so the SQL side can
+    # recompute the byte-cycled sum from the text
+    def summarize(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "n_bytes": pdf["n_bytes"],
+                    "checksum": [
+                        sum(bytes(p)) % 2147483647 for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return flat.mapInPandas(
+        summarize,
+        "doc_id long, width int, height int, n_bytes long, checksum long",
+    )
+
+
+def _q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    fr = sample_frames(attach_fake_payload(d), n_frames=4)
+    return fr.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame").cast("long").alias("n_frame_bytes"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference parity (SURVEY.md §2)
@@ -619,6 +667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal (M5)
         "m_meta_filter": _q_multimodal_meta,
         "m_features": _q_multimodal_features,
+        "m_resize": _q_multimodal_resize,
+        "m_frames": _q_multimodal_frames,
     }
 
 
@@ -1058,5 +1108,27 @@ def oracle_sql() -> dict[str, str]:
         "m_features": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "16 AS feat_dim FROM documents"
+        ),
+        # resized payload = text bytes cycled to 32*24=768; checksum =
+        # (full_cycles * sum(all bytes) + sum(first remainder bytes)) mod M.
+        # Docs are pure ASCII (verified) so char arithmetic == byte arithmetic.
+        "m_resize": (
+            "WITH b AS (SELECT doc_id, length(text) AS n, "
+            "CASE WHEN length(text) = 0 THEN 0 ELSE "
+            "list_sum(list_transform(string_split(text, ''), c -> ord(c))) END AS total, "
+            "text FROM documents) "
+            "SELECT doc_id, 32 AS width, 24 AS height, CAST(768 AS BIGINT) AS n_bytes, "
+            "CAST(CASE WHEN n = 0 THEN 0 ELSE "
+            "((768 // n) * total + CASE WHEN 768 % n = 0 THEN 0 ELSE "
+            "list_sum(list_transform(string_split(substr(text, 1, 768 % n), ''), "
+            "c -> ord(c))) END) % 2147483647 END AS BIGINT) AS checksum "
+            "FROM b"
+        ),
+        "m_frames": (
+            "SELECT doc_id, CAST(i AS INT) AS frame_idx, "
+            "CAST(length(text) // 4 + "
+            "CASE WHEN i < length(text) % 4 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS n_frame_bytes "
+            "FROM documents, generate_series(0, 3) t(i)"
         ),
     }

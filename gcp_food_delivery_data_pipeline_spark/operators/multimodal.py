@@ -30,8 +30,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
+    IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -140,3 +143,132 @@ def extract_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(process, FEATURE_SCHEMA)
+
+
+RESIZE_FLAT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_type", StringType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def resize_payload(
+    df: DataFrame,
+    width: int,
+    height: int,
+    decode_mode: str = "fake",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resize every payload to ``width x height`` — Arrow-batched, same
+    (payload, meta) contract out as in, so resizes chain with the other
+    multimodal ops.
+
+    ``fake`` mode byte-cycles the source payload to exactly
+    ``width*height`` bytes (empty payload → zero bytes), a
+    deterministic stand-in with the real op's shape: output size is
+    target-determined, content is source-determined. ``real`` marks the
+    codec call site (PIL/libvips) and raises here. Output payload size
+    is FIXED per call — downstream batch sizing (maxRecordsPerFile,
+    Arrow batch bytes) can rely on it, which is the property a real
+    thumbnailing stage is deployed for at scale.
+    """
+    if decode_mode not in ("fake", "real"):
+        raise ValueError(f"unknown decode_mode: {decode_mode!r}")
+    n_out = width * height
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_mode == "real":
+                raise NotImplementedError(
+                    "real image resize needs a codec library (PIL/libvips); "
+                    "not available in this environment — use decode_mode='fake'"
+                )
+            resized = []
+            for p in pdf["payload"]:
+                if p is None or len(p) == 0:
+                    resized.append(bytes(n_out))
+                else:
+                    reps = n_out // len(p) + 1
+                    resized.append((bytes(p) * reps)[:n_out])
+            meta = pd.DataFrame(list(pdf["meta"]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": resized,
+                    "media_type": meta["media_type"],
+                    "format": meta["format"],
+                    "width": width,
+                    "height": height,
+                    "n_bytes": n_out,
+                }
+            )
+
+    flat = df.select(id_col, "payload", "meta").mapInPandas(
+        process, RESIZE_FLAT_SCHEMA
+    )
+    return flat.select(
+        "doc_id",
+        "payload",
+        F.struct(*META_FIELDS).alias("meta"),
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    decode_mode: str = "fake",
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Sample ``n_frames`` frames from each (video-shaped) payload —
+    the explode-shaped multimodal op: one input row → n output rows,
+    each carrying a bounded frame payload instead of the whole video.
+
+    ``fake`` mode emits ``n_frames`` contiguous even byte-slices
+    (earlier frames get the remainder bytes), preserving the real op's
+    cardinality and size arithmetic; ``real`` marks the demuxer call
+    site (ffmpeg) and raises. The full payload never leaves the scan
+    stage: the fan-out happens inside the same Arrow pass, and only
+    frame-sized slices flow on.
+    """
+    if decode_mode not in ("fake", "real"):
+        raise ValueError(f"unknown decode_mode: {decode_mode!r}")
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_mode == "real":
+                raise NotImplementedError(
+                    "real frame sampling needs a demuxer (ffmpeg); "
+                    "not available in this environment — use decode_mode='fake'"
+                )
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(p) if p is not None else b""
+                base, rem = divmod(len(p), n_frames)
+                off = 0
+                for i in range(n_frames):
+                    size = base + (1 if i < rem else 0)
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(p[off : off + size])
+                    off += size
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(process, FRAME_SCHEMA)

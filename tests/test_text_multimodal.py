@@ -171,3 +171,51 @@ def test_rolling_fingerprint_properties(spark):
     assert got[4] == 0               # empty doc -> init value
     assert got[5] != got[1]          # extension changes the hash
     assert all(0 <= v < (1 << 31) for v in got.values())
+
+
+def test_resize_payload_cycles_bytes(multimodal):
+    from gcp_food_delivery_data_pipeline_spark.operators.multimodal import (
+        resize_payload,
+    )
+
+    out = {r.doc_id: r for r in resize_payload(multimodal, 4, 2).collect()}
+    src = "the cat is on the mat and it is warm".encode()
+    want = (src * (8 // len(src) + 1))[:8]
+    assert bytes(out[1].payload) == want
+    assert out[1].meta.width == 4 and out[1].meta.height == 2
+    assert out[1].meta.n_bytes == 8
+    # format/media_type carried through from the input meta
+    assert out[1].meta.media_type == "image"
+
+
+def test_resize_payload_real_raises(multimodal):
+    import pytest as _pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.multimodal import (
+        resize_payload,
+    )
+
+    rs = resize_payload(multimodal, 4, 2, decode_mode="real")
+    with _pytest.raises(Exception, match="NotImplementedError|codec"):
+        rs.collect()
+
+
+def test_sample_frames_even_split(multimodal):
+    from gcp_food_delivery_data_pipeline_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    fr = sample_frames(multimodal, n_frames=4)
+    rows = sorted(
+        ((r.doc_id, r.frame_idx, bytes(r.frame)) for r in fr.collect())
+    )
+    by_doc = {}
+    for doc_id, idx, frame in rows:
+        by_doc.setdefault(doc_id, []).append(frame)
+    src = "the cat is on the mat and it is warm".encode()
+    frames = by_doc[1]
+    assert len(frames) == 4
+    assert b"".join(frames) == src          # slices reassemble the payload
+    sizes = [len(f) for f in frames]
+    assert max(sizes) - min(sizes) <= 1     # even split
+    assert sizes == sorted(sizes, reverse=True)  # remainder goes first
