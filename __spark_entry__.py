@@ -395,6 +395,14 @@ def _q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_status_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    return A.q_status_pivot(load_table(spark, sf, "orders"))
+
+
+def _q_moving_window(spark: SparkSession, sf: str) -> DataFrame:
+    return A.q_value_moving_window(load_table(spark, sf, "events"))
+
+
 def _q_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     return d.select(
@@ -640,6 +648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_custkeys_both": _q_intersect,
         "q_custkeys_only_open": _q_except,
         "q_balance_quartiles": _q_quartiles,
+        "q_status_pivot": _q_status_pivot,
+        "q_value_moving_1h": _q_moving_window,
         # text analysis (M5)
         "t_token_count": _q_token_count,
         "t_quality": _q_quality,
@@ -947,6 +957,22 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(c_acctbal, 0.5), 6) AS p50, "
             "round(quantile_cont(c_acctbal, 0.75), 6) AS p75, "
             "count(*) AS n_customers FROM customer GROUP BY c_mktsegment"
+        ),
+        "q_status_pivot": (
+            "SELECT o_orderpriority, "
+            "count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f, "
+            "count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o, "
+            "count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p "
+            "FROM orders GROUP BY o_orderpriority"
+        ),
+        "q_value_moving_1h": (
+            "SELECT event_id, user_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, "
+            "round(sum(value) OVER w, 2) AS value_1h, "
+            "count(*) OVER w AS n_events_1h "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY CAST(floor(epoch(ts)) AS BIGINT) "
+            "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"
         ),
         "t_token_count": (
             f"SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens FROM documents"

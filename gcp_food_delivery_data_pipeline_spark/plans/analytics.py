@@ -602,3 +602,49 @@ def q_props_extract(events: DataFrame, min_k: int = 50) -> DataFrame:
         events.select("event_id", "event_type", k.alias("k"))
         .filter(F.col("k") >= min_k)
     )
+
+
+def q_status_pivot(orders: DataFrame) -> DataFrame:
+    """Order counts per priority PIVOTED over status — wide layout.
+
+    The status values are passed explicitly, so Spark skips the
+    values-discovery job and the whole pivot is ONE shuffle (groupBy
+    priority) with the per-status buckets computed map-side as
+    conditional aggregates — the exact plan hand-written
+    sum(when(...)) columns would give, which is also how the oracle
+    expresses it.
+    """
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("n_f"),
+            F.col("O").alias("n_o"),
+            F.col("P").alias("n_p"),
+        )
+    )
+
+
+def q_value_moving_window(events: DataFrame) -> DataFrame:
+    """Per-user event-TIME-range moving aggregate: sum/count of each
+    user's value over the trailing 1 hour (RANGE frame, not ROWS).
+
+    A range frame over ``unix seconds`` keeps the window computable in
+    one pass after the single per-user shuffle — no self-join
+    (events × events within 1h would be the naive quadratic phrasing).
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_sec"),
+        F.round(F.sum("value").over(w), 2).alias("value_1h"),
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+    )
