@@ -455,8 +455,13 @@ def _q_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        ensure_min_partitions,
+    )
+
     d = load_table(spark, sf, "documents")
-    return with_simhash(d.select("doc_id", "text")).select("doc_id", "simhash")
+    src = ensure_min_partitions(d.select("doc_id", "text"))
+    return with_simhash(src).select("doc_id", "simhash")
 
 
 def _q_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:

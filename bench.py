@@ -58,7 +58,14 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = get_spark(app_name="bench")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    # Python-worker warmup: fork the Arrow worker pool once (32 cold
+    # workers importing pandas concurrently costs ~15s if paid inside
+    # a measured query)
+    n_cpus = spark.sparkContext.defaultParallelism
+    spark.range(n_cpus * 10).repartition(n_cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}

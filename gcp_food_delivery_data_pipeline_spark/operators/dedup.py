@@ -208,16 +208,38 @@ def embedding_near_dup_pairs(
         cosine_similarity,
     )
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    from gcp_food_delivery_data_pipeline_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        ensure_min_partitions,
+    )
+
+    # Norms are staged per ROW (n evals), not per pair (n² evals) —
+    # cosine per pair is then one dot product instead of three array
+    # folds. The probe side is widened to cluster parallelism: a small
+    # parquet input is one split, and a cross join inherits the left
+    # side's partitioning, so without this the whole n² loop runs on
+    # one core. (Numerically identical: same ops, same order.)
+    a = ensure_min_partitions(
+        df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("_va"),
+            l2_norm(vec_col).alias("_na"),
+        )
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        l2_norm(vec_col).alias("_nb"),
+    )
+    denom = F.col("_na") * F.col("_nb")
+    cos = F.when(denom != 0.0, dot_product("_va", "_vb") / denom)
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_similarity("_va", "_vb"), 6).alias("cosine_sim"),
-        )
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
 
@@ -292,10 +314,16 @@ def lsh_candidate_pairs(
     corpus-sized signature cache is released as soon as the (small)
     pair list is materialized, instead of pinning it for the session.
     """
-    rows = num_hashes // bands
-    staged = df.select(F.col(id_col).alias("_id"), F.col(text_col)).withColumn(
-        "_shingles", shingles(text_col, k=shingle_k)
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        ensure_min_partitions,
     )
+
+    rows = num_hashes // bands
+    # widen narrow inputs first: minhashing is the expensive stage and
+    # must not run on a single input split (see ensure_min_partitions)
+    staged = ensure_min_partitions(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col))
+    ).withColumn("_shingles", shingles(text_col, k=shingle_k))
     with_sig = staged.withColumn(
         "_h", F.transform(F.col("_shingles"), _shingle_hash)
     ).select(

@@ -28,6 +28,10 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+    ensure_min_partitions,
+)
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -142,7 +146,8 @@ def extract_features(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(process, FEATURE_SCHEMA)
+    src = ensure_min_partitions(df.select(id_col, payload_col))
+    return src.mapInPandas(process, FEATURE_SCHEMA)
 
 
 RESIZE_FLAT_SCHEMA = StructType(
@@ -209,9 +214,9 @@ def resize_payload(
                 }
             )
 
-    flat = df.select(id_col, "payload", "meta").mapInPandas(
-        process, RESIZE_FLAT_SCHEMA
-    )
+    flat = ensure_min_partitions(
+        df.select(id_col, "payload", "meta")
+    ).mapInPandas(process, RESIZE_FLAT_SCHEMA)
     return flat.select(
         "doc_id",
         "payload",
@@ -271,4 +276,5 @@ def sample_frames(
                 {"doc_id": ids, "frame_idx": idxs, "frame": frames}
             )
 
-    return df.select(id_col, payload_col).mapInPandas(process, FRAME_SCHEMA)
+    src = ensure_min_partitions(df.select(id_col, payload_col))
+    return src.mapInPandas(process, FRAME_SCHEMA)

@@ -22,6 +22,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Guarantee at least ``min_parts`` partitions (default: the
+    cluster's default parallelism) before a per-row-heavy stage.
+
+    Small parquet files arrive as ONE input split (file size <
+    ``files.maxPartitionBytes``), which silently serializes expression-
+    heavy stages — minhashing, all-pairs cosine, Arrow feature
+    extraction — onto a single core no matter how wide the cluster is.
+    At real scale the input already has >= min_parts splits and this is
+    an exact no-op (no shuffle); the round-robin repartition only fires
+    on narrow inputs, where shuffling them is negligible by definition.
+    """
+    spark = df.sparkSession
+    if min_parts is None:
+        min_parts = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_parts:
+        return df
+    return df.repartition(min_parts)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
