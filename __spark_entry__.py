@@ -205,6 +205,38 @@ def _q_s3_write_readback(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-lines sink + source: write events as JSON, read back with an
+    explicit schema (no inference pass), aggregate — value parity proves
+    the codec round-trips types (timestamps via ISO strings)."""
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_json_check")
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "value", F.col("ts").cast("long").alias("ts_sec")
+    )
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "event_id long, event_type string, value double, ts_sec long"
+    ).json(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.max("ts_sec").alias("max_ts_sec"),
+    )
+
+
+def _q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC sink + source: the second columnar format Spark ships
+    natively; same readback-parity contract as the parquet sink."""
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_orc_check")
+    c = load_table(spark, sf, "customer")
+    c.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
 def _q_s5_ddl(spark: SparkSession, sf: str) -> DataFrame:
     """S5: CREATE DATABASE IF NOT EXISTS (reference beam.py:141-150)."""
     ensure_database(spark, "food_orders")
@@ -627,6 +659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_other": _q_f2_other,
         "c1_c3_counts": _q_c1_c3_counts,
         "s3_write_readback": _q_s3_write_readback,
+        "s_json_roundtrip": _q_json_roundtrip,
+        "s_orc_roundtrip": _q_orc_roundtrip,
         "s5_ddl": _q_s5_ddl,
         "o6_conf": _q_o6_conf,
         # analytics (M4)
@@ -787,6 +821,17 @@ def oracle_sql() -> dict[str, str]:
         "s3_write_readback": (
             "SELECT o_orderstatus AS status, count(*) AS n, "
             "round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY o_orderstatus"
+        ),
+        "s_json_roundtrip": (
+            "SELECT event_type, count(*) AS n, "
+            "round(sum(value), 2) AS sum_value, "
+            "max(CAST(floor(epoch(ts)) AS BIGINT)) AS max_ts_sec "
+            "FROM events GROUP BY event_type"
+        ),
+        "s_orc_roundtrip": (
+            "SELECT c_mktsegment, count(*) AS n, "
+            "round(sum(c_acctbal), 2) AS sum_bal "
+            "FROM customer GROUP BY c_mktsegment"
         ),
         "s5_ddl": "SELECT 1 AS ok, 1 AS db_exists",
         "o6_conf": (

@@ -136,3 +136,25 @@ def test_topk_scalable_avoids_cross_join(plans):
     # the tiny query set is the intended shape
     p = plans("v_topk_scalable")
     assert "CartesianProduct" not in p
+
+
+def test_partition_pruning_on_partitioned_table(spark, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (directories skipped at planning), never a row-level filter over a
+    full scan — THE property that makes day-partitioned 100 TB tables
+    queryable."""
+    out = str(tmp_path / "orders_by_status")
+    load_table(spark, SF_DIR, "orders").write.partitionBy(
+        "o_orderstatus"
+    ).parquet(out)
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    import re
+
+    p = _plan(df)
+    pf = [ln for ln in p.splitlines() if "PartitionFilters: [" in ln]
+    # filter landed in the partition-pruning slot (attr ids vary: #13)
+    assert pf and re.search(r"\(o_orderstatus#\d+ = F\)", pf[0])
+    # ...and not as a row-level post-scan Filter node
+    assert not re.search(r"^\(\d+\) Filter", p, re.M)
