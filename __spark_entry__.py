@@ -237,6 +237,30 @@ def _q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC MERGE parity: seed a table from orders, upsert a batch that
+    bumps every 10th order's totalprice (+10.00) and readback-aggregate;
+    the oracle computes the merged state directly from the source."""
+    from gcp_food_delivery_data_pipeline_spark.sources.writers import (
+        merge_upsert,
+    )
+
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_merge_check")
+    orders = load_table(spark, sf, "orders")
+    orders.write.mode("overwrite").parquet(out)
+    updates = orders.filter((F.col("o_orderkey") % 10) == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(10.0)
+    )
+    merge_upsert(spark, out, updates, key_cols=["o_orderkey"])
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
 def _q_s5_ddl(spark: SparkSession, sf: str) -> DataFrame:
     """S5: CREATE DATABASE IF NOT EXISTS (reference beam.py:141-150)."""
     ensure_database(spark, "food_orders")
@@ -660,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1_c3_counts": _q_c1_c3_counts,
         "s3_write_readback": _q_s3_write_readback,
         "s_json_roundtrip": _q_json_roundtrip,
+        "s_merge_upsert": _q_merge_upsert,
         "s_orc_roundtrip": _q_orc_roundtrip,
         "s5_ddl": _q_s5_ddl,
         "o6_conf": _q_o6_conf,
@@ -827,6 +852,13 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 2) AS sum_value, "
             "max(CAST(floor(epoch(ts)) AS BIGINT)) AS max_ts_sec "
             "FROM events GROUP BY event_type"
+        ),
+        "s_merge_upsert": (
+            "SELECT o_orderstatus, count(*) AS n, "
+            "CAST(sum(CAST(CASE WHEN o_orderkey % 10 = 0 "
+            "THEN o_totalprice + 10.0 ELSE o_totalprice END "
+            "AS DECIMAL(18,2))) AS DOUBLE) AS total "
+            "FROM orders GROUP BY o_orderstatus"
         ),
         "s_orc_roundtrip": (
             "SELECT c_mktsegment, count(*) AS n, "

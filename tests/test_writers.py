@@ -73,3 +73,46 @@ def test_append_after_compaction_stays_readable(spark, tmp_path):
     # recompaction folds the new batch in too
     compact_table(spark, out, target_files_per_partition=1)
     assert read_status_table(spark, out).count() == 300
+
+
+def test_merge_upsert_replaces_and_inserts(spark, tmp_path):
+    from gcp_food_delivery_data_pipeline_spark.sources.writers import (
+        merge_upsert,
+    )
+
+    out = str(tmp_path / "merge_target")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["id", "name", "amount"],
+    )
+    base.write.parquet(out)
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 25.0), (4, "d", 40.0)], ["id", "name", "amount"]
+    )
+    merge_upsert(spark, out, updates, key_cols=["id"])
+
+    got = {r.id: (r.name, r.amount) for r in spark.read.parquet(out).collect()}
+    assert got == {
+        1: ("a", 10.0),     # untouched survivor
+        2: ("b2", 25.0),    # matched -> replaced
+        3: ("c", 30.0),
+        4: ("d", 40.0),     # unmatched -> inserted
+    }
+    # idempotent re-apply: same updates produce the same table
+    merge_upsert(spark, out, updates, key_cols=["id"])
+    assert spark.read.parquet(out).count() == 4
+
+
+def test_merge_upsert_rejects_schema_mismatch(spark, tmp_path):
+    import pytest
+
+    from gcp_food_delivery_data_pipeline_spark.sources.writers import (
+        merge_upsert,
+    )
+
+    out = str(tmp_path / "merge_bad")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.parquet(out)
+    bad = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(ValueError, match="column mismatch"):
+        merge_upsert(spark, out, bad, key_cols=["id"])
