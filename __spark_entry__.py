@@ -459,6 +459,16 @@ def _q_moving_window(spark: SparkSession, sf: str) -> DataFrame:
     return A.q_value_moving_window(load_table(spark, sf, "events"))
 
 
+def _q_sentences(spark: SparkSession, sf: str) -> DataFrame:
+    from gcp_food_delivery_data_pipeline_spark.operators.text import sentences
+
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(sentences("text")).alias("sentence_idx", "sentence"),
+    )
+
+
 def _q_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     return d.select(
@@ -720,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_lang_id": _q_lang_id,
         "t_fingerprint": _q_fingerprint,
         "t_bpe_tokens": _q_bpe_tokens,
+        "t_sentences": _q_sentences,
         "t_rolling_fp": _q_rolling_fp,
         "t_tfidf_top_term": _q_tfidf,
         # dedup (M5)
@@ -1090,6 +1101,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, len(regexp_extract_all(text, "
             r"'''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9'']+|\s+'"
             f")) AS n_bpe, {_NTOK} AS n_ws FROM documents"
+        ),
+        "t_sentences": (
+            "SELECT doc_id, generate_subscripts(l, 1) - 1 AS sentence_idx, "
+            "unnest(l) AS sentence FROM (SELECT doc_id, "
+            "list_filter(list_transform(string_split(text, '.'), p -> trim(p)), "
+            "x -> x <> '') AS l FROM documents)"
         ),
         "t_rolling_fp": (
             "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "

@@ -221,3 +221,18 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "fp_norm",
         F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))),
     )
+
+
+def sentences(col: Column | str) -> Column:
+    """Array of trimmed, non-empty '.'-delimited sentences.
+
+    Pure Column expression — use with ``posexplode`` for the
+    (sentence_idx, sentence) fan-out. A Python UDTF with identical
+    semantics lives in tests as the custom-table-function extension
+    demo; THIS native form is the hot path (codegen, no Python).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.transform(F.split(c, r"\."), lambda p: F.trim(p)),
+        lambda x: x != "",
+    )

@@ -219,3 +219,38 @@ def test_sample_frames_even_split(multimodal):
     sizes = [len(f) for f in frames]
     assert max(sizes) - min(sizes) <= 1     # even split
     assert sizes == sorted(sizes, reverse=True)  # remainder goes first
+
+
+def test_sentence_udtf_matches_native_split(spark):
+    """The Python-UDTF extension point produces exactly what the native
+    posexplode path produces — custom table functions are for semantics
+    Spark can't express, and when used they must agree with the
+    spec."""
+    from pyspark.sql.functions import col, lit, posexplode, udtf
+
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        sentences,
+    )
+
+    @udtf(returnType="sentence_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            parts = (p.strip() for p in (text or "").split("."))
+            for i, s in enumerate(p for p in parts if p):
+                yield i, s
+
+    docs = [(1, "One. Two sentences.  Three."), (2, ""), (3, "No dot here")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    native = df.select(
+        "doc_id", posexplode(sentences("text")).alias("sentence_idx", "sentence")
+    )
+    spark.udtf.register("split_sentences", SplitSentences)
+    df.createOrReplaceTempView("t_docs_udtf")
+    via_udtf = spark.sql(
+        "SELECT doc_id, s.sentence_idx, s.sentence "
+        "FROM t_docs_udtf, LATERAL split_sentences(text) s"
+    )
+    assert sorted(map(tuple, native.collect())) == sorted(
+        map(tuple, via_udtf.collect())
+    )
