@@ -510,6 +510,19 @@ def _q_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_dup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive near-dup clusters: LSH pairs at jaccard>=0.8 → min-label
+    propagation to a fixpoint (DuckDB oracle: recursive CTE closure)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    d = load_table(spark, sf, "documents")
+    pairs = lsh_candidate_pairs(d, "text", "doc_id", num_hashes=64, bands=32)
+    strong = pairs.filter(F.col("jaccard") >= 0.8)
+    return connected_components(strong, d.select("doc_id"))
+
+
 def _q_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     # bands=32 (2 rows/band): miss probability at jaccard 0.8 is
@@ -737,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_dedup_exact": _q_dedup_exact,
         "d_dedup_groups": _q_dedup_groups,
         "d_near_dup_pairs": _q_near_dup_pairs,
+        "d_dup_components": _q_dup_components,
         "d_simhash": _q_simhash,
         "d_embedding_dedup": _q_embedding_dedup,
         "v_embedding_pairs": _q_embedding_pairs,
@@ -1150,6 +1164,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
             "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
             "/ len(list_distinct(a.s || b.s)) >= 0.8"
+        ),
+        # pairs CTE = the d_near_dup_pairs oracle; closure via recursive
+        # CTE reachability, component = min reachable id (matches the
+        # Spark min-label propagation fixpoint exactly)
+        "d_dup_components": (
+            "WITH RECURSIVE sh AS (SELECT doc_id, "
+            f"{_SHINGLES} AS s "
+            f"FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "/ len(list_distinct(a.s || b.s)) >= 0.8), "
+            "e AS (SELECT id_a AS s, id_b AS d FROM p "
+            "UNION ALL SELECT id_b, id_a FROM p), "
+            "reach(src, node) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION "
+            "SELECT r.src, e.d FROM reach r JOIN e ON r.node = e.s) "
+            "SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS component "
+            "FROM reach GROUP BY src"
         ),
         "d_simhash": _simhash_sql(),
         "d_embedding_dedup": (

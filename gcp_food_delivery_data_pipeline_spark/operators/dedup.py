@@ -77,11 +77,6 @@ def _shingle_hash(s: Column) -> Column:
 def _signature_from_hashes(hashes: Column, num_hashes: int) -> Column:
     """MinHash signature (array<long>) from a pre-hashed shingle array.
 
-    ONE nested-transform expression over literal (a, b) parameter
-    arrays rather than ``num_hashes`` separate aggregate expressions —
-    the generated code is ~num_hashes× smaller, which is the difference
-    between a sub-second and a multi-second codegen compile.
-
     Callers MUST materialize ``hashes`` as its own projection first
     (see ``with_minhash``): without a staged column the md5 of every
     shingle would be recomputed per hash function.
@@ -432,3 +427,54 @@ def near_dedup(
     return df.join(
         to_drop, df[id_col] == F.col("_drop_id"), "left_anti"
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Transitive dup clustering: label every vertex with the MINIMUM id
+    reachable through the near-dup pair graph (A~B, B~C ⇒ one cluster,
+    even when A≁C directly — the closure ``near_dedup``'s greedy rule
+    deliberately skips).
+
+    Min-label propagation, the Pregel pattern on DataFrames: each
+    round, a vertex takes ``min(own label, neighbors' labels)``; rounds
+    needed = graph diameter (near-dup graphs are forests of shallow
+    blobs, so a handful). Each round is one join + one aggregation —
+    both shuffle on the vertex id, so co-partitioning carries across
+    rounds. ``localCheckpoint`` cuts lineage every round: without it
+    the plan doubles per iteration and round ~15 dies in the optimizer
+    long before any data-size limit. Convergence is a driver-side count
+    of changed labels (a 1-row job per round — the loop control the
+    DataFrame API can't express declaratively).
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor = edges.join(
+            labels.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "comp")
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("comp", "comp_old"), "id"
+            )
+            .filter(F.col("comp") != F.col("comp_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))

@@ -113,3 +113,22 @@ def test_embedding_dedup_keeps_lowest_id(spark):
         r.vec_id for r in embedding_dedup(df, threshold=0.95).collect()
     )
     assert kept == [1, 3, 4]
+
+
+def test_connected_components_transitive_closure(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2, 2-3 (transitive cluster), pair 5-6, isolated 4
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(1, 7)], ["doc_id"]
+    )
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(pairs, vertices).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
