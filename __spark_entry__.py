@@ -237,6 +237,24 @@ def _q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Reproducible 5% sample via a stable content hash of the key —
+    the scale-correct sampling primitive: deterministic across runs,
+    engines, partitionings, and cluster sizes (``df.sample`` is none of
+    those — seeds bind to partition layout). Filter is pushable and the
+    sample composes with any downstream query."""
+    orders = load_table(spark, sf, "orders")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 20
+    return orders.filter(bucket == 0).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
 def _q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """CDC MERGE parity: seed a table from orders, upsert a batch that
     bumps every 10th order's totalprice (+10.00) and readback-aggregate;
@@ -708,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_write_readback": _q_s3_write_readback,
         "s_json_roundtrip": _q_json_roundtrip,
         "s_merge_upsert": _q_merge_upsert,
+        "q_hash_sample": _q_hash_sample,
         "s_orc_roundtrip": _q_orc_roundtrip,
         "s5_ddl": _q_s5_ddl,
         "o6_conf": _q_o6_conf,
@@ -877,6 +896,13 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 2) AS sum_value, "
             "max(CAST(floor(epoch(ts)) AS BIGINT)) AS max_ts_sec "
             "FROM events GROUP BY event_type"
+        ),
+        "q_hash_sample": (
+            "SELECT o_orderstatus, count(*) AS n, "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+            "FROM orders WHERE CAST(concat('0x', "
+            "substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 20 = 0 "
+            "GROUP BY o_orderstatus"
         ),
         "s_merge_upsert": (
             "SELECT o_orderstatus, count(*) AS n, "
