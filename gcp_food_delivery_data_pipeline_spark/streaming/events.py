@@ -211,3 +211,110 @@ def run_user_totals_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_click_attribution_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_path: str,
+    horizon_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Stream-stream self-join: attribute each purchase to the same
+    user's clicks within the preceding ``horizon_seconds``.
+
+    Both sides carry a watermark and the join predicate bounds
+    click-time relative to purchase-time, so Spark can EVICT buffered
+    click state once the watermark passes the horizon — the pair of
+    constraints that makes an unbounded stream-stream join run in
+    bounded memory (drop either and state grows forever). Semantics
+    match the batch ``range_join_within`` twin restricted to
+    click<=purchase, which is what the equality test asserts.
+    """
+    ev = read_events_stream(spark, input_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"c_user = p_user AND click_ts <= purchase_ts "
+            f"AND click_ts >= purchase_ts - INTERVAL {horizon_seconds} SECONDS"
+        ),
+    ).select("purchase_id", "click_id", "p_user", "purchase_value")
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", output_path)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_stream_upsert(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    target_path: str,
+    key_cols: tuple[str, ...] = ("event_id",),
+    order_col: str = "ts",
+) -> StreamingQuery:
+    """Streaming CDC sink: MERGE each micro-batch into a parquet table
+    by key (``foreachBatch`` + ``sources.writers.merge_upsert``).
+
+    foreachBatch delivers at-least-once — the exact failure mode an
+    upsert absorbs: a replayed batch re-merges the same keys to the
+    same values, so the sink is effectively exactly-once BY KEY without
+    a transactional format. Within a batch the latest row per key wins
+    (``order_col`` descending, deterministic), since a micro-batch can
+    carry several updates to one key.
+    """
+    import glob
+    import os
+
+    from pyspark.sql import Window
+
+    from gcp_food_delivery_data_pipeline_spark.sources.writers import (
+        merge_upsert,
+    )
+
+    ev = read_events_stream(spark, input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if glob.glob(os.path.join(target_path, "*.parquet")) or glob.glob(
+            os.path.join(target_path, "**", "*.parquet")
+        ):
+            merge_upsert(spark, target_path, latest, list(key_cols))
+        else:
+            latest.write.mode("overwrite").parquet(target_path)
+
+    return (
+        ev.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

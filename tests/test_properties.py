@@ -91,3 +91,62 @@ def test_clean_idempotent_on_any_input(spark_global, rows):
     a = sorted(map(tuple, once.collect()))
     b = sorted(map(tuple, twice.collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Text-operator properties: the Spark expressions must agree with pure
+# Python models on arbitrary ASCII text.
+# ---------------------------------------------------------------------------
+
+TEXT = st.text(
+    alphabet="abZ 019 .,!?':\t", min_size=0, max_size=60
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=st.lists(TEXT, min_size=1, max_size=8))
+def test_bpe_count_matches_python_re(spark_global, texts):
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        BPE_SPLIT_RE,
+        bpe_token_count,
+    )
+
+    df = spark_global.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", bpe_token_count("text").alias("n")).collect()
+    }
+    want = {i: len(re.findall(BPE_SPLIT_RE, t)) for i, t in enumerate(texts)}
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=st.lists(TEXT, min_size=1, max_size=8))
+def test_rolling_fp_matches_python_model(spark_global, texts):
+    import hashlib
+
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        ROLLING_BASE,
+        ROLLING_MOD,
+        rolling_fingerprint,
+    )
+
+    def model(t: str) -> int:
+        h = 0
+        for tok in t.split():
+            th = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            h = (h * ROLLING_BASE + th) % ROLLING_MOD
+        return h
+
+    df = spark_global.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", rolling_fingerprint("text").alias("fp")
+        ).collect()
+    }
+    assert got == {i: model(t) for i, t in enumerate(texts)}

@@ -163,3 +163,86 @@ def test_stream_dedup_across_batches_and_restarts(spark, tmp_path):
         r.event_id for r in spark.read.parquet(out).select("event_id").collect()
     )
     assert got == [1, 2, 3]
+
+
+def test_stream_stream_join_matches_batch_range_join(
+    spark, events_dir, tmp_path
+):
+    """The watermarked stream-stream self-join produces exactly the
+    pairs the batch range join produces (restricted to
+    click <= purchase) on a replayed directory."""
+    from gcp_food_delivery_data_pipeline_spark.operators.joins import (
+        range_join_within,
+    )
+    from gcp_food_delivery_data_pipeline_spark.streaming.events import (
+        run_click_attribution_stream,
+    )
+
+    out = str(tmp_path / "attr_out")
+    q = run_click_attribution_stream(
+        spark, events_dir, str(tmp_path / "ckpt"), out
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        (r.purchase_id, r.click_id)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    ev = spark.read.parquet(events_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    batch_pairs = range_join_within(
+        clicks, purchases, on="ts", by="user_id", window_seconds=3600
+    ).filter(F.col("l_ts") <= F.col("r_ts"))
+    batch = {
+        (r.r_event_id, r.l_event_id) for r in batch_pairs.collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
+def test_stream_upsert_latest_value_per_key_wins(spark, tmp_path):
+    from datetime import datetime
+
+    from gcp_food_delivery_data_pipeline_spark.streaming.events import (
+        run_stream_upsert,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "target")
+    t = lambda m: datetime(2024, 1, 1, 10, m)
+
+    def write_file(rows):
+        spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value"]
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    # batch 1: initial keys; batch 2 (separate file => separate
+    # micro-batch): update key 2, insert key 3, two updates to key 1
+    # in ONE batch (latest ts must win)
+    write_file([(1, t(0), 7, "click", 1.0), (2, t(1), 8, "click", 2.0)])
+    write_file(
+        [
+            (2, t(5), 8, "click", 22.0),
+            (3, t(6), 9, "buy", 3.0),
+            (1, t(2), 7, "click", 10.0),
+            (1, t(3), 7, "click", 11.0),
+        ]
+    )
+    q = run_stream_upsert(spark, in_dir, ckpt, target)
+    q.awaitTermination(180)
+
+    got = {
+        r.event_id: r.value for r in spark.read.parquet(target).collect()
+    }
+    assert got == {1: 11.0, 2: 22.0, 3: 3.0}
+
+    # re-run over the same checkpoint: no-op (idempotent by key)
+    q = run_stream_upsert(spark, in_dir, ckpt, target)
+    q.awaitTermination(180)
+    assert spark.read.parquet(target).count() == 3
