@@ -469,6 +469,10 @@ def _q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_hourly_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    return A.q_hourly_gapfill(load_table(spark, sf, "events"))
+
+
 def _q_status_pivot(spark: SparkSession, sf: str) -> DataFrame:
     return A.q_status_pivot(load_table(spark, sf, "orders"))
 
@@ -755,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_custkeys_only_open": _q_except,
         "q_balance_quartiles": _q_quartiles,
         "q_status_pivot": _q_status_pivot,
+        "q_hourly_gapfill": _q_hourly_gapfill,
         "q_value_moving_1h": _q_moving_window,
         # text analysis (M5)
         "t_token_count": _q_token_count,
@@ -1090,6 +1095,19 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(c_acctbal, 0.5), 6) AS p50, "
             "round(quantile_cont(c_acctbal, 0.75), 6) AS p75, "
             "count(*) AS n_customers FROM customer GROUP BY c_mktsegment"
+        ),
+        "q_hourly_gapfill": (
+            "WITH obs AS (SELECT event_type, date_trunc('hour', ts) AS hour, "
+            "count(*) AS n_events, round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY 1, 2), "
+            "spine AS (SELECT event_type, unnest(generate_series("
+            "date_trunc('hour', min(ts)), date_trunc('hour', max(ts)), "
+            "INTERVAL 1 HOUR)) AS hour FROM events GROUP BY event_type) "
+            "SELECT s.event_type, CAST(floor(epoch(s.hour)) AS BIGINT) AS hour_sec, "
+            "COALESCE(o.n_events, 0) AS n_events, "
+            "COALESCE(o.sum_value, 0.0) AS sum_value "
+            "FROM spine s LEFT JOIN obs o "
+            "ON s.event_type = o.event_type AND s.hour = o.hour"
         ),
         "q_status_pivot": (
             "SELECT o_orderpriority, "

@@ -648,3 +648,46 @@ def q_value_moving_window(events: DataFrame) -> DataFrame:
         F.round(F.sum("value").over(w), 2).alias("value_1h"),
         F.count(F.lit(1)).over(w).alias("n_events_1h"),
     )
+
+
+def q_hourly_gapfill(events: DataFrame) -> DataFrame:
+    """Dense hourly spine per event type with zero-filled gaps.
+
+    The spine is generated per type from its own [min, max] hour range
+    (``sequence`` + ``explode`` — rows created at compute time, nothing
+    scanned), then left-joined to the observed rollup. The OBSERVED
+    side broadcasts: both sides are post-aggregation tiny, but only the
+    non-preserved side of an outer join may be the broadcast build side
+    (hinting the spine would be silently ignored). Gap rows come out
+    with n_events = 0 — what a charting/alerting consumer needs and
+    what the raw groupBy can never produce.
+    """
+    observed = events.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    spine = (
+        events.groupBy("event_type")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("_lo"),
+            F.date_trunc("hour", F.max("ts")).alias("_hi"),
+        )
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    return (
+        spine.join(F.broadcast(observed), ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            F.col("hour").cast("long").alias("hour_sec"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
