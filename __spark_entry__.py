@@ -590,6 +590,34 @@ def _q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of: each click's NEXT purchase by the same user —
+    the time-to-conversion primitive."""
+    from gcp_food_delivery_data_pipeline_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by="user_id",
+        right_value_cols=[],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+        F.unix_micros("ts_matched").alias("next_purchase_us"),
+    )
+
+
 def _q_range_join(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -780,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_embedding_pairs": _q_embedding_pairs,
         # joins Spark lacks natively (M5)
         "j_asof_click_purchase": _q_asof_join,
+        "j_asof_forward": _q_asof_forward,
         "j_range_click_purchase": _q_range_join,
         # similarity (M5)
         "v_topk_exact": _q_topk_exact,
@@ -1250,6 +1279,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'click') c "
             "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p "
             "ON c.user_id = p.user_id AND c.ts >= p.ts"
+        ),
+        "j_asof_forward": (
+            "SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us, "
+            "(SELECT epoch_us(min(p.ts)) FROM events p "
+            "WHERE p.event_type = 'purchase' AND p.user_id = c.user_id "
+            "AND p.ts >= c.ts) AS next_purchase_us "
+            "FROM events c WHERE c.event_type = 'click'"
         ),
         "j_range_click_purchase": (
             "SELECT l.event_id AS click_id, r.event_id AS purchase_id, "

@@ -23,22 +23,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def asof_join_backward(
+def asof_join(
     left: DataFrame,
     right: DataFrame,
     on: str,
     by: str,
     right_value_cols: list[str],
     suffix: str = "_matched",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the right row with the greatest
-    ``on`` ≤ the left row's ``on`` within the same ``by`` group
-    (pandas ``merge_asof(direction='backward')`` / DuckDB ASOF JOIN).
+    """For every left row, attach the as-of right row within the same
+    ``by`` group (pandas ``merge_asof`` directions):
 
-    Left rows with no prior right row get NULLs. At equal timestamps
-    the right row is considered visible (≤ semantics): the union sorts
-    right rows before left rows on ties.
+    * ``backward`` — greatest right ``on`` ≤ left ``on`` (DuckDB ASOF)
+    * ``forward``  — smallest right ``on`` ≥ left ``on``
+    * ``nearest``  — whichever of the two is closer in time; exact ties
+      prefer the backward row (documented, deterministic)
+
+    Left rows with no match in the direction get NULLs. Both bounds are
+    inclusive: a right row at the left row's exact timestamp matches in
+    every direction.
+
+    One shuffle on the key + one in-partition sort, both directions
+    carried in the SAME window pass for ``nearest`` — never a
+    nested-loop theta join.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     l_marked = left.withColumn("_is_left", F.lit(1))
     r_marked = right.select(
         F.col(by),
@@ -47,13 +58,14 @@ def asof_join_backward(
     ).withColumn("_is_left", F.lit(0))
 
     unioned = l_marked.unionByName(r_marked, allowMissingColumns=True)
-    # One shuffle on the key; right rows sort first at equal `on` so a
-    # simultaneous right row is matched (backward-inclusive).
-    w = (
-        Window.partitionBy(by)
-        .orderBy(F.col(on), F.col("_is_left"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # One shuffle on the key. Right rows sort BEFORE left rows at equal
+    # `on` (_is_left ascending): the backward frame [start, current]
+    # then contains a simultaneous right row, and the forward frame
+    # (current, end] — scanned with first() over rows strictly after —
+    # is corrected below to include the tie via the backward candidate
+    # in `nearest`, or by widening the forward frame to start at a
+    # simultaneous right row.
+    w_ord = Window.partitionBy(by).orderBy(F.col(on), F.col("_is_left"))
     # Carry the matched right row as ONE struct, not per-column
     # last(ignorenulls): per-column carries can stitch the timestamp of
     # one right row onto the value of an EARLIER one whenever the as-of
@@ -62,20 +74,59 @@ def asof_join_backward(
     # struct is non-null exactly for right rows, so ignorenulls skips
     # left rows only and a NULL value inside the matched row stays NULL
     # — pandas merge_asof / DuckDB ASOF JOIN semantics.
-    matched = F.struct(
-        F.col(on).alias("_ts"),
-        *[F.col(c + suffix).alias(c + suffix) for c in right_value_cols],
+    matched = F.when(
+        F.col("_is_left") == 0,
+        F.struct(
+            F.col(on).alias("_ts"),
+            *[F.col(c + suffix).alias(c + suffix) for c in right_value_cols],
+        ),
     )
+    back_w = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd_w = w_ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     carried = unioned.select(
         "*",
-        F.last(F.when(F.col("_is_left") == 0, matched), ignorenulls=True)
-        .over(w)
-        .alias("_m"),
+        F.last(matched, ignorenulls=True).over(back_w).alias("_mb"),
+        F.first(matched, ignorenulls=True).over(fwd_w).alias("_mf"),
     )
-    return carried.filter(F.col("_is_left") == 1).select(
+    # Right rows sort before left at ties, so a simultaneous right row
+    # lands in the BACKWARD frame only. Forward must still see it:
+    # a tie-timestamp backward match doubles as the forward match.
+    fwd_fixed = F.when(
+        F.col("_mb._ts") == F.col(on), F.col("_mb")
+    ).otherwise(F.col("_mf"))
+    if direction == "backward":
+        pick = F.col("_mb")
+    elif direction == "forward":
+        pick = fwd_fixed
+    else:  # nearest: closer wins, exact tie -> backward
+        db = F.col(on).cast("double") - F.col("_mb._ts").cast("double")
+        df_ = fwd_fixed.getField("_ts").cast("double") - F.col(on).cast("double")
+        pick = (
+            F.when(F.col("_mb").isNull(), fwd_fixed)
+            .when(fwd_fixed.isNull(), F.col("_mb"))
+            .when(df_ < db, fwd_fixed)
+            .otherwise(F.col("_mb"))
+        )
+    picked = carried.filter(F.col("_is_left") == 1).withColumn("_m", pick)
+    return picked.select(
         *left.columns,
         F.col("_m._ts").alias(on + suffix),
         *[F.col(f"_m.{c}{suffix}").alias(c + suffix) for c in right_value_cols],
+    )
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_value_cols: list[str],
+    suffix: str = "_matched",
+) -> DataFrame:
+    """Backward as-of join (pandas ``merge_asof`` default / DuckDB
+    ASOF JOIN). See ``asof_join`` for the general form."""
+    return asof_join(
+        left, right, on, by, right_value_cols, suffix, direction="backward"
     )
 
 

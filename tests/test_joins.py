@@ -132,3 +132,65 @@ def test_simhash_near_texts_close_in_hamming(spark):
     assert near < far
     assert near <= 6        # near-dup flips few of 32 bits
     assert rows[1] != rows[3]
+
+
+def test_asof_forward_and_nearest_golden(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.joins import asof_join
+
+    trades = spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01 10:00:10")),   # between quotes
+            (2, "A", _ts("2024-01-01 10:00:20")),   # exactly at q2
+            (3, "A", _ts("2024-01-01 10:00:40")),   # after last quote
+            (4, "B", _ts("2024-01-01 10:00:00")),   # no quotes at all
+        ],
+        ["trade_id", "sym", "ts"],
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 100.0),
+            ("A", _ts("2024-01-01 10:00:20"), 200.0),
+        ],
+        ["sym", "ts", "price"],
+    )
+
+    fwd = {
+        r.trade_id: (r.ts_matched, r.price_matched)
+        for r in asof_join(
+            trades, quotes, "ts", "sym", ["price"], direction="forward"
+        ).collect()
+    }
+    assert fwd[1] == (_ts("2024-01-01 10:00:20"), 200.0)   # next quote
+    assert fwd[2] == (_ts("2024-01-01 10:00:20"), 200.0)   # inclusive tie
+    assert fwd[3] == (None, None)                          # nothing ahead
+    assert fwd[4] == (None, None)
+
+    near = {
+        r.trade_id: (r.ts_matched, r.price_matched)
+        for r in asof_join(
+            trades, quotes, "ts", "sym", ["price"], direction="nearest"
+        ).collect()
+    }
+    assert near[1] == (_ts("2024-01-01 10:00:00"), 100.0)  # 10s back < 10s fwd? tie -> backward
+    assert near[2] == (_ts("2024-01-01 10:00:20"), 200.0)  # exact hit
+    assert near[3] == (_ts("2024-01-01 10:00:20"), 200.0)  # only backward exists
+    assert near[4] == (None, None)
+
+
+def test_asof_nearest_prefers_closer_forward(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.joins import asof_join
+
+    trades = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01 10:00:25"))], ["trade_id", "sym", "ts"]
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 100.0),   # 25s back
+            ("A", _ts("2024-01-01 10:00:30"), 300.0),   # 5s forward
+        ],
+        ["sym", "ts", "price"],
+    )
+    row = asof_join(
+        trades, quotes, "ts", "sym", ["price"], direction="nearest"
+    ).collect()[0]
+    assert row.price_matched == 300.0
