@@ -361,6 +361,33 @@ def _q_q19(spark: SparkSession, sf: str) -> DataFrame:
     return A.q19_discounted_revenue(t["lineitem"], t["part"])
 
 
+def _q_q7(spark: SparkSession, sf: str) -> DataFrame:
+    t = _tables(spark, sf, "customer", "orders", "lineitem", "supplier", "nation")
+    return A.q7_nation_trade(
+        t["customer"], t["orders"], t["lineitem"], t["supplier"], t["nation"]
+    )
+
+
+def _q_q13(spark: SparkSession, sf: str) -> DataFrame:
+    t = _tables(spark, sf, "customer", "orders")
+    return A.q13_order_count_distribution(t["customer"], t["orders"])
+
+
+def _q_q15(spark: SparkSession, sf: str) -> DataFrame:
+    t = _tables(spark, sf, "lineitem", "supplier")
+    return A.q15_top_supplier(t["lineitem"], t["supplier"])
+
+
+def _q_q17(spark: SparkSession, sf: str) -> DataFrame:
+    t = _tables(spark, sf, "lineitem", "part")
+    return A.q17_small_quantity_revenue(t["lineitem"], t["part"])
+
+
+def _q_q22(spark: SparkSession, sf: str) -> DataFrame:
+    t = _tables(spark, sf, "customer", "orders")
+    return A.q22_idle_rich_customers(t["customer"], t["orders"])
+
+
 def _q_anti(spark: SparkSession, sf: str) -> DataFrame:
     t = _tables(spark, sf, "customer", "orders")
     return A.q_customers_without_orders(t["customer"], t["orders"])
@@ -772,6 +799,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": _q_q14,
         "q18_large_volume": _q_q18,
         "q19_discounted_revenue": _q_q19,
+        "q7_nation_trade": _q_q7,
+        "q13_order_counts": _q_q13,
+        "q15_top_supplier": _q_q15,
+        "q17_small_qty_revenue": _q_q17,
+        "q22_idle_rich": _q_q22,
         "q_customers_no_orders": _q_anti,
         "q_top3_per_segment": _q_window_topk,
         "q_running_spend": _q_window_running,
@@ -1042,6 +1074,58 @@ def oracle_sql() -> dict[str, str]:
             "AND l_quantity BETWEEN 10 AND 30) "
             "OR (p_brand = 'Brand#17' AND p_size BETWEEN 20 AND 50 "
             "AND l_quantity BETWEEN 20 AND 40)"
+        ),
+        "q7_nation_trade": (
+            "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+            "year(l_shipdate) AS ship_year, "
+            "CAST(round(sum(CAST(l_extendedprice*(1-l_discount) "
+            "AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue "
+            "FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+            "WHERE sn.n_name IN ('NATION_3', 'NATION_7') "
+            "AND cn.n_name IN ('NATION_3', 'NATION_7') "
+            "AND sn.n_name <> cn.n_name "
+            "GROUP BY 1, 2, 3"
+        ),
+        "q13_order_counts": (
+            "SELECT c_count, count(*) AS custdist FROM ("
+            "SELECT c_custkey, count(o_custkey) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey) GROUP BY c_count"
+        ),
+        "q15_top_supplier": (
+            "WITH r AS (SELECT l_suppkey, "
+            "CAST(round(sum(CAST(l_extendedprice*(1-l_discount) "
+            "AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, total_revenue "
+            "FROM r JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE total_revenue = (SELECT max(total_revenue) FROM r)"
+        ),
+        "q17_small_qty_revenue": (
+            "WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand = 'Brand#4'), "
+            "a AS (SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty "
+            "FROM li GROUP BY l_partkey) "
+            "SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))) "
+            "/ 7.0, 2) AS DOUBLE) AS avg_yearly, count(*) AS n_items "
+            "FROM li JOIN a ON l_partkey = pk "
+            "WHERE l_quantity < 0.2 * avg_qty"
+        ),
+        "q22_idle_rich": (
+            "SELECT c_nationkey, count(*) AS numcust, "
+            "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal "
+            "FROM customer c WHERE c_acctbal > "
+            "(SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0) "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey "
+            "AND o_orderdate >= TIMESTAMP '2001-01-01') "
+            "GROUP BY c_nationkey"
         ),
         "q_customers_no_orders": (
             "SELECT c_custkey, c_name, c_mktsegment FROM customer "

@@ -691,3 +691,175 @@ def q_hourly_gapfill(events: DataFrame) -> DataFrame:
             F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+def q7_nation_trade(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_7",
+) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: revenue shipped between
+    two nations, by (supplier nation, customer nation, year).
+
+    Both nation lookups are broadcasts stacked on the fact side BEFORE
+    the orderkey shuffle, and the two-nation filter prunes most rows
+    with them — the only wide exchange is lineitem⋈orders on the
+    orderkey, already filtered.
+    """
+    n2 = nation.filter(F.col("n_name").isin([nation_a, nation_b]))
+    supp = supplier.join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        lineitem.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
+def q13_order_count_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13-shaped distribution: how many customers placed exactly
+    k orders (k = 0 included via the left join).
+
+    Two stacked aggregations, each a single shuffle: per-customer
+    counts (orderkey payload never moves — count only), then the
+    histogram over those counts (tiny domain, collapses map-side).
+    """
+    per_cust = customer.join(
+        orders.select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left",
+    ).groupBy("c_custkey").agg(
+        F.count(F.col("o_custkey")).alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q15_top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: supplier(s) achieving the maximum
+    quarterly revenue (ALL ties, not LIMIT 1 — the point of the view +
+    max subquery in the original).
+
+    The revenue rollup is one shuffle; the scalar max broadcasts back
+    over the (small) rollup, so the fact table is scanned once.
+    """
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    by_supp = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("total_revenue"))
+    )
+    max_rev = by_supp.agg(F.max("total_revenue").alias("_max"))
+    return (
+        by_supp.join(
+            F.broadcast(max_rev),
+            F.col("total_revenue") == F.col("_max"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q17_small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#4"
+) -> DataFrame:
+    """TPC-H Q17-shaped small-order revenue: lineitems of one brand
+    whose quantity is under 20% of that part's average quantity.
+
+    The per-part average is ITS OWN aggregation joined back (broadcast:
+    one row per part of one brand) — the correlated subquery decorrelated
+    by hand, which is exactly what Catalyst does to the SQL form.
+    """
+    bparts = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(bparts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.avg("l_quantity").alias("_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7.0, 2
+            )
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q22_idle_rich_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    idle_since: str = "2001-01-01",
+) -> DataFrame:
+    """TPC-H Q22-shaped: customers with above-average (positive-balance)
+    account balance and no RECENT orders (none since ``idle_since``),
+    grouped by nation key.
+
+    The global average is a scalar broadcast (cross-join of one row);
+    the idleness test is an anti join whose probe side is date-filtered
+    AT THE SCAN and pruned to the key column. (The classic q22 tests
+    "no orders ever" — at this data's density that set is empty, so the
+    recency variant keeps the query observable while exercising the
+    same scalar-subquery + anti-join shape.)
+    """
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    rich = customer.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(idle_since).cast("timestamp")
+    ).select("o_custkey")
+    idle = rich.join(
+        recent,
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("totacctbal"),
+    )
