@@ -496,6 +496,48 @@ def _q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    """NTILE(4) balance buckets per customer — the ranked-window family
+    member the quartile (percentile) query doesn't cover: every row gets
+    a bucket, deterministically via the (acctbal, custkey) tie-break."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf, "customer")
+    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    buckets = c.select(
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("_bal"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+    )
+    return buckets.groupBy("bal_quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_bal").cast("double").alias("sum_bal"),
+    )
+
+
+def _q_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema evolution: v1 files lack a column that v2 files carry;
+    ``mergeSchema`` reads both generations as one table with NULLs for
+    the missing column — the append-only evolution contract a long-lived
+    partitioned table needs."""
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_evolve_check")
+    ev = load_table(spark, sf, "events")
+    v1 = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", "value"
+    )
+    v2 = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "value", F.col("user_id").alias("uid")
+    )
+    v1.write.mode("overwrite").parquet(out + "/gen=1")
+    v2.write.mode("overwrite").parquet(out + "/gen=2")
+    back = spark.read.option("mergeSchema", True).parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("uid").alias("n_with_uid"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def _q_hourly_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     return A.q_hourly_gapfill(load_table(spark, sf, "events"))
 
@@ -820,6 +862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_balance_quartiles": _q_quartiles,
         "q_status_pivot": _q_status_pivot,
         "q_hourly_gapfill": _q_hourly_gapfill,
+        "q_ntile_buckets": _q_ntile,
+        "s_schema_evolution": _q_schema_evolution,
         "q_value_moving_1h": _q_moving_window,
         # text analysis (M5)
         "t_token_count": _q_token_count,
@@ -1208,6 +1252,19 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(c_acctbal, 0.5), 6) AS p50, "
             "round(quantile_cont(c_acctbal, 0.75), 6) AS p75, "
             "count(*) AS n_customers FROM customer GROUP BY c_mktsegment"
+        ),
+        "q_ntile_buckets": (
+            "SELECT bal_quartile, count(*) AS n, "
+            "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal "
+            "FROM (SELECT c_acctbal, "
+            "ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS bal_quartile "
+            "FROM customer) GROUP BY bal_quartile"
+        ),
+        "s_schema_evolution": (
+            "SELECT event_type, count(*) AS n, "
+            "count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_with_uid, "
+            "round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY event_type"
         ),
         "q_hourly_gapfill": (
             "WITH obs AS (SELECT event_type, date_trunc('hour', ts) AS hour, "

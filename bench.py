@@ -33,6 +33,9 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",  # pushdown filter -> global agg (scan probe)
     "q10_returned_items",   # fact-fact join + broadcast dims + top-k
     "q18_large_volume",     # HAVING rollup feeding broadcast join
+    "q7_nation_trade",      # stacked broadcast dims + fact-fact join
+    "q13_order_counts",     # two-level aggregation
+    "q17_small_qty_revenue",  # decorrelated per-group average
     "q_running_spend",      # window over full orders table
     "q_events_hourly",      # event-time rollup
     "q_distinct_users",     # distinct aggregation
