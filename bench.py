@@ -133,6 +133,10 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # Queries that persist internally (LSH pair caches) must not
+        # pin heap across the rest of the run — each unit is timed
+        # independently, so cross-query cache reuse is never measured.
+        spark.catalog.clearCache()
 
     timings["pipeline_1m_rows"] = _bench_pipeline_1m(spark)
 

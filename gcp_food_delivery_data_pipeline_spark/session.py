@@ -57,7 +57,14 @@ def get_spark(
         # Driver testdata stores TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read as LONG nanos, converted in load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Single-JVM local mode: the "driver" heap IS the executor heap.
+        # 8g showed monotonic GC degradation across a 28-query bench
+        # session (43s for a 2s query by the tail); 32g on the 128 GiB
+        # container keeps full GCs out of the measurement.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # Reclaim GC'd broadcasts/shuffles promptly in long sessions —
+        # the default 30min periodic GC lets them pile up.
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
     )
