@@ -634,6 +634,25 @@ def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return with_simhash(src).select("doc_id", "simhash")
 
 
+def _q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid of the embedding column, one row per (label,
+    dimension). ``posexplode`` + group-avg: the shuffle carries (label,
+    dim, value) triples which partial-aggregate map-side — the
+    array-typed aggregation path (k-means update step, class prototype
+    computation) without any UDF."""
+    e = load_table(spark, sf, "embeddings")
+    return (
+        e.select(
+            "label", F.posexplode("embedding").alias("dim", "v")
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("v"), 6).alias("centroid_v"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
 def _q_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "embeddings")
     return embedding_near_dup_pairs(e, threshold=0.35)
@@ -892,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_topk_ann": _q_topk_ann,
         "v_topk_ivf": _q_topk_ivf,
         "v_embedding_dims": _q_embedding_dims,
+        "v_label_centroids": _q_label_centroids,
         # multimodal (M5)
         "m_meta_filter": _q_multimodal_meta,
         "m_features": _q_multimodal_features,
@@ -1405,6 +1425,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM embeddings b WHERE b.vec_id < e.vec_id "
             "AND round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), "
             "CAST(e.embedding AS DOUBLE[])), 6) >= 0.35)"
+        ),
+        "v_label_centroids": (
+            "SELECT label, dim, round(avg(v), 6) AS centroid_v, "
+            "count(*) AS n_vectors FROM ("
+            "SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, "
+            "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings) "
+            "GROUP BY label, dim"
         ),
         "v_embedding_pairs": (
             "SELECT id_a, id_b, cosine_sim FROM ("
