@@ -231,8 +231,14 @@ def embedding_near_dup_pairs(
     )
     denom = F.col("_na") * F.col("_nb")
     cos = F.when(denom != 0.0, dot_product("_va", "_vb") / denom)
+    # Explicit broadcast pins the plan to BroadcastNestedLoopJoin with
+    # the (small) right side as build: without it AQE re-decides
+    # between cartesian and BNLJ per run, and the cartesian pairing of
+    # a 1-partition side schedules poorly. At corpus scale the right
+    # side of an all-pairs pass wouldn't fit a broadcast — which is the
+    # cue to use the LSH/IVF path instead, not to drop the hint.
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
