@@ -550,6 +550,43 @@ def _q_moving_window(spark: SparkSession, sf: str) -> DataFrame:
     return A.q_value_moving_window(load_table(spark, sf, "events"))
 
 
+def _q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass corpus profile: doc count + token-count distribution
+    (exact percentiles) — the first query run against any new corpus."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select(token_count("text").alias("n"))
+    return toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n").alias("min_tokens"),
+        F.max("n").alias("max_tokens"),
+        F.round(F.avg("n"), 6).alias("avg_tokens"),
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(n, 0.95)"), 6).alias("p95_tokens"),
+    )
+
+
+def _q_events_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding 2h windows advancing hourly (each event lands in two
+    windows) — the batch twin of streaming's sliding aggregation;
+    ``F.window`` expands window membership map-side before one shuffle."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("win_start_sec"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def _q_sentences(spark: SparkSession, sf: str) -> DataFrame:
     from gcp_food_delivery_data_pipeline_spark.operators.text import sentences
 
@@ -891,6 +928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_fingerprint": _q_fingerprint,
         "t_bpe_tokens": _q_bpe_tokens,
         "t_sentences": _q_sentences,
+        "t_corpus_stats": _q_corpus_stats,
+        "q_events_sliding": _q_events_sliding,
         "t_rolling_fp": _q_rolling_fp,
         "t_tfidf_top_term": _q_tfidf,
         # dedup (M5)
@@ -1349,6 +1388,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, len(regexp_extract_all(text, "
             r"'''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9'']+|\s+'"
             f")) AS n_bpe, {_NTOK} AS n_ws FROM documents"
+        ),
+        "t_corpus_stats": (
+            "SELECT count(*) AS n_docs, min(n) AS min_tokens, "
+            "max(n) AS max_tokens, round(avg(n), 6) AS avg_tokens, "
+            "round(quantile_cont(n, 0.5), 6) AS p50_tokens, "
+            "round(quantile_cont(n, 0.95), 6) AS p95_tokens "
+            f"FROM (SELECT {_NTOK} AS n FROM documents)"
+        ),
+        # each event belongs to the 2h windows starting at its hour and
+        # the hour before — expand membership, then one aggregation
+        "q_events_sliding": (
+            "SELECT CAST(floor(epoch(s)) AS BIGINT) AS win_start_sec, "
+            "event_type, count(*) AS n_events, "
+            "round(sum(value), 2) AS sum_value FROM ("
+            "SELECT date_trunc('hour', ts) AS s, event_type, value FROM events "
+            "UNION ALL SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, "
+            "event_type, value FROM events) GROUP BY 1, 2"
         ),
         "t_sentences": (
             "SELECT doc_id, generate_subscripts(l, 1) - 1 AS sentence_idx, "
