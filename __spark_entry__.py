@@ -388,6 +388,34 @@ def _q_q22(spark: SparkSession, sf: str) -> DataFrame:
     return A.q22_idle_rich_customers(t["customer"], t["orders"])
 
 
+def _q_q8(spark: SparkSession, sf: str) -> DataFrame:
+    t = _tables(
+        spark, sf, "part", "supplier", "lineitem", "orders", "customer",
+        "nation", "region",
+    )
+    return A.q8_market_share(
+        t["part"], t["supplier"], t["lineitem"], t["orders"],
+        t["customer"], t["nation"], t["region"],
+    )
+
+
+def _q_q9(spark: SparkSession, sf: str) -> DataFrame:
+    t = _tables(spark, sf, "part", "supplier", "lineitem", "orders", "nation")
+    return A.q9_product_profit(
+        t["part"], t["supplier"], t["lineitem"], t["orders"], t["nation"]
+    )
+
+
+def _q_q12(spark: SparkSession, sf: str) -> DataFrame:
+    t = _tables(spark, sf, "orders", "lineitem")
+    return A.q12_ship_priority(t["orders"], t["lineitem"])
+
+
+def _q_q21(spark: SparkSession, sf: str) -> DataFrame:
+    t = _tables(spark, sf, "supplier", "lineitem", "nation")
+    return A.q21_last_shipper(t["supplier"], t["lineitem"], t["nation"])
+
+
 def _q_anti(spark: SparkSession, sf: str) -> DataFrame:
     t = _tables(spark, sf, "customer", "orders")
     return A.q_customers_without_orders(t["customer"], t["orders"])
@@ -902,6 +930,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": _q_q15,
         "q17_small_qty_revenue": _q_q17,
         "q22_idle_rich": _q_q22,
+        "q8_market_share": _q_q8,
+        "q9_product_profit": _q_q9,
+        "q12_ship_priority": _q_q12,
+        "q21_last_shipper": _q_q21,
         "q_customers_no_orders": _q_anti,
         "q_top3_per_segment": _q_window_topk,
         "q_running_spend": _q_window_running,
@@ -1229,6 +1261,65 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey "
             "AND o_orderdate >= TIMESTAMP '2001-01-01') "
             "GROUP BY c_nationkey"
+        ),
+        "q8_market_share": (
+            "SELECT year(o_orderdate) AS order_year, "
+            "round(CAST(sum(CASE WHEN n2.n_name = 'NATION_7' THEN "
+            "CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)) "
+            "ELSE CAST(0 AS DECIMAL(18,4)) END) "
+            "/ sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) "
+            "AS DOUBLE), 6) AS mkt_share "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO' "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+            "JOIN region ON n1.n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' GROUP BY 1"
+        ),
+        "q9_product_profit": (
+            "SELECT n_name AS nation, year(o_orderdate) AS o_year, "
+            "CAST(round(sum(CAST(l_extendedprice*(1-l_discount) "
+            "AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE p_name LIKE '%widget%' GROUP BY 1, 2"
+        ),
+        "q12_ship_priority": (
+            "SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 "
+            "THEN 'fast' ELSE 'slow' END AS ship_bucket, "
+            "count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+            "THEN 1 END) AS high_line_count, "
+            "count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') "
+            "THEN 1 END) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY 1"
+        ),
+        "q21_last_shipper": (
+            "WITH per_supp AS ("
+            "SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_last "
+            "FROM lineitem GROUP BY 1, 2), "
+            "staged AS ("
+            "SELECT l_orderkey, l_suppkey, supp_last, "
+            "count(*) OVER (PARTITION BY l_orderkey) AS n_supps, "
+            "max(supp_last) OVER (PARTITION BY l_orderkey) AS order_last "
+            "FROM per_supp), "
+            "flagged AS ("
+            "SELECT l_orderkey, l_suppkey FROM ("
+            "SELECT *, count(CASE WHEN supp_last = order_last THEN 1 END) "
+            "OVER (PARTITION BY l_orderkey) AS n_latest FROM staged) "
+            "WHERE n_supps > 1 AND n_latest = 1 AND supp_last = order_last) "
+            "SELECT s_name, count(*) AS numwait "
+            "FROM flagged "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_name = 'NATION_3' "
+            "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
         ),
         "q_customers_no_orders": (
             "SELECT c_custkey, c_name, c_mktsegment FROM customer "

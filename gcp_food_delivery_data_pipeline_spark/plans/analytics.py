@@ -863,3 +863,207 @@ def q22_idle_rich_customers(
         .cast("double")
         .alias("totacctbal"),
     )
+
+
+def q8_market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_region: str = "ASIA",
+    target_nation: str = "NATION_7",
+    part_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8-shaped national market share: within orders placed by
+    customers of ``target_region`` for parts of ``part_type``, the
+    fraction of revenue supplied by ``target_nation``, per order year.
+
+    Shape at scale: part/nation/region and the region-restricted
+    customer slice are broadcasts stacked onto lineitem BEFORE the
+    single wide exchange (lineitem⋈orders on orderkey). The share is a
+    conditional-sum ratio — one aggregation, no second pass over the
+    join. Revenue sums in DECIMAL so the ratio is order-insensitive.
+    """
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == target_region)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    cust = customer.join(
+        F.broadcast(asia_nations),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == part_type)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == target_nation, rev
+                    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+                )
+                / F.sum(rev)
+            ).alias("_share")
+        )
+        .select(
+            "order_year",
+            F.round(F.col("_share").cast("double"), 6).alias("mkt_share"),
+        )
+    )
+
+
+def q9_product_profit(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    name_token: str = "widget",
+) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit by nation and year. The
+    testdata has no ``partsupp``/``ps_supplycost``, so profit is the
+    discounted revenue of matching parts (the join/agg shape — the
+    point of q9 — is unchanged; only the cost subtraction drops).
+
+    Part filter (LIKE on name) and supplier→nation lookup broadcast
+    onto lineitem; the only wide exchange is lineitem⋈orders, needed
+    solely for the order year.
+    """
+    matched = part.filter(F.col("p_name").contains(name_token)).select(
+        "p_partkey"
+    )
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        lineitem.join(
+            F.broadcast(matched), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+    )
+
+
+def q12_ship_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    fast_days: int = 30,
+) -> DataFrame:
+    """TPC-H Q12-shaped shipping-service analysis. The testdata carries
+    no shipmode/commit/receipt dates, so the Q12 lateness predicate is
+    re-expressed on what exists: lines are bucketed by ship lag
+    (``l_shipdate - o_orderdate`` ≤ ``fast_days`` → 'fast', else
+    'slow') and each bucket counts high- vs low-priority orders —
+    the same join + CASE-conditional-count shape as Q12.
+
+    Orders prunes to (key, date, priority) before the one wide join;
+    the two conditional counts collapse map-side.
+    """
+    high = F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"])
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        lineitem.select("l_orderkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn(
+            "ship_bucket",
+            F.when(lag <= fast_days, F.lit("fast")).otherwise(F.lit("slow")),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+def q21_last_shipper(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    target_nation: str = "NATION_3",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21-shaped "who held the order up": among multi-supplier
+    orders, count per supplier how often that supplier ALONE shipped
+    last (its latest line is strictly after every other supplier's).
+    Without commit/receipt dates the "failed delivery" predicate
+    becomes "uniquely latest l_shipdate" — the same exists/not-exists
+    discrimination Q21 makes, expressed as one aggregation plus one
+    window instead of two correlated subqueries.
+
+    Scale shape: per-(order, supplier) max-shipdate aggregation first
+    (map-side combine collapses lines), then a window over orderkey on
+    that already-collapsed frame — the raw lineitem never enters the
+    window. Supplier/nation names broadcast at the end onto a
+    supplier-count-sized frame.
+    """
+    per_supp = lineitem.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_last")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        per_supp.withColumn("n_supps", F.count(F.lit(1)).over(w))
+        .withColumn("order_last", F.max("supp_last").over(w))
+        .withColumn(
+            "n_latest",
+            F.count(
+                F.when(F.col("supp_last") == F.col("order_last"), 1)
+            ).over(w),
+        )
+        .filter(
+            (F.col("n_supps") > 1)
+            & (F.col("n_latest") == 1)
+            & (F.col("supp_last") == F.col("order_last"))
+        )
+    )
+    supp = supplier.join(
+        F.broadcast(
+            nation.filter(F.col("n_name") == target_nation).select(
+                "n_nationkey"
+            )
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    counted = (
+        flagged.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    wk = Window.orderBy(F.col("numwait").desc(), F.col("s_name"))
+    return (
+        counted.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

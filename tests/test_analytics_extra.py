@@ -38,3 +38,64 @@ def test_approx_users_within_rsd(spark):
     assert set(exact) == set(approx)
     for et, n in exact.items():
         assert abs(approx[et] - n) / n <= 0.15  # 3× the configured rsd
+
+
+def test_q8_market_share_bounded_and_consistent(spark):
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q8_market_share,
+    )
+
+    t = {
+        n: load_table(spark, SF_DIR, n)
+        for n in (
+            "part", "supplier", "lineitem", "orders", "customer",
+            "nation", "region",
+        )
+    }
+    rows = q8_market_share(
+        t["part"], t["supplier"], t["lineitem"], t["orders"],
+        t["customer"], t["nation"], t["region"],
+    ).collect()
+    assert rows, "ASIA/PROMO slice should be non-empty"
+    for r in rows:
+        assert 0.0 <= r.mkt_share <= 1.0
+
+
+def test_q21_last_shipper_only_multi_supplier_orders(spark):
+    from pyspark.sql import functions as F
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q21_last_shipper,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    supp = load_table(spark, SF_DIR, "supplier")
+    nat = load_table(spark, SF_DIR, "nation")
+    out = q21_last_shipper(supp, li, nat, target_nation="NATION_3", k=1000)
+    rows = out.collect()
+    # every counted wait event comes from an order with >= 2 suppliers
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert sum(r.numwait for r in rows) <= multi
+    # uniqueness of the latest shipper means counts are per-order exclusive
+    assert all(r.numwait >= 1 for r in rows)
+
+
+def test_q12_ship_priority_partitions_all_lines(spark):
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q12_ship_priority,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    rows = q12_ship_priority(orders, li).collect()
+    buckets = {r.ship_bucket for r in rows}
+    assert buckets <= {"fast", "slow"}
+    total = sum(r.high_line_count + r.low_line_count for r in rows)
+    assert total == li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).count()
