@@ -896,6 +896,24 @@ def _q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_stats_profile(spark: SparkSession, sf: str) -> DataFrame:
+    return A.q_stats_profile(load_table(spark, sf, "lineitem"))
+
+
+def _q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    return A.q_grouping_sets_revenue(load_table(spark, sf, "lineitem"))
+
+
+def _q_fuzzy_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        fuzzy_name_pairs,
+    )
+
+    return fuzzy_name_pairs(
+        load_table(spark, sf, "part"), "p_partkey", "p_name", max_dist=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference parity (SURVEY.md §2)
@@ -953,6 +971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ntile_buckets": _q_ntile,
         "s_schema_evolution": _q_schema_evolution,
         "q_value_moving_1h": _q_moving_window,
+        "q_stats_profile": _q_stats_profile,
+        "q_grouping_sets": _q_grouping_sets,
+        "d_fuzzy_pairs": _q_fuzzy_pairs,
         # text analysis (M5)
         "t_token_count": _q_token_count,
         "t_quality": _q_quality,
@@ -1320,6 +1341,37 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON s_nationkey = n_nationkey "
             "WHERE n_name = 'NATION_3' "
             "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
+        ),
+        "q_stats_profile": (
+            "SELECT l_returnflag, count(*) AS n_lines, "
+            "round(corr(CAST(l_quantity AS DOUBLE), "
+            "CAST(l_extendedprice AS DOUBLE)), 6) AS corr_qty_price, "
+            "round(covar_pop(CAST(l_quantity AS DOUBLE), "
+            "CAST(l_extendedprice AS DOUBLE)), 4) AS covar_qty_price, "
+            "round(stddev_pop(CAST(l_quantity AS DOUBLE)), 6) AS stddev_qty, "
+            "round(var_pop(CAST(l_extendedprice AS DOUBLE)), 2) AS var_price, "
+            "round(avg(CAST(l_quantity AS DOUBLE)), 6) AS avg_qty "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "q_grouping_sets": (
+            "SELECT l_returnflag, l_linestatus, "
+            "GROUPING(l_returnflag, l_linestatus) AS level_id, "
+            "CAST(round(sum(CAST(l_extendedprice*(1-l_discount) "
+            "AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue, "
+            "count(*) AS n_lines "
+            "FROM lineitem GROUP BY GROUPING SETS "
+            "((l_returnflag, l_linestatus), (l_returnflag), ())"
+        ),
+        "d_fuzzy_pairs": (
+            "WITH base AS (SELECT p_partkey AS fid, p_name AS fname, "
+            r"regexp_split_to_array(trim(p_name), '\s+')[-1] AS fblock "
+            "FROM part) "
+            "SELECT a.fid AS id_a, b.fid AS id_b, "
+            "a.fname AS name_a, b.fname AS name_b, "
+            "levenshtein(a.fname, b.fname) AS edit_dist "
+            "FROM base a JOIN base b "
+            "ON a.fblock = b.fblock AND a.fid < b.fid "
+            "WHERE levenshtein(a.fname, b.fname) <= 3"
         ),
         "q_customers_no_orders": (
             "SELECT c_custkey, c_name, c_mktsegment FROM customer "

@@ -484,3 +484,46 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_expr: Column | None = None,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Fuzzy-duplicate candidate pairs by edit distance with blocking.
+
+    Pairs are generated ONLY within a blocking key (default: the last
+    whitespace token of ``name_col``), then scored with Levenshtein
+    distance and kept when ``<= max_dist``. The blocking key is part
+    of the operator's semantics — like LSH banding, it converts the
+    quadratic all-pairs comparison into per-block joins; block sizes
+    are bounded by the key's selectivity, and the join is a plain
+    equi-join the optimizer can shuffle OR broadcast. Emits
+    (id_a, id_b, name_a, name_b, edit_dist) with id_a < id_b.
+    """
+    if block_expr is None:
+        block_expr = F.element_at(F.split(F.trim(F.col(name_col)), r"\s+"), -1)
+    base = df.select(
+        F.col(id_col).alias("_fid"),
+        F.col(name_col).alias("_fname"),
+        block_expr.alias("_fblock"),
+    )
+    a = base.select(
+        F.col("_fid").alias("id_a"),
+        F.col("_fname").alias("name_a"),
+        F.col("_fblock").alias("_ba"),
+    )
+    b = base.select(
+        F.col("_fid").alias("id_b"),
+        F.col("_fname").alias("name_b"),
+        F.col("_fblock").alias("_bb"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, (F.col("_ba") == F.col("_bb")) & (F.col("id_a") < F.col("id_b")))
+        .filter(dist <= max_dist)
+        .select("id_a", "id_b", "name_a", "name_b", dist.alias("edit_dist"))
+    )

@@ -1067,3 +1067,46 @@ def q21_last_shipper(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def q_stats_profile(lineitem: DataFrame) -> DataFrame:
+    """Statistical profile of the fact table per return flag: Pearson
+    correlation, population covariance / stddev / variance of quantity
+    vs price. One shuffle, all moments in a single partial-aggregable
+    pass (each statistic is sums-of-products under the hood, so
+    map-side combine applies); population variants are used because
+    their definitions are engine-stable.
+    """
+    q = F.col("l_quantity").cast("double")
+    p = F.col("l_extendedprice").cast("double")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop(q, p), 4).alias("covar_qty_price"),
+        F.round(F.stddev_pop(q), 6).alias("stddev_qty"),
+        F.round(F.var_pop(p), 2).alias("var_price"),
+        F.round(F.avg(q), 6).alias("avg_qty"),
+    )
+
+
+def q_grouping_sets_revenue(lineitem: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS lattice — (flag, status), (flag), ()
+    — with ``grouping_id`` distinguishing subtotal levels. Unlike
+    rollup/cube this picks exactly the requested cells; Spark expands
+    to a single Expand + one aggregation (one shuffle for all levels).
+    """
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        lineitem.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("level_id"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

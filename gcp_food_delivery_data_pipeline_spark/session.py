@@ -52,6 +52,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # A single large splittable file (one 116 MB CSV in the
+        # throughput bench) otherwise arrives as ONE split and
+        # serializes the whole clean chain onto one core. Splitting to
+        # cluster parallelism at the SCAN costs no shuffle; harmless at
+        # real scale where file counts dwarf parallelism.
+        .config(
+            "spark.sql.files.minPartitionNum",
+            os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Driver testdata stores TIMESTAMP(NANOS) which Spark's parquet
