@@ -245,23 +245,112 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_pairs_blas(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    a_chunk_rows: int = 1024,
+    b_chunk_cols: int = 8192,
+) -> DataFrame:
+    """All-pairs cosine pairs via blocked BLAS matmul (Arrow batches).
+
+    Same semantics and same scale envelope as
+    ``embedding_near_dup_pairs`` — the build side is collected and
+    broadcast exactly like the BNLJ variant's ``F.broadcast`` build —
+    but each Arrow batch of the probe side computes a dense
+    ``A @ B.T`` in one vectorized numpy call instead of evaluating a
+    per-pair ``aggregate`` fold in the JVM: ~100× less per-pair
+    overhead for dense float vectors. Memory is bounded by
+    ``a_chunk_rows × b_chunk_cols`` float64 blocks regardless of input
+    size. When the build side outgrows a broadcast, that is the cue to
+    switch to the LSH/IVF candidate path, not to scale this one.
+
+    The raw float64 cosine is handed back to Spark and rounded/
+    thresholded with the SAME Spark-side ``round``/``>=`` expressions
+    as the expression variant, so results are engine-identical.
+    """
+    import numpy as np
+
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        ensure_min_partitions,
+    )
+
+    id_field = df.schema[id_col]
+    spark = df.sparkSession
+    b_rows = df.select(id_col, vec_col).collect()
+    b_ids = np.array([r[0] for r in b_rows], dtype=np.int64)
+    b_mat = np.array([list(r[1]) for r in b_rows], dtype=np.float64)
+    b_norms = np.sqrt(np.einsum("ij,ij->i", b_mat, b_mat))
+    bc = spark.sparkContext.broadcast((b_ids, b_mat, b_norms))
+    # keep a little slack below the threshold pre-round so the
+    # authoritative Spark-side round+filter sees every boundary pair
+    slack = threshold - 1e-7
+
+    def gen(batches):
+        import pandas as pd
+
+        ids_b, mat_b, norms_b = bc.value
+        for pdf in batches:
+            a_ids_all = pdf[id_col].to_numpy(dtype=np.int64)
+            a_mat_all = np.array(list(pdf[vec_col]), dtype=np.float64)
+            for s in range(0, len(a_ids_all), a_chunk_rows):
+                a_ids = a_ids_all[s : s + a_chunk_rows]
+                a_mat = a_mat_all[s : s + a_chunk_rows]
+                a_norms = np.sqrt(np.einsum("ij,ij->i", a_mat, a_mat))
+                for t in range(0, len(ids_b), b_chunk_cols):
+                    ids_bb = ids_b[t : t + b_chunk_cols]
+                    dots = a_mat @ mat_b[t : t + b_chunk_cols].T
+                    denom = np.outer(a_norms, norms_b[t : t + b_chunk_cols])
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = np.where(denom != 0.0, dots / denom, -np.inf)
+                    keep = (
+                        (a_ids[:, None] < ids_bb[None, :]) & (cos >= slack)
+                    )
+                    ai, bi = np.nonzero(keep)
+                    if len(ai):
+                        yield pd.DataFrame(
+                            {
+                                "id_a": a_ids[ai],
+                                "id_b": ids_bb[bi],
+                                "_cos": cos[ai, bi],
+                            }
+                        )
+
+    probe = ensure_min_partitions(df.select(id_col, vec_col))
+    id_t = id_field.dataType.simpleString()
+    pairs = probe.mapInPandas(
+        gen, schema=f"id_a {id_t}, id_b {id_t}, _cos double"
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("_cos"), 6).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= threshold)
+
+
 def embedding_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    impl: str = "blas",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate DEDUP: drop every vector that
     has a near-duplicate with a smaller id (the canonical keep-lowest
     survivor rule — deterministic, and single-pass unlike clustering).
 
-    Pair generation is ``embedding_near_dup_pairs`` (brute-force
-    baseline; swap in the LSH-bucketed candidate generator at corpus
-    scale — the survivor rule is identical either way). The drop-set is
-    tiny relative to the corpus, so it rides into the anti-join as a
-    broadcast.
+    Pair generation defaults to the blocked-BLAS all-pairs kernel
+    (``impl="blas"``); ``impl="expr"`` keeps the pure-Column BNLJ
+    baseline. Both are brute-force — swap in the LSH-bucketed
+    candidate generator at corpus scale; the survivor rule is
+    identical either way. The drop-set is tiny relative to the corpus,
+    so it rides into the anti-join as a broadcast.
     """
-    pairs = embedding_near_dup_pairs(df, id_col, vec_col, threshold)
+    gen = (
+        embedding_near_dup_pairs_blas
+        if impl == "blas"
+        else embedding_near_dup_pairs
+    )
+    pairs = gen(df, id_col, vec_col, threshold)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(F.broadcast(losers), id_col, "left_anti")
 
