@@ -374,6 +374,109 @@ def dedup_exact(
     )
 
 
+def _minhash_frame_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_k: int,
+) -> DataFrame:
+    """(_id, _shingles, _sig) via one Arrow-batched kernel.
+
+    Bit-identical to the staged-expression path (``shingles`` +
+    ``_shingle_hash`` + ``_signature_from_hashes``) but ~10× cheaper:
+    the 260k-shingle × 64-permutation min-fold that Spark evaluates as
+    interpreted higher-order functions becomes one vectorized numpy
+    ``(H·A + B) mod p`` + ``minimum.reduceat`` per Arrow batch.
+
+    Parity notes (each mirrors a JVM semantic exactly):
+    - Spark ``trim`` strips only ASCII spaces → ``str.strip(" ")``.
+    - Java ``\\s`` is ASCII-only → explicit ``[ \\t\\n\\x0b\\f\\r]+``
+      class, NOT Python ``\\s`` (which also matches \\x1c-\\x1f and
+      Unicode spaces).
+    - ``array_distinct`` keeps first-occurrence order →
+      ``dict.fromkeys``.
+    - 0/1-token docs yield their whole token join as the single
+      shingle (``greatest(n-k+1, 1)``); empty text yields [""].
+    - NULL text → NULL shingles, all-p signature (the ``coalesce``
+      branch of ``_signature_from_hashes``).
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        ensure_min_partitions,
+    )
+
+    params = _hash_params(num_hashes)
+    a_vec = np.array([p[0] for p in params], dtype=np.int64)
+    b_vec = np.array([p[1] for p in params], dtype=np.int64)
+    p_mod = _MERSENNE_P
+    split_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            sh_out: list[list[str] | None] = []
+            hash_chunks: list[np.ndarray] = []
+            offsets: list[int] = []
+            pos = 0
+            for text in pdf[text_col]:
+                if text is None:
+                    sh_out.append(None)
+                    offsets.append(-1)
+                    continue
+                toks = [t for t in split_re.split(text.strip(" ")) if t]
+                n = len(toks)
+                grams = [
+                    " ".join(toks[i : i + shingle_k])
+                    for i in range(max(n - (shingle_k - 1), 1))
+                ]
+                sh = list(dict.fromkeys(grams))
+                sh_out.append(sh)
+                hash_chunks.append(
+                    np.array(
+                        [
+                            int(
+                                hashlib.md5(g.encode()).hexdigest()[:8], 16
+                            )
+                            for g in sh
+                        ],
+                        dtype=np.int64,
+                    )
+                )
+                offsets.append(pos)
+                pos += len(sh)
+            if hash_chunks:
+                h_all = np.concatenate(hash_chunks)
+                # h < 2^32, a < 2^30 → products < 2^62: exact in int64,
+                # same arithmetic as the Column expression path.
+                perms = (h_all[:, None] * a_vec[None, :] + b_vec[None, :]) % p_mod
+                starts = [o for o in offsets if o >= 0]
+                mins = np.minimum.reduceat(perms, np.array(starts), axis=0)
+            sigs = []
+            row = 0
+            for o in offsets:
+                if o < 0:
+                    sigs.append([p_mod] * num_hashes)
+                else:
+                    sigs.append(mins[row].tolist())
+                    row += 1
+            yield pd.DataFrame(
+                {"_id": pdf[id_col], "_shingles": sh_out, "_sig": sigs}
+            )
+
+    src = ensure_min_partitions(df.select(id_col, text_col))
+    return src.mapInPandas(
+        gen,
+        schema=f"_id {id_t}, _shingles array<string>, _sig array<bigint>",
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -382,6 +485,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     cache_signatures: bool = True,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Near-duplicate CANDIDATE pairs via LSH banding.
 
@@ -403,24 +507,34 @@ def lsh_candidate_pairs(
     With ``cache_signatures=True`` the result is computed EAGERLY: the
     corpus-sized signature cache is released as soon as the (small)
     pair list is materialized, instead of pinning it for the session.
+
+    ``impl="arrow"`` (default) computes the (shingles, signature)
+    frame in one vectorized Arrow kernel (``_minhash_frame_arrow`` —
+    bit-identical, ~10× cheaper); ``impl="expr"`` keeps the pure
+    Column-expression pipeline as the oracle-checkable baseline.
     """
     from gcp_food_delivery_data_pipeline_spark.operators.scale import (
         ensure_min_partitions,
     )
 
     rows = num_hashes // bands
-    # widen narrow inputs first: minhashing is the expensive stage and
-    # must not run on a single input split (see ensure_min_partitions)
-    staged = ensure_min_partitions(
-        df.select(F.col(id_col).alias("_id"), F.col(text_col))
-    ).withColumn("_shingles", shingles(text_col, k=shingle_k))
-    with_sig = staged.withColumn(
-        "_h", F.transform(F.col("_shingles"), _shingle_hash)
-    ).select(
-        "_id",
-        "_shingles",
-        _signature_from_hashes(F.col("_h"), num_hashes).alias("_sig"),
-    )
+    if impl == "arrow":
+        with_sig = _minhash_frame_arrow(
+            df, text_col, id_col, num_hashes, shingle_k
+        )
+    else:
+        # widen narrow inputs first: minhashing is the expensive stage
+        # and must not run on a single input split
+        staged = ensure_min_partitions(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col))
+        ).withColumn("_shingles", shingles(text_col, k=shingle_k))
+        with_sig = staged.withColumn(
+            "_h", F.transform(F.col("_shingles"), _shingle_hash)
+        ).select(
+            "_id",
+            "_shingles",
+            _signature_from_hashes(F.col("_h"), num_hashes).alias("_sig"),
+        )
     if cache_signatures:
         # The signature frame feeds the band join AND both shingle
         # re-attach joins; without a persist the shingling+minhash of
