@@ -3,11 +3,13 @@
 
 Reference graph (code/beam.py:109-193): read → P1..P4 → fan-out to
 {F1→count→sink, F2→count→sink, global count}. Beam executes all five
-terminal edges in one run; Spark runs one job per action, so the one
-deliberate physical decision here is to ``persist()`` the cleaned
-DataFrame at the fan-out point (SURVEY.md §4) — the scan+clean is
-computed once, then two partitioned writes and one single-pass
-3-way count reuse it.
+terminal edges in one run; Spark runs one job per action. The one
+deliberate physical decision here is to NOT cache at the fan-out
+point by default: for a regex-projection of all-string columns the
+columnar cache build costs ~5× the work it saves and cache reads are
+slower than recomputing from the CSV (measured — see
+``run_pipeline``); recomputing the scan+clean per action wins. A
+``persist=True`` opt-in covers expensive upstreams.
 """
 
 from __future__ import annotations
@@ -40,9 +42,20 @@ def run_pipeline(
     spark: SparkSession,
     input_path: str,
     output_dir: str,
+    persist: bool = False,
 ) -> PipelineResult:
     """Clean one batch of orders, split by status, append both tables,
     and return the three run counts (reference entry point B, §3.2).
+
+    ``persist=False`` (default) recomputes the scan+clean for each of
+    the three actions. Measured at 1M rows / 13 string columns, the
+    columnar cache is a double loss for this shape: building it costs
+    ~5× the projection it saves (string column batches compress one
+    value at a time), and the partitioned write READING the cache is
+    slower than re-parsing the CSV (56s cached vs 11.6s recomputed,
+    local[32]). ``persist=True`` is for genuinely expensive upstreams
+    (remote object store, heavier parse) where three source passes
+    cost more than one cache build.
     """
     raw = read_orders_csv(spark, input_path)
     # drop_malformed=False: the reference counts C1-C3 on cleaned_data
@@ -50,8 +63,8 @@ def run_pipeline(
     # code/beam.py:50-51,140-162) — so counts include short rows and
     # only the sinks exclude them.
     cleaned = with_ingest_date(clean_orders(raw, drop_malformed=False))
-    # Fan-out point: 2 writes + 1 count reuse this materialization.
-    cleaned.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist:
+        cleaned.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         sink_ready = cleaned.filter(~F.col("is_short")).drop("is_short")
         delivered, other = split_by_status(sink_ready)
@@ -63,7 +76,8 @@ def run_pipeline(
         # S6 parity: reference logs the three counts (code/beam.py:140-162).
         log_counts(counts.total, counts.delivered, counts.other)
     finally:
-        cleaned.unpersist()
+        if persist:
+            cleaned.unpersist()
     return PipelineResult(
         counts=counts, delivered_path=delivered_path, other_path=other_path
     )
