@@ -162,21 +162,94 @@ def with_simhash(
     text_col: str = "text",
     bits: int = SIMHASH_BITS,
     out_col: str = "simhash",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Append a SimHash fingerprint (Charikar 2002) of the token stream.
 
-    Token hash = first 8 hex of md5 (engine-stable, like MinHash),
-    staged as its own projection so the ``bits`` sign-sums share one
-    md5 pass. Near-identical texts differ in few fingerprint bits →
+    Token hash = first 8 hex of md5 (engine-stable, like MinHash).
+    Near-identical texts differ in few fingerprint bits →
     Hamming-distance bucketing (group by bands of the fingerprint)
-    finds near-dups without pairwise comparison. No UDFs, no shuffle.
+    finds near-dups without pairwise comparison. No shuffle.
+
+    ``impl="arrow"`` (default) computes the per-doc sign-sums in one
+    vectorized numpy pass per Arrow batch — bit-identical to the
+    ``impl="expr"`` Column pipeline, which evaluates ``bits``
+    interpreted ``aggregate`` folds per row (~8× slower; kept as the
+    oracle-checkable baseline). The Arrow path round-trips every input
+    column through pandas, so call it on a projected frame
+    (id + text), not a wide one.
+
+    Parity notes for the kernel (mirrors JVM semantics exactly):
+    tokenizer = Spark ``trim`` (ASCII spaces only) + Java ``\\s+``
+    (ASCII class) + drop-empty; repeated tokens count once per
+    occurrence; NULL/empty text → fingerprint 0 (NULL bit-sums take
+    the ``otherwise(0)`` branch in the expression form).
     """
-    staged = df.withColumn(
-        "_th", F.transform(tokens(F.col(text_col)), _shingle_hash)
+    if impl != "arrow":
+        staged = df.withColumn(
+            "_th", F.transform(tokens(F.col(text_col)), _shingle_hash)
+        )
+        return staged.withColumn(
+            out_col, _simhash_from_hashes(F.col("_th"), bits)
+        ).drop("_th")
+
+    import hashlib
+    import re
+
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    split_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    bit_idx = np.arange(bits, dtype=np.int64)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, LongType())]
     )
-    return staged.withColumn(
-        out_col, _simhash_from_hashes(F.col("_th"), bits)
-    ).drop("_th")
+
+    def gen(batches):
+        for pdf in batches:
+            hash_chunks: list[np.ndarray] = []
+            starts: list[int] = []
+            offsets: list[int] = []
+            pos = 0
+            for text in pdf[text_col]:
+                toks = (
+                    [t for t in split_re.split(text.strip(" ")) if t]
+                    if text is not None
+                    else []
+                )
+                if not toks:
+                    offsets.append(-1)
+                    continue
+                hash_chunks.append(
+                    np.array(
+                        [
+                            int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                            for t in toks
+                        ],
+                        dtype=np.int64,
+                    )
+                )
+                offsets.append(pos)
+                starts.append(pos)
+                pos += len(toks)
+            if hash_chunks:
+                h_all = np.concatenate(hash_chunks)
+                signs = ((h_all[:, None] >> bit_idx) & 1) * 2 - 1
+                sums = np.add.reduceat(signs, np.array(starts), axis=0)
+                fps_dense = (
+                    ((sums > 0).astype(np.int64) << bit_idx).sum(axis=1)
+                )
+            fps = []
+            row = 0
+            for o in offsets:
+                if o < 0:
+                    fps.append(0)
+                else:
+                    fps.append(int(fps_dense[row]))
+                    row += 1
+            yield pdf.assign(**{out_col: fps})
+
+    return df.mapInPandas(gen, out_schema)
 
 
 def hamming_distance(a: Column | str, b: Column | str) -> Column:
