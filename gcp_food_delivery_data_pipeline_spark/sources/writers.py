@@ -181,3 +181,88 @@ def merge_upsert(
 def ensure_database(spark: SparkSession, name: str) -> None:
     """Reference S5: ``CREATE DATASET IF NOT EXISTS`` (beam.py:141-150)."""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+
+_FANOUT_CLASS_COL = "_status_class"
+
+
+def write_status_fanout(
+    df: DataFrame,
+    delivered_path: str,
+    other_path: str,
+    status_col: str = "status",
+    delivered_value: str = "delivered",
+    batch_id: int = BATCH_MODE_ID,
+) -> None:
+    """Both status tables in ONE pass over ``df``.
+
+    ``write_status_table`` twice scans (and cleans) the source twice —
+    each branch re-reads everything and filters. Here the split key
+    becomes a leading partition column: one write job lays the rows out
+    as ``<tmp>/_status_class={delivered,other}/ingest_date=D/batch_id=N/
+    part-*.parquet``, then each leaf directory's files are renamed into
+    the corresponding table root (file moves are metadata ops on
+    HDFS/local; part file names are run-unique UUIDs, so appending into
+    a leaf that already exists cannot collide). Result is byte- and
+    layout-identical to two ``write_status_table`` appends — readers
+    see the same ``(ingest_date, batch_id)`` partitioning — for half
+    the source passes. On object stores without atomic rename, point
+    the two tables at a manifest-based format instead (same caveat as
+    ``compact_table``).
+
+    NULL statuses land in *other* (``split_by_status`` parity): the
+    partition value for NULL-vs-``delivered`` comparison is computed
+    explicitly, never left to partition-column NULL handling.
+    """
+    if "ingest_date" not in df.columns:
+        df = with_ingest_date(df)
+    if "batch_id" not in df.columns:
+        df = df.withColumn("batch_id", F.lit(batch_id))
+    spark = df.sparkSession
+    tmp = delivered_path + ".fanout_tmp"
+    fs, jtmp = _hadoop_fs(spark, tmp)
+    if fs.exists(jtmp):
+        fs.delete(jtmp, True)
+    cls = F.when(
+        F.col(status_col) == delivered_value, F.lit("delivered")
+    ).otherwise(F.lit("other"))
+    (
+        df.withColumn(_FANOUT_CLASS_COL, cls)
+        .write.partitionBy(_FANOUT_CLASS_COL, *PARTITION_COLS)
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    jvm = spark._jvm
+    for side, root in (("delivered", delivered_path), ("other", other_path)):
+        jroot = jvm.org.apache.hadoop.fs.Path(root)
+        if not fs.exists(jroot):
+            fs.mkdirs(jroot)
+        side_dir = jvm.org.apache.hadoop.fs.Path(
+            tmp, f"{_FANOUT_CLASS_COL}={side}"
+        )
+        if fs.exists(side_dir):
+            for date_st in fs.listStatus(side_dir):
+                if not date_st.isDirectory():
+                    continue
+                date_name = date_st.getPath().getName()
+                for batch_st in fs.listStatus(date_st.getPath()):
+                    dest_dir = jvm.org.apache.hadoop.fs.Path(
+                        jroot, f"{date_name}/{batch_st.getPath().getName()}"
+                    )
+                    if not fs.exists(dest_dir):
+                        fs.mkdirs(dest_dir)
+                    for f_st in fs.listStatus(batch_st.getPath()):
+                        name = f_st.getPath().getName()
+                        if not fs.rename(
+                            f_st.getPath(),
+                            jvm.org.apache.hadoop.fs.Path(dest_dir, name),
+                        ):
+                            raise IOError(
+                                f"write_status_fanout: cannot move {name} "
+                                f"into {dest_dir}"
+                            )
+        # _SUCCESS marker per table, matching a direct write
+        fs.create(
+            jvm.org.apache.hadoop.fs.Path(jroot, "_SUCCESS"), True
+        ).close()
+    fs.delete(jtmp, True)
