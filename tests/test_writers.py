@@ -116,3 +116,43 @@ def test_merge_upsert_rejects_schema_mismatch(spark, tmp_path):
     bad = spark.createDataFrame([(1,)], ["id"])
     with pytest.raises(ValueError, match="column mismatch"):
         merge_upsert(spark, out, bad, key_cols=["id"])
+
+
+def test_write_status_fanout_matches_two_table_writes(spark, tmp_path):
+    """One fan-out pass produces byte-equivalent tables to two appends,
+    including NULL-status routing and append-into-existing-leaf."""
+    from gcp_food_delivery_data_pipeline_spark.operators.split import (
+        split_by_status,
+    )
+    from gcp_food_delivery_data_pipeline_spark.sources.writers import (
+        write_status_fanout,
+        write_status_table,
+    )
+
+    rows = [
+        (1, "delivered"),
+        (2, "on the way"),
+        (3, None),           # NULL -> other (split_by_status parity)
+        (4, "delivered"),
+    ]
+    df = spark.createDataFrame(rows, ["order_id", "status"])
+
+    fan = str(tmp_path / "fan")
+    ref = str(tmp_path / "ref")
+    write_status_fanout(df, f"{fan}/delivered", f"{fan}/other")
+    delivered, other = split_by_status(df)
+    write_status_table(delivered, f"{ref}/delivered")
+    write_status_table(other, f"{ref}/other")
+
+    for side in ("delivered", "other"):
+        got = spark.read.parquet(f"{fan}/{side}")
+        want = spark.read.parquet(f"{ref}/{side}")
+        assert sorted(got.columns) == sorted(want.columns)
+        key = [r.order_id for r in got.select("order_id").collect()]
+        want_key = [r.order_id for r in want.select("order_id").collect()]
+        assert sorted(key) == sorted(want_key)
+
+    # append: a second fan-out run doubles rows, never clobbers
+    write_status_fanout(df, f"{fan}/delivered", f"{fan}/other")
+    assert spark.read.parquet(f"{fan}/delivered").count() == 4
+    assert spark.read.parquet(f"{fan}/other").count() == 4
