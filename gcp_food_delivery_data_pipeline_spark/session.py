@@ -66,6 +66,11 @@ def get_spark(
         # Driver testdata stores TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read as LONG nanos, converted in load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Driver testdata stores timestamp[us] with NO timezone — by
+        # default Spark reads that as TIMESTAMP_NTZ, which rejects
+        # cast(long)/unix_micros/watermarks. Read as plain TIMESTAMP
+        # (session tz UTC makes the mapping deterministic).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Single-JVM local mode: the "driver" heap IS the executor heap.
         # 8g showed monotonic GC degradation across a 28-query bench
         # session (43s for a 2s query by the tail); 32g on the 128 GiB

@@ -70,30 +70,48 @@ def read_orders_lines(
     )
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-local TIMESTAMP.
+
+    Defensive fallback for DataFrames read before ``load_table`` could
+    pin the reader conf (e.g. handed in by a caller). With the session
+    timezone pinned to UTC the cast is a pure type relabel — the
+    underlying micros are unchanged — but it re-enables everything NTZ
+    rejects: ``cast(long)``, ``unix_micros``, watermarks.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one of the driver's parquet tables from a scale-factor dir.
 
-    Nanosecond TIMESTAMP columns (stored by the generator, unreadable
-    by Spark's parquet reader) arrive as LONG nanos via
-    ``spark.sql.legacy.parquet.nanosAsLong`` and are normalized to
-    microsecond timestamps here (`` div 1000`` stays in integer math —
-    a double division would lose precision above 2^53).
+    The driver stores timestamps as parquet ``timestamp[us]`` WITHOUT a
+    timezone, which Spark would surface as TIMESTAMP_NTZ — a type that
+    rejects ``cast(long)`` / ``unix_micros`` / watermarking. Disabling
+    NTZ inference AT THE SCAN (runtime-settable, so it works even on a
+    session built without the engine's defaults in session.py) makes the
+    reader produce plain TIMESTAMP columns directly — keeping ts
+    predicates pushdown-eligible, which a post-read cast would break.
+    Session timezone is pinned UTC so the micros→wall-clock mapping is
+    host-independent. Legacy nanos-as-long handling is kept for
+    generators that store TIMESTAMP(NANOS).
     """
     from pyspark.sql.types import LongType
 
-    if name == "events":
-        # Runtime-settable; makes the nanos table readable even on a
-        # session built without the engine's defaults (session.py).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestamp_micros() below yields an LTZ timestamp: pin UTC so
-        # date_format/cast results don't depend on the host timezone.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     ts_nanos = {"events": ["ts"]}.get(name, [])
     for c in ts_nanos:
         if c in df.columns and isinstance(df.schema[c].dataType, LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
-    return df
+    return normalize_timestamps(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str, DataFrame]:

@@ -57,6 +57,11 @@ def read_events_stream(
     (streams need explicit schemas; nanos-as-long normalization matches
     sources/readers.py:load_table).
     """
+    # NTZ inference must be off BEFORE the schema probe: a TIMESTAMP_NTZ
+    # ts column cannot carry a watermark (EVENT_TIME_IS_NOT_ON_TIMESTAMP
+    # _TYPE). Runtime-settable, mirrors sources/readers.py:load_table.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     static = spark.read.parquet(input_dir)
     df = (
         spark.readStream.schema(static.schema)
@@ -67,7 +72,11 @@ def read_events_stream(
 
     if isinstance(df.schema["ts"].dataType, _Long):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    from gcp_food_delivery_data_pipeline_spark.sources.readers import (
+        normalize_timestamps,
+    )
+
+    return normalize_timestamps(df)
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
