@@ -120,38 +120,52 @@ def main() -> None:
     # Python-worker warmup: fork the Arrow worker pool once (32 cold
     # workers importing pandas concurrently costs ~15s if paid inside
     # a measured query)
-    n_cpus = spark.sparkContext.defaultParallelism
-    spark.range(n_cpus * 10).repartition(n_cpus).mapInPandas(
-        lambda it: it, "id long"
-    ).write.format("noop").mode("overwrite").save()
+    try:
+        n_cpus = spark.sparkContext.defaultParallelism
+        spark.range(n_cpus * 10).repartition(n_cpus).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
+    except Exception:  # noqa: BLE001 — warmup is best-effort
+        pass
 
+    # Fault isolation (round-2 post-mortem): ONE query raising used to
+    # void the whole run — two rounds produced zero bench signal. Each
+    # query is now timed independently; failures land in "errors" and
+    # the JSON line prints regardless.
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
-        fn = queries[name]
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # Queries that persist internally (LSH pair caches) must not
-        # pin heap across the rest of the run — each unit is timed
-        # independently, so cross-query cache reuse is never measured.
-        spark.catalog.clearCache()
+        try:
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # noqa: BLE001 — report, never die
+            errors[name] = f"{type(ex).__name__}: {ex}"[:500]
+        finally:
+            # Queries that persist internally (LSH pair caches) must
+            # not pin heap across the rest of the run — each unit is
+            # timed independently, so cross-query cache reuse is never
+            # measured.
+            spark.catalog.clearCache()
 
-    timings["pipeline_1m_rows"] = _bench_pipeline_1m(spark)
+    try:
+        timings["pipeline_1m_rows"] = _bench_pipeline_1m(spark)
+    except Exception as ex:  # noqa: BLE001
+        errors["pipeline_1m_rows"] = f"{type(ex).__name__}: {ex}"[:500]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
