@@ -132,3 +132,35 @@ def test_connected_components_transitive_closure(spark):
         for r in connected_components(pairs, vertices).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_embedding_blocked_pairs_match_expr_baseline(spark):
+    """The distributed blocked kernel (default at scale: no driver
+    collect, no corpus broadcast) must produce bit-identical pairs to
+    the pure-Column BNLJ baseline on the driver's real embeddings."""
+    import os
+
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_blocked,
+    )
+    from gcp_food_delivery_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    e = load_table(spark, sf, "embeddings")
+    want = sorted(
+        map(tuple, embedding_near_dup_pairs(e, threshold=0.35).collect())
+    )
+    # force a multi-block grid so diagonal AND off-diagonal kernel
+    # branches both execute
+    got = sorted(
+        map(
+            tuple,
+            embedding_near_dup_pairs_blocked(
+                e, threshold=0.35, n_blocks=5
+            ).collect(),
+        )
+    )
+    assert got == want and len(want) > 0
