@@ -854,9 +854,19 @@ def connected_components(
     of changed labels (a 1-row job per round — the loop control the
     DataFrame API can't express declaratively).
     """
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    # Materialize the edge list ONCE: `pairs` usually carries a whole
+    # candidate-generation pipeline (shingle→MinHash→LSH→verify) in its
+    # lineage, and without the checkpoint that pipeline re-executes
+    # twice per round (once per unionAll branch) — the dominant cost of
+    # the whole operator. The pair set itself is tiny relative to the
+    # corpus.
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("comp")
     ).localCheckpoint()
