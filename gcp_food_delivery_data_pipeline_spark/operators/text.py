@@ -174,11 +174,18 @@ def tf_idf_top_terms(
     """Top-k TF-IDF terms per document, pure DataFrame ops.
 
     tf = term count / doc tokens; idf = ln(N / docs-containing-term).
-    Two aggregations (one per grouping key) + a broadcast join of the
-    (small) document-frequency vocabulary + one ranked window — the
-    same shuffles a 100 TB run needs, nothing more. N is a single
-    scalar count job. Deterministic tie-break: (tfidf DESC, term ASC).
+    ONE pass over the exploded tokens: tf aggregates on (doc, term),
+    then document frequency is a count window over the term partition
+    of that (already shuffled-down) doc-term table. The previous shape
+    — a second aggregation + broadcast join of the vocabulary — scanned
+    and exploded the corpus twice (column pruning makes the two tf
+    subtrees different exchanges, so Spark cannot reuse them) and
+    assumed the full vocabulary fits a driver broadcast, which a
+    100 TB corpus's does not. N is a single scalar count job.
+    Deterministic tie-break: (tfidf DESC, term ASC).
     """
+    from pyspark.sql import Window
+
     n_docs = df.count()
     toks = df.select(
         F.col(id_col),
@@ -188,15 +195,16 @@ def tf_idf_top_terms(
     tf = toks.groupBy(id_col, "term").agg(
         (F.count(F.lit(1)) / F.first("_n_tokens")).alias("_tf")
     )
-    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
-    scored = tf.join(F.broadcast(doc_freq), "term").select(
+    w_term = Window.partitionBy("term")
+    scored = tf.withColumn(
+        "_df", F.count(F.lit(1)).over(w_term)
+    ).select(
         F.col(id_col),
         "term",
         (F.col("_tf") * F.log(F.lit(float(n_docs)) / F.col("_df"))).alias(
             "_tfidf"
         ),
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy(
         F.col("_tfidf").desc(), F.col("term")
