@@ -23,6 +23,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcp_food_delivery_data_pipeline_spark.config import load_conf
+from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+    EMAIL_RE as _EMAIL_RE,
+    IPV4_RE as _IPV4_RE,
+    PHONE_RE as _PHONE_RE,
+)
 from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
     dedup_exact,
     embedding_dedup,
@@ -914,6 +919,66 @@ def _q_fuzzy_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ----- corpus preparation (M5, operators/corpus.py) -----
+
+def _q_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return chunk_documents(d, chunk_tokens=64, overlap=8)
+
+
+def _q_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        redact_pii,
+    )
+
+    # The synthetic docs carry no PII; append a deterministic
+    # email+IP+phone tail so every row exercises all three passes.
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0.0.7 or +1 (555) 010-"),
+            F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(d).select("doc_id", "text_redacted", "pii_hits")
+
+
+def _q_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        assign_split,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return assign_split(d, val_pct=10, test_pct=10).select("doc_id", "split")
+
+
+def _q_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        ngram_contamination,
+    )
+
+    d = load_table(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return ngram_contamination(corpus, bench, n=3)
+
+
+def _q_pack(spark: SparkSession, sf: str) -> DataFrame:
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        pack_sequences,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return pack_sequences(d, context_tokens=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference parity (SURVEY.md §2)
@@ -980,6 +1045,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_features": _q_multimodal_features,
         "m_resize": _q_multimodal_resize,
         "m_frames": _q_multimodal_frames,
+        # corpus preparation (M5)
+        "c_chunks": _q_chunks,
+        "c_redact_pii": _q_redact_pii,
+        "c_split_assign": _q_split_assign,
+        "c_contamination": _q_contamination,
+        "c_pack_sequences": _q_pack,
         # analytics (M4) — driver-graded green in round 2
         "q1_pricing_summary": _q_q1,
         "q3_top_revenue": _q_q3,
@@ -1742,5 +1813,75 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN i < length(text) % 4 THEN 1 ELSE 0 END AS BIGINT) "
             "AS n_frame_bytes "
             "FROM documents, generate_series(0, 3) t(i)"
+        ),
+        # corpus preparation (operators/corpus.py). DuckDB range()
+        # EXCLUDES its stop where Spark sequence() includes it — hence
+        # the +1 bounds; list slices l[a:b] are 1-based inclusive.
+        "c_chunks": (
+            f"WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents), "
+            "s AS (SELECT doc_id, toks, "
+            "range(1, greatest(len(toks) - 8, 1) + 1, 56) AS starts "
+            "FROM t WHERE len(toks) > 0) "
+            "SELECT doc_id, "
+            "CAST(unnest(range(0, len(starts))) AS INT) AS chunk_idx, "
+            "unnest(list_transform(starts, "
+            "s -> array_to_string(toks[s : s + 63], ' '))) AS chunk_text, "
+            "CAST(unnest(list_transform(starts, "
+            "s -> least(64, len(toks) - s + 1))) AS INT) AS n_tokens "
+            "FROM s"
+        ),
+        "c_redact_pii": (
+            "WITH t AS (SELECT doc_id, text || ' contact user' || "
+            "CAST(doc_id AS VARCHAR) || '@example.com at 10.0.0.7 or "
+            "+1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+            "AS text2 FROM documents), "
+            "r AS (SELECT doc_id, text2, "
+            "regexp_replace(text2, '" + _EMAIL_RE + "', '[EMAIL]', 'g') AS ae "
+            "FROM t), "
+            "r2 AS (SELECT doc_id, text2, ae, "
+            "regexp_replace(ae, '" + _IPV4_RE + "', '[IP]', 'g') AS ai FROM r) "
+            "SELECT doc_id, "
+            "regexp_replace(ai, '" + _PHONE_RE + "', '[PHONE]', 'g') "
+            "AS text_redacted, "
+            "CAST(len(regexp_extract_all(text2, '" + _EMAIL_RE + "')) + "
+            "len(regexp_extract_all(ae, '" + _IPV4_RE + "')) + "
+            "len(regexp_extract_all(ai, '" + _PHONE_RE + "')) AS INT) "
+            "AS pii_hits FROM r2"
+        ),
+        "c_split_assign": (
+            "SELECT doc_id, CASE WHEN b < 10 THEN 'val' "
+            "WHEN b < 20 THEN 'test' ELSE 'train' END AS split "
+            "FROM (SELECT doc_id, "
+            "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS BIGINT) % 100 AS b FROM documents)"
+        ),
+        "c_contamination": (
+            f"WITH base AS (SELECT doc_id, {_TOKENS} AS toks FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+            "list_distinct(list_transform(range(1, len(toks) - 1), "
+            "i -> array_to_string(toks[i : i + 2], ' '))) "
+            "ELSE [] END AS grams FROM base), "
+            "bench AS (SELECT DISTINCT unnest(grams) AS ngram FROM g "
+            "WHERE doc_id % 20 = 0), "
+            "corpus AS (SELECT * FROM g WHERE doc_id % 20 <> 0), "
+            "e AS (SELECT doc_id, unnest(grams) AS ngram FROM corpus), "
+            "h AS (SELECT e.doc_id, e.ngram, "
+            "CASE WHEN b.ngram IS NOT NULL THEN 1 END AS hit "
+            "FROM e LEFT JOIN bench b ON e.ngram = b.ngram) "
+            "SELECT c.doc_id, count(h.ngram) AS n_ngrams, "
+            "count(h.hit) AS n_contaminated, "
+            "round(coalesce(count(h.hit) / nullif(count(h.ngram), 0), 0), 6) "
+            "AS contamination "
+            "FROM corpus c LEFT JOIN h ON c.doc_id = h.doc_id "
+            "GROUP BY c.doc_id"
+        ),
+        "c_pack_sequences": (
+            f"WITH t AS (SELECT doc_id, len({_TOKENS}) AS nt FROM documents), "
+            "c AS (SELECT doc_id, nt, sum(nt) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt "
+            "AS tok_before FROM t) "
+            "SELECT doc_id, CAST(nt AS INT) AS n_tokens, "
+            "CAST(floor(tok_before / 256) AS BIGINT) AS bin_id, "
+            "CAST(tok_before % 256 AS BIGINT) AS bin_offset FROM c"
         ),
     }

@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "v_topk_scalable",      # two-phase top-k
     "j_asof_click_purchase",  # as-of join (union + window)
     "m_features",           # Arrow-batched mapInPandas
+    "c_chunks",             # token-window chunking (sequence explode)
+    "c_contamination",      # n-gram benchmark semi-join
+    "c_pack_sequences",     # global ordered-window packing
 ]
 
 

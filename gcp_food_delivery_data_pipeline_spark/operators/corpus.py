@@ -1,0 +1,266 @@
+"""Corpus-preparation operators for LLM training-data pipelines.
+
+The reference ends at cleaned per-order rows (SURVEY.md §2); a
+training-data pipeline additionally needs the corpus-shaping steps
+between "deduplicated documents" and "token stream on the trainer":
+
+* ``chunk_documents``   — fixed-token-window chunks with overlap
+                          (posexplode of slice() windows; no Python)
+* ``redact_pii``        — email / phone / IPv4 scrub via chained
+                          ``regexp_replace`` (codegen, scan-pruned)
+* ``assign_split``      — deterministic hash train/val/test assignment
+                          (engine-stable md5 bucket, reproducible
+                          across runs AND engines — never ``rand()``)
+* ``ngram_contamination`` — fraction of a doc's word n-grams present in
+                          a benchmark set (broadcast semi-join on
+                          n-gram hashes — the eval-leak check)
+* ``pack_sequences``    — contiguous greedy packing of docs into
+                          fixed-token-budget training bins (cumulative
+                          sum over a deterministic order)
+
+Everything is Column expressions over DataFrames: chunking explodes
+JVM-side, packing is a window aggregation, contamination is an
+equi-join — each shape survives a 1000-executor corpus. No UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gcp_food_delivery_data_pipeline_spark.operators.text import (
+    token_count,
+    tokens,
+)
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into ``chunk_tokens``-token windows stepping
+    ``chunk_tokens - overlap`` tokens, rejoined with single spaces.
+
+    Output: (id, chunk_idx, chunk_text, n_tokens). The final window may
+    be short (its remaining tokens), and a document shorter than one
+    window yields exactly one chunk; empty docs yield none. Pure
+    ``sequence``+``transform``+``posexplode`` — the explode multiplies
+    rows ~n_tokens/step ×, which is the output's true size; nothing
+    else is amplified, and the scan is pruned to (id, text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # Window starts: 1, 1+step, ... while start <= max(n - overlap, 1).
+    # The cap keeps a trailing window that would ONLY repeat overlap
+    # tokens from spawning (it must add at least one new token).
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(step)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(toks, s, chunk_tokens), " ")
+    )
+    out = df.select(
+        F.col(id_col), F.posexplode(F.when(n > 0, chunks)).alias(
+            "chunk_idx", "chunk_text"
+        )
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        "chunk_text",
+        token_count(F.col("chunk_text")).alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# ASCII-only patterns: Java regex (Spark) and RE2 (DuckDB) agree on
+# these; \b word boundaries are supported by both.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9 ()\-]{7,}[0-9]"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+) -> DataFrame:
+    """Replace emails → ``[EMAIL]``, phone-like digit runs → ``[PHONE]``,
+    IPv4 literals → ``[IP]``; adds a ``pii_hits`` count of replacements.
+
+    Order matters and is part of the contract: emails first (so the
+    digits inside one can't half-match the phone pattern), then IPs,
+    then phones. Three chained ``regexp_replace`` — whole-stage
+    codegen over the scan, no Python.
+    """
+    c = F.col(text_col)
+    after_email = F.regexp_replace(c, EMAIL_RE, "[EMAIL]")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "[IP]")
+    after_phone = F.regexp_replace(after_ip, PHONE_RE, "[PHONE]")
+    n_hits = (
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(after_email, F.lit(IPV4_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(after_ip, F.lit(PHONE_RE), F.lit(0)))
+    )
+    return df.withColumn(out_col, after_phone).withColumn("pii_hits", n_hits)
+
+
+# ---------------------------------------------------------------------------
+# deterministic split assignment
+# ---------------------------------------------------------------------------
+
+
+def split_bucket(id_col: Column | str, buckets: int = 100) -> Column:
+    """Engine-stable hash bucket in [0, buckets): first 8 md5 hex chars
+    of the id string, mod buckets. Same construction as the MinHash
+    token hash (operators/dedup.py) — DuckDB computes the identical
+    value, and reruns are reproducible (unlike ``rand(seed)``, whose
+    stream depends on partitioning)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    id hash: bucket < val_pct → ``val``; next ``test_pct`` → ``test``;
+    rest → ``train``. A pure projection — no shuffle, no state, and the
+    same doc lands in the same split on every engine and every rerun,
+    which is what makes held-out sets trustworthy across pipeline
+    versions."""
+    b = split_bucket(id_col)
+    split = (
+        F.when(b < val_pct, F.lit("val"))
+        .when(b < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles of a text column (array<string>);
+    docs with fewer than n tokens yield none (they can't carry an
+    n-gram of the benchmark).
+
+    The short-doc guard must be a ``when``, not ``greatest``:
+    ``sequence(1, 0)`` in Spark generates a DESCENDING [1, 0], so an
+    unguarded sequence would fabricate phantom n-grams for short docs.
+    """
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document benchmark contamination: the fraction of the doc's
+    distinct word n-grams that appear anywhere in the benchmark set
+    (eval-leak detection — docs scoring high quote the benchmark).
+
+    Output: (id, n_ngrams, n_contaminated, contamination) with
+    contamination = n_contaminated / n_ngrams (docs with no n-grams
+    report 0.0). The benchmark's distinct n-grams are aggregated once
+    and joined (left) against the exploded corpus n-grams — at scale
+    the optimizer broadcasts the benchmark side (eval sets are small
+    by construction); the corpus side streams through one explode +
+    one re-aggregation on the id, never a cross join.
+    """
+    bench = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("ngram")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    doc_grams = corpus.select(
+        F.col(id_col), F.explode_outer(word_ngrams(F.col(text_col), n)).alias("ngram")
+    )
+    joined = doc_grams.join(F.broadcast(bench), "ngram", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.col("ngram")).alias("n_ngrams"),
+        F.count(F.col("_hit")).alias("n_contaminated"),
+        F.round(
+            F.coalesce(
+                F.count(F.col("_hit"))
+                / F.nullif(F.count(F.col("ngram")), F.lit(0)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("contamination"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    context_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concatenate-and-slice sequence packing (how LLM training data is
+    actually packed): documents are laid out as one continuous token
+    stream in ``id_col`` order, and the stream is cut into
+    ``context_tokens``-sized training windows. Each doc reports the
+    window its FIRST token lands in and its offset inside that window;
+    long docs straddle windows, exactly as in real packed pretraining
+    batches. (Greedy never-split packing — reset the bin at overflow —
+    is a sequential recurrence; this closed form is the variant with a
+    scalable plan AND the semantics trainers actually use.)
+
+    Output: (id, n_tokens, bin_id, bin_offset) with
+    bin_id = floor(tokens_before / budget),
+    bin_offset = tokens_before mod budget. One global ordered window:
+    at corpus scale Spark range-partitions the sort; for strictly
+    per-partition packing, prepend ``spark_partition_id`` to the window
+    key (documented trade: global determinism vs zero cross-partition
+    shuffle).
+    """
+    nt = token_count(F.col(text_col))
+    w = Window.orderBy(F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    csum = F.sum(nt).over(w)
+    before = csum - nt
+    return df.select(
+        F.col(id_col),
+        nt.alias("n_tokens"),
+        F.floor(before / context_tokens).cast("long").alias("bin_id"),
+        F.pmod(before, F.lit(context_tokens)).cast("long").alias("bin_offset"),
+    )

@@ -1,0 +1,126 @@
+"""Corpus-preparation operators (operators/corpus.py): chunking,
+PII redaction, split assignment, contamination, sequence packing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+    assign_split,
+    chunk_documents,
+    ngram_contamination,
+    pack_sequences,
+    redact_pii,
+    word_ngrams,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_chunk_windows_overlap_and_tail(spark):
+    # 10 tokens, chunk 4, overlap 1 -> step 3: starts 1,4,7 (start 10
+    # would only re-serve overlap) -> chunks of 4,4,4... wait: start 7
+    # covers 7..10, start 10 is past n-overlap=9.
+    text = " ".join(f"w{i}" for i in range(1, 11))
+    out = chunk_documents(
+        _docs(spark, [(1, text)]), chunk_tokens=4, overlap=1
+    ).collect()
+    assert [r.chunk_idx for r in out] == [0, 1, 2]
+    assert out[0].chunk_text == "w1 w2 w3 w4"
+    assert out[1].chunk_text == "w4 w5 w6 w7"
+    assert out[2].chunk_text == "w7 w8 w9 w10"
+    assert [r.n_tokens for r in out] == [4, 4, 4]
+
+
+def test_chunk_short_and_empty_docs(spark):
+    out = chunk_documents(
+        _docs(spark, [(1, "only two"), (2, ""), (3, "   ")]),
+        chunk_tokens=64,
+        overlap=8,
+    ).collect()
+    # short doc -> exactly one (short) chunk; blank docs -> no rows
+    assert len(out) == 1
+    assert out[0].doc_id == 1 and out[0].n_tokens == 2
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "x")]), chunk_tokens=8, overlap=8)
+
+
+def test_redact_pii_all_three_kinds(spark):
+    out = redact_pii(
+        _docs(
+            spark,
+            [(1, "mail a.b@x.org or 10.0.0.1, call +1 (555) 010-1234 now")],
+        )
+    ).collect()[0]
+    assert out.text_redacted == "mail [EMAIL] or [IP], call [PHONE] now"
+    assert out.pii_hits == 3
+
+
+def test_redact_email_digits_not_double_counted(spark):
+    out = redact_pii(_docs(spark, [(1, "x12345678901@example.com")])).collect()[0]
+    assert out.text_redacted == "[EMAIL]"
+    assert out.pii_hits == 1
+
+
+def test_assign_split_deterministic_and_partitioned(spark):
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: r.split for r in assign_split(df).collect()}
+    b = {r.doc_id: r.split for r in assign_split(df).collect()}
+    assert a == b
+    counts = {s: sum(1 for v in a.values() if v == s) for s in set(a.values())}
+    # 10/10/80 within generous hash tolerance
+    assert 50 <= counts["val"] <= 150
+    assert 50 <= counts["test"] <= 150
+    assert counts["train"] >= 700
+
+
+def test_word_ngrams_short_doc_yields_none(spark):
+    out = (
+        _docs(spark, [(1, "a b"), (2, "a b c d")])
+        .select("doc_id", word_ngrams("text", 3).alias("g"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert out[0].g == []
+    assert out[1].g == ["a b c", "b c d"]
+
+
+def test_contamination_fraction_and_empty_docs(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma zz"),  # grams: abg(hit), bgz, gzz -> wait
+            (2, "totally different words here"),
+            (3, "x"),  # no 3-grams
+        ],
+    )
+    rows = {
+        r.doc_id: r
+        for r in ngram_contamination(corpus, bench, n=3).collect()
+    }
+    # doc 1 grams: "alpha beta gamma"(hit), "beta gamma zz", "gamma zz ?" ->
+    # only 2 grams exist for 4 tokens: positions 1..2
+    assert rows[1].n_ngrams == 2 and rows[1].n_contaminated == 1
+    assert rows[1].contamination == pytest.approx(0.5)
+    assert rows[2].n_contaminated == 0
+    assert rows[3].n_ngrams == 0 and rows[3].contamination == 0.0
+
+
+def test_pack_sequences_stream_semantics(spark):
+    # budgets: 5 tokens; docs of 3,3,4 tokens in id order ->
+    # starts at 0,3,6 -> bins 0,0,1; offsets 0,3,1
+    docs = _docs(
+        spark, [(1, "a b c"), (2, "d e f"), (3, "g h i j")]
+    )
+    out = {r.doc_id: r for r in pack_sequences(docs, context_tokens=5).collect()}
+    assert (out[1].bin_id, out[1].bin_offset) == (0, 0)
+    assert (out[2].bin_id, out[2].bin_offset) == (0, 3)
+    assert (out[3].bin_id, out[3].bin_offset) == (1, 1)
+    assert out[3].n_tokens == 4
