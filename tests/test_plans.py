@@ -158,3 +158,30 @@ def test_partition_pruning_on_partitioned_table(spark, tmp_path):
     assert pf and re.search(r"\(o_orderstatus#\d+ = F\)", pf[0])
     # ...and not as a row-level post-scan Filter node
     assert not re.search(r"^\(\d+\) Filter", p, re.M)
+
+
+def test_contamination_broadcasts_benchmark_side(plans):
+    p = plans("c_contamination")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_chunking_prunes_scan_to_id_and_text(plans):
+    p = plans("c_chunks")
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "text" in read and "doc_id" in read
+    assert "lang" not in read and "source" not in read
+
+
+def test_split_assignment_is_shuffle_free(plans):
+    # pure projection: no exchange of any kind may appear
+    p = plans("c_split_assign")
+    assert "Exchange" not in p
+
+
+def test_redact_stays_in_codegen(plans):
+    # chained regexp_replace must run JVM-side, never a Python worker
+    p = plans("c_redact_pii")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # formatted explain marks codegen stages with "[codegen id : N]"
+    assert "codegen id" in p
