@@ -919,6 +919,61 @@ def _q_fuzzy_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ----- streaming parity (M5, streaming/events.py) -----
+
+def _stage_events_stream_dir(sf: str, name: str) -> tuple[str, str]:
+    """Copy the events table into a fresh streaming input dir and return
+    (input_dir, checkpoint_dir). Streaming sources read directories;
+    the checkpoint must be new per run so the drain re-processes."""
+    import shutil
+
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_{name}")
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    shutil.copy(os.path.join(sf, "events.parquet"), in_dir)
+    return in_dir, os.path.join(base, "ckpt")
+
+
+def _q_stream_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming parity, DRIVER-graded (not just pytest):
+    replay the events table through the watermarked tumbling-window
+    rollup (availableNow drain, complete mode) and return the final
+    result; the oracle is the equivalent batch SQL, so this asserts
+    stream == batch under the driver's own hash compare."""
+    from gcp_food_delivery_data_pipeline_spark.streaming.events import (
+        run_events_hourly_stream,
+    )
+
+    in_dir, ckpt = _stage_events_stream_dir(sf, "stream_hourly")
+    q = run_events_hourly_stream(
+        spark, in_dir, ckpt, query_name="drv_stream_hourly"
+    )
+    q.awaitTermination()
+    return spark.table("drv_stream_hourly").select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def _q_stream_user_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState)
+    parity: per-user running totals after draining the replay equal the
+    batch aggregation — the oracle checks the stateful path end-to-end."""
+    from gcp_food_delivery_data_pipeline_spark.streaming.events import (
+        run_user_totals_stream,
+    )
+
+    in_dir, ckpt = _stage_events_stream_dir(sf, "stream_totals")
+    q = run_user_totals_stream(
+        spark, in_dir, ckpt, query_name="drv_stream_totals"
+    )
+    q.awaitTermination()
+    return spark.table("drv_stream_totals")
+
+
 # ----- corpus preparation (M5, operators/corpus.py) -----
 
 def _q_chunks(spark: SparkSession, sf: str) -> DataFrame:
@@ -1045,6 +1100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_features": _q_multimodal_features,
         "m_resize": _q_multimodal_resize,
         "m_frames": _q_multimodal_frames,
+        # streaming parity (M5) — driver-graded stream==batch
+        "s_stream_hourly": _q_stream_hourly,
+        "s_stream_user_totals": _q_stream_user_totals,
         # corpus preparation (M5)
         "c_chunks": _q_chunks,
         "c_redact_pii": _q_redact_pii,
@@ -1813,6 +1871,18 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN i < length(text) % 4 THEN 1 ELSE 0 END AS BIGINT) "
             "AS n_frame_bytes "
             "FROM documents, generate_series(0, 3) t(i)"
+        ),
+        # streaming parity: the oracle is the BATCH aggregation — a
+        # hash match proves the streaming drain equals batch semantics.
+        "s_stream_hourly": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "
+            "AS hour, event_type, count(*) AS n_events, "
+            "round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY date_trunc('hour', ts), event_type"
+        ),
+        "s_stream_user_totals": (
+            "SELECT user_id, count(*) AS n_events, "
+            "round(sum(value), 2) AS sum_value FROM events GROUP BY user_id"
         ),
         # corpus preparation (operators/corpus.py). DuckDB range()
         # EXCLUDES its stop where Spark sequence() includes it — hence
