@@ -1034,6 +1034,24 @@ def _q_pack(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(d, context_tokens=256)
 
 
+def _q_shuffle_rank(spark: SparkSession, sf: str) -> DataFrame:
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        global_shuffle_rank,
+    )
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    return global_shuffle_rank(d)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return simhash_near_dup_pairs(d, max_hamming=3, bands=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference parity (SURVEY.md §2)
@@ -1109,6 +1127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_split_assign": _q_split_assign,
         "c_contamination": _q_contamination,
         "c_pack_sequences": _q_pack,
+        "c_shuffle_rank": _q_shuffle_rank,
+        "d_simhash_pairs": _q_simhash_pairs,
         # analytics (M4) — driver-graded green in round 2
         "q1_pricing_summary": _q_q1,
         "q3_top_revenue": _q_q3,
@@ -1953,5 +1973,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(nt AS INT) AS n_tokens, "
             "CAST(floor(tok_before / 256) AS BIGINT) AS bin_id, "
             "CAST(tok_before % 256 AS BIGINT) AS bin_offset FROM c"
+        ),
+        "c_shuffle_rank": (
+            "SELECT doc_id, CAST(row_number() OVER "
+            "(ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) "
+            "AS shuffle_rank FROM documents"
+        ),
+        # exact banded simhash pairs: the oracle brute-forces all pairs
+        # over the same md5-derived fingerprints (_simhash_sql CTE)
+        "d_simhash_pairs": (
+            f"WITH sh AS ({_simhash_sql()}) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
     }

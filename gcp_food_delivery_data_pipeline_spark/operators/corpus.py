@@ -155,6 +155,22 @@ def assign_split(
     return df.withColumn("split", split)
 
 
+def global_shuffle_rank(
+    df: DataFrame, id_col: str = "doc_id", rank_col: str = "shuffle_rank"
+) -> DataFrame:
+    """Deterministic global shuffle order for training data: rank by the
+    engine-stable md5 hash of the id (ties impossible — the id itself
+    breaks them). Unlike ``orderBy(rand(seed))`` the order is identical
+    across engines, reruns, and partition layouts, so a resumed or
+    re-sharded training job reads the same epoch order. One
+    range-partitioned global sort — the same cost any epoch
+    materialization pays."""
+    c = F.col(id_col)
+    key = F.md5(c.cast("string"))
+    w = Window.orderBy(key, c)
+    return df.withColumn(rank_col, F.row_number().over(w))
+
+
 # ---------------------------------------------------------------------------
 # benchmark contamination
 # ---------------------------------------------------------------------------

@@ -259,6 +259,81 @@ def hamming_distance(a: Column | str, b: Column | str) -> Column:
     return F.bit_count(ca.bitwiseXOR(cb))
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """All pairs whose SimHash fingerprints differ in ≤ ``max_hamming``
+    bits — EXACT result through a banded candidate join, never an
+    all-pairs comparison.
+
+    Pigeonhole guarantee: with ``bands > max_hamming`` equal-width bit
+    bands, two fingerprints within the Hamming budget cannot differ in
+    every band, so any qualifying pair collides on at least one
+    (band_idx, band_value) key and the equi-join has PERFECT recall —
+    unlike probabilistic LSH banding, this prune loses nothing. Shuffle
+    carries (band_idx, band_value, id, fingerprint) only; colliding
+    pairs are deduped before the single bit_count verify. This is the
+    classic web-scale simhash dedup layout (Charikar 2002 fingerprints
+    with Manku-style band tables).
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            "bands must exceed max_hamming for the pigeonhole guarantee"
+        )
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = with_simhash(df.select(id_col, text_col), text_col, bits).select(
+        F.col(id_col).alias("_id"), "simhash"
+    )
+    banded = sh.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select("_id", "simhash", "_band.band_idx", "_band.band_val")
+    a = banded.select(
+        F.col("_id").alias("id_a"),
+        F.col("simhash").alias("_sha"),
+        "band_idx",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"),
+        F.col("simhash").alias("_shb"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sha", "_shb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = hamming_distance(F.col("_sha"), F.col("_shb")).cast("int")
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -124,3 +124,17 @@ def test_pack_sequences_stream_semantics(spark):
     assert (out[2].bin_id, out[2].bin_offset) == (0, 3)
     assert (out[3].bin_id, out[3].bin_offset) == (1, 1)
     assert out[3].n_tokens == 4
+
+
+def test_global_shuffle_rank_deterministic_permutation(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        global_shuffle_rank,
+    )
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: r.shuffle_rank for r in global_shuffle_rank(df).collect()}
+    b = {r.doc_id: r.shuffle_rank for r in global_shuffle_rank(df).collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(1, 501))
+    # actually permuted, not identity order
+    assert [a[i] for i in range(500)] != list(range(1, 501))

@@ -164,3 +164,55 @@ def test_embedding_blocked_pairs_match_expr_baseline(spark):
         )
     )
     assert got == want and len(want) > 0
+
+
+def test_simhash_banded_pairs_equal_brute_force(spark):
+    """The pigeonhole guarantee is testable: banded candidates must
+    reproduce the all-pairs hamming<=3 result exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        hamming_distance,
+        simhash_near_dup_pairs,
+        with_simhash,
+    )
+    from gcp_food_delivery_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    got = sorted(
+        map(tuple, simhash_near_dup_pairs(d, max_hamming=3, bands=4).collect())
+    )
+    sh = with_simhash(d, "text").select("doc_id", "simhash")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            hamming_distance(F.col("sa"), F.col("sb")).cast("int").alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+    )
+    want = sorted(map(tuple, brute.collect()))
+    assert got == want and len(want) > 0
+
+
+def test_simhash_banded_pairs_validates_params(spark):
+    import pytest as _pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(df, max_hamming=4, bands=4)
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(df, bands=5)
