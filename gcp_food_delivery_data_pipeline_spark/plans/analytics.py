@@ -96,8 +96,13 @@ def q5_nation_revenue(
 ) -> DataFrame:
     """Revenue per nation within a region — star join, dims broadcast.
 
-    region→nation→customer are all broadcast: the only shuffles are the
-    lineitem⋈orders join and the final small group-agg.
+    The region filter reaches ORDERS before the fact-fact join: orders
+    ⋈ broadcast(region-filtered customer dims) first, so the expensive
+    lineitem⋈orders shuffle carries only the ~1/|regions| surviving
+    order keys instead of filtering after the widest join. Without CBO
+    statistics Catalyst does not reorder inner joins on its own, so the
+    early-filter shape is written explicitly; it is strictly smaller at
+    every scale factor.
     """
     dims = (
         customer.join(
@@ -107,9 +112,12 @@ def q5_nation_revenue(
         .filter(F.col("r_name") == region_name)
         .select("c_custkey", "n_name")
     )
+    ord_region = orders.join(
+        F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "n_name")
     return (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(ord_region, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name")
         .agg(
             F.round(

@@ -34,7 +34,7 @@ def test_stream_hourly_rollup_matches_batch(spark, events_dir, tmp_path):
         str(tmp_path / "ckpt"),
         query_name="t_events_hourly",
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish draining"
 
     streamed = {
         (r.hour, r.event_type): (r.n_events, r.sum_value)
@@ -72,7 +72,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         ],
     )
     q1 = run_events_hourly_stream(spark, in_dir, ckpt, output_path=out)
-    q1.awaitTermination(120)
+    assert q1.awaitTermination(120), "stream did not finish draining"
     emitted = {
         (r.hour, r.event_type): r.n_events
         for r in spark.read.parquet(out).collect()
@@ -89,7 +89,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         ],
     )
     q2 = run_events_hourly_stream(spark, in_dir, ckpt, output_path=out)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "stream did not finish draining"
     dropped = sum(
         int(p["numRowsDroppedByWatermark"])
         for p in (q2.recentProgress or [])
@@ -105,7 +105,7 @@ def test_stateful_user_totals_accumulate(spark, events_dir, tmp_path):
         str(tmp_path / "ckpt"),
         query_name="t_user_totals",
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish draining"
 
     # update-mode memory sink: one row per user per micro-batch; the
     # running count is monotone, so max(n_events) is the final state
@@ -152,12 +152,12 @@ def test_stream_dedup_across_batches_and_restarts(spark, tmp_path):
     t = lambda m: datetime(2024, 1, 1, 10, m)
     write_file("f1", [(1, t(0), 7, "click", 1.0), (2, t(1), 8, "click", 2.0)])
     q = run_stream_dedup(spark, in_dir, ckpt, out)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish draining"
 
     # second file re-delivers id 2 (within the watermark) + new id 3
     write_file("f2", [(2, t(1), 8, "click", 2.0), (3, t(2), 9, "buy", 3.0)])
     q = run_stream_dedup(spark, in_dir, ckpt, out)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish draining"
 
     got = sorted(
         r.event_id for r in spark.read.parquet(out).select("event_id").collect()
@@ -182,7 +182,7 @@ def test_stream_stream_join_matches_batch_range_join(
     q = run_click_attribution_stream(
         spark, events_dir, str(tmp_path / "ckpt"), out
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish draining"
 
     streamed = {
         (r.purchase_id, r.click_id)
@@ -235,7 +235,7 @@ def test_stream_upsert_latest_value_per_key_wins(spark, tmp_path):
         ]
     )
     q = run_stream_upsert(spark, in_dir, ckpt, target)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish draining"
 
     got = {
         r.event_id: r.value for r in spark.read.parquet(target).collect()
@@ -244,5 +244,5 @@ def test_stream_upsert_latest_value_per_key_wins(spark, tmp_path):
 
     # re-run over the same checkpoint: no-op (idempotent by key)
     q = run_stream_upsert(spark, in_dir, ckpt, target)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish draining"
     assert spark.read.parquet(target).count() == 3
