@@ -518,26 +518,35 @@ def embedding_near_dup_pairs_blocked(
         min_blocks = math.ceil(math.sqrt(2 * par))
         n_blocks = max(math.ceil(n / block_rows), min_blocks, 1)
 
-    pair_rows = [
-        (i * n_blocks + j, i, j)
-        for i in range(n_blocks)
-        for j in range(i, n_blocks)
-    ]
-    pair_df = spark.createDataFrame(pair_rows, "_pid long, _i int, _j int")
-    tagged = base.select(
+    # A row in block b is side-A of pairs (b, j>=b) and side-B of pairs
+    # (i<=b, b); the diagonal group (b, b) gets it on BOTH sides. The
+    # assignment is a sequence+transform+explode — ONE corpus scan and
+    # ONE shuffle (a union of two join branches would scan the input
+    # twice), and being a higher-order expression it stays O(1) in plan
+    # size no matter how many blocks a large corpus needs.
+    blk = F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).cast("long")
+    as_a = F.transform(
+        F.sequence(blk, F.lit(n_blocks - 1)),
+        lambda j: F.struct(
+            (blk * n_blocks + j).alias("_pid"), F.lit(0).alias("_side")
+        ),
+    )
+    as_b = F.transform(
+        F.sequence(F.lit(0), blk),
+        lambda i: F.struct(
+            (i * n_blocks + blk).alias("_pid"), F.lit(1).alias("_side")
+        ),
+    )
+    both = base.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_blk"),
+        F.explode(F.concat(as_a, as_b)).alias("_a"),
+    ).select(
+        F.col("_a._pid").alias("_pid"),
+        F.col("_a._side").alias("_side"),
+        "_id",
+        "_v",
     )
-    # A row in block b is side-A of pairs (b, j>=b) and side-B of pairs
-    # (i<=b, b); the diagonal group (b, b) gets it on BOTH sides.
-    left = tagged.join(
-        F.broadcast(pair_df), tagged["_blk"] == pair_df["_i"]
-    ).select("_pid", "_i", "_j", F.lit(0).alias("_side"), "_id", "_v")
-    right = tagged.join(
-        F.broadcast(pair_df), tagged["_blk"] == pair_df["_j"]
-    ).select("_pid", "_i", "_j", F.lit(1).alias("_side"), "_id", "_v")
-    both = left.unionByName(right)
 
     id_t = df.schema[id_col].dataType.simpleString()
     # slack below the threshold pre-round so the authoritative
@@ -548,7 +557,8 @@ def embedding_near_dup_pairs_blocked(
     def kernel(pdf):
         import pandas as pd
 
-        diag = bool(pdf["_i"].iat[0] == pdf["_j"].iat[0])
+        pid = int(pdf["_pid"].iat[0])
+        diag = (pid // n_blocks) == (pid % n_blocks)
         a = pdf[pdf["_side"] == 0]
         b = pdf[pdf["_side"] == 1]
         if a.empty or b.empty:
