@@ -185,3 +185,10 @@ def test_redact_stays_in_codegen(plans):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     # formatted explain marks codegen stages with "[codegen id : N]"
     assert "codegen id" in p
+
+
+def test_simhash_pairs_never_cartesian(plans):
+    # the banded candidate join must stay an equi-join on (band, value);
+    # losing the band key would silently degrade to an all-pairs plan
+    p = plans("d_simhash_pairs")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
