@@ -1,0 +1,27 @@
+"""Driver-contract smoke: the three functions the round driver calls
+must keep their shapes — entry() produces rows with a stable schema,
+every oracle key has a query, and query keys are unique and stable."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+
+def test_entry_runs_and_has_stable_schema(spark):
+    df = entry.entry(spark)
+    assert df.columns == ["n_name", "revenue", "n_lineitems"]
+    assert df.count() > 0
+
+
+def test_every_oracle_key_has_a_query():
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    missing = set(oracles) - set(qs)
+    assert not missing, f"oracles without queries: {sorted(missing)}"
+
+
+def test_rows_only_set_is_exactly_the_approximate_ops():
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    rows_only = set(qs) - set(oracles)
+    # HLL sketch + LSH ANN are approximate by design; anything else
+    # appearing here means an operator silently lost its oracle
+    assert rows_only == {"q_approx_users", "v_topk_ann"}
