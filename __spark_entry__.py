@@ -812,9 +812,41 @@ def _q_topk_scalable(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_topk_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH ANN graded by RECALL, not by its (approximate) neighbor
+    list: the query computes LSH top-k AND exact top-k in the same
+    plan, joins them, and returns corpus-level mean recall@10 ≥ 0.5 —
+    which the oracle pins to TRUE alongside the query count. Converts
+    the one inherently non-SQL-checkable similarity query into a
+    driver-graded row (pytest pins the same bound per run)."""
     e = load_table(spark, sf, "embeddings")
-    return lsh_bucketed_topk(
-        e, e.filter(F.col("vec_id") < 5), _lsh_tables(), k=10
+    queries_df = e.filter(F.col("vec_id") < 5)
+    # localCheckpoint the two (tiny) top-k lists before the recall
+    # join: the LSH bucket expressions are wide literal hyperplane
+    # trees, and letting them re-inline into every join branch
+    # multiplies plan-compile time ~4x for zero data benefit.
+    ann = (
+        lsh_bucketed_topk(e, queries_df, _lsh_tables(), k=10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    exact = (
+        topk_exact(e, queries_df, k=10)
+        .select("query_id", F.col("neighbor_id").alias("_exact_nb"))
+        .localCheckpoint()
+    )
+    hits = ann.join(
+        exact,
+        (ann["query_id"] == exact["query_id"])
+        & (ann["neighbor_id"] == exact["_exact_nb"]),
+    )
+    per_q = exact.groupBy(exact["query_id"]).count().agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("count").alias("_n_exact"),
+    )
+    n_hits = hits.agg(F.count(F.lit(1)).alias("_n_hits"))
+    return per_q.crossJoin(n_hits).select(
+        "n_queries",
+        (F.col("_n_hits") / F.col("_n_exact") >= 0.5).alias("recall_ok"),
     )
 
 
@@ -1891,6 +1923,16 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN i < length(text) % 4 THEN 1 ELSE 0 END AS BIGINT) "
             "AS n_frame_bytes "
             "FROM documents, generate_series(0, 3) t(i)"
+        ),
+        # approximate ops graded by self-computed accuracy: the query
+        # returns the exact value + a bound check; the oracle pins both.
+        "q_approx_users": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_exact_users, "
+            "TRUE AS approx_ok FROM events GROUP BY event_type"
+        ),
+        "v_topk_ann": (
+            "SELECT count(*) AS n_queries, TRUE AS recall_ok "
+            "FROM embeddings WHERE vec_id < 5"
         ),
         # streaming parity: the oracle is the BATCH aggregation — a
         # hash match proves the streaming drain equals batch semantics.

@@ -460,13 +460,26 @@ def q_cube_events(events: DataFrame) -> DataFrame:
     )
 
 
-def q_approx_users(events: DataFrame, rsd: float = 0.05) -> DataFrame:
+def q_approx_users(
+    events: DataFrame, rsd: float = 0.05, margin: float = 0.15
+) -> DataFrame:
     """HyperLogLog++ distinct-user sketch per event type — the
     constant-memory path when exact distinct's two-phase shuffle is too
-    heavy; accuracy vs the exact count is pinned in tests (no SQL
-    oracle: sketch internals are engine-specific by nature)."""
+    heavy. Sketch internals are engine-specific, so the raw estimate
+    has no SQL oracle; instead the query computes BOTH the sketch and
+    the exact count in one aggregation pass and returns the exact count
+    plus an error-bound check (``margin`` = 3× the requested rsd) —
+    which IS oracle-checkable: the oracle pins the exact count and
+    asserts the bound held."""
     return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd).alias("approx_users")
+        F.count_distinct("user_id").alias("n_exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd)
+                - F.count_distinct("user_id")
+            )
+            <= F.count_distinct("user_id") * margin
+        ).alias("approx_ok"),
     )
 
 
