@@ -155,6 +155,52 @@ def assign_split(
     return df.withColumn("split", split)
 
 
+def _global_ordered_rank_and_prefix(
+    df: DataFrame,
+    order_cols: list,
+    val: Column,
+) -> DataFrame:
+    """Two-phase distributed global rank + exclusive prefix sum over a
+    total order: range-repartition on the order key, rank/prefix-sum
+    WITHIN each partition, then add each partition's (count, sum)
+    offsets — computed once over ~#partitions rows. A bare
+    ``Window.orderBy`` (no partition key) would funnel every row into
+    ONE task; this shape keeps the sort distributed, and the result is
+    identical regardless of where the range boundaries land because
+    offsets come from actual partition totals. Appends ``_grank``
+    (1-based) and ``_gbefore`` (exclusive running sum of ``val``)."""
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    r = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "_part", F.spark_partition_id()
+    ).withColumn("_val", val)
+    w_local = Window.partitionBy("_part").orderBy(*order_cols)
+    local = r.withColumn("_lrank", F.row_number().over(w_local)).withColumn(
+        "_lbefore",
+        F.coalesce(
+            F.sum("_val").over(
+                w_local.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    totals = r.groupBy("_part").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.sum("_val").alias("_tot")
+    )
+    w_off = Window.orderBy("_part").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_part",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_rank_off"),
+        F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_sum_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_part")
+        .withColumn("_grank", F.col("_lrank") + F.col("_rank_off"))
+        .withColumn("_gbefore", F.col("_lbefore") + F.col("_sum_off"))
+        .drop("_part", "_val", "_lrank", "_lbefore", "_rank_off", "_sum_off")
+    )
+
+
 def global_shuffle_rank(
     df: DataFrame, id_col: str = "doc_id", rank_col: str = "shuffle_rank"
 ) -> DataFrame:
@@ -162,13 +208,15 @@ def global_shuffle_rank(
     engine-stable md5 hash of the id (ties impossible — the id itself
     breaks them). Unlike ``orderBy(rand(seed))`` the order is identical
     across engines, reruns, and partition layouts, so a resumed or
-    re-sharded training job reads the same epoch order. One
-    range-partitioned global sort — the same cost any epoch
-    materialization pays."""
-    c = F.col(id_col)
-    key = F.md5(c.cast("string"))
-    w = Window.orderBy(key, c)
-    return df.withColumn(rank_col, F.row_number().over(w))
+    re-sharded training job reads the same epoch order. Distributed via
+    the two-phase global rank (no single-task window)."""
+    key = F.md5(F.col(id_col).cast("string"))
+    out = _global_ordered_rank_and_prefix(
+        df.withColumn("_okey", key), ["_okey", id_col], F.lit(0)
+    )
+    return out.withColumn(rank_col, F.col("_grank").cast("int")).drop(
+        "_okey", "_grank", "_gbefore"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -262,21 +310,19 @@ def pack_sequences(
 
     Output: (id, n_tokens, bin_id, bin_offset) with
     bin_id = floor(tokens_before / budget),
-    bin_offset = tokens_before mod budget. One global ordered window:
-    at corpus scale Spark range-partitions the sort; for strictly
-    per-partition packing, prepend ``spark_partition_id`` to the window
-    key (documented trade: global determinism vs zero cross-partition
-    shuffle).
+    bin_offset = tokens_before mod budget. The global prefix sum runs
+    as the two-phase distributed rank (range repartition → local
+    cumsum → per-partition offsets), never a single-task
+    ``Window.orderBy`` over the whole corpus.
     """
     nt = token_count(F.col(text_col))
-    w = Window.orderBy(F.col(id_col)).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    out = _global_ordered_rank_and_prefix(
+        df.withColumn("_nt", nt), [id_col], F.col("_nt")
     )
-    csum = F.sum(nt).over(w)
-    before = csum - nt
-    return df.select(
+    before = F.col("_gbefore")
+    return out.select(
         F.col(id_col),
-        nt.alias("n_tokens"),
+        F.col("_nt").cast("int").alias("n_tokens"),
         F.floor(before / context_tokens).cast("long").alias("bin_id"),
         F.pmod(before, F.lit(context_tokens)).cast("long").alias("bin_offset"),
     )
