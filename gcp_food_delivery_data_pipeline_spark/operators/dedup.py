@@ -34,9 +34,18 @@ from pyspark.sql import functions as F
 
 from gcp_food_delivery_data_pipeline_spark.operators.text import tokens
 
-# Mersenne prime 2^61-1: products a*h stay inside the 63-bit positive
-# range (a < 2^30, h < 2^32) so the modular hash never overflows a LONG.
-_MERSENNE_P = (1 << 61) - 1
+# MinHash modulus: Mersenne prime 2^31-1, with the 32-bit shingle hash
+# pre-reduced mod p BEFORE the affine map. The previous construction
+# ((a*x+b) mod 2^61-1 with a < 2^30, x < 2^32) kept the product under
+# 2^62 to avoid LONG overflow — but that means a*x wraps AT MOST ONCE
+# mod p, leaving the hash nearly MONOTONE in x: every "permutation"
+# picked (roughly) the same argmin, so near-identical docs whose one
+# differing shingle had a small base hash matched in 0/64 slots and
+# LSH missed pairs at jaccard 0.98 (found at sf0.1). With p = 2^31-1
+# and x < p, the product a*x < 2^61 still fits a LONG but wraps ~2^30
+# times — an actual scrambling, restoring the min-wise behavior the
+# (1-t^r)^b recall math assumes.
+_MERSENNE_P = (1 << 31) - 1
 _SEED_A = 0x9E3779B1  # golden-ratio odd constant
 _SEED_B = 0x85EBCA77
 
@@ -92,7 +101,13 @@ def _signature_from_hashes(hashes: Column, num_hashes: int) -> Column:
             F.coalesce(
                 F.array_min(
                     F.transform(
-                        hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE_P)
+                        hashes,
+                        # pre-reduce the 32-bit hash mod p so the
+                        # product wraps many times (see _MERSENNE_P)
+                        lambda h: (
+                            F.lit(a) * (h % F.lit(_MERSENNE_P)) + F.lit(b)
+                        )
+                        % F.lit(_MERSENNE_P),
                     )
                 ),
                 F.lit(_MERSENNE_P),
@@ -731,9 +746,9 @@ def _minhash_frame_arrow(
                 offsets.append(pos)
                 pos += len(sh)
             if hash_chunks:
-                h_all = np.concatenate(hash_chunks)
-                # h < 2^32, a < 2^30 → products < 2^62: exact in int64,
-                # same arithmetic as the Column expression path.
+                h_all = np.concatenate(hash_chunks) % p_mod
+                # h < p (2^31-1), a < 2^30 → products < 2^61: exact in
+                # int64, same arithmetic as the Column expression path.
                 perms = (h_all[:, None] * a_vec[None, :] + b_vec[None, :]) % p_mod
                 starts = [o for o in offsets if o >= 0]
                 mins = np.minimum.reduceat(perms, np.array(starts), axis=0)
