@@ -216,3 +216,35 @@ def test_simhash_banded_pairs_validates_params(spark):
         simhash_near_dup_pairs(df, max_hamming=4, bands=4)
     with _pytest.raises(ValueError):
         simhash_near_dup_pairs(df, bands=5)
+
+
+def test_lsh_recall_is_perfect_on_planted_near_dups(spark):
+    """Regression for the min-wise failure: with the old (a*x+b) mod
+    2^61-1 construction the product wrapped at most once, the hash was
+    nearly monotone in x, and a planted pair whose one differing
+    shingle hashed small matched in 0/64 slots — so SOME planted pair
+    was missed with high probability. Sound mixing loses none of 40
+    pairs at jaccard ~0.9 (model miss probability ~1e-20 each)."""
+    import pytest as _pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    rows = []
+    for i in range(40):
+        base = " ".join(f"tok{i}_{j}" for j in range(40))
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base + f" extra{i} end{i}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = lsh_candidate_pairs(
+        df, "text", "doc_id", num_hashes=64, bands=32
+    ).filter("jaccard >= 0.8")
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    want = {(2 * i, 2 * i + 1) for i in range(40)}
+    missed = want - got
+    assert not missed, f"LSH missed planted near-dup pairs: {sorted(missed)}"
+    for r in pairs.collect():
+        if (r.id_a, r.id_b) in want:
+            # base: 38 shingles, variant adds 2 -> 38/40
+            assert r.jaccard == _pytest.approx(38 / 40, abs=1e-4)
