@@ -46,7 +46,7 @@ BENCH_QUERIES = [
     "t_bpe_tokens",         # pretokenizer regex counting
     "t_rolling_fp",         # polynomial rolling hash fold
     "d_dedup_exact",        # hash-dedup shuffle
-    "d_embedding_dedup",    # cosine near-dup drop (all-pairs baseline)
+    "d_embedding_dedup",    # cosine near-dup drop (distributed blocked kernel)
     "d_near_dup_pairs",     # MinHash-LSH banding + verify
     "d_simhash",            # 32-bit fingerprints
     "v_topk_exact",         # brute-force cosine top-k

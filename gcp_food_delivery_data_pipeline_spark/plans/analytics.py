@@ -726,10 +726,11 @@ def q7_nation_trade(
     """TPC-H Q7-shaped bilateral trade volume: revenue shipped between
     two nations, by (supplier nation, customer nation, year).
 
-    Both nation lookups are broadcasts stacked on the fact side BEFORE
-    the orderkey shuffle, and the two-nation filter prunes most rows
-    with them — the only wide exchange is lineitem⋈orders on the
-    orderkey, already filtered.
+    Both nation lookups are broadcasts applied to THEIR fact side
+    before the orderkey shuffle: lineitem is cut to two-nation
+    suppliers, orders to two-nation customers — so the one wide
+    exchange (lineitem⋈orders) carries ~(2/|nations|)² of the raw
+    pair volume instead of filtering after it.
     """
     n2 = nation.filter(F.col("n_name").isin([nation_a, nation_b]))
     supp = supplier.join(
@@ -741,12 +742,14 @@ def q7_nation_trade(
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,4)"
     )
+    ord_cust = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
     return (
         lineitem.join(
             F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
         )
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(ord_cust, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
