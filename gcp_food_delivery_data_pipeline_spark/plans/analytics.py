@@ -926,14 +926,19 @@ def q8_market_share(
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,4)"
     )
+    # orders meets its region-restricted customer broadcast BEFORE the
+    # orderkey shuffle, mirroring q5/q7: both wide-exchange inputs are
+    # pre-filtered.
+    ord_region = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "o_orderdate")
     joined = (
         lineitem.join(
             F.broadcast(part.filter(F.col("p_type") == part_type)),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(ord_region, F.col("l_orderkey") == F.col("o_orderkey"))
     )
     return (
         joined.groupBy(F.year("o_orderdate").alias("order_year"))
