@@ -72,9 +72,15 @@ def q3_top_revenue_orders(
     LIMIT via (revenue DESC, o_orderkey) ordering.
     """
     cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    # segment filter reaches orders BEFORE the orderkey shuffle (the
+    # q5/q7/q8 early-filter shape): the wide exchange carries only the
+    # ~1/|segments| surviving orders
+    ord_seg = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "o_orderdate")
     return (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(ord_seg, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(
