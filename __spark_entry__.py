@@ -1066,6 +1066,40 @@ def _q_pack(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(d, context_tokens=256)
 
 
+def _q_prep_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END corpus prep, the composition a training-data team
+    actually runs: exact dedup (keep-first by content hash) → near-dup
+    drop (LSH pairs at jaccard ≥ 0.8, keep lowest id) → quality floor
+    (≥ 10 tokens) → token-window chunking → deterministic split
+    assignment → per-split corpus stats. Every stage is the same
+    library operator graded individually; this query grades their
+    COMPOSITION against one CTE-chain oracle."""
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        assign_split,
+        chunk_documents,
+    )
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        dedup_exact,
+        lsh_candidate_pairs,
+    )
+
+    d = load_table(spark, sf, "documents").withColumn("fp", F.md5("text"))
+    exact = dedup_exact(d, "fp").select("doc_id", "text")
+    pairs = lsh_candidate_pairs(
+        exact, "text", "doc_id", num_hashes=64, bands=32
+    ).filter(F.col("jaccard") >= 0.8)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    near = exact.join(F.broadcast(losers), "doc_id", "left_anti")
+    quality = near.filter(token_count(F.col("text")) >= 10)
+    chunks = chunk_documents(quality, chunk_tokens=128, overlap=16)
+    split = assign_split(chunks, id_col="doc_id")
+    return split.groupBy("split").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
 def _q_shuffle_rank(spark: SparkSession, sf: str) -> DataFrame:
     from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
         global_shuffle_rank,
@@ -1160,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_contamination": _q_contamination,
         "c_pack_sequences": _q_pack,
         "c_shuffle_rank": _q_shuffle_rank,
+        "c_prep_pipeline": _q_prep_pipeline,
         "d_simhash_pairs": _q_simhash_pairs,
         # analytics (M4) — driver-graded green in round 2
         "q1_pricing_summary": _q_q1,
@@ -2020,6 +2055,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(row_number() OVER "
             "(ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) "
             "AS shuffle_rank FROM documents"
+        ),
+        # end-to-end prep pipeline: CTE chain mirroring exact dedup →
+        # near-dup drop → quality floor → chunk → split → stats
+        "c_prep_pipeline": (
+            "WITH exact AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id IN (SELECT min(doc_id) FROM documents "
+            "GROUP BY md5(text))), "
+            f"sh AS (SELECT doc_id, {_SHINGLES} AS s, toks FROM "
+            f"(SELECT doc_id, text, {_TOKENS} AS toks FROM exact)), "
+            "losers AS (SELECT DISTINCT b.doc_id FROM sh a JOIN sh b "
+            "ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "/ len(list_distinct(a.s || b.s)) >= 0.8), "
+            "quality AS (SELECT doc_id, toks FROM sh "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM losers) "
+            "AND len(toks) >= 10), "
+            "st AS (SELECT doc_id, toks, "
+            "range(1, greatest(len(toks) - 16, 1) + 1, 112) AS starts "
+            "FROM quality), "
+            "ch AS (SELECT doc_id, unnest(list_transform(starts, "
+            "s -> least(128, len(toks) - s + 1))) AS n_tokens FROM st), "
+            "sp AS (SELECT doc_id, n_tokens, CASE WHEN b < 10 THEN 'val' "
+            "WHEN b < 20 THEN 'test' ELSE 'train' END AS split FROM "
+            "(SELECT doc_id, n_tokens, "
+            "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS BIGINT) % 100 AS b FROM ch)) "
+            "SELECT split, count(DISTINCT doc_id) AS n_docs, "
+            "count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) "
+            "AS sum_tokens FROM sp GROUP BY split"
         ),
         # exact banded simhash pairs: the oracle brute-forces all pairs
         # over the same md5-derived fingerprints (_simhash_sql CTE)

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "c_chunks",             # token-window chunking (sequence explode)
     "c_contamination",      # n-gram benchmark semi-join
     "c_pack_sequences",     # global ordered-window packing
+    "c_prep_pipeline",      # composite dedup->near-dup->chunk->split
 ]
 
 
