@@ -262,24 +262,40 @@ def ngram_contamination(
     by construction); the corpus side streams through one explode +
     one re-aggregation on the id, never a cross join.
     """
-    bench = (
-        benchmark.select(
-            F.explode(word_ngrams(F.col(text_col), n)).alias("ngram")
+    # N-grams are never materialized as strings: each gram is the
+    # xxhash64 of its token-array SLICE (tokens cannot contain spaces,
+    # so slice equality ≡ joined-string equality), built inside one
+    # transform. The broadcast table is 8 bytes/gram and the probe
+    # compares longs. A cross-gram collision needs ~2^32 distinct
+    # benchmark grams for coin-flip odds; the string-exact oracle gate
+    # pins the result.
+    def gram_hashes(col: Column) -> Column:
+        toks = tokens(col)
+        hs = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.xxhash64(F.slice(toks, i, n)),
         )
+        return F.when(F.size(toks) >= n, F.array_distinct(hs)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    bench = (
+        benchmark.select(F.explode(gram_hashes(F.col(text_col))).alias("_gh"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
     doc_grams = corpus.select(
-        F.col(id_col), F.explode_outer(word_ngrams(F.col(text_col), n)).alias("ngram")
+        F.col(id_col),
+        F.explode_outer(gram_hashes(F.col(text_col))).alias("_gh"),
     )
-    joined = doc_grams.join(F.broadcast(bench), "ngram", "left")
+    joined = doc_grams.join(F.broadcast(bench), "_gh", "left")
     return joined.groupBy(id_col).agg(
-        F.count(F.col("ngram")).alias("n_ngrams"),
+        F.count(F.col("_gh")).alias("n_ngrams"),
         F.count(F.col("_hit")).alias("n_contaminated"),
         F.round(
             F.coalesce(
                 F.count(F.col("_hit"))
-                / F.nullif(F.count(F.col("ngram")), F.lit(0)),
+                / F.nullif(F.count(F.col("_gh")), F.lit(0)),
                 F.lit(0.0),
             ),
             6,
