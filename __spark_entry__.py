@@ -1066,6 +1066,18 @@ def _q_pack(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(d, context_tokens=256)
 
 
+_BM25_QUERY = ["hash", "join", "vector"]
+
+
+def _q_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        bm25_scores,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return bm25_scores(d, _BM25_QUERY)
+
+
 def _q_prep_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """END-TO-END corpus prep, the composition a training-data team
     actually runs: exact dedup (keep-first by content hash) → near-dup
@@ -1195,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_pack_sequences": _q_pack,
         "c_shuffle_rank": _q_shuffle_rank,
         "c_prep_pipeline": _q_prep_pipeline,
+        "t_bm25": _q_bm25,
         "d_simhash_pairs": _q_simhash_pairs,
         # analytics (M4) — driver-graded green in round 2
         "q1_pricing_summary": _q_q1,
@@ -2084,6 +2097,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT split, count(DISTINCT doc_id) AS n_docs, "
             "count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) "
             "AS sum_tokens FROM sp GROUP BY split"
+        ),
+        # BM25: identical operand order on both sides so the IEEE
+        # arithmetic folds bit-identically; sums of <=3 term scores per
+        # doc round-stable at 6 decimals
+        "t_bm25": (
+            f"WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents), "
+            "stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t), "
+            "tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term "
+            "FROM t), "
+            "m AS (SELECT doc_id, term, count(*) AS tf, first(dl) AS dl "
+            "FROM tok WHERE term IN ('hash', 'join', 'vector') "
+            "GROUP BY doc_id, term), "
+            "d AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM m) "
+            "SELECT doc_id, round(sum("
+            "ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0) "
+            "/ (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+            "), 6) AS bm25 FROM d, stats GROUP BY doc_id"
         ),
         # exact banded simhash pairs: the oracle brute-forces all pairs
         # over the same md5-derived fingerprints (_simhash_sql CTE)

@@ -221,6 +221,61 @@ def tf_idf_top_terms(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term set
+    — the standard retrieval/quality primitive a data pipeline uses for
+    query-relevance filtering and benchmark mining.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)   (the +1 "robust" form,
+    never negative). Docs matching no term score 0 and are omitted.
+
+    Plan shape: the exploded token stream is filtered to the query's
+    terms BEFORE any shuffle (a handful of literals — codegen
+    in-filter), so the (doc, term) aggregation touches only matching
+    rows; N and avgdl are one scalar aggregate; per-term df is a
+    window over the tiny matched (doc, term) table. Output:
+    (id, bm25) rounded to 6, deterministic.
+    """
+    from pyspark.sql import Window
+
+    stats = df.select(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(token_count(F.col(text_col))).alias("_avgdl"),
+    )
+    toks = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("_dl"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term").isin([str(t) for t in query_terms]))
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
+    )
+    w_term = Window.partitionBy("term")
+    scored = tf.withColumn(
+        "_df", F.count(F.lit(1)).over(w_term)
+    ).crossJoin(F.broadcast(stats))
+    idf = F.log(
+        (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+    )
+    denom = F.col("_tf") + k1 * (
+        1.0 - b + b * F.col("_dl") / F.col("_avgdl")
+    )
+    term_score = idf * F.col("_tf") * (k1 + 1.0) / denom
+    return (
+        scored.withColumn("_s", term_score)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("bm25"))
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprints: ``fp_md5`` (exact) and ``fp_norm`` (md5 of
     lowercased whitespace-collapsed text — catches trivial reflows)."""

@@ -138,3 +138,20 @@ def test_global_shuffle_rank_deterministic_permutation(spark):
     assert sorted(a.values()) == list(range(1, 501))
     # actually permuted, not identity order
     assert [a[i] for i in range(500)] != list(range(1, 501))
+
+
+def test_bm25_hand_computed(spark):
+    import math
+
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        bm25_scores,
+    )
+
+    # corpus: 2 docs, query = ["cat"]; doc 1 has tf=2, dl=4; doc 2 no hit
+    docs = _docs(spark, [(1, "cat dog cat bird"), (2, "fish dog owl frog")])
+    out = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["cat"]).collect()}
+    n, df, tf, dl, avgdl, k1, b = 2, 1, 2, 4, 4.0, 1.2, 0.75
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    want = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    assert set(out) == {1}  # no-hit docs are omitted
+    assert out[1] == pytest.approx(round(want, 6), abs=1e-9)
