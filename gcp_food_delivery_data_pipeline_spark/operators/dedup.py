@@ -290,11 +290,21 @@ def simhash_near_dup_pairs(
     bands, two fingerprints within the Hamming budget cannot differ in
     every band, so any qualifying pair collides on at least one
     (band_idx, band_value) key and the equi-join has PERFECT recall —
-    unlike probabilistic LSH banding, this prune loses nothing. Shuffle
-    carries (band_idx, band_value, id, fingerprint) only; colliding
-    pairs are deduped before the single bit_count verify. This is the
-    classic web-scale simhash dedup layout (Charikar 2002 fingerprints
-    with Manku-style band tables).
+    unlike probabilistic LSH banding, this prune loses nothing. This is
+    the classic web-scale simhash dedup layout (Charikar 2002
+    fingerprints with Manku-style band tables).
+
+    Skew guard (Manku-style): the band join runs over DISTINCT
+    fingerprints, not documents. Identical fingerprints (exact dups,
+    empty docs) would otherwise all collide on every band key and one
+    hot group would generate a quadratic candidate set inside a single
+    task before any dedup could prune it; instead each fingerprint
+    class enters the band join once, qualifying fingerprint pairs fan
+    back out to member documents through plain equi-joins, and
+    intra-class (hamming 0) pairs come from a self-join on the full
+    fingerprint — genuine output rows, not candidate blow-up. At corpus
+    scale run exact dedup first so fingerprint classes are
+    near-singletons.
     """
     if bands <= max_hamming:
         raise ValueError(
@@ -307,8 +317,8 @@ def simhash_near_dup_pairs(
     sh = with_simhash(df.select(id_col, text_col), text_col, bits).select(
         F.col(id_col).alias("_id"), "simhash"
     )
-    banded = sh.select(
-        "_id",
+    classes = sh.select("simhash").distinct()
+    banded = classes.select(
         "simhash",
         F.explode(
             F.array(
@@ -323,30 +333,39 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("_band"),
-    ).select("_id", "simhash", "_band.band_idx", "_band.band_val")
-    a = banded.select(
-        F.col("_id").alias("id_a"),
-        F.col("simhash").alias("_sha"),
-        "band_idx",
-        "band_val",
-    )
-    b = banded.select(
-        F.col("_id").alias("id_b"),
-        F.col("simhash").alias("_shb"),
-        "band_idx",
-        "band_val",
-    )
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sha", "_shb")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    ).select("simhash", "_band.band_idx", "_band.band_val")
+    a = banded.select(F.col("simhash").alias("_sha"), "band_idx", "band_val")
+    b = banded.select(F.col("simhash").alias("_shb"), "band_idx", "band_val")
     ham = hamming_distance(F.col("_sha"), F.col("_shb")).cast("int")
-    return (
-        cand.select("id_a", "id_b", ham.alias("hamming"))
+    fpairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("_sha") < F.col("_shb"))
+        .select("_sha", "_shb")
+        .dropDuplicates(["_sha", "_shb"])
+        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
     )
+    ma = sh.select(F.col("_id").alias("_ida"), F.col("simhash").alias("_sha"))
+    mb = sh.select(F.col("_id").alias("_idb"), F.col("simhash").alias("_shb"))
+    cross = (
+        fpairs.join(ma, "_sha")
+        .join(mb, "_shb")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        sh.join(sh.select(F.col("_id").alias("_id2"), "simhash"), "simhash")
+        .filter(F.col("_id") < F.col("_id2"))
+        .select(
+            F.col("_id").alias("id_a"),
+            F.col("_id2").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def embedding_near_dup_pairs(
