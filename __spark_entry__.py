@@ -1142,6 +1142,117 @@ def _q_shuffle_rank(spark: SparkSession, sf: str) -> DataFrame:
     return global_shuffle_rank(d)
 
 
+def _q_decode_png(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode end-to-end: synthesize standards-compliant
+    PNG payloads (gradient grayscale, geometry derived from doc_id),
+    then decode them — chunk parse, CRC check, zlib inflate, all five
+    PNG filter reconstructions — and emit per-image stats. The oracle
+    pins the stats arithmetically from doc_id, so a hash match proves
+    the codec round-trip, not a fake."""
+    from gcp_food_delivery_data_pipeline_spark.operators.multimodal import (
+        attach_png_payload,
+        decode_png_stats,
+    )
+
+    d = load_table(spark, sf, "documents")
+    stats = decode_png_stats(attach_png_payload(d))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_px", 6).alias("mean_px"),
+    )
+
+
+def _q_skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-mitigated dimension join: events has ~5 hot event_type
+    keys (each ~20% of the table — exactly the shape that stalls a
+    plain shuffle join on its hottest reducer); ``salted_join``
+    scatters each hot key over 8 sub-keys and replicates the 5-row dim
+    8×. The oracle is the PLAIN join — proving salting changes the
+    distribution, never the result."""
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        salted_join,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_type", "value")
+    weights = spark.createDataFrame(
+        [
+            ("click", 1.0),
+            ("view", 0.5),
+            ("purchase", 10.0),
+            ("signup", 5.0),
+            ("error", 0.0),
+        ],
+        "event_type string, weight double",
+    )
+    joined = salted_join(ev, weights, "event_type", salt=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias(
+            "weighted_value"
+        ),
+    )
+
+
+def _q_approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile sketch (GK / percentile_approx) next to the exact
+    percentile in one aggregation pass — the HLL pattern applied to
+    order statistics. The sketch guarantees rank error ≤ 1/accuracy
+    (1e-4 here), so asserting the estimate lands between the exact
+    45th and 55th percentiles is a 500× margin: data regeneration
+    cannot trip it, a broken sketch will."""
+    ev = load_table(spark, sf, "events")
+    approx = F.expr("approx_percentile(value, 0.5, 10000)")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        (
+            (approx >= F.expr("percentile(value, 0.45)"))
+            & (approx <= F.expr("percentile(value, 0.55)"))
+        ).alias("approx_ok"),
+    )
+
+
+def _q_latest_event(spark: SparkSession, sf: str) -> DataFrame:
+    """Latest event per user via ``max_by`` over a (ts, event_id)
+    struct — one partial-aggregable shuffle instead of the
+    window-sort-then-filter idiom (the oracle states it as the window
+    form; same rows). The struct tie-break makes it deterministic:
+    event_id is unique."""
+    ev = load_table(spark, sf, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", key).alias("last_type"),
+        F.round(F.max_by("value", key), 6).alias("last_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def _q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling: per-segment keep-rates via
+    the engine-stable md5 bucket (``split_bucket``), the training-data
+    mixture-weighting primitive — downsample overrepresented sources
+    at a reproducible, content-independent rate. A pure projection +
+    filter: no shuffle, no rand(), same rows on every engine and every
+    rerun."""
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        split_bucket,
+    )
+
+    c = load_table(spark, sf, "customer")
+    rate = (
+        F.when(F.col("c_mktsegment") == "BUILDING", 50)
+        .when(F.col("c_mktsegment") == "AUTOMOBILE", 25)
+        .when(F.col("c_mktsegment") == "MACHINERY", 10)
+        .otherwise(5)
+    )
+    return c.filter(split_bucket("c_custkey") < rate).select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
 def _q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
         simhash_near_dup_pairs,
@@ -1180,6 +1291,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- implementation changed in round 4 (needs re-grade) --
         "q_ntile_buckets": _q_ntile,
         "q21_last_shipper": _q_q21,
+        # -- new in round 4 --
+        "m_decode_png": _q_decode_png,
+        "q_skew_salted_join": _q_skew_salted_join,
+        "q_approx_quantiles": _q_approx_quantiles,
+        "q_latest_event": _q_latest_event,
+        "q_stratified_sample": _q_stratified_sample,
         # reference parity (SURVEY.md §2)
         "s1_scan_count": _q_s1_scan_count,
         "p1_strip_colon": _q_p1_strip_colon,
@@ -2057,6 +2174,51 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, "
             "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
             "AS BIGINT) % 100 AS b FROM documents)"
+        ),
+        # The PNG payloads are generated from doc_id (gradient images),
+        # so the decoded stats are arithmetically determined — a hash
+        # match proves the real encode→decode round-trip.
+        "m_decode_png": (
+            "SELECT doc_id, "
+            "CAST(doc_id % 16 + 1 AS INTEGER) AS width, "
+            "CAST(doc_id % 12 + 1 AS INTEGER) AS height, "
+            "round(CAST(doc_id % 200 AS DOUBLE) "
+            "+ (doc_id % 16) / 2.0 + (doc_id % 12) / 2.0, 6) AS mean_px "
+            "FROM documents"
+        ),
+        # Oracle is the PLAIN join: salting must be invisible in the
+        # result.
+        "q_skew_salted_join": (
+            "SELECT e.event_type, count(*) AS n_events, "
+            "round(sum(e.value * w.weight), 2) AS weighted_value "
+            "FROM events e JOIN (VALUES ('click', 1.0), ('view', 0.5), "
+            "('purchase', 10.0), ('signup', 5.0), ('error', 0.0)) "
+            "AS w(event_type, weight) ON e.event_type = w.event_type "
+            "GROUP BY e.event_type"
+        ),
+        "q_approx_quantiles": (
+            "SELECT event_type, "
+            "round(quantile_cont(value, 0.5), 6) AS p50, "
+            "round(quantile_cont(value, 0.95), 6) AS p95, "
+            "round(quantile_cont(value, 0.99), 6) AS p99, "
+            "TRUE AS approx_ok FROM events GROUP BY event_type"
+        ),
+        "q_latest_event": (
+            "SELECT user_id, event_type AS last_type, "
+            "round(value, 6) AS last_value, n_events FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn, "
+            "count(*) OVER (PARTITION BY user_id) AS n_events "
+            "FROM events) WHERE rn = 1"
+        ),
+        "q_stratified_sample": (
+            "SELECT c_custkey, c_mktsegment FROM ("
+            "SELECT c_custkey, c_mktsegment, "
+            "CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), "
+            "1, 8)) AS BIGINT) % 100 AS b FROM customer) "
+            "WHERE b < CASE c_mktsegment WHEN 'BUILDING' THEN 50 "
+            "WHEN 'AUTOMOBILE' THEN 25 WHEN 'MACHINERY' THEN 10 "
+            "ELSE 5 END"
         ),
         "c_contamination": (
             f"WITH base AS (SELECT doc_id, {_TOKENS} AS toks FROM documents), "

@@ -1,0 +1,179 @@
+"""Minimal real PNG codec (8-bit grayscale) on the stdlib only.
+
+The multimodal operators stub *library* codecs behind a gate because
+image libs aren't in this container — but PNG itself is just zlib
+(stdlib) plus chunk framing and per-scanline filters, so this module
+implements the format for real: a spec-correct encoder and decoder for
+8-bit grayscale, non-interlaced images, including all five PNG filter
+types (None/Sub/Up/Average/Paeth, RFC 2083 §6). That turns the
+multimodal decode path from a deterministic fake into an end-to-end
+demonstration: bytes written by any standards-compliant PNG writer of
+this subset decode here, and payloads encoded here open in any image
+viewer.
+
+Scale note: the per-pixel work runs inside Arrow-batched
+``mapInPandas`` (see ``operators.multimodal.decode_png_stats``); a
+production deployment would swap the pure-Python unfilter loop for a
+C codec, which is exactly the swap the gate in
+``operators.multimodal.extract_features(decode_mode="real")``
+documents. The plumbing — schema, batching, payload pruning — is
+identical either way.
+
+Color types other than grayscale-8 raise ``NotImplementedError`` with
+the supported subset spelled out; malformed framing raises
+``ValueError``.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png_gray(
+    width: int, height: int, pixels: bytes, filter_mode: str = "cycle"
+) -> bytes:
+    """Encode 8-bit grayscale pixels (row-major, len == width*height)
+    as a standards-compliant PNG.
+
+    ``filter_mode="cycle"`` applies filter type ``y % 5`` to row ``y``
+    so round-trip tests exercise every reconstruction branch of the
+    decoder; ``"none"`` writes filter 0 throughout (what a naive
+    encoder would do).
+    """
+    if len(pixels) != width * height:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, expected {width * height}"
+        )
+    raw = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        row = pixels[y * width : (y + 1) * width]
+        ftype = (y % 5) if filter_mode == "cycle" else 0
+        raw.append(ftype)
+        for x in range(width):
+            a = row[x - 1] if x > 0 else 0  # left
+            b = prev[x]  # up
+            c = prev[x - 1] if x > 0 else 0  # up-left
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                pred = _paeth(a, b, c)
+            raw.append((row[x] - pred) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a PNG produced by any writer of the grayscale-8 subset.
+
+    Returns ``(width, height, pixels)`` with pixels row-major. Handles
+    multiple IDAT chunks and all five filter types; validates the
+    signature, IHDR geometry, and per-chunk CRCs.
+    """
+    if data[: len(_SIGNATURE)] != _SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos = len(_SIGNATURE)
+    width = height = -1
+    idat = bytearray()
+    seen_end = False
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"truncated {tag!r} chunk")
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length : pos + 12 + length]
+        )
+        if crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, color) != (8, 0):
+                raise NotImplementedError(
+                    "only 8-bit grayscale (bit depth 8, color type 0) is "
+                    f"implemented; got depth={depth} color_type={color}"
+                )
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise NotImplementedError(
+                    "only compression 0, filter method 0, non-interlaced"
+                )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            seen_end = True
+            break
+    if width < 0:
+        raise ValueError("missing IHDR")
+    if not seen_end:
+        raise ValueError("missing IEND")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (width + 1):
+        raise ValueError(
+            f"decompressed to {len(raw)} bytes, expected {height * (width + 1)}"
+        )
+    out = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        ftype = raw[y * (width + 1)]
+        row_f = raw[y * (width + 1) + 1 : (y + 1) * (width + 1)]
+        row = bytearray(width)
+        for x in range(width):
+            a = row[x - 1] if x > 0 else 0
+            b = prev[x]
+            c = prev[x - 1] if x > 0 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            elif ftype == 4:
+                pred = _paeth(a, b, c)
+            else:
+                raise ValueError(f"unknown filter type {ftype} in row {y}")
+            row[x] = (row_f[x] + pred) & 0xFF
+        out.extend(row)
+        prev = bytes(row)
+    return width, height, bytes(out)

@@ -1,0 +1,125 @@
+"""Real PNG codec (functions/png.py) + the Spark decode path.
+
+The codec is spec-correct for the 8-bit grayscale subset: round-trips
+through every filter type, validates CRCs/signature/geometry, and the
+Spark path (attach_png_payload → decode_png_stats) recovers the
+arithmetically-known stats — proving the bytes genuinely pass through
+zlib + filter reconstruction, not a fake.
+"""
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_food_delivery_data_pipeline_spark.functions.png import (
+    encode_png_gray,
+    decode_png_gray,
+)
+from gcp_food_delivery_data_pipeline_spark.operators.multimodal import (
+    attach_png_payload,
+    decode_png_stats,
+)
+
+
+def _gradient(w, h, c):
+    return bytes(c + x + y for y in range(h) for x in range(w))
+
+
+def test_roundtrip_all_filter_types():
+    # cycle mode filters row y with type y % 5 → h ≥ 5 hits all five
+    px = _gradient(7, 6, 30)
+    for mode in ("cycle", "none"):
+        data = encode_png_gray(7, 6, px, filter_mode=mode)
+        assert decode_png_gray(data) == (7, 6, px)
+
+
+def test_roundtrip_randomized():
+    import random
+
+    rng = random.Random(42)
+    for _ in range(25):
+        w, h = rng.randint(1, 33), rng.randint(1, 33)
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        assert decode_png_gray(encode_png_gray(w, h, px)) == (w, h, px)
+
+
+def test_signature_and_crc_validation():
+    data = encode_png_gray(3, 2, bytes(6))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png_gray(b"JFIF" + data)
+    corrupt = bytearray(data)
+    corrupt[20] ^= 0xFF  # inside IHDR body
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_gray(bytes(corrupt))
+
+
+def test_unsupported_color_type_gated():
+    data = bytearray(encode_png_gray(2, 2, bytes(4)))
+    # IHDR body starts at offset 16; color type is byte 9 of the body.
+    body = bytearray(data[16:29])
+    body[9] = 2  # RGB
+    crc = zlib.crc32(b"IHDR" + bytes(body[:13])) & 0xFFFFFFFF
+    data[16:29] = body[:13]
+    data[29:33] = crc.to_bytes(4, "big")
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        decode_png_gray(bytes(data))
+
+
+def test_multiple_idat_chunks():
+    # Writers may split IDAT arbitrarily; decoder must concatenate.
+    import struct
+
+    px = _gradient(5, 4, 10)
+    data = encode_png_gray(5, 4, px)
+    sig, rest = data[:8], data[8:]
+    chunks = []
+    pos = 0
+    while pos < len(rest):
+        (ln,) = struct.unpack(">I", rest[pos : pos + 4])
+        chunks.append((rest[pos + 4 : pos + 8], rest[pos + 8 : pos + 8 + ln]))
+        pos += 12 + ln
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    out = sig
+    for tag, body in chunks:
+        if tag == b"IDAT":
+            mid = len(body) // 2
+            out += chunk(b"IDAT", body[:mid]) + chunk(b"IDAT", body[mid:])
+        else:
+            out += chunk(tag, body)
+    assert decode_png_gray(out) == (5, 4, px)
+
+
+def test_spark_decode_stats_match_arithmetic(spark):
+    docs = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    out = decode_png_stats(attach_png_payload(docs)).orderBy("doc_id")
+    for row in out.collect():
+        i = row["doc_id"]
+        w, h, c = i % 16 + 1, i % 12 + 1, i % 200
+        assert (row["width"], row["height"]) == (w, h)
+        assert row["mean_px"] == pytest.approx(
+            c + (w - 1) / 2 + (h - 1) / 2, abs=1e-9
+        )
+
+
+def test_spark_payloads_are_real_pngs(spark):
+    docs = spark.range(0, 5).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    rows = attach_png_payload(docs).collect()
+    for row in rows:
+        p = bytes(row["payload"])
+        assert p[:8] == b"\x89PNG\r\n\x1a\n"
+        w, h, px = decode_png_gray(p)
+        assert (w, h) == (row["meta"]["width"], row["meta"]["height"])
+        assert len(px) == w * h
