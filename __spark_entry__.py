@@ -1164,6 +1164,21 @@ def _q_decode_png(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode end-to-end: synthesize standards-compliant
+    mono PCM16 WAV payloads (ramp waveform, geometry derived from
+    doc_id), decode them through the stdlib RIFF/wave reader, and emit
+    per-clip stats the oracle pins arithmetically — the audio twin of
+    m_decode_png."""
+    from gcp_food_delivery_data_pipeline_spark.operators.multimodal import (
+        attach_wav_payload,
+        decode_wav_stats,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return decode_wav_stats(attach_wav_payload(d))
+
+
 def _q_skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-mitigated dimension join: events has ~5 hot event_type
     keys (each ~20% of the table — exactly the shape that stalls a
@@ -1293,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_last_shipper": _q_q21,
         # -- new in round 4 --
         "m_decode_png": _q_decode_png,
+        "m_decode_wav": _q_decode_wav,
         "q_skew_salted_join": _q_skew_salted_join,
         "q_approx_quantiles": _q_approx_quantiles,
         "q_latest_event": _q_latest_event,
@@ -2185,6 +2201,17 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(doc_id % 200 AS DOUBLE) "
             "+ (doc_id % 16) / 2.0 + (doc_id % 12) / 2.0, 6) AS mean_px "
             "FROM documents"
+        ),
+        # WAV payloads are ramp waveforms generated from doc_id, so the
+        # decoded stats are arithmetically determined: n = id%50+10,
+        # sample[i] = id%1000 + i ⇒ sum = n*c + n*(n-1)/2.
+        "m_decode_wav": (
+            "SELECT doc_id, "
+            "CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate, "
+            "CAST(doc_id % 50 + 10 AS BIGINT) AS n_samples, "
+            "CAST((doc_id % 50 + 10) * (doc_id % 1000) "
+            "+ (doc_id % 50 + 10) * (doc_id % 50 + 9) // 2 AS BIGINT) "
+            "AS sum_samples FROM documents"
         ),
         # Oracle is the PLAIN join: salting must be invisible in the
         # result.

@@ -392,3 +392,107 @@ def decode_png_stats(
 
     src = ensure_min_partitions(df.select(id_col, payload_col))
     return src.mapInPandas(process, PNG_STATS_SCHEMA)
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_samples", LongType()),
+    ]
+)
+
+
+def attach_wav_payload(
+    documents: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize REAL WAV payloads from the documents table: each doc
+    gets a mono 16-bit PCM ramp whose geometry derives from ``doc_id``
+    — ``n_samples = id % 50 + 10``, ``sample_rate = 8000 + (id % 3) *
+    4000``, ``sample[i] = id % 1000 + i``. Encoding goes through the
+    stdlib ``wave`` writer (``functions.wav``), so the bytes are
+    standards-compliant RIFF/PCM any audio tool opens.
+    """
+    from gcp_food_delivery_data_pipeline_spark.functions.wav import (
+        encode_wav_pcm16,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, rates, sizes = [], [], [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                n, rate, c = i % 50 + 10, 8000 + (i % 3) * 4000, i % 1000
+                wav = encode_wav_pcm16([c + k for k in range(n)], rate)
+                ids.append(i)
+                payloads.append(wav)
+                rates.append(rate)
+                sizes.append(len(wav))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "sample_rate": rates,
+                    "n_bytes": sizes,
+                }
+            )
+
+    flat = ensure_min_partitions(documents.select(id_col)).mapInPandas(
+        gen, out_schema
+    )
+    return flat.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.lit("wav").alias("format"),
+            F.col("sample_rate").alias("width"),
+            F.lit(1).alias("height"),
+            "n_bytes",
+        ).alias("meta"),
+    )
+
+
+def decode_wav_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio decode over the payload column: parse the RIFF
+    container with the stdlib ``wave`` reader, unpack the PCM frames,
+    and emit per-clip stats ``(doc_id, sample_rate, n_samples,
+    sum_samples)`` — the audio twin of ``decode_png_stats``, same
+    Arrow batching, same payload-drop-before-shuffle shape.
+    """
+    from gcp_food_delivery_data_pipeline_spark.functions.wav import (
+        decode_wav_pcm16,
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, counts, sums = [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                rate, n, samples = decode_wav_pcm16(bytes(p))
+                ids.append(doc_id)
+                rates.append(rate)
+                counts.append(n)
+                sums.append(sum(samples))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": rates,
+                    "n_samples": counts,
+                    "sum_samples": sums,
+                }
+            )
+
+    src = ensure_min_partitions(df.select(id_col, payload_col))
+    return src.mapInPandas(process, WAV_STATS_SCHEMA)

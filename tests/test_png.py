@@ -112,6 +112,49 @@ def test_spark_decode_stats_match_arithmetic(spark):
         )
 
 
+def test_wav_roundtrip_and_validation():
+    from gcp_food_delivery_data_pipeline_spark.functions.wav import (
+        encode_wav_pcm16,
+        decode_wav_pcm16,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 1234]
+    data = encode_wav_pcm16(samples, 12000)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    assert decode_wav_pcm16(data) == (12000, 6, samples)
+    with pytest.raises(ValueError, match="WAV"):
+        decode_wav_pcm16(b"\x89PNG not audio at all")
+    # stereo is outside the implemented subset → gated, not wrong
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(bytes(8))
+    with pytest.raises(NotImplementedError, match="mono"):
+        decode_wav_pcm16(buf.getvalue())
+
+
+def test_spark_wav_stats_match_arithmetic(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.multimodal import (
+        attach_wav_payload,
+        decode_wav_stats,
+    )
+
+    docs = spark.range(0, 30).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    for row in decode_wav_stats(attach_wav_payload(docs)).collect():
+        i = row["doc_id"]
+        n, c = i % 50 + 10, i % 1000
+        assert row["sample_rate"] == 8000 + (i % 3) * 4000
+        assert row["n_samples"] == n
+        assert row["sum_samples"] == n * c + n * (n - 1) // 2
+
+
 def test_spark_payloads_are_real_pngs(spark):
     docs = spark.range(0, 5).select(
         F.col("id").alias("doc_id"), F.lit("x").alias("text")
