@@ -478,6 +478,26 @@ def _q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     return A.q_sessionize(load_table(spark, sf, "events"))
 
 
+def _q_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Native ``session_window`` sessionization (the scale/streaming
+    path; ``q_sessionize`` is the gaps-and-islands twin). The oracle
+    states the same sessions in gaps-and-islands SQL: a session breaks
+    when the gap is >= 30 min (Spark merges only strictly-overlapping
+    windows), and session_end = last event + gap."""
+    out = A.q_session_window(load_table(spark, sf, "events"))
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+        "sum_value",
+    )
+
+
 def _q_intersect(spark: SparkSession, sf: str) -> DataFrame:
     return A.q_custkeys_both_statuses(load_table(spark, sf, "orders"))
 
@@ -1268,6 +1288,49 @@ def _q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_ZORDER_BITS = 8
+
+
+def _q_zorder_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Morton-key layout probe: interleave the low 8 bits of
+    (o_custkey, o_orderkey) and aggregate per top-8-bit z-bucket. The
+    bucket (min, max) ranges are what parquet min/max stats would hold
+    after ``cluster_by_zorder`` — tight in BOTH dims, the multi-column
+    data-skipping layout. Bit interleave = pure shift/and arithmetic
+    with disjoint bit positions, so the oracle restates it as a sum."""
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        zorder_key,
+    )
+
+    o = load_table(spark, sf, "orders")
+    z = zorder_key(
+        F.pmod(F.col("o_custkey"), F.lit(256)),
+        F.pmod(F.col("o_orderkey"), F.lit(256)),
+        bits=_ZORDER_BITS,
+    )
+    return (
+        o.select(z.alias("zval"))
+        .groupBy(F.shiftright(F.col("zval"), 8).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+        )
+    )
+
+
+def _q_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitter report on the lineitem supplier key — the
+    pre-flight check that decides between a plain, salted, or
+    AQE-skew join."""
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        key_skew_report,
+    )
+
+    li = load_table(spark, sf, "lineitem")
+    return key_skew_report(li.select("l_suppkey"), "l_suppkey", top_n=10)
+
+
 def _q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
         simhash_near_dup_pairs,
@@ -1307,6 +1370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ntile_buckets": _q_ntile,
         "q21_last_shipper": _q_q21,
         # -- new in round 4 --
+        "q_session_window": _q_session_window,
+        "q_zorder_buckets": _q_zorder_buckets,
+        "q_key_skew": _q_key_skew,
         "m_decode_png": _q_decode_png,
         "m_decode_wav": _q_decode_wav,
         "q_skew_salted_join": _q_skew_salted_join,
@@ -1454,6 +1520,18 @@ def _simhash_sql(bits: int = 32) -> str:
         "t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS th "
         "FROM documents)"
     )
+
+
+def _zorder_sql(a: str, b: str, bits: int) -> str:
+    """Morton interleave of two SQL int expressions as a sum of
+    disjoint-bit terms — the DuckDB restatement of
+    operators/scale.py:zorder_key (OR == + when bit positions are
+    disjoint)."""
+    terms = []
+    for j in range(bits):
+        terms.append(f"((({a} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({b} >> {j}) & 1) << {2 * j + 1})")
+    return "(" + " + ".join(terms) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2246,6 +2324,37 @@ def oracle_sql() -> dict[str, str]:
             "WHERE b < CASE c_mktsegment WHEN 'BUILDING' THEN 50 "
             "WHEN 'AUTOMOBILE' THEN 25 WHEN 'MACHINERY' THEN 10 "
             "ELSE 5 END"
+        ),
+        "q_zorder_buckets": (
+            "WITH z AS (SELECT " + _zorder_sql(
+                "(o_custkey % 256)", "(o_orderkey % 256)", _ZORDER_BITS
+            ) + " AS zval FROM orders) "
+            "SELECT zval >> 8 AS z_bucket, count(*) AS n_rows, "
+            "min(zval) AS z_min, max(zval) AS z_max "
+            "FROM z GROUP BY zval >> 8"
+        ),
+        "q_key_skew": (
+            "SELECT l_suppkey, count(*) AS n_rows, "
+            "round(count(*) / (SELECT count(*) FROM lineitem), 6) AS share "
+            "FROM lineitem GROUP BY l_suppkey "
+            "ORDER BY n_rows DESC, l_suppkey LIMIT 10"
+        ),
+        "q_session_window": (
+            "WITH o AS (SELECT user_id, ts, event_id, value, "
+            "CASE WHEN lag(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) IS NULL OR epoch(ts) - "
+            "epoch(lag(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id)) >= 1800 THEN 1 ELSE 0 END AS new_s "
+            "FROM events), "
+            "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid "
+            "FROM o) "
+            "SELECT user_id, "
+            "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
+            "strftime(max(ts) + INTERVAL 30 MINUTE, "
+            "'%Y-%m-%d %H:%M:%S') AS session_end, "
+            "count(*) AS n_events, round(sum(value), 2) AS sum_value "
+            "FROM s GROUP BY user_id, sid"
         ),
         "c_contamination": (
             f"WITH base AS (SELECT doc_id, {_TOKENS} AS toks FROM documents), "

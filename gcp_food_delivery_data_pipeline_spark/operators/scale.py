@@ -18,7 +18,7 @@ serializing one reducer. These helpers encode the standard cures:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -107,3 +107,78 @@ def salted_join(
     )
     salted_big = big.withColumn("_salt", big_salt)
     return salted_big.join(salted_small, [on, "_salt"], how).drop("_salt")
+
+
+def zorder_key(*cols: Column | str, bits: int = 16) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    column — bit ``j`` of column ``i`` lands at position ``j*n + i``.
+
+    Rows close in z-value are close in EVERY interleaved dimension, so
+    range-partitioning by z gives each output file a tight bounding box
+    in all dims at once — parquet min/max stats then prune scans on any
+    of them, where a lexicographic sort only prunes the leading column.
+    Pure integer Column arithmetic (shift/and/or): whole-stage codegen,
+    no UDF. The disjoint bit positions mean OR == addition, which is
+    what lets the DuckDB oracle restate it as a sum.
+
+    Columns must be non-negative integers; only the low ``bits`` bits
+    participate (callers bucket/hash wider domains first).
+    """
+    exprs = [
+        F.col(c).cast("long") if isinstance(c, str) else c.cast("long")
+        for c in cols
+    ]
+    n = len(exprs)
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, e in enumerate(exprs):
+            bit = F.shiftright(e, j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * n + i))
+    return z
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: list[str],
+    num_partitions: int = 32,
+    bits: int = 16,
+    key_col: str = "_zkey",
+) -> DataFrame:
+    """Re-cluster for multi-column data skipping: range-partition +
+    sort by the Morton key, so each written file covers a small
+    hyper-rectangle of the key space. ``repartitionByRange`` samples
+    the key distribution for balanced split points (one shuffle —
+    the one-time layout cost that every later selective scan
+    amortizes). The key column is kept (``key_col``) so writers can
+    also partition-prune on coarse z-ranges; drop it after writing.
+    """
+    keyed = df.withColumn(key_col, zorder_key(*cols, bits=bits))
+    return keyed.repartitionByRange(
+        num_partitions, F.col(key_col)
+    ).sortWithinPartitions(key_col)
+
+
+def key_skew_report(
+    df: DataFrame, key: str, top_n: int = 10
+) -> DataFrame:
+    """Heavy-hitter diagnosis for a prospective join/agg key: top-N
+    keys by row count with their share of the table.
+
+    One partial-aggregable shuffle on the key; the grand total rides
+    along as a broadcast scalar (no second pass over the data, no
+    global window). Reading: share ~ 1/num_partitions for one key
+    means that key serializes a reducer — reach for ``salted_join`` /
+    AQE skew handling before running the real job.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col(key))
+        .limit(top_n)
+    )

@@ -536,6 +536,39 @@ def q_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def q_session_window(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user sessions via Spark's native ``session_window`` — the
+    scale path for sessionization. Unlike the gaps-and-islands form
+    (``q_sessionize``: lag + running sum, two window passes over a
+    per-user sort), ``session_window`` is a first-class aggregation:
+    partial session merging happens map-side, the shuffle carries
+    per-partition session fragments rather than raw events, and the
+    same expression works unchanged on a watermarked stream
+    (streaming/events.py:session_rollup — the batch/stream twin pair).
+
+    Session semantics: an event extends the current session when it
+    arrives strictly within ``gap`` of the previous event; the emitted
+    window is [first_ts, last_ts + gap).
+    """
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), gap).alias("sw"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_custkeys_both_statuses(orders: DataFrame) -> DataFrame:
     """INTERSECT: customers having orders in BOTH status classes."""
     o = orders.select("o_custkey", "o_orderstatus")

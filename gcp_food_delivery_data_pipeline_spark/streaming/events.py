@@ -143,6 +143,73 @@ def run_events_hourly_stream(
     )
 
 
+def session_rollup(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-user session aggregation via native ``session_window`` —
+    the streaming twin of plans/analytics.py:q_session_window (same
+    expression, same output schema, so tests can assert stream ==
+    batch on a replayed directory).
+
+    On a stream the watermark is what FINALIZES a session: a session
+    closes (and, in append mode, emits exactly once) when the
+    watermark passes ``last_ts + gap``, and its merge state is
+    dropped — bounded memory on an unbounded stream. Without the
+    watermark a streaming session can never be declared over.
+    """
+    src = (
+        events.withWatermark("ts", watermark)
+        if watermark is not None
+        else events
+    )
+    return (
+        src.groupBy(
+            F.session_window(F.col("ts"), gap).alias("sw"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_sessionize_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Streaming sessionization into a parquet sink (append mode):
+    each finalized session emits exactly once when the watermark
+    passes its close; the checkpoint makes file re-delivery
+    idempotent. availableNow drains the backlog and stops — the
+    test/replay harness shape; production drops the trigger.
+    """
+    sessions = session_rollup(
+        read_events_stream(spark, input_dir), gap=gap, watermark=watermark
+    )
+    return (
+        sessions.writeStream.format("parquet")
+        .option("path", output_path)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_dedup(
     spark: SparkSession,
     input_dir: str,

@@ -113,3 +113,72 @@ def test_salted_join_spreads_hot_key(spark):
     )
     n_buckets = big_salt.select("_salt").distinct().count()
     assert n_buckets == 8
+
+
+def test_zorder_key_interleaves_bits(spark):
+    """z(a, b) must equal the hand-computed Morton interleave."""
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        zorder_key,
+    )
+
+    rows = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255)], "a long, b long"
+    )
+    out = {
+        (r.a, r.b): r.z
+        for r in rows.select(
+            "a", "b", zorder_key("a", "b", bits=8).alias("z")
+        ).collect()
+    }
+
+    def morton(a: int, b: int) -> int:
+        z = 0
+        for j in range(8):
+            z |= ((a >> j) & 1) << (2 * j)
+            z |= ((b >> j) & 1) << (2 * j + 1)
+        return z
+
+    assert out == {(a, b): morton(a, b) for (a, b) in out}
+
+
+def test_cluster_by_zorder_partitions_have_disjoint_ranges(spark):
+    """Range-partitioned z-keys: per-partition [min, max] spans must
+    not overlap — that disjointness IS the parquet min/max
+    data-skipping guarantee after writing."""
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        cluster_by_zorder,
+    )
+
+    df = (
+        spark.range(4096)
+        .select(
+            F.pmod(F.col("id") * 37, F.lit(256)).alias("x"),
+            F.pmod(F.col("id") * 91, F.lit(256)).alias("y"),
+        )
+    )
+    clustered = cluster_by_zorder(df, ["x", "y"], num_partitions=8, bits=8)
+    spans = (
+        clustered.select(F.spark_partition_id().alias("pid"), "_zkey")
+        .groupBy("pid")
+        .agg(F.min("_zkey").alias("lo"), F.max("_zkey").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(spans) >= 4
+    for prev, cur in zip(spans, spans[1:]):
+        assert prev.hi <= cur.lo  # disjoint (boundary key may repeat)
+
+
+def test_key_skew_report_shares_sum_and_order(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        key_skew_report,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 70 + [("b",)] * 20 + [("c",)] * 10, "k string"
+    )
+    rep = key_skew_report(df, "k", top_n=2).collect()
+    assert [(r.k, r.n_rows, r.share) for r in rep] == [
+        ("a", 70, 0.7),
+        ("b", 20, 0.2),
+    ]
