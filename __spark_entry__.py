@@ -1331,6 +1331,85 @@ def _q_key_skew(spark: SparkSession, sf: str) -> DataFrame:
     return key_skew_report(li.select("l_suppkey"), "l_suppkey", top_n=10)
 
 
+def _q_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental aggregate maintenance: the events table arrives as
+    three separate batches, each is rolled up independently, and the
+    partial states are MERGED — the oracle's direct full-scan GROUP BY
+    must match row-for-row, which is the mergeable-monoid guarantee
+    (count/sum add, min/max re-extremize, avg derived from sum/count)
+    that lets a 100 TB pipeline fold each new batch into a
+    materialized rollup instead of re-scanning history."""
+    from gcp_food_delivery_data_pipeline_spark.operators.rollup import (
+        build_rollup,
+        merge_rollups,
+        with_avg,
+    )
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    keys = ["event_type", "day"]
+    measures = {
+        "n_events": ("count", ""),
+        "sum_value": ("sum", "value"),
+        "min_value": ("min", "value"),
+        "max_value": ("max", "value"),
+    }
+    batches = [
+        build_rollup(
+            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),
+            keys,
+            measures,
+        )
+        for i in range(3)
+    ]
+    merged = with_avg(
+        merge_rollups(batches, keys, measures),
+        "avg_value",
+        "sum_value",
+        "n_events",
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+        "avg_value",
+    )
+
+
+def _q_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct-count rollup WITHOUT raw re-scan: per-(type, day) HLL
+    sketches union up to per-type distinct-user estimates. Distinct is
+    not sum-mergeable, so this is the one aggregate that needs sketch
+    state in a materialized rollup. lg_k=12 → rsd ~1.6%; the 15%
+    bound (~9 sigma) follows the repo's approx-op policy: data
+    regeneration cannot trip it, a broken sketch/union will."""
+    from gcp_food_delivery_data_pipeline_spark.operators.rollup import (
+        build_distinct_sketches,
+        rollup_distinct_sketches,
+    )
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    daily = build_distinct_sketches(ev, ["event_type", "day"], "user_id")
+    per_type = rollup_distinct_sketches(daily, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact_users")
+    )
+    return per_type.join(exact, "event_type").select(
+        "event_type",
+        "n_exact_users",
+        (
+            F.abs(F.col("n_distinct_est") - F.col("n_exact_users"))
+            <= F.col("n_exact_users") * 0.15
+        ).alias("rollup_ok"),
+    )
+
+
 def _q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
         simhash_near_dup_pairs,
@@ -1373,6 +1452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_window": _q_session_window,
         "q_zorder_buckets": _q_zorder_buckets,
         "q_key_skew": _q_key_skew,
+        "q_incremental_rollup": _q_incremental_rollup,
+        "q_sketch_rollup": _q_sketch_rollup,
         "m_decode_png": _q_decode_png,
         "m_decode_wav": _q_decode_wav,
         "q_skew_salted_join": _q_skew_salted_join,
@@ -2332,6 +2413,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT zval >> 8 AS z_bucket, count(*) AS n_rows, "
             "min(zval) AS z_min, max(zval) AS z_max "
             "FROM z GROUP BY zval >> 8"
+        ),
+        "q_incremental_rollup": (
+            "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+            "count(*) AS n_events, round(sum(value), 2) AS sum_value, "
+            "round(min(value), 2) AS min_value, "
+            "round(max(value), 2) AS max_value, "
+            "round(sum(value) / count(*), 6) AS avg_value "
+            "FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')"
+        ),
+        "q_sketch_rollup": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_exact_users, "
+            "TRUE AS rollup_ok FROM events GROUP BY event_type"
         ),
         "q_key_skew": (
             "SELECT l_suppkey, count(*) AS n_rows, "

@@ -1,0 +1,117 @@
+"""Rollup-merge tests: batch-wise partial aggregation must equal the
+direct full-scan answer (the mergeable-monoid contract), coarse-grain
+re-aggregation must work from fine-grain state, and HLL sketch unions
+over a partition of the data must equal the one-shot sketch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_food_delivery_data_pipeline_spark.operators.rollup import (
+    build_distinct_sketches,
+    build_rollup,
+    merge_rollups,
+    rollup_distinct_sketches,
+    with_avg,
+)
+from gcp_food_delivery_data_pipeline_spark.sources.readers import load_table
+from tests.conftest import SF_DIR
+
+KEYS = ["event_type", "day"]
+MEASURES = {
+    "n_events": ("count", ""),
+    "sum_value": ("sum", "value"),
+    "min_value": ("min", "value"),
+    "max_value": ("max", "value"),
+}
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return (
+        load_table(spark, SF_DIR, "events")
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .cache()
+    )
+
+
+def _rows(df):
+    return {
+        (r.event_type, r.day): (
+            r.n_events,
+            round(r.sum_value, 2),
+            r.min_value,
+            r.max_value,
+        )
+        for r in df.collect()
+    }
+
+
+def test_merged_batches_equal_direct_rollup(events):
+    direct = build_rollup(events, KEYS, MEASURES)
+    batches = [
+        build_rollup(
+            events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i),
+            KEYS,
+            MEASURES,
+        )
+        for i in range(4)
+    ]
+    merged = merge_rollups(batches, KEYS, MEASURES)
+    assert _rows(merged) == _rows(direct)
+
+
+def test_fine_grain_rolls_up_to_coarse(events):
+    fine = build_rollup(events, KEYS, MEASURES)
+    coarse_from_fine = merge_rollups([fine], ["event_type"], MEASURES)
+    coarse_direct = build_rollup(events, ["event_type"], MEASURES)
+    a = {
+        r.event_type: (r.n_events, round(r.sum_value, 2))
+        for r in coarse_from_fine.collect()
+    }
+    b = {
+        r.event_type: (r.n_events, round(r.sum_value, 2))
+        for r in coarse_direct.collect()
+    }
+    assert a == b
+
+
+def test_with_avg_derives_from_state(spark):
+    r = spark.createDataFrame(
+        [("a", 4, 10.0)], "k string, n long, s double"
+    )
+    out = with_avg(r, "avg", "s", "n").collect()[0]
+    assert out.avg == 2.5
+
+
+def test_unmergeable_measure_rejected(events):
+    with pytest.raises(ValueError, match="not mergeable"):
+        build_rollup(events, KEYS, {"bad": ("avg", "value")})
+
+
+def test_sketch_union_of_split_equals_whole(events):
+    """HLL registers are max-based, so sketches over any partition of
+    the rows union to EXACTLY the one-shot sketch's estimate."""
+    whole = rollup_distinct_sketches(
+        build_distinct_sketches(events, ["event_type"], "user_id"),
+        ["event_type"],
+    )
+    split_daily = build_distinct_sketches(events, KEYS, "user_id")
+    unioned = rollup_distinct_sketches(split_daily, ["event_type"])
+    a = {r.event_type: r.n_distinct_est for r in whole.collect()}
+    b = {r.event_type: r.n_distinct_est for r in unioned.collect()}
+    assert a == b
+
+
+def test_sketch_estimate_near_exact(events):
+    est = rollup_distinct_sketches(
+        build_distinct_sketches(events, KEYS, "user_id"), ["event_type"]
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n")
+    )
+    joined = est.join(exact, "event_type").collect()
+    assert joined
+    for r in joined:
+        assert abs(r.n_distinct_est - r.n) <= 0.15 * r.n
