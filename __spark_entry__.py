@@ -1331,6 +1331,15 @@ def _q_key_skew(spark: SparkSession, sf: str) -> DataFrame:
     return key_skew_report(li.select("l_suppkey"), "l_suppkey", top_n=10)
 
 
+def _q_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filter signals over documents."""
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        repetition_signals,
+    )
+
+    return repetition_signals(load_table(spark, sf, "documents"))
+
+
 def _q_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental aggregate maintenance: the events table arrives as
     three separate batches, each is rolled up independently, and the
@@ -1454,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_key_skew": _q_key_skew,
         "q_incremental_rollup": _q_incremental_rollup,
         "q_sketch_rollup": _q_sketch_rollup,
+        "t_repetition": _q_repetition,
         "m_decode_png": _q_decode_png,
         "m_decode_wav": _q_decode_wav,
         "q_skew_salted_join": _q_skew_salted_join,
@@ -2413,6 +2423,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT zval >> 8 AS z_bucket, count(*) AS n_rows, "
             "min(zval) AS z_min, max(zval) AS z_max "
             "FROM z GROUP BY zval >> 8"
+        ),
+        "t_repetition": (
+            f"WITH base AS (SELECT doc_id, {_TOKENS} AS toks "
+            "FROM documents), "
+            "b AS (SELECT doc_id, len(toks) AS n_words, "
+            "round(CASE WHEN len(toks) = 0 THEN 0 ELSE "
+            "1 - len(list_distinct(toks))::DOUBLE / len(toks) END, 6) "
+            "AS dup_word_frac, "
+            "CASE WHEN len(toks) >= 2 THEN "
+            "list_transform(range(1, len(toks)), "
+            "i -> toks[i] || ' ' || toks[i + 1]) "
+            "ELSE [] END AS grams FROM base), "
+            "e AS (SELECT doc_id, unnest(grams) AS g FROM b), "
+            "c AS (SELECT doc_id, g, count(*) AS n FROM e "
+            "GROUP BY doc_id, g), "
+            "t AS (SELECT doc_id, max(n) AS top_bg, sum(n) AS n_bg "
+            "FROM c GROUP BY doc_id) "
+            "SELECT b.doc_id, n_words, dup_word_frac, "
+            "round(coalesce(top_bg::DOUBLE / n_bg, 0), 6) "
+            "AS top_bigram_frac, "
+            "(dup_word_frac > 0.3 OR "
+            "round(coalesce(top_bg::DOUBLE / n_bg, 0), 6) > 0.18) "
+            "AS is_repetitive "
+            "FROM b LEFT JOIN t USING (doc_id)"
         ),
         "q_incremental_rollup": (
             "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "

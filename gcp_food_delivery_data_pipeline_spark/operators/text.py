@@ -299,3 +299,83 @@ def sentences(col: Column | str) -> Column:
         F.transform(F.split(c, r"\."), lambda p: F.trim(p)),
         lambda x: x != "",
     )
+
+
+def word_bigrams(col: Column | str) -> Column:
+    """Adjacent word pairs as 'a b' strings ([] for <2 tokens)."""
+    t = tokens(col)
+    n = F.size(t)
+    return F.when(n >= 2, F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dup_word_max: float = 0.3,
+    top_bigram_max: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1: "repetitious documents are ... removed"):
+    boilerplate and degenerate generations show up as a few tokens /
+    n-grams dominating the document.
+
+    * ``dup_word_frac`` — 1 - distinct/total words: pure per-row
+      Column arithmetic, no shuffle.
+    * ``top_bigram_frac`` — most frequent bigram's share of all
+      bigrams: explode → count keyed on (doc, bigram) → per-doc max.
+      Both shuffles are map-side combinable and keyed by doc, so the
+      reduce input is O(distinct bigrams), never O(corpus tokens).
+    * ``is_repetitive`` — either signal over its threshold; tune
+      per-corpus.
+
+    Scale note: this is deliberately NOT computed with a per-row
+    quadratic ``aggregate`` over the token array — a single pathological
+    100 MB document would pin one core for hours; the explode/agg form
+    spreads that document's n-grams across the cluster.
+    """
+    base = df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_words"),
+        F.round(
+            F.when(token_count(text_col) == 0, 0.0).otherwise(
+                1
+                - F.size(F.array_distinct(tokens(text_col)))
+                / token_count(text_col)
+            ),
+            6,
+        ).alias("dup_word_frac"),
+        word_bigrams(text_col).alias("_bigrams"),
+    )
+    counts = (
+        base.select(id_col, F.explode("_bigrams").alias("_bg"))
+        .groupBy(id_col, "_bg")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.max("_n").alias("_top_bg"), F.sum("_n").alias("_n_bg")
+    )
+    out = (
+        base.drop("_bigrams")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "dup_word_frac",
+            F.round(
+                F.coalesce(
+                    F.col("_top_bg") / F.col("_n_bg"), F.lit(0.0)
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+    return out.withColumn(
+        "is_repetitive",
+        (F.col("dup_word_frac") > dup_word_max)
+        | (F.col("top_bigram_frac") > top_bigram_max),
+    )

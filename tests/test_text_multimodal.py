@@ -254,3 +254,34 @@ def test_sentence_udtf_matches_native_split(spark):
     assert sorted(map(tuple, native.collect())) == sorted(
         map(tuple, via_udtf.collect())
     )
+
+
+def test_repetition_signals_edges(spark):
+    """Hand-checked dup-word and top-bigram fractions; empty and
+    one-word docs yield zero signals, degenerate repetition flags."""
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),   # dup 6/8, 'a b' = 4/7 bigrams
+            (2, "v w x y z"),          # all distinct
+            (3, ""),                    # empty: all-zero signals
+            (4, "solo"),                # one word: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (
+            r.n_words,
+            r.dup_word_frac,
+            r.top_bigram_frac,
+            r.is_repetitive,
+        )
+        for r in repetition_signals(df).collect()
+    }
+    assert out[1] == (8, 0.75, round(4 / 7, 6), True)
+    assert out[2] == (5, 0.0, 0.25, True)  # tiny doc: 1/4 bigram share
+    assert out[3] == (0, 0.0, 0.0, False)
+    assert out[4] == (1, 0.0, 0.0, False)
