@@ -192,3 +192,25 @@ def test_simhash_pairs_never_cartesian(plans):
     # losing the band key would silently degrade to an all-pairs plan
     p = plans("d_simhash_pairs")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_dynamic_partition_pruning_on_fact_dim_join(spark, tmp_path):
+    """Joining a partitioned fact to a FILTERED dim on the partition
+    key must inject a runtime dynamicpruning subquery into the fact
+    scan: the dim filter's surviving keys prune fact directories at
+    execution time even though no literal predicate exists at plan
+    time — the star-join companion to static partition pruning."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "orders_by_status")
+    load_table(spark, SF_DIR, "orders").write.partitionBy(
+        "o_orderstatus"
+    ).parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        "o_orderstatus string, label string",
+    ).filter(F.col("label") == "finished")
+    j = fact.join(dim, "o_orderstatus").groupBy("label").count()
+    p = _plan(j)
+    assert "dynamicpruning" in p.lower(), p
