@@ -1331,6 +1331,66 @@ def _q_key_skew(spark: SparkSession, sf: str) -> DataFrame:
     return key_skew_report(li.select("l_suppkey"), "l_suppkey", top_n=10)
 
 
+def _q_media_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom media-directory scan end-to-end (Spark 4 Python Data
+    Source API): every 10th document's PNG is materialized as a real
+    file, read back through the ``media_dir`` format (driver lists
+    names/sizes only; executors read bytes), kind-sniffed from magic
+    bytes, and decoded through the real PNG codec. The oracle pins
+    width/height/mean arithmetically from doc_id, so a hash match
+    proves source + sniff + codec, not a fixture echo."""
+    import shutil
+
+    from gcp_food_delivery_data_pipeline_spark.functions.png import (
+        encode_png_gray,
+    )
+    from gcp_food_delivery_data_pipeline_spark.operators.multimodal import (
+        decode_png_stats,
+    )
+    from gcp_food_delivery_data_pipeline_spark.sources.media import (
+        register_media_source,
+    )
+
+    ids = [
+        r.doc_id
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id")
+        .filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+        .collect()
+    ]
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_media_{os.path.basename(os.path.normpath(sf))}",
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    for i in ids:
+        w, h, base = i % 16 + 1, i % 12 + 1, i % 200
+        px = bytes(base + x + y for y in range(h) for x in range(w))
+        with open(os.path.join(d, f"doc_{i}.png"), "wb") as fh:
+            fh.write(encode_png_gray(w, h, px))
+
+    register_media_source(spark)
+    media = spark.read.format("media_dir").option(
+        "targetPartitionBytes", "4096"
+    ).load(d)
+    keyed = media.select(
+        F.regexp_extract("file_name", r"doc_(\d+)\.png", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "kind",
+        "payload",
+    )
+    stats = decode_png_stats(keyed)
+    return stats.join(keyed.select("doc_id", "kind"), "doc_id").select(
+        "doc_id",
+        "kind",
+        "width",
+        "height",
+        F.round("mean_px", 6).alias("mean_px"),
+    )
+
+
 def _q_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition filter signals over documents."""
     from gcp_food_delivery_data_pipeline_spark.operators.text import (
@@ -1464,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_rollup": _q_incremental_rollup,
         "q_sketch_rollup": _q_sketch_rollup,
         "t_repetition": _q_repetition,
+        "s_media_source": _q_media_source,
         "m_decode_png": _q_decode_png,
         "m_decode_wav": _q_decode_wav,
         "q_skew_salted_join": _q_skew_salted_join,
@@ -2423,6 +2484,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT zval >> 8 AS z_bucket, count(*) AS n_rows, "
             "min(zval) AS z_min, max(zval) AS z_max "
             "FROM z GROUP BY zval >> 8"
+        ),
+        "s_media_source": (
+            "SELECT doc_id, 'png' AS kind, "
+            "CAST(doc_id % 16 + 1 AS INTEGER) AS width, "
+            "CAST(doc_id % 12 + 1 AS INTEGER) AS height, "
+            "round(CAST(doc_id % 200 AS DOUBLE) "
+            "+ (doc_id % 16) / 2.0 + (doc_id % 12) / 2.0, 6) AS mean_px "
+            "FROM documents WHERE doc_id % 10 = 0"
         ),
         "t_repetition": (
             f"WITH base AS (SELECT doc_id, {_TOKENS} AS toks "
