@@ -150,3 +150,93 @@ def test_rolling_fp_matches_python_model(spark_global, texts):
         ).collect()
     }
     assert got == {i: model(t) for i, t in enumerate(texts)}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_zorder_key_is_bijective_and_matches_model(spark_global, pairs):
+    """Morton key must equal the Python bit-interleave model and be
+    UNIQUE per (a, b) — bijectivity is what makes z-ranges prunable."""
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        zorder_key,
+    )
+
+    df = spark_global.createDataFrame(pairs, "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", zorder_key("a", "b", bits=16).alias("z")
+        ).collect()
+    }
+
+    def morton(a: int, b: int) -> int:
+        z = 0
+        for j in range(16):
+            z |= ((a >> j) & 1) << (2 * j)
+            z |= ((b >> j) & 1) << (2 * j + 1)
+        return z
+
+    assert got == {(a, b): morton(a, b) for a, b in pairs}
+    assert len(set(got.values())) == len(pairs)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_batches=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=99),
+)
+def test_rollup_merge_invariant_to_batching(
+    spark_global, rows, n_batches, seed
+):
+    """ANY partition of the rows into batches must merge to the direct
+    rollup — the mergeable-monoid law, on integers so equality is
+    exact."""
+    from pyspark.sql import functions as F
+
+    from gcp_food_delivery_data_pipeline_spark.operators.rollup import (
+        build_rollup,
+        merge_rollups,
+    )
+
+    measures = {
+        "n": ("count", ""),
+        "s": ("sum", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+    df = spark_global.createDataFrame(rows, "k string, v long")
+    direct = build_rollup(df, ["k"], measures)
+    batches = [
+        build_rollup(
+            df.filter(
+                F.pmod(F.hash(F.col("v") + seed), F.lit(n_batches)) == i
+            ),
+            ["k"],
+            measures,
+        )
+        for i in range(n_batches)
+    ]
+    merged = merge_rollups(batches, ["k"], measures)
+
+    def snap(d):
+        return {r.k: (r.n, r.s, r.lo, r.hi) for r in d.collect()}
+
+    assert snap(merged) == snap(direct)
