@@ -182,3 +182,47 @@ def test_key_skew_report_shares_sum_and_order(spark):
         ("a", 70, 0.7),
         ("b", 20, 0.2),
     ]
+
+
+def test_zorder_written_files_enable_box_skipping(spark, tmp_path):
+    """After cluster_by_zorder + write, parquet footer min/max stats
+    must localize a small 2-D box to a few files — the actual
+    data-skipping payoff. The box [0,32)x[0,32) is 1/64 of the key
+    space; Morton clustering maps it to one contiguous z-range, so at
+    most a couple of the 16 files can intersect it (a 1-D sort by x
+    alone would leave EVERY file intersecting the y-range)."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        cluster_by_zorder,
+    )
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"),
+        ((F.col("id") / 256).cast("long") % 256).alias("y"),
+    )
+    out = str(tmp_path / "zclustered")
+    cluster_by_zorder(grid, ["x", "y"], num_partitions=16, bits=8).drop(
+        "_zkey"
+    ).write.parquet(out)
+
+    files = sorted(g.glob(out + "/part-*.parquet"))
+    assert len(files) >= 8
+    intersecting = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        lo = {"x": 1 << 60, "y": 1 << 60}
+        hi = {"x": -1, "y": -1}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name in lo and col.statistics is not None:
+                    lo[name] = min(lo[name], col.statistics.min)
+                    hi[name] = max(hi[name], col.statistics.max)
+        if lo["x"] < 32 and lo["y"] < 32:  # bounding box hits the query box
+            intersecting += 1
+    assert 1 <= intersecting <= 3, intersecting
