@@ -1331,6 +1331,25 @@ def _q_key_skew(spark: SparkSession, sf: str) -> DataFrame:
     return key_skew_report(li.select("l_suppkey"), "l_suppkey", top_n=10)
 
 
+def _q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long reshaping (``DataFrame.unpivot`` / SQL UNPIVOT, the
+    inverse of q_status_pivot): per-flag measure columns melt into
+    (measure, value) rows. Unpivot is a zero-shuffle projection —
+    each input row fans out to one row per measure locally."""
+    li = load_table(spark, sf, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("extended_price"),
+        F.round(F.sum("l_discount"), 2).alias("discount"),
+    )
+    return agg.unpivot(
+        "l_returnflag",
+        ["qty", "extended_price", "discount"],
+        "measure",
+        "value",
+    )
+
+
 def _q_media_source(spark: SparkSession, sf: str) -> DataFrame:
     """Custom media-directory scan end-to-end (Spark 4 Python Data
     Source API): every 10th document's PNG is materialized as a real
@@ -1525,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sketch_rollup": _q_sketch_rollup,
         "t_repetition": _q_repetition,
         "s_media_source": _q_media_source,
+        "q_unpivot": _q_unpivot,
         "m_decode_png": _q_decode_png,
         "m_decode_wav": _q_decode_wav,
         "q_skew_salted_join": _q_skew_salted_join,
@@ -2484,6 +2504,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT zval >> 8 AS z_bucket, count(*) AS n_rows, "
             "min(zval) AS z_min, max(zval) AS z_max "
             "FROM z GROUP BY zval >> 8"
+        ),
+        "q_unpivot": (
+            "WITH a AS (SELECT l_returnflag, "
+            "round(sum(l_quantity), 2) AS qty, "
+            "round(sum(l_extendedprice), 2) AS extended_price, "
+            "round(sum(l_discount), 2) AS discount "
+            "FROM lineitem GROUP BY l_returnflag) "
+            "SELECT l_returnflag, 'qty' AS measure, qty AS value FROM a "
+            "UNION ALL SELECT l_returnflag, 'extended_price', "
+            "extended_price FROM a "
+            "UNION ALL SELECT l_returnflag, 'discount', discount FROM a"
         ),
         "s_media_source": (
             "SELECT doc_id, 'png' AS kind, "
