@@ -1331,6 +1331,12 @@ def _q_key_skew(spark: SparkSession, sf: str) -> DataFrame:
     return key_skew_report(li.select("l_suppkey"), "l_suppkey", top_n=10)
 
 
+def _q_variant_props(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 VariantType semi-structured path (parse once, typed
+    variant_get extraction) — the scale twin of q_props_extract."""
+    return A.q_variant_props(load_table(spark, sf, "events"))
+
+
 def _q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     """Wide→long reshaping (``DataFrame.unpivot`` / SQL UNPIVOT, the
     inverse of q_status_pivot): per-flag measure columns melt into
@@ -1545,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_repetition": _q_repetition,
         "s_media_source": _q_media_source,
         "q_unpivot": _q_unpivot,
+        "q_variant_props": _q_variant_props,
         "m_decode_png": _q_decode_png,
         "m_decode_wav": _q_decode_wav,
         "q_skew_salted_join": _q_skew_salted_join,
@@ -2504,6 +2511,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT zval >> 8 AS z_bucket, count(*) AS n_rows, "
             "min(zval) AS z_min, max(zval) AS z_max "
             "FROM z GROUP BY zval >> 8"
+        ),
+        "q_variant_props": (
+            "SELECT event_type, count(*) AS n_events, "
+            "sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS "
+            "INTEGER) >= 50 THEN 1 ELSE 0 END) AS n_high, "
+            "round(avg(CAST(json_extract_string(props, '$.k') AS "
+            "INTEGER)), 6) AS avg_k "
+            "FROM events GROUP BY event_type"
         ),
         "q_unpivot": (
             "WITH a AS (SELECT l_returnflag, "

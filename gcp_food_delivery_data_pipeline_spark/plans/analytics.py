@@ -666,6 +666,26 @@ def q_props_extract(events: DataFrame, min_k: int = 50) -> DataFrame:
     )
 
 
+def q_variant_props(events: DataFrame, high_k: int = 50) -> DataFrame:
+    """Semi-structured aggregation via Spark 4's VariantType: the JSON
+    payload parses ONCE into the binary-encoded Variant
+    (``parse_json``), then ``variant_get`` does typed path extraction
+    from that encoding — at scale this beats re-tokenizing the JSON
+    string per path the way repeated ``get_json_object`` calls do
+    (``q_props_extract`` keeps the string-path twin). Aggregation is
+    one map-side-combinable shuffle on event_type."""
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("k") >= high_k).cast("int")).alias("n_high"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
 def q_status_pivot(orders: DataFrame) -> DataFrame:
     """Order counts per priority PIVOTED over status — wide layout.
 
