@@ -1331,6 +1331,23 @@ def _q_key_skew(spark: SparkSession, sf: str) -> DataFrame:
     return key_skew_report(li.select("l_suppkey"), "l_suppkey", top_n=10)
 
 
+def _q_approx_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based heavy hitters (``approx_top_k``): one
+    constant-memory pass instead of the full groupBy+sort — the
+    streaming-friendly form of q_key_skew's exact report. With far
+    fewer distinct keys than the sketch tracks (5 vs 10k) the estimate
+    is EXACT, so the oracle is the plain exact top-3 — a hash match
+    proves the sketch path end-to-end with no tolerance band."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.select(F.expr("inline(approx_top_k(event_type, 3))"))
+        .select(
+            F.col("item").alias("event_type"),
+            F.col("count").alias("n_events"),
+        )
+    )
+
+
 def _q_variant_props(spark: SparkSession, sf: str) -> DataFrame:
     """Spark 4 VariantType semi-structured path (parse once, typed
     variant_get extraction) — the scale twin of q_props_extract."""
@@ -1552,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_media_source": _q_media_source,
         "q_unpivot": _q_unpivot,
         "q_variant_props": _q_variant_props,
+        "q_approx_topk": _q_approx_topk,
         "m_decode_png": _q_decode_png,
         "m_decode_wav": _q_decode_wav,
         "q_skew_salted_join": _q_skew_salted_join,
@@ -2511,6 +2529,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT zval >> 8 AS z_bucket, count(*) AS n_rows, "
             "min(zval) AS z_min, max(zval) AS z_max "
             "FROM z GROUP BY zval >> 8"
+        ),
+        "q_approx_topk": (
+            "SELECT event_type, count(*) AS n_events FROM events "
+            "GROUP BY event_type ORDER BY n_events DESC, event_type "
+            "LIMIT 3"
         ),
         "q_variant_props": (
             "SELECT event_type, count(*) AS n_events, "

@@ -214,3 +214,44 @@ def test_dynamic_partition_pruning_on_fact_dim_join(spark, tmp_path):
     j = fact.join(dim, "o_orderstatus").groupBy("label").count()
     p = _plan(j)
     assert "dynamicpruning" in p.lower(), p
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark, tmp_path):
+    """A selective filter on one shuffle-join side must inject a
+    runtime bloom filter (`might_contain`) into the OTHER side's scan
+    — AQE's row-level companion to dynamic partition pruning: probe
+    rows that cannot match are dropped before the shuffle."""
+    import pyspark.sql.functions as F
+
+    li_path = str(tmp_path / "li")
+    o_path = str(tmp_path / "o")
+    load_table(spark, SF_DIR, "lineitem").write.parquet(li_path)
+    load_table(spark, SF_DIR, "orders").write.parquet(o_path)
+    li = spark.read.parquet(li_path)
+    orders = spark.read.parquet(o_path).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # Size thresholds are tuned for real tables; at test scale force
+    # the decision so the INJECTION MECHANISM itself is pinned.
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    try:
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        p = _plan(j)
+        assert "might_contain" in p, p[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        )
