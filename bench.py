@@ -60,6 +60,21 @@ BENCH_QUERIES = [
 ]
 
 
+# Timed separately and NOT counted into the headline total, so the
+# 32-query `queries` dict stays round-over-round comparable.
+EXTRA_QUERIES = [
+    "q_session_window",     # native session_window aggregation
+    "q_incremental_rollup", # 3-batch mergeable-state rollup
+    "q_sketch_rollup",      # HLL sketch union rollup
+    "t_repetition",         # dup-word / top-bigram signals
+    "q_zorder_buckets",     # Morton interleave + bucket agg
+    "q_key_skew",           # heavy-hitter report
+    "q_variant_props",      # VariantType parse + typed extraction
+    "q_approx_topk",        # sketch heavy hitters
+    "s_media_source",       # Python DS scan + real PNG decode
+]
+
+
 PIPELINE_BENCH_ROWS = 1_000_000
 
 
@@ -164,12 +179,25 @@ def main() -> None:
             # measured.
             spark.catalog.clearCache()
 
+    extra: dict[str, float] = {}
+    for name in EXTRA_QUERIES:
+        t0 = time.time()
+        try:
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            extra[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # noqa: BLE001 — report, never die
+            errors[name] = f"{type(ex).__name__}: {ex}"[:500]
+        finally:
+            spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extra_queries": extra,
         "sf": sf,
     }
     if errors:
