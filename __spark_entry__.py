@@ -569,7 +569,10 @@ def _q_ntile(spark: SparkSession, sf: str) -> DataFrame:
     ranked = _global_ordered_rank_and_prefix(
         c, ["c_acctbal", "c_custkey"], F.lit(0)
     )
-    total = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    # Scalar row count from the BASE table: aggregating `ranked` would
+    # evaluate the whole two-phase rank pipeline a second time just to
+    # count rows the plain scan already knows.
+    total = c.agg(F.count(F.lit(1)).alias("_n"))
     g = F.col("_grank")
     n = F.col("_n")
     q = F.floor(n / 4)
@@ -1337,14 +1340,20 @@ def _q_approx_topk(spark: SparkSession, sf: str) -> DataFrame:
     streaming-friendly form of q_key_skew's exact report. With far
     fewer distinct keys than the sketch tracks (5 vs 10k) the estimate
     is EXACT, so the oracle is the plain exact top-3 — a hash match
-    proves the sketch path end-to-end with no tolerance band."""
+    proves the sketch path end-to-end with no tolerance band. The
+    sketch is asked for MORE items than exist and the final top-3 is
+    cut with an explicit (count DESC, item ASC) sort: the sketch's own
+    tie order is arbitrary, and an exact-count tie at the rank-3/4
+    boundary must break the same way the oracle breaks it."""
     ev = load_table(spark, sf, "events")
     return (
-        ev.select(F.expr("inline(approx_top_k(event_type, 3))"))
+        ev.select(F.expr("inline(approx_top_k(event_type, 10))"))
         .select(
             F.col("item").alias("event_type"),
             F.col("count").alias("n_events"),
         )
+        .orderBy(F.col("n_events").desc(), F.col("event_type"))
+        .limit(3)
     )
 
 
@@ -1400,9 +1409,12 @@ def _q_media_source(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
         .collect()
     ]
+    # Keyed by (sf basename, pid): a concurrent grader/bench pair at
+    # the same sf must not rmtree fixtures the other is mid-read on.
     d = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_media_{os.path.basename(os.path.normpath(sf))}",
+        f"spark_graft_media_{os.path.basename(os.path.normpath(sf))}"
+        f"_{os.getpid()}",
     )
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)

@@ -118,6 +118,8 @@ def decode_png_gray(data: bytes) -> tuple[int, int, bytes]:
         body = data[pos + 8 : pos + 8 + length]
         if len(body) != length:
             raise ValueError(f"truncated {tag!r} chunk")
+        if pos + 12 + length > len(data):
+            raise ValueError(f"truncated CRC after {tag!r} chunk")
         (crc,) = struct.unpack(
             ">I", data[pos + 8 + length : pos + 12 + length]
         )
@@ -144,6 +146,11 @@ def decode_png_gray(data: bytes) -> tuple[int, int, bytes]:
             break
     if width < 0:
         raise ValueError("missing IHDR")
+    if width == 0 or height == 0:
+        # Unsigned IHDR fields make 0 structurally parseable, but the
+        # spec forbids zero dimensions — reject here so consumers
+        # (e.g. mean-pixel stats) never divide by a zero area.
+        raise ValueError(f"zero-area image: {width}x{height}")
     if not seen_end:
         raise ValueError("missing IEND")
     raw = zlib.decompress(bytes(idat))

@@ -62,5 +62,10 @@ def decode_wav_pcm16(data: bytes) -> tuple[int, int, list[int]]:
             "only mono 16-bit PCM is implemented; got "
             f"channels={nch} sample_width={width}"
         )
+    if len(frames) != 2 * n:
+        raise ValueError(
+            f"truncated data chunk: header declares {n} frames "
+            f"({2 * n} bytes), got {len(frames)} bytes"
+        )
     samples = list(struct.unpack(f"<{n}h", frames))
     return rate, n, samples

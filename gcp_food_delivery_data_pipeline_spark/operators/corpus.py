@@ -239,20 +239,14 @@ def global_shuffle_rank(
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Distinct n-token shingles of a text column (array<string>);
     docs with fewer than n tokens yield none (they can't carry an
-    n-gram of the benchmark).
-
-    The short-doc guard must be a ``when``, not ``greatest``:
-    ``sequence(1, 0)`` in Spark generates a DESCENDING [1, 0], so an
-    unguarded sequence would fabricate phantom n-grams for short docs.
+    n-gram of the benchmark). Gram construction (and its short-doc
+    guard) lives in ``text.word_ngrams_all``; this distincts it.
     """
-    toks = tokens(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        word_ngrams_all,
     )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    return F.array_distinct(word_ngrams_all(col, n))
 
 
 def ngram_contamination(

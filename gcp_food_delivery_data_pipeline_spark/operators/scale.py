@@ -129,6 +129,14 @@ def zorder_key(*cols: Column | str, bits: int = 16) -> Column:
         for c in cols
     ]
     n = len(exprs)
+    if n * bits > 63:
+        raise ValueError(
+            f"zorder_key: {n} cols x {bits} bits needs {n * bits} bit "
+            f"positions; a signed long holds 63 — bit 63 flips the "
+            f"sign (breaking range ordering) and higher positions wrap "
+            f"(breaking bijectivity). Lower bits to "
+            f"{63 // n} or fewer."
+        )
     z = F.lit(0).cast("long")
     for j in range(bits):
         for i, e in enumerate(exprs):

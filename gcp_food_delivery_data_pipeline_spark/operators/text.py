@@ -301,15 +301,27 @@ def sentences(col: Column | str) -> Column:
     )
 
 
+def word_ngrams_all(col: Column | str, n: int = 2) -> Column:
+    """ALL space-joined n-token grams, duplicates kept ([] for docs
+    shorter than n tokens). The single n-gram construction both
+    repetition scoring (here) and contamination checking
+    (corpus.word_ngrams, which distincts this) build on — one place
+    for the short-doc guard: Spark's ``sequence(1, 0)`` DESCENDS, so
+    an unguarded sequence would fabricate phantom grams.
+    """
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def word_bigrams(col: Column | str) -> Column:
     """Adjacent word pairs as 'a b' strings ([] for <2 tokens)."""
-    t = tokens(col)
-    n = F.size(t)
-    return F.when(n >= 2, F.zip_with(
-        F.slice(t, 1, n - 1),
-        F.slice(t, 2, n - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )).otherwise(F.array().cast("array<string>"))
+    return word_ngrams_all(col, 2)
 
 
 def repetition_signals(

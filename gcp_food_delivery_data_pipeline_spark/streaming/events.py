@@ -346,8 +346,10 @@ def run_user_totals_stream_v2(
             "protobuf. Until then use run_user_totals_stream "
             "(applyInPandasWithState) — same semantics, tested equal."
         ) from e
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        provider_key,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
@@ -360,14 +362,23 @@ def run_user_totals_stream_v2(
         outputMode="update",
         timeMode="none",
     )
-    return (
-        totals.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    try:
+        return (
+            totals.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        # The started query holds its own conf snapshot; restore the
+        # session default so later v1 queries (dedup/upsert/totals)
+        # keep checkpointing with the provider their restarts expect.
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
 
 
 def run_click_attribution_stream(

@@ -166,3 +166,48 @@ def test_spark_payloads_are_real_pngs(spark):
         w, h, px = decode_png_gray(p)
         assert (w, h) == (row["meta"]["width"], row["meta"]["height"])
         assert len(px) == w * h
+
+
+def test_truncated_crc_and_zero_area_raise_value_error():
+    """Framing damage must surface as the documented ValueError, not a
+    struct.error/ZeroDivisionError escaping from unpack/stats."""
+    import struct
+    import zlib as _zlib
+
+    from gcp_food_delivery_data_pipeline_spark.functions.png import (
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    good = encode_png_gray(2, 2, bytes([1, 2, 3, 4]))
+    with pytest.raises(ValueError, match="truncated CRC"):
+        decode_png_gray(good[:-2])  # cut inside the IEND CRC field
+
+    # Structurally valid 0x0 PNG: signature + IHDR(0,0) + IDAT + IEND.
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    zero = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 0, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(b""))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="zero-area"):
+        decode_png_gray(zero)
+
+
+def test_wav_truncated_data_chunk_raises_value_error():
+    from gcp_food_delivery_data_pipeline_spark.functions.wav import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    good = encode_wav_pcm16([1, 2, 3, 4], 8000)
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(good[:-3])  # frames shorter than header claims

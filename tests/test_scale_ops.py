@@ -226,3 +226,13 @@ def test_zorder_written_files_enable_box_skipping(spark, tmp_path):
         if lo["x"] < 32 and lo["y"] < 32:  # bounding box hits the query box
             intersecting += 1
     assert 1 <= intersecting <= 3, intersecting
+
+
+def test_zorder_key_rejects_bit_overflow():
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        zorder_key,
+    )
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_key("a", "b", "c", "d", bits=16)  # 64 positions
+    zorder_key("a", "b", "c", "d", bits=15)  # 60 positions: fine
