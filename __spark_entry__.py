@@ -1034,6 +1034,62 @@ def _q_stream_hourly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming session_window parity, DRIVER-graded: replay events
+    through the append-mode sessionize stream. Append mode only emits
+    a session once the watermark passes its close, so the replay ends
+    with a far-future sentinel event (strictly later file mtime →
+    last micro-batch; its own still-open session never emits) that
+    flushes every real session to the sink; the sentinel user is
+    excluded from the result and the oracle is the batch
+    gaps-and-islands SQL over the events table alone."""
+    import time
+
+    from gcp_food_delivery_data_pipeline_spark.streaming.events import (
+        run_sessionize_stream,
+    )
+
+    in_dir, ckpt = _stage_events_stream_dir(sf, "stream_sessions")
+    out_dir = os.path.join(os.path.dirname(ckpt), "out")
+    max_ts = (
+        load_table(spark, sf, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    sentinel = spark.range(1).select(
+        F.lit(-999).cast("long").alias("event_id"),
+        (F.lit(max_ts) + F.expr("INTERVAL 48 HOURS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("flush").alias("event_type"),
+        F.lit(0.0).cast("double").alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(in_dir)
+    now = time.time()
+    for f in os.listdir(in_dir):
+        is_sent = f.startswith("part-") and f.endswith(".parquet")
+        mt = now + 60 if is_sent else now
+        os.utime(os.path.join(in_dir, f), (mt, mt))
+
+    q = run_sessionize_stream(
+        spark, in_dir, ckpt, out_dir, watermark="1 minute"
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def _q_stream_user_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState)
     parity: per-user running totals after draining the replay equal the
@@ -1557,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_frames": _q_multimodal_frames,
         "s_stream_hourly": _q_stream_hourly,
         "s_stream_user_totals": _q_stream_user_totals,
+        "s_stream_sessions": _q_stream_sessions,
         "c_chunks": _q_chunks,
         "c_redact_pii": _q_redact_pii,
         "c_split_assign": _q_split_assign,
@@ -2615,6 +2672,23 @@ def oracle_sql() -> dict[str, str]:
             "round(count(*) / (SELECT count(*) FROM lineitem), 6) AS share "
             "FROM lineitem GROUP BY l_suppkey "
             "ORDER BY n_rows DESC, l_suppkey LIMIT 10"
+        ),
+        "s_stream_sessions": (
+            "WITH o AS (SELECT user_id, ts, event_id, value, "
+            "CASE WHEN lag(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) IS NULL OR epoch(ts) - "
+            "epoch(lag(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id)) >= 1800 THEN 1 ELSE 0 END AS new_s "
+            "FROM events), "
+            "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid "
+            "FROM o) "
+            "SELECT user_id, "
+            "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
+            "strftime(max(ts) + INTERVAL 30 MINUTE, "
+            "'%Y-%m-%d %H:%M:%S') AS session_end, "
+            "count(*) AS n_events, round(sum(value), 2) AS sum_value "
+            "FROM s GROUP BY user_id, sid"
         ),
         "q_session_window": (
             "WITH o AS (SELECT user_id, ts, event_id, value, "
