@@ -1090,6 +1090,53 @@ def _q_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_compact_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction, DRIVER-graded for row fidelity: events
+    land as 3 micro-batches x 8 files in the pipeline's
+    (ingest_date, batch_id) layout, ``compact_table`` rewrites them to
+    one file per date partition via the (date, hash-bucket) shuffle
+    (no single-task funnel) with an atomic swap — and the oracle pins
+    the per-type counts, so a lost or duplicated row in the rewrite is
+    a hash mismatch. The file count collapse (24 -> per-date singles)
+    is asserted in tests/test_writers.py; here the graded claim is
+    data fidelity."""
+    import glob as _g
+    import shutil
+
+    from gcp_food_delivery_data_pipeline_spark.sources.writers import (
+        compact_table,
+        write_status_table,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_compactq_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    path = os.path.join(base, "events_table")
+    ev = load_table(spark, sf, "events")
+    for b in range(3):
+        write_status_table(
+            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == b)
+            .repartition(8),
+            path,
+            batch_id=b,
+        )
+    n_before = len(_g.glob(os.path.join(path, "**", "*.parquet"),
+                           recursive=True))
+    compact_table(spark, path, target_files_per_partition=1)
+    n_after = len(_g.glob(os.path.join(path, "**", "*.parquet"),
+                          recursive=True))
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_id").alias("n_distinct_ids"),
+        )
+        .withColumn("compacted_fewer_files", F.lit(n_after < n_before))
+    )
+
+
 def _q_stream_user_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState)
     parity: per-user running totals after draining the replay equal the
@@ -1614,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_hourly": _q_stream_hourly,
         "s_stream_user_totals": _q_stream_user_totals,
         "s_stream_sessions": _q_stream_sessions,
+        "s_compact_roundtrip": _q_compact_roundtrip,
         "c_chunks": _q_chunks,
         "c_redact_pii": _q_redact_pii,
         "c_split_assign": _q_split_assign,
@@ -2598,6 +2646,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT zval >> 8 AS z_bucket, count(*) AS n_rows, "
             "min(zval) AS z_min, max(zval) AS z_max "
             "FROM z GROUP BY zval >> 8"
+        ),
+        "s_compact_roundtrip": (
+            "SELECT event_type, count(*) AS n_events, "
+            "count(DISTINCT event_id) AS n_distinct_ids, "
+            "TRUE AS compacted_fewer_files "
+            "FROM events GROUP BY event_type"
         ),
         "q_approx_topk": (
             "SELECT event_type, count(*) AS n_events FROM events "
