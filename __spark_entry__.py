@@ -484,8 +484,14 @@ def _q_session_window(spark: SparkSession, sf: str) -> DataFrame:
     states the same sessions in gaps-and-islands SQL: a session breaks
     when the gap is >= 30 min (Spark merges only strictly-overlapping
     windows), and session_end = last event + gap."""
-    out = A.q_session_window(load_table(spark, sf, "events"))
-    return out.select(
+    return _fmt_session_output(
+        A.q_session_window(load_table(spark, sf, "events"))
+    )
+
+
+def _fmt_session_output(sessions: DataFrame) -> DataFrame:
+    """Session rows with timestamps formatted for the hash compare."""
+    return sessions.select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
             "session_start"
@@ -1043,50 +1049,20 @@ def _q_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
     flushes every real session to the sink; the sentinel user is
     excluded from the result and the oracle is the batch
     gaps-and-islands SQL over the events table alone."""
-    import time
-
     from gcp_food_delivery_data_pipeline_spark.streaming.events import (
+        append_watermark_flush,
         run_sessionize_stream,
     )
 
     in_dir, ckpt = _stage_events_stream_dir(sf, "stream_sessions")
     out_dir = os.path.join(os.path.dirname(ckpt), "out")
-    max_ts = (
-        load_table(spark, sf, "events").agg(F.max("ts")).collect()[0][0]
-    )
-    sentinel = spark.range(1).select(
-        F.lit(-999).cast("long").alias("event_id"),
-        (F.lit(max_ts) + F.expr("INTERVAL 48 HOURS")).alias("ts"),
-        F.lit(-1).cast("long").alias("user_id"),
-        F.lit("flush").alias("event_type"),
-        F.lit(0.0).cast("double").alias("value"),
-        F.lit("{}").alias("props"),
-    )
-    sentinel.coalesce(1).write.mode("append").parquet(in_dir)
-    now = time.time()
-    for f in os.listdir(in_dir):
-        is_sent = f.startswith("part-") and f.endswith(".parquet")
-        mt = now + 60 if is_sent else now
-        os.utime(os.path.join(in_dir, f), (mt, mt))
-
+    append_watermark_flush(spark, in_dir)
     q = run_sessionize_stream(
         spark, in_dir, ckpt, out_dir, watermark="1 minute"
     )
     q.awaitTermination()
-    return (
-        spark.read.parquet(out_dir)
-        .filter(F.col("user_id") >= 0)
-        .select(
-            "user_id",
-            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
-                "session_start"
-            ),
-            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
-                "session_end"
-            ),
-            "n_events",
-            "sum_value",
-        )
+    return _fmt_session_output(
+        spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
     )
 
 
@@ -1834,6 +1810,25 @@ def _simhash_sql(bits: int = 32) -> str:
         "t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS th "
         "FROM documents)"
     )
+
+
+_SESSION_ORACLE = (
+    "WITH o AS (SELECT user_id, ts, event_id, value, "
+    "CASE WHEN lag(ts) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) IS NULL OR epoch(ts) - "
+    "epoch(lag(ts) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id)) >= 1800 THEN 1 ELSE 0 END AS new_s "
+    "FROM events), "
+    "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid "
+    "FROM o) "
+    "SELECT user_id, "
+    "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
+    "strftime(max(ts) + INTERVAL 30 MINUTE, "
+    "'%Y-%m-%d %H:%M:%S') AS session_end, "
+    "count(*) AS n_events, round(sum(value), 2) AS sum_value "
+    "FROM s GROUP BY user_id, sid"
+)
 
 
 def _zorder_sql(a: str, b: str, bits: int) -> str:
@@ -2727,40 +2722,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY l_suppkey "
             "ORDER BY n_rows DESC, l_suppkey LIMIT 10"
         ),
-        "s_stream_sessions": (
-            "WITH o AS (SELECT user_id, ts, event_id, value, "
-            "CASE WHEN lag(ts) OVER (PARTITION BY user_id "
-            "ORDER BY ts, event_id) IS NULL OR epoch(ts) - "
-            "epoch(lag(ts) OVER (PARTITION BY user_id "
-            "ORDER BY ts, event_id)) >= 1800 THEN 1 ELSE 0 END AS new_s "
-            "FROM events), "
-            "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id "
-            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid "
-            "FROM o) "
-            "SELECT user_id, "
-            "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
-            "strftime(max(ts) + INTERVAL 30 MINUTE, "
-            "'%Y-%m-%d %H:%M:%S') AS session_end, "
-            "count(*) AS n_events, round(sum(value), 2) AS sum_value "
-            "FROM s GROUP BY user_id, sid"
-        ),
-        "q_session_window": (
-            "WITH o AS (SELECT user_id, ts, event_id, value, "
-            "CASE WHEN lag(ts) OVER (PARTITION BY user_id "
-            "ORDER BY ts, event_id) IS NULL OR epoch(ts) - "
-            "epoch(lag(ts) OVER (PARTITION BY user_id "
-            "ORDER BY ts, event_id)) >= 1800 THEN 1 ELSE 0 END AS new_s "
-            "FROM events), "
-            "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id "
-            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid "
-            "FROM o) "
-            "SELECT user_id, "
-            "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
-            "strftime(max(ts) + INTERVAL 30 MINUTE, "
-            "'%Y-%m-%d %H:%M:%S') AS session_end, "
-            "count(*) AS n_events, round(sum(value), 2) AS sum_value "
-            "FROM s GROUP BY user_id, sid"
-        ),
+        "s_stream_sessions": _SESSION_ORACLE,
+        "q_session_window": _SESSION_ORACLE,
         "c_contamination": (
             f"WITH base AS (SELECT doc_id, {_TOKENS} AS toks FROM documents), "
             "g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "

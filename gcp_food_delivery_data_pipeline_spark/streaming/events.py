@@ -21,6 +21,7 @@ directory of parquet files.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
@@ -150,9 +151,9 @@ def session_rollup(
     watermark: str | None = None,
 ) -> DataFrame:
     """Per-user session aggregation via native ``session_window`` —
-    the streaming twin of plans/analytics.py:q_session_window (same
-    expression, same output schema, so tests can assert stream ==
-    batch on a replayed directory).
+    the streaming twin of plans/analytics.py:q_session_window (it IS
+    that expression, applied to a watermarked source, so tests can
+    assert stream == batch on a replayed directory).
 
     On a stream the watermark is what FINALIZES a session: a session
     closes (and, in append mode, emits exactly once) when the
@@ -160,28 +161,58 @@ def session_rollup(
     dropped — bounded memory on an unbounded stream. Without the
     watermark a streaming session can never be declared over.
     """
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_session_window,
+    )
+
     src = (
         events.withWatermark("ts", watermark)
         if watermark is not None
         else events
     )
-    return (
-        src.groupBy(
-            F.session_window(F.col("ts"), gap).alias("sw"),
-            F.col("user_id"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(
-            "user_id",
-            F.col("sw.start").alias("session_start"),
-            F.col("sw.end").alias("session_end"),
-            "n_events",
-            "sum_value",
-        )
+    return q_session_window(src, gap=gap)
+
+
+def append_watermark_flush(
+    spark: SparkSession,
+    input_dir: str,
+    flush_interval: str = "48 HOURS",
+    sentinel_user: int = -1,
+) -> None:
+    """Append a far-future sentinel event to a replay directory so an
+    append-mode availableNow drain FINALIZES every real window/session:
+    append output only emits state once the watermark passes its close,
+    and a bounded replay's watermark stops short of its own tail.
+
+    The sentinel lands ``flush_interval`` past the directory's max ts
+    and gets a strictly later file mtime (FileStreamSource processes
+    oldest-first), so the flush arrives in the LAST micro-batch; its
+    own still-open session never emits. Consumers filter out
+    ``sentinel_user`` rows.
+    """
+    import time
+
+    ev = spark.read.parquet(input_dir)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.range(1).select(
+        F.lit(-999).cast("long").alias("event_id"),
+        (F.lit(max_ts) + F.expr(f"INTERVAL {flush_interval}")).alias("ts"),
+        F.lit(sentinel_user).cast("long").alias("user_id"),
+        F.lit("flush").alias("event_type"),
+        F.lit(0.0).cast("double").alias("value"),
+        F.lit("{}").alias("props"),
     )
+    existing = set(os.listdir(input_dir))
+    sentinel.coalesce(1).write.mode("append").parquet(input_dir)
+    now = time.time()
+    for f in os.listdir(input_dir):
+        is_new_part = (
+            f not in existing
+            and f.startswith("part-")
+            and f.endswith(".parquet")
+        )
+        mt = now + 60 if is_new_part else now
+        os.utime(os.path.join(input_dir, f), (mt, mt))
 
 
 def run_sessionize_stream(

@@ -55,39 +55,18 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     own still-open session never emits) that flushes every real
     session out; the comparison excludes the sentinel user.
     """
-    import os
-    import time
-
     from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
         q_session_window,
     )
     from gcp_food_delivery_data_pipeline_spark.streaming.events import (
+        append_watermark_flush,
         run_sessionize_stream,
     )
 
     src = str(tmp_path / "events")
     ev = load_table(spark, SF_DIR, "events").limit(2000).cache()
     ev.coalesce(1).write.mode("overwrite").parquet(src)
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
-
-    # Sentinel file with a strictly later mtime: FileStreamSource
-    # processes oldest-first, so the flush lands in the LAST batch.
-    time.sleep(1.1)
-    sentinel = ev.limit(1).select(
-        F.lit(-999).cast("long").alias("event_id"),
-        (F.lit(max_ts) + F.expr("INTERVAL 48 HOURS")).alias("ts"),
-        F.lit(-1).cast("long").alias("user_id"),
-        F.lit("flush").alias("event_type"),
-        F.lit(0.0).alias("value"),
-        F.lit("{}").alias("props"),
-    )
-    sentinel.coalesce(1).write.mode("append").parquet(src)
-    now = time.time()
-    for f in os.listdir(src):
-        p = os.path.join(src, f)
-        is_part = f.startswith("part-") and f.endswith(".parquet")
-        mt = now + 60 if is_part and _is_sentinel(spark, p) else now
-        os.utime(p, (mt, mt))
+    append_watermark_flush(spark, src)
 
     q = run_sessionize_stream(
         spark,
@@ -119,11 +98,6 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     ev.unpersist()
     assert streamed == batch
     assert len(batch) > 100
-
-
-def _is_sentinel(spark, parquet_file: str) -> bool:
-    df = spark.read.parquet(parquet_file)
-    return df.filter(F.col("user_id") == -1).limit(1).count() > 0
 
 
 def test_watermark_drops_late_rows(spark, tmp_path):
