@@ -1612,6 +1612,18 @@ def _q_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs /
+    PPJoin family) — zero false negatives by construction, so the
+    all-pairs oracle must match EXACTLY, not just within recall."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        prefix_similarity_join,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return prefix_similarity_join(d, threshold=0.6)
+
+
 def _q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
         simhash_near_dup_pairs,
@@ -1638,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_user_totals": _q_stream_user_totals,
         "s_stream_sessions": _q_stream_sessions,
         "s_compact_roundtrip": _q_compact_roundtrip,
+        "d_prefix_join": _q_prefix_join,
         "c_chunks": _q_chunks,
         "c_redact_pii": _q_redact_pii,
         "c_split_assign": _q_split_assign,
@@ -2641,6 +2654,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT zval >> 8 AS z_bucket, count(*) AS n_rows, "
             "min(zval) AS z_min, max(zval) AS z_max "
             "FROM z GROUP BY zval >> 8"
+        ),
+        "d_prefix_join": (
+            f"WITH s AS (SELECT doc_id, list_distinct({_TOKENS}) AS toks "
+            "FROM documents WHERE "
+            f"len(list_distinct({_TOKENS})) > 0), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.toks, b.toks))::DOUBLE / "
+            "(len(a.toks) + len(b.toks) "
+            "- len(list_intersect(a.toks, b.toks))) AS j "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, round(j, 6) AS jaccard "
+            "FROM p WHERE round(j, 6) >= 0.6"
         ),
         "s_compact_roundtrip": (
             "SELECT event_type, count(*) AS n_events, "

@@ -1053,3 +1053,84 @@ def fuzzy_name_pairs(
         .filter(dist <= max_dist)
         .select("id_a", "id_b", "name_a", "name_b", dist.alias("edit_dist"))
     )
+
+
+def prefix_similarity_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering — the
+    deterministic complement to MinHash-LSH (``lsh_candidate_pairs``):
+    no banding probabilities, zero false negatives by construction.
+
+    Standard AllPairs/PPJoin-family algorithm (Bayardo, Ma, Srikant,
+    WWW 2007 "Scaling Up All Pairs Similarity Search"; Vernica, Carey,
+    Li, SIGMOD 2010 give this exact MapReduce/Spark shape): order every
+    document's distinct tokens by GLOBAL rarity (count ASC, token ASC —
+    a total order), keep only the first ``n - ceil(t*n) + 1`` tokens as
+    the doc's prefix, and equi-join docs on shared prefix tokens. Any
+    pair with Jaccard >= t must share a prefix token under a common
+    total order, so the join is a complete candidate generator; the
+    exact-Jaccard verify then keeps true pairs only.
+
+    Scale shape: token frequencies are one combinable shuffle; the
+    candidate join is an equi-join on (rare) prefix tokens — rarity
+    ordering makes hot tokens land at the END of prefixes or outside
+    them, which is what keeps the join off the quadratic cliff that a
+    join on arbitrary tokens would hit. Every step is a Column
+    expression; no Python in the path.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
+    to 6, only pairs >= ``threshold``; blank docs drop out.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(tokens(F.col(text_col))).alias("_toks"),
+    ).filter(F.size("_toks") > 0)
+
+    tok_rows = toks.select("_id", F.explode("_toks").alias("_tok"))
+    freq = tok_rows.groupBy("_tok").agg(F.count(F.lit(1)).alias("_tf"))
+    ordered = (
+        tok_rows.join(freq, "_tok")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_tf"), F.col("_tok")))
+            ).alias("_ord")
+        )
+    )
+    n = F.size("_ord")
+    plen = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
+    prefixes = ordered.select(
+        "_id",
+        F.explode(F.slice("_ord", F.lit(1), plen)).alias("_ps"),
+    ).select("_id", F.col("_ps._tok").alias("_tok"))
+
+    cands = (
+        prefixes.alias("a")
+        .join(
+            prefixes.alias("b"),
+            (F.col("a._tok") == F.col("b._tok"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cands.join(
+        toks.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta")),
+        "id_a",
+    ).join(
+        toks.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb")),
+        "id_b",
+    )
+    jaccard = F.size(F.array_intersect("_ta", "_tb")) / F.size(
+        F.array_union("_ta", "_tb")
+    )
+    return (
+        verified.select(
+            "id_a", "id_b", F.round(jaccard, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -248,3 +248,46 @@ def test_lsh_recall_is_perfect_on_planted_near_dups(spark):
         if (r.id_a, r.id_b) in want:
             # base: 38 shingles, variant adds 2 -> 38/40
             assert r.jaccard == _pytest.approx(38 / 40, abs=1e-4)
+
+
+def test_prefix_similarity_join_equals_brute_force(spark):
+    """Prefix filtering is EXACT: results must equal the all-pairs
+    Jaccard join on a corpus with near-dups, exact dups, disjoint
+    docs, short docs, and blanks."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        prefix_similarity_join,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over a lazy dog",
+        "the quick brown fox leaps over the lazy dog today",
+        "completely different words here entirely",
+        "words here entirely different completely",
+        "one",
+        "one two",
+        "",
+        "the the the quick quick fox",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.6
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_similarity_join(df, threshold=t).collect()
+    }
+
+    def jac(a: str, b: str) -> float:
+        sa, sb = set(a.split()), set(b.split())
+        if not sa or not sb:
+            return 0.0
+        return len(sa & sb) / len(sa | sb)
+
+    want = {}
+    for i, a in enumerate(texts):
+        for j in range(i + 1, len(texts)):
+            v = jac(a, texts[j])
+            if v >= t:
+                want[(i, j)] = round(v, 6)
+    assert got == want
+    assert want  # the fixture must actually contain similar pairs
