@@ -255,3 +255,47 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark, tmp_path):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
         )
+
+
+def test_session_window_merges_map_side(spark):
+    """q_session_window must plan as partial session aggregation +
+    MergingSessions over ONE exchange — the map-side-merge shape that
+    makes native session_window the scale path (the gaps-and-islands
+    twin shuffles raw events into two window passes instead)."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_session_window,
+    )
+
+    p = _plan(q_session_window(load_table(spark, SF_DIR, "events")))
+    import re
+
+    assert "MergingSessions" in p
+    assert "partial_count" in p  # map-side partial before the exchange
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+
+
+def test_rollup_merge_is_partial_aggregated(spark):
+    """merge_rollups' final merge must itself partial-aggregate before
+    its exchange: the shuffle carries combined per-partition rollup
+    rows, not the concatenated inputs."""
+    from pyspark.sql import functions as F
+
+    from gcp_food_delivery_data_pipeline_spark.operators.rollup import (
+        build_rollup,
+        merge_rollups,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    measures = {"n": ("count", ""), "s": ("sum", "value")}
+    parts = [
+        build_rollup(
+            ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == i),
+            ["event_type", "day"],
+            measures,
+        )
+        for i in range(2)
+    ]
+    p = _plan(merge_rollups(parts, ["event_type", "day"], measures))
+    assert "partial_sum" in p
