@@ -1612,6 +1612,42 @@ def _q_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_fuzzy_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus FUZZY decontamination (near-dup benchmark leakage,
+    the paraphrase-tolerant complement of exact n-gram
+    ``c_contamination``): every 20th doc plays the benchmark, the rest
+    the training corpus; a corpus doc is contaminated when its
+    shingle-set Jaccard with any benchmark doc reaches 0.8. The
+    LSH banding at 2-row bands is effectively exhaustive at that
+    threshold (miss ~6e-15), so the all-pairs oracle must match
+    exactly."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        fuzzy_decontaminate,
+    )
+
+    d = load_table(spark, sf, "documents")
+    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
+    corpus = d.filter(F.pmod(F.col("doc_id"), F.lit(20)) != 0)
+    return fuzzy_decontaminate(corpus, bench, threshold=0.8)
+
+
+def _q_corr_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical co-aggregates (corr / sample covariance / stddev)
+    per return flag — single-pass streaming co-moment aggregation on
+    both engines, so rounding at 6 absorbs the summation-order noise."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+            "covar_qty_disc"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("std_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def _q_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (AllPairs /
     PPJoin family) — zero false negatives by construction, so the
@@ -1651,6 +1687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_sessions": _q_stream_sessions,
         "s_compact_roundtrip": _q_compact_roundtrip,
         "d_prefix_join": _q_prefix_join,
+        "q_corr_stats": _q_corr_stats,
+        "d_fuzzy_decontam": _q_fuzzy_decontam,
         "c_chunks": _q_chunks,
         "c_redact_pii": _q_redact_pii,
         "c_split_assign": _q_split_assign,
@@ -2654,6 +2692,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT zval >> 8 AS z_bucket, count(*) AS n_rows, "
             "min(zval) AS z_min, max(zval) AS z_max "
             "FROM z GROUP BY zval >> 8"
+        ),
+        "d_fuzzy_decontam": (
+            "WITH sh AS (SELECT doc_id, "
+            f"{_SHINGLES} AS s "
+            f"FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)), "
+            "c AS (SELECT * FROM sh WHERE doc_id % 20 <> 0), "
+            "b AS (SELECT * FROM sh WHERE doc_id % 20 = 0), "
+            "hits AS (SELECT DISTINCT c.doc_id FROM c JOIN b ON "
+            "CAST(len(list_intersect(c.s, b.s)) AS DOUBLE) "
+            "/ len(list_distinct(c.s || b.s)) >= 0.8) "
+            "SELECT c.doc_id, (hits.doc_id IS NOT NULL) AS contaminated "
+            "FROM c LEFT JOIN hits ON c.doc_id = hits.doc_id"
+        ),
+        "q_corr_stats": (
+            "SELECT l_returnflag, "
+            "round(corr(l_quantity, l_extendedprice), 6) "
+            "AS corr_qty_price, "
+            "round(covar_samp(l_quantity, l_discount), 6) "
+            "AS covar_qty_disc, "
+            "round(stddev_samp(l_extendedprice), 6) AS std_price, "
+            "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag"
         ),
         "d_prefix_join": (
             f"WITH s AS (SELECT doc_id, list_distinct({_TOKENS}) AS toks "

@@ -790,6 +790,32 @@ def _minhash_frame_arrow(
     )
 
 
+def _band_hashes(with_sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(_id, band, band_hash) rows from a (_id, _sig) signature frame —
+    the ids-only join side both the self-join (near-dup pairs) and the
+    cross-corpus join (fuzzy decontamination) shuffle on."""
+    return with_sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("_sig", b * rows + 1, rows),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select("_id", "bh.band", "bh.band_hash")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -861,22 +887,7 @@ def lsh_candidate_pairs(
     # (id, band, band_hash) — never the (large) shingle arrays; those
     # are re-attached to the (much smaller) deduped candidate pairs.
     shingle_side = with_sig.select("_id", "_shingles")
-    banded = with_sig.select(
-        "_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            ",", F.transform(F.slice("_sig", b * rows + 1, rows), lambda v: v.cast("string"))
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("bh"),
-    ).select("_id", "bh.band", "bh.band_hash")
+    banded = _band_hashes(with_sig, bands, rows)
 
     pairs = (
         banded.alias("a")
@@ -1133,4 +1144,91 @@ def prefix_similarity_join(
             "id_a", "id_b", F.round(jaccard, 6).alias("jaccard")
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Cross-corpus FUZZY decontamination: flag every corpus document
+    whose shingle-set Jaccard with ANY benchmark document reaches
+    ``threshold`` — the near-duplicate form of benchmark leakage that
+    exact n-gram matching (``corpus.ngram_contamination``) misses when
+    eval text was lightly paraphrased (the overlap-removal step
+    described for GPT-3, Brown et al. 2020, arXiv:2005.14165 §C).
+
+    Same machinery as the self-join near-dup path, pointed across two
+    corpora: minhash both sides, equi-join on (band, band_hash) —
+    the BENCHMARK side's bands are broadcast (eval suites are tiny
+    next to a training corpus) so the training side never shuffles —
+    then verify candidates on exact Jaccard. bands=32 (2-row bands)
+    makes the miss probability at t=0.8 ~6e-15: effectively
+    exhaustive, which is what lets the driver grade this against an
+    all-pairs oracle.
+
+    Output: (doc_id, contaminated) for every corpus doc with
+    non-empty shingles.
+    """
+    rows = num_hashes // bands
+    c_sig = _minhash_frame_arrow(
+        corpus, text_col, id_col, num_hashes, shingle_k
+    )
+    b_sig = _minhash_frame_arrow(
+        benchmark, text_col, id_col, num_hashes, shingle_k
+    )
+    c_band = _band_hashes(c_sig, bands, rows)
+    b_band = _band_hashes(b_sig, bands, rows)
+
+    cands = (
+        c_band.alias("c")
+        .join(
+            F.broadcast(b_band.alias("b")),
+            (F.col("c.band") == F.col("b.band"))
+            & (F.col("c.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("c._id").alias("_cid"), F.col("b._id").alias("_bid")
+        )
+        .dropDuplicates(["_cid", "_bid"])
+    )
+    verified = (
+        cands.join(
+            c_sig.select(
+                F.col("_id").alias("_cid"),
+                F.col("_shingles").alias("_sh_c"),
+            ),
+            "_cid",
+        )
+        .join(
+            F.broadcast(
+                b_sig.select(
+                    F.col("_id").alias("_bid"),
+                    F.col("_shingles").alias("_sh_b"),
+                )
+            ),
+            "_bid",
+        )
+        .filter(
+            F.size(F.array_intersect("_sh_c", "_sh_b"))
+            / F.size(F.array_union("_sh_c", "_sh_b"))
+            >= threshold
+        )
+        .select(F.col("_cid"))
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        c_sig.select(F.col("_id").alias(id_col))
+        .join(verified.withColumnRenamed("_cid", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
     )

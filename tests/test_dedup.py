@@ -291,3 +291,29 @@ def test_prefix_similarity_join_equals_brute_force(spark):
                 want[(i, j)] = round(v, 6)
     assert got == want
     assert want  # the fixture must actually contain similar pairs
+
+
+def test_fuzzy_decontaminate_flags_near_dup_of_benchmark(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        fuzzy_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris and it is large")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the capital of france is paris and it is big"),  # near-dup
+            (2, "completely unrelated text about mountains and rivers"),
+            (3, "the capital of france is paris and it is large"),  # exact
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.contaminated
+        for r in fuzzy_decontaminate(
+            corpus, bench, threshold=0.7
+        ).collect()
+    }
+    assert got == {1: True, 2: False, 3: True}
