@@ -19,7 +19,7 @@ import os
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_food_delivery_data_pipeline_spark.config import load_conf
@@ -1612,6 +1612,24 @@ def _q_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group standardization (z-score) — the feature-normalization
+    primitive, done with an ORDER-less aggregate window: mean/stddev
+    are computed over the whole event_type partition with no sort and
+    full map-side partials, then applied row-wise in the same stage.
+    At scale this beats the groupBy-then-join restatement by one
+    shuffle (the window and the row output share the partitioning)."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type")
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round((F.col("value") - mu) / sd, 6).alias("z_value"),
+    )
+
+
 def _q_fuzzy_decontam(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-corpus FUZZY decontamination (near-dup benchmark leakage,
     the paraphrase-tolerant complement of exact n-gram
@@ -1689,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_prefix_join": _q_prefix_join,
         "q_corr_stats": _q_corr_stats,
         "d_fuzzy_decontam": _q_fuzzy_decontam,
+        "q_zscore": _q_zscore,
         "c_chunks": _q_chunks,
         "c_redact_pii": _q_redact_pii,
         "c_split_assign": _q_split_assign,
@@ -2692,6 +2711,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT zval >> 8 AS z_bucket, count(*) AS n_rows, "
             "min(zval) AS z_min, max(zval) AS z_max "
             "FROM z GROUP BY zval >> 8"
+        ),
+        "q_zscore": (
+            "SELECT event_id, event_type, "
+            "round((value - avg(value) OVER (PARTITION BY event_type)) "
+            "/ stddev_samp(value) OVER (PARTITION BY event_type), 6) "
+            "AS z_value FROM events"
         ),
         "d_fuzzy_decontam": (
             "WITH sh AS (SELECT doc_id, "
