@@ -301,22 +301,42 @@ def sentences(col: Column | str) -> Column:
     )
 
 
-def word_ngrams_all(col: Column | str, n: int = 2) -> Column:
-    """ALL space-joined n-token grams, duplicates kept ([] for docs
-    shorter than n tokens). The single n-gram construction both
-    repetition scoring (here) and contamination checking
-    (corpus.word_ngrams, which distincts this) build on — one place
-    for the short-doc guard: Spark's ``sequence(1, 0)`` DESCENDS, so
-    an unguarded sequence would fabricate phantom grams.
+def ngrams_from_tokens(toks: Column, n: int = 2) -> Column:
+    """ALL space-joined n-grams of a token-array column, duplicates
+    kept ([] for arrays shorter than n). The single n-gram
+    construction repetition scoring and contamination checking both
+    build on — one place for the short-doc guard: Spark's
+    ``sequence(1, 0)`` DESCENDS, so an unguarded sequence would
+    fabricate phantom grams.
+
+    Construction note: the grams come from ``arrays_zip`` of n shifted
+    slices, with the transform lambda touching ONLY its element
+    variable. Expressions captured inside a higher-order-function
+    lambda are re-evaluated PER ELEMENT — an index-based form
+    (``element_at(toks, i)``) lets CollapseProject inline the
+    tokenizer into the lambda and re-split the whole document once
+    per gram (measured ~6x on the repetition query at sf0.1). As
+    zip arguments, the slices (and any inlined tokenizer) evaluate
+    once per ROW regardless of gram count.
     """
-    toks = tokens(col)
+    m = F.size(toks) - (n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(toks, j + 1, m).alias(f"_g{j}") for j in range(n)]
+    )
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+        zipped,
+        lambda s: F.concat_ws(" ", *[s[f"_g{j}"] for j in range(n)]),
     )
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_ngrams_all(col: Column | str, n: int = 2) -> Column:
+    """Convenience form over raw text — inherits the per-element
+    re-tokenization cost inside the transform lambda (see
+    ``ngrams_from_tokens``); hot paths stage the token array first."""
+    return ngrams_from_tokens(tokens(col), n)
 
 
 def word_bigrams(col: Column | str) -> Column:
@@ -350,18 +370,29 @@ def repetition_signals(
     100 MB document would pin one core for hours; the explode/agg form
     spreads that document's n-grams across the cluster.
     """
-    base = df.select(
+    # Stage the token array and widen narrow inputs: a small parquet
+    # file arrives as ONE split, which serializes the explode+agg onto
+    # a single core (the dominant cost before this — 14s single-task
+    # vs sub-second spread at sf0.1); the repartition's exchange also
+    # materializes `_toks`, so downstream lambdas read an attribute.
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        ensure_min_partitions,
+    )
+
+    staged = ensure_min_partitions(
+        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    )
+    n_toks = F.size("_toks")
+    base = staged.select(
         F.col(id_col),
-        token_count(text_col).alias("n_words"),
+        n_toks.alias("n_words"),
         F.round(
-            F.when(token_count(text_col) == 0, 0.0).otherwise(
-                1
-                - F.size(F.array_distinct(tokens(text_col)))
-                / token_count(text_col)
+            F.when(n_toks == 0, 0.0).otherwise(
+                1 - F.size(F.array_distinct("_toks")) / n_toks
             ),
             6,
         ).alias("dup_word_frac"),
-        word_bigrams(text_col).alias("_bigrams"),
+        ngrams_from_tokens(F.col("_toks"), 2).alias("_bigrams"),
     )
     counts = (
         base.select(id_col, F.explode("_bigrams").alias("_bg"))
