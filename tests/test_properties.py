@@ -240,3 +240,95 @@ def test_rollup_merge_invariant_to_batching(
         return {r.k: (r.n, r.s, r.lo, r.hi) for r in d.collect()}
 
     assert snap(merged) == snap(direct)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=0, max_size=12
+        ).map(lambda cs: " ".join(cs)),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.5, 0.7, 0.9]),
+)
+def test_prefix_similarity_join_matches_model(spark_global, docs, threshold):
+    """Exactness law: prefix filtering must agree with the Python
+    all-pairs Jaccard model on arbitrary corpora and thresholds."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        prefix_similarity_join,
+    )
+
+    df = spark_global.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_similarity_join(df, threshold=threshold).collect()
+    }
+    want = {}
+    for i, a in enumerate(docs):
+        for j in range(i + 1, len(docs)):
+            sa, sb = set(a.split()), set(docs[j].split())
+            if not sa or not sb:
+                continue
+            v = round(len(sa & sb) / len(sa | sb), 6)
+            if v >= threshold:
+                want[(i, j)] = v
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # user
+            st.integers(min_value=0, max_value=7200),   # seconds offset
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_session_window_matches_gaps_model(spark_global, events):
+    """session_window must equal the gaps-and-islands model: a new
+    session when the gap since the user's previous event >= 30 min;
+    window end = last event + 30 min."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_session_window,
+    )
+
+    base = datetime(2024, 5, 1, 0, 0, 0)
+    rows = [
+        (i, base + timedelta(seconds=off), user, "e", 1.0)
+        for i, (user, off) in enumerate(events)
+    ]
+    df = spark_global.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    got = {
+        (r.user_id, str(r.session_start)): (str(r.session_end), r.n_events)
+        for r in q_session_window(df).collect()
+    }
+
+    want = {}
+    per_user: dict[int, list] = {}
+    for user, off in sorted(events, key=lambda e: (e[0], e[1])):
+        per_user.setdefault(user, []).append(base + timedelta(seconds=off))
+    gap = timedelta(minutes=30)
+    for user, times in per_user.items():
+        start, prev, n = times[0], times[0], 1
+        for t in times[1:]:
+            if t - prev >= gap:
+                want[(user, str(start))] = (str(prev + gap), n)
+                start, n = t, 0
+            n += 1
+            prev = t
+        want[(user, str(start))] = (str(prev + gap), n)
+    assert got == want
