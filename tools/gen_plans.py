@@ -1,0 +1,71 @@
+"""Regenerate PLANS.md: formatted physical plans of headline queries,
+each annotated with the SCALE.md claim it evidences.
+
+Usage: python tools/gen_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from gcp_food_delivery_data_pipeline_spark.session import get_spark  # noqa: E402
+
+KEYS = {
+    "q3_top_revenue": (
+        "segment-filtered broadcast dims, orders pre-filtered before "
+        "the fact-fact exchange, deterministic top-k"
+    ),
+    "q5_nation_revenue": (
+        "star join: region filter reaches orders before the wide "
+        "join; dims broadcast"
+    ),
+    "t_tfidf_top_term": (
+        "one explode pass; df as a window over the shuffled-down "
+        "doc-term table; WindowGroupLimit top-k"
+    ),
+    "d_near_dup_pairs": (
+        "LSH banding: ids-only equi-join, shingles re-attached to "
+        "candidates only"
+    ),
+    "q_session_window": (
+        "partial session aggregation + MergingSessions over ONE "
+        "exchange"
+    ),
+    "q_incremental_rollup": (
+        "three batch rollups merged; every aggregate partial "
+        "(map-side) before its exchange"
+    ),
+    "q_zscore": (
+        "order-less aggregate window: no sort, one shuffle shared by "
+        "stats and row output"
+    ),
+}
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="plans-doc")
+    out = [
+        "# PLANS — formatted physical plans of headline queries\n",
+        "Generated at sf0.01 by `python tools/gen_plans.py` (AQE "
+        "initial plans;",
+        "runtime re-plan may coalesce partitions further). Each plan "
+        "is the",
+        "evidence for the corresponding SCALE.md claim.\n",
+    ]
+    queries = entry_mod.queries()
+    for key, note in KEYS.items():
+        df = queries[key](spark, sf)
+        qe = df._jdf.queryExecution()
+        plan = df._sc._jvm.PythonSQLUtils.explainString(qe, "formatted")
+        out += [f"## {key}\n\n*{note}*\n\n```", plan.rstrip(), "```\n"]
+    with open("/root/repo/PLANS.md", "w") as fh:
+        fh.write("\n".join(out))
+    print(f"PLANS.md: {len(KEYS)} plans written")
+
+
+if __name__ == "__main__":
+    main()
