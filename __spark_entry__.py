@@ -16,6 +16,7 @@ rounding); ratios/averages/cosines are rounded to 6.
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 from collections.abc import Callable
 
@@ -1687,6 +1688,66 @@ def _q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_near_dup_pairs(d, max_hamming=3, bands=4)
 
 
+def _q_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-centroid assignment against 8 FIXED centroids (the
+    vectors with vec_id 0-7) — the oracle-checkable core of k-means:
+    DuckDB replicates the argmax exactly, while the iterative Lloyd's
+    fit (operators/clustering.py:kmeans_fit) is pytest-verified.
+    Assignment is zero-shuffle: centroids are plan literals, the
+    argmax is one codegen expression over the scan."""
+    from gcp_food_delivery_data_pipeline_spark.operators.clustering import (
+        assign_clusters,
+        seed_centroids,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    return assign_clusters(emb, seed_centroids(emb, 8))
+
+
+def _q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    drop any vector ≥0.35-cosine-similar to a lower-id member of its
+    own cluster. Fixed seed centroids keep it oracle-checkable; the
+    intra-cluster equi-join bounds the quadratic pair work (k ≈ √N at
+    scale)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.clustering import (
+        seed_centroids,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    return semantic_dedup(emb, seed_centroids(emb, 8), threshold=0.35)
+
+
+def _q_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM cross-entropy per doc (CCNet-style fluency signal,
+    Wenzek et al. 2020) — add-one-smoothed bigram model trained on the
+    corpus itself, scored as avg -ln P(w2|w1) in nats."""
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        bigram_lm_scores,
+    )
+
+    return bigram_lm_scores(load_table(spark, sf, "documents"))
+
+
+def _q_mix_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic domain-mixture resampling: integer mixture parts
+    (source digits % 3 + 1), all-integer quota math, md5-rank survivor
+    choice — same kept set on every engine, rerun, and partitioning."""
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        resample_source_mix,
+    )
+
+    d = load_table(spark, sf, "documents")
+    sources = [r.source for r in d.select("source").distinct().collect()]
+    weights = {
+        s: int(re.search(r"(\d+)", s).group(1)) % 3 + 1
+        for s in sources
+        if re.search(r"(\d+)", s)
+    }
+    return resample_source_mix(d, weights).select("doc_id", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering note: the driver grades keys IN ORDER and has
@@ -1698,6 +1759,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first-time evidence.
         #
         # -- never driver-graded before round 4 (r3 cutoff at pos 50) --
+        "v_kmeans_assign": _q_kmeans_assign,
+        "d_semantic_dedup": _q_semantic_dedup,
+        "t_perplexity": _q_perplexity,
+        "c_mix_sources": _q_mix_sources,
         "m_resize": _q_multimodal_resize,
         "m_frames": _q_multimodal_frames,
         "s_stream_hourly": _q_stream_hourly,
@@ -2487,6 +2552,67 @@ def oracle_sql() -> dict[str, str]:
             "CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim "
             "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) "
             "WHERE cosine_sim >= 0.35"
+        ),
+        # Spark normalizes-then-dots, DuckDB dots-then-divides: same
+        # value to well past 6 decimals; round(…, 6) absorbs the rest.
+        "v_kmeans_assign": (
+            "WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv "
+            "FROM embeddings WHERE vec_id < 8), "
+            "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev "
+            "FROM embeddings), "
+            "s AS (SELECT vec_id, cid, list_cosine_similarity(ev, cv) AS sim, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY "
+            "list_cosine_similarity(ev, cv) DESC, cid) AS rk FROM v, c) "
+            "SELECT vec_id, cid AS cluster_id, round(sim, 6) AS cosine_sim "
+            "FROM s WHERE rk = 1"
+        ),
+        "d_semantic_dedup": (
+            "WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv "
+            "FROM embeddings WHERE vec_id < 8), "
+            "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev "
+            "FROM embeddings), "
+            "a AS (SELECT vec_id, cid AS cluster_id FROM ("
+            "SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY list_cosine_similarity(ev, cv) DESC, cid) AS rk "
+            "FROM v, c) WHERE rk = 1), "
+            "drp AS (SELECT DISTINCT x.vec_id FROM a x "
+            "JOIN a y ON x.cluster_id = y.cluster_id AND y.vec_id < x.vec_id "
+            "JOIN v vx ON vx.vec_id = x.vec_id "
+            "JOIN v vy ON vy.vec_id = y.vec_id "
+            "WHERE round(list_cosine_similarity(vx.ev, vy.ev), 6) >= 0.35) "
+            "SELECT vec_id, cluster_id FROM a "
+            "WHERE vec_id NOT IN (SELECT vec_id FROM drp)"
+        ),
+        "t_perplexity": (
+            "WITH toks AS (SELECT doc_id, "
+            f"{_TOKENS} AS toks FROM documents), "
+            "occ AS (SELECT doc_id, unnest(list_transform("
+            "range(1, len(toks)), "
+            "i -> {'w1': toks[i], 'w2': toks[i+1]})) AS bg "
+            "FROM toks WHERE len(toks) >= 2), "
+            "o2 AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM occ), "
+            "bi AS (SELECT w1, w2, count(*) AS cb FROM o2 GROUP BY w1, w2), "
+            "uni AS (SELECT w1, count(*) AS cu FROM ("
+            "SELECT unnest(toks) AS w1 FROM toks) GROUP BY w1), "
+            "vv AS (SELECT count(*) AS v FROM uni), "
+            "sc AS (SELECT doc_id, count(*) AS n_bigrams, "
+            "round(avg(ln(cu + v) - ln(cb + 1)), 6) AS cross_entropy "
+            "FROM o2 JOIN bi USING (w1, w2) JOIN uni USING (w1) "
+            "CROSS JOIN vv GROUP BY doc_id) "
+            "SELECT t.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, "
+            "sc.cross_entropy FROM toks t LEFT JOIN sc USING (doc_id)"
+        ),
+        "c_mix_sources": (
+            "WITH w AS (SELECT doc_id, source, "
+            "CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 3 + 1 AS wt "
+            "FROM documents), "
+            "cnt AS (SELECT source, any_value(wt) AS wt, count(*) AS ns "
+            "FROM w GROUP BY source), "
+            "m AS (SELECT min(ns // wt) AS mm FROM cnt), "
+            "r AS (SELECT doc_id, source, wt, row_number() OVER ("
+            "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), "
+            "doc_id) AS rk FROM w) "
+            "SELECT doc_id, source FROM r CROSS JOIN m WHERE rk <= wt * mm"
         ),
         "j_asof_click_purchase": (
             "SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us, "

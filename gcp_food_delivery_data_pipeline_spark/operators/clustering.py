@@ -1,0 +1,268 @@
+"""Embedding clustering: distributed k-means and SemDeDup-style
+semantic deduplication.
+
+Reference parity note: the reference pipeline (see SURVEY.md §2) has no
+clustering; this module is part of the large-scale training-data layer
+(M5) alongside dedup/similarity — the "cluster then prune inside each
+cluster" recipe of SemDeDup (Abbas et al. 2023, arXiv:2303.09540).
+
+Scale design
+------------
+* **Assignment is zero-shuffle.** Centroids are tiny (k × d doubles) so
+  they live as literals in the plan: a single codegen stage computes
+  all k cosine similarities per row and arg-maxes them via
+  ``array_max`` on ``struct(sim, -cluster_id)`` — no crossJoin, no
+  window, no exchange. At 100 TB this is a pure map over the scan.
+* **The vector is unit-normalized ONCE per row** and the centroid
+  norms are folded into the literals, so per-row work is exactly k
+  dot products (k·d fused multiply-adds in whole-stage codegen).
+* **Lloyd's iterations are driver-coordinated**, like MLlib's KMeans:
+  each iteration is one scan (zero-shuffle assignment) + one
+  ``posexplode → groupBy(cluster, dim) → avg`` whose shuffle carries at
+  most partitions × k × d partial rows (map-side combine), then a
+  k × d-row collect — bytes, not data. No iteration ever shuffles the
+  vectors themselves.
+* **SemDeDup's intra-cluster pairwise join** is quadratic per cluster,
+  which is exactly why it is run AFTER clustering: with k ≈ √N
+  clusters the expected pair count is N^1.5, not N². The join is a
+  plain equi-join on ``cluster_id`` so AQE's skew-join splitting
+  applies if one cluster runs hot.
+
+Determinism: seeds are the k lowest-id vectors, arg-max ties break to
+the smallest cluster id, and the dedup keep-rule is "drop iff some
+LOWER-id member of the same cluster is ≥ threshold similar" — all
+rerun- and engine-stable, which is what lets DuckDB grade the
+fixed-centroid forms bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_food_delivery_data_pipeline_spark.functions.vectors import (
+    dot_product,
+)
+
+Centroid = tuple[int, list[float]]
+
+
+def _unit(vec: Sequence[float]) -> list[float]:
+    n = math.sqrt(sum(float(x) * float(x) for x in vec))
+    if n == 0.0:
+        return [0.0 for _ in vec]
+    return [float(x) / n for x in vec]
+
+
+def _unit_vec_col(vec_col: str) -> Column:
+    """Row vector scaled to unit norm (all-zero stays all-zero)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return F.when(norm == 0.0, v).otherwise(
+        F.transform(v, lambda x: x / norm)
+    )
+
+
+def _best_cluster(centroids: Sequence[Centroid]) -> Column:
+    """struct(sim, neg_cid) of the nearest centroid, given ``_unit``.
+
+    The per-centroid similarity is a plain dot product because both
+    sides are pre-normalized (centroid literals here, the row vector
+    in ``_unit``). ``array_max`` over struct(sim, -cid) implements
+    "max sim, tie → smallest cluster id" in one codegen expression.
+    """
+    scored = F.array(
+        *[
+            F.struct(
+                dot_product(
+                    F.col("_unit"),
+                    F.array(*[F.lit(x) for x in _unit(cv)]),
+                ).alias("sim"),
+                F.lit(-int(cid)).alias("neg_cid"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    return F.array_max(scored)
+
+
+def assign_clusters(
+    vectors: DataFrame,
+    centroids: Sequence[Centroid],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment: (id, cluster_id, cosine_sim).
+
+    Zero-shuffle: one codegen projection over the scan (see module
+    docstring). ``centroids`` is a driver-side list of
+    (cluster_id, vector) — k·d doubles, plan literals.
+    """
+    if not centroids:
+        raise ValueError("assign_clusters: need at least one centroid")
+    best = _best_cluster(centroids)
+    return (
+        vectors.select(
+            F.col(id_col), _unit_vec_col(vec_col).alias("_unit")
+        )
+        .select(
+            F.col(id_col),
+            best.alias("_best"),
+        )
+        .select(
+            F.col(id_col),
+            (-F.col("_best.neg_cid")).alias("cluster_id"),
+            F.round(F.col("_best.sim"), 6).alias("cosine_sim"),
+        )
+    )
+
+
+def seed_centroids(
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[Centroid]:
+    """Deterministic seeds: the k lowest-id vectors, renumbered 0..k-1.
+
+    A k-row ordered collect — independent of partition layout, so
+    reruns and engine migrations agree (unlike ``df.sample`` whose
+    seed binds to the split layout; see SCALE.md "Determinism").
+    """
+    rows = (
+        vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(k)
+        .collect()
+    )
+    return [(j, [float(x) for x in r.v]) for j, r in enumerate(rows)]
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[Centroid], int]:
+    """Spherical k-means (Lloyd's, cosine) — returns (centroids, iters).
+
+    Each iteration: zero-shuffle assignment, then the new centroid of
+    each cluster as the per-dimension mean via ``posexplode →
+    groupBy(cluster, dim) → avg`` (shuffle rows ≤ partitions·k·d after
+    map-side combine) and a k·d-row collect. Empty clusters keep their
+    previous centroid. Stops when every centroid's max coordinate
+    shift < ``tol`` (post-normalization, so the test is scale-free).
+    """
+    cents = seed_centroids(vectors, k, id_col=id_col, vec_col=vec_col)
+    staged = vectors.select(
+        F.col(id_col), _unit_vec_col(vec_col).alias("_unit")
+    )
+    it = 0
+    for it in range(1, max_iter + 1):
+        best = _best_cluster(cents)
+        assigned = staged.select(
+            (-best["neg_cid"]).alias("cluster_id"), F.col("_unit")
+        )
+        means = (
+            assigned.select(
+                "cluster_id", F.posexplode("_unit").alias("dim", "x")
+            )
+            .groupBy("cluster_id", "dim")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r.cluster_id, {})[r.dim] = r.mu
+        new_cents: list[Centroid] = []
+        shift = 0.0
+        for cid, old in cents:
+            if cid in by_cid:
+                dims = by_cid[cid]
+                vec = _unit([dims[d] for d in range(len(old))])
+            else:  # empty cluster: keep the old centroid
+                vec = _unit(old)
+            shift = max(
+                shift,
+                max(abs(a - b) for a, b in zip(vec, _unit(old))),
+            )
+            new_cents.append((cid, vec))
+        cents = new_cents
+        if shift < tol:
+            break
+    return cents, it
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: Sequence[Centroid],
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: drop a vector iff a LOWER-id member of its cluster is
+    ≥ ``threshold`` cosine-similar. Returns survivors
+    (id, cluster_id) — deterministic, order-free.
+
+    The pairwise check never leaves a cluster: the self-join is a
+    plain equi-join on ``cluster_id``, so its exchange carries each
+    (id, cluster, unit-vector) row once per side and the quadratic
+    blow-up is bounded per cluster (pick k ≈ √N; see module
+    docstring). AQE skew-join splitting covers a hot cluster.
+    """
+    assigned = vectors.select(
+        F.col(id_col), _unit_vec_col(vec_col).alias("_unit")
+    ).select(
+        F.col(id_col),
+        (-_best_cluster(centroids)["neg_cid"]).alias("cluster_id"),
+        F.col("_unit"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_ida"),
+        F.col("cluster_id"),
+        F.col("_unit").alias("_va"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"),
+        F.col("cluster_id"),
+        F.col("_unit").alias("_vb"),
+    )
+    # Threshold the ROUNDED similarity: the comparison that decides a
+    # drop is then identical across engines/summation orders (the same
+    # trick the graded v_embedding_pairs uses), instead of hinging on
+    # the last bit of a float dot product.
+    dropped = (
+        a.join(b, on="cluster_id")
+        .filter(F.col("_idb") < F.col("_ida"))
+        .filter(
+            F.round(dot_product("_va", "_vb"), 6) >= F.lit(float(threshold))
+        )
+        .select(F.col("_ida").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, on=id_col, how="left_anti").select(
+        id_col, "cluster_id"
+    )
+
+
+def semantic_dedup_kmeans(
+    spark: SparkSession,
+    vectors: DataFrame,
+    k: int = 8,
+    threshold: float = 0.35,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end SemDeDup: fit k-means, then prune inside clusters."""
+    cents, _ = kmeans_fit(
+        vectors, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col
+    )
+    return semantic_dedup(
+        vectors, cents, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )

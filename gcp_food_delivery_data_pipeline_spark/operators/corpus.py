@@ -348,3 +348,58 @@ def pack_sequences(
         F.floor(before / context_tokens).cast("long").alias("bin_id"),
         F.pmod(before, F.lit(context_tokens)).cast("long").alias("bin_offset"),
     )
+
+
+def resample_source_mix(
+    df: DataFrame,
+    weights: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic domain-mixture resampling: downsample each source
+    so the surviving corpus hits the target mixture ``weights`` (the
+    static domain-weighting step of Pile/DoReMi-style data recipes).
+
+    ``weights`` are integer mixture parts (e.g. {"web": 3, "code": 1}
+    = 75/25). The kept-count math is ALL-INTEGER so every engine and
+    rerun agrees exactly: M = min over sources of n_s // w_s (the
+    largest number of "mixture units" every source can fill), and each
+    source keeps quota_s = w_s * M documents. Sources absent from
+    ``weights`` (or with weight 0) are dropped.
+
+    WHICH documents survive is decided by rank within source on the
+    engine-stable (md5(id), id) order — reproducible, content-
+    independent, and partition-layout-free, unlike ``df.sample``.
+
+    Scale shape: one tiny groupBy for per-source counts (rows =
+    #sources, broadcast back), one window rank partitioned BY SOURCE
+    (each source sorts in parallel; no global single-task window). At
+    100 TB the rank sort is the cost — it shares the shuffle with the
+    count side's partitioning, and a per-source range repartition
+    keeps any mega-source from one task via AQE skew handling.
+    """
+    if not weights or all(w <= 0 for w in weights.values()):
+        raise ValueError("resample_source_mix: need a positive weight")
+    wlit = F.create_map(
+        *[
+            x
+            for s, w in sorted(weights.items())
+            for x in (F.lit(s), F.lit(int(w)))
+        ]
+    )
+    weighted = df.withColumn(
+        "_w", F.coalesce(wlit[F.col(source_col)], F.lit(0))
+    ).filter(F.col("_w") > 0)
+    counts = weighted.groupBy(source_col).agg(F.count(F.lit(1)).alias("_ns"))
+    m_units = counts.withColumn(
+        "_w", wlit[F.col(source_col)]
+    ).agg(F.min(F.floor(F.col("_ns") / F.col("_w"))).alias("_m"))
+    w_rank = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        weighted.withColumn("_rk", F.row_number().over(w_rank))
+        .crossJoin(F.broadcast(m_units))
+        .filter(F.col("_rk") <= F.col("_w") * F.col("_m"))
+        .drop("_w", "_rk", "_m")
+    )

@@ -422,3 +422,83 @@ def repetition_signals(
         (F.col("dup_word_frac") > dup_word_max)
         | (F.col("top_bigram_frac") > top_bigram_max),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram-LM cross-entropy per document — the CCNet-style quality
+    signal (Wenzek et al. 2020): train an add-one-smoothed bigram model
+    on the corpus itself, then score each doc by the average negative
+    log-probability of its bigrams (nats). Low = fluent/common phrasing,
+    high = rare/garbled text; filter or re-weight on it.
+
+    Output: (id, n_bigrams, round(cross_entropy, 6)); docs with < 2
+    tokens have n_bigrams = 0 and NULL cross_entropy.
+
+    Scale shape (everything map-side-combines before it shuffles):
+
+    * bigram/unigram COUNT tables: explode → groupBy — the shuffle
+      carries one row per (partition, gram), not per occurrence.
+    * scoring joins occurrences to the two count tables on their gram
+      keys. The count side has exactly one row per key, so skew on
+      stopword bigrams ("of the") is join-side only — AQE skew split
+      covers it; no pre-broadcast because a corpus-wide count table
+      does not fit an executor at 100 TB.
+    * vocabulary size V is a 1-row aggregate, broadcast-crossJoined.
+
+    The model is trained on the SAME corpus it scores, so every scored
+    bigram exists in the count table (inner joins lose nothing); the
+    add-one smoothing keeps the construction total (P sums to 1 over
+    the vocab) without changing that.
+    """
+    staged = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    m = F.size("_toks") - 1
+    pairs = F.when(
+        F.size("_toks") >= 2,
+        F.arrays_zip(
+            F.slice("_toks", 1, m).alias("w1"),
+            F.slice("_toks", 2, m).alias("w2"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    occ = staged.select(F.col(id_col), F.explode(pairs).alias("_bg")).select(
+        F.col(id_col),
+        F.col("_bg.w1").alias("w1"),
+        F.col("_bg.w2").alias("w2"),
+    )
+    bigram_counts = occ.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("_cb")
+    )
+    unigram_counts = (
+        staged.select(F.explode("_toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("_cu"))
+    )
+    vocab = unigram_counts.agg(F.count(F.lit(1)).alias("_v"))
+    scored = (
+        occ.join(bigram_counts, ["w1", "w2"])
+        .join(unigram_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(F.col("_cu") + F.col("_v"))
+                    - F.log(F.col("_cb") + 1)
+                ),
+                6,
+            ).alias("cross_entropy"),
+        )
+    )
+    return (
+        staged.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "cross_entropy",
+        )
+    )

@@ -1,0 +1,294 @@
+"""Clustering / SemDeDup / bigram-LM / source-mix operator tests.
+
+Golden values are hand-computed on tiny synthetic inputs; the sf0.001
+embeddings exercise the distributed paths (Lloyd's convergence,
+determinism across partitionings).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_food_delivery_data_pipeline_spark.operators.clustering import (
+    assign_clusters,
+    kmeans_fit,
+    seed_centroids,
+    semantic_dedup,
+    semantic_dedup_kmeans,
+)
+from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+    resample_source_mix,
+)
+from gcp_food_delivery_data_pipeline_spark.operators.text import (
+    bigram_lm_scores,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+# ---------------------------------------------------------------------------
+# assignment
+# ---------------------------------------------------------------------------
+
+
+def test_assign_golden(spark):
+    """Hand-checkable 2-D case: two orthogonal centroids."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 2.0]), (2, [3.0, 3.0])],
+        ["vec_id", "embedding"],
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    got = {
+        r.vec_id: (r.cluster_id, r.cosine_sim)
+        for r in assign_clusters(df, cents).collect()
+    }
+    assert got[0] == (0, 1.0)
+    assert got[1] == (1, 1.0)
+    # equidistant from both -> tie breaks to the SMALLEST cluster id
+    assert got[2][0] == 0
+    assert abs(got[2][1] - round(1 / math.sqrt(2), 6)) < 1e-9
+
+
+def test_assign_zero_norm_vector_gets_tiebreak_cluster(spark):
+    df = spark.createDataFrame([(7, [0.0, 0.0])], ["vec_id", "embedding"])
+    rows = assign_clusters(df, [(0, [1.0, 0.0]), (1, [0.0, 1.0])]).collect()
+    assert rows[0].cluster_id == 0  # all sims 0.0 -> smallest cid
+    assert rows[0].cosine_sim == 0.0
+
+
+def test_assign_covers_all_rows_once(embeddings):
+    out = assign_clusters(embeddings, seed_centroids(embeddings, 4))
+    assert out.count() == embeddings.count()
+    assert out.select("vec_id").distinct().count() == embeddings.count()
+    assert out.filter(~F.col("cluster_id").isin(0, 1, 2, 3)).count() == 0
+
+
+def test_assign_is_partitioning_independent(embeddings):
+    cents = seed_centroids(embeddings, 4)
+    a = sorted(
+        (r.vec_id, r.cluster_id)
+        for r in assign_clusters(embeddings, cents).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cluster_id)
+        for r in assign_clusters(embeddings.repartition(13), cents).collect()
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# k-means fit
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_converges_on_separated_blobs(spark):
+    """Two clearly separated 2-D blobs: Lloyd's must find them and
+    converge (iters < max_iter), regardless of which blob seeds."""
+    pts = [(i, [10.0 + (i % 3) * 0.1, 0.0]) for i in range(6)] + [
+        (10 + i, [0.0, 10.0 + (i % 3) * 0.1]) for i in range(6)
+    ]
+    df = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    cents, iters = kmeans_fit(df, k=2, max_iter=10, tol=1e-9)
+    assert iters < 10  # converged early
+    assigned = assign_clusters(df, cents)
+    # each blob maps to exactly one cluster
+    blobs = assigned.withColumn("blob", (F.col("vec_id") >= 10).cast("int"))
+    pairs = blobs.select("blob", "cluster_id").distinct().collect()
+    assert len(pairs) == 2
+    assert len({p.cluster_id for p in pairs}) == 2
+
+
+def test_kmeans_deterministic_across_partitionings(embeddings):
+    c1, _ = kmeans_fit(embeddings, k=3, max_iter=3)
+    c2, _ = kmeans_fit(embeddings.repartition(17), k=3, max_iter=3)
+    for (i1, v1), (i2, v2) in zip(c1, c2):
+        assert i1 == i2
+        # avg() partial-agg order may differ -> tiny float wobble only
+        assert max(abs(a - b) for a, b in zip(v1, v2)) < 1e-9
+
+
+def test_kmeans_centroids_are_unit_norm(embeddings):
+    cents, _ = kmeans_fit(embeddings, k=3, max_iter=2)
+    for _, v in cents:
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """k > distinct points: the starved cluster must not NaN out."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    cents, _ = kmeans_fit(df, k=2, max_iter=3)
+    assert len(cents) == 2
+    for _, v in cents:
+        assert all(not math.isnan(x) for x in v)
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_drops_only_same_cluster_dups(spark):
+    """id 1 duplicates id 0 (same cluster -> dropped); id 3 duplicates
+    id 2's direction but sits in the other cluster's orbit — a
+    cross-cluster near-dup is NOT SemDeDup's business."""
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.001]),  # near-dup of 0, same cluster
+            (2, [0.0, 1.0]),
+            (3, [0.001, 1.0]),  # near-dup of 2, same cluster
+            (4, [1.0, 1.0]),  # distinct; tie -> cluster 0, not similar enough
+        ],
+        ["vec_id", "embedding"],
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    survivors = {
+        r.vec_id: r.cluster_id
+        for r in semantic_dedup(df, cents, threshold=0.99).collect()
+    }
+    assert set(survivors) == {0, 2, 4}
+    assert survivors[0] == 0 and survivors[2] == 1 and survivors[4] == 0
+
+
+def test_semantic_dedup_matches_brute_force_within_cluster(embeddings):
+    """Exact rule replay in local Python over the sf0.001 vectors."""
+    cents = seed_centroids(embeddings, 4)
+    got = sorted(
+        r.vec_id
+        for r in semantic_dedup(embeddings, cents, threshold=0.35).collect()
+    )
+    rows = embeddings.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n else v
+
+    def best(v):
+        sims = [
+            (sum(a * b for a, b in zip(unit(v), unit(cv))), -cid)
+            for cid, cv in cents
+        ]
+        return -max(sims)[1]
+
+    cl = {i: best(v) for i, v in vecs.items()}
+    survivors = []
+    for i in sorted(vecs):
+        dup = any(
+            j < i
+            and cl[j] == cl[i]
+            and round(
+                sum(a * b for a, b in zip(unit(vecs[i]), unit(vecs[j]))), 6
+            )
+            >= 0.35
+            for j in vecs
+        )
+        if not dup:
+            survivors.append(i)
+    assert got == survivors
+
+
+def test_semantic_dedup_kmeans_end_to_end(embeddings):
+    out = semantic_dedup_kmeans(
+        embeddings.sparkSession, embeddings, k=4, threshold=0.35, max_iter=2
+    )
+    n = out.count()
+    assert 0 < n <= embeddings.count()
+    assert out.columns == ["vec_id", "cluster_id"]
+
+
+# ---------------------------------------------------------------------------
+# bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_golden(spark):
+    """Corpus 'a b', 'a b', 'a c' — hand-computed add-one model.
+
+    Counts: bigrams ab=2, ac=1; unigrams a=3, b=2, c=1; V=3.
+    ce(doc 'a b')  = ln((3+3)/(2+1)) = ln 2
+    ce(doc 'a c')  = ln((3+3)/(1+1)) = ln 3
+    """
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.cross_entropy)
+        for r in bigram_lm_scores(df).collect()
+    }
+    assert got[0] == (1, round(math.log(2), 6))
+    assert got[1] == (1, round(math.log(2), 6))
+    assert got[2] == (1, round(math.log(3), 6))
+
+
+def test_bigram_lm_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "solo"), (1, ""), (2, "  "), (3, "x y")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.cross_entropy)
+        for r in bigram_lm_scores(df).collect()
+    }
+    assert got[0] == (0, None)
+    assert got[1] == (0, None)
+    assert got[2] == (0, None)
+    assert got[3][0] == 1
+
+
+def test_bigram_lm_repeated_bigrams_counted_per_occurrence(spark):
+    """'a a a' has TWO (a,a) occurrences — occurrences, not distinct
+    grams, drive both training counts and per-doc averaging."""
+    df = spark.createDataFrame([(0, "a a a")], ["doc_id", "text"])
+    row = bigram_lm_scores(df).collect()[0]
+    # c(a,a)=2, c(a)=3, V=1 -> ce = ln((3+1)/(2+1)) = ln(4/3)
+    assert row.n_bigrams == 2
+    assert row.cross_entropy == round(math.log(4 / 3), 6)
+
+
+# ---------------------------------------------------------------------------
+# source-mix resampling
+# ---------------------------------------------------------------------------
+
+
+def test_mix_quota_math_exact(spark):
+    """n = {a: 10, b: 6}, w = {a: 3, b: 1}: M = min(10//3, 6//1) = 3,
+    quotas a=9, b=3."""
+    rows = [(i, "a") for i in range(10)] + [(100 + i, "b") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = resample_source_mix(df, {"a": 3, "b": 1})
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"a": 9, "b": 3}
+
+
+def test_mix_unknown_source_dropped_and_deterministic(spark):
+    rows = [(i, "a") for i in range(4)] + [(10 + i, "zzz") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out1 = sorted(r.doc_id for r in resample_source_mix(df, {"a": 2}).collect())
+    out2 = sorted(
+        r.doc_id
+        for r in resample_source_mix(df.repartition(7), {"a": 2}).collect()
+    )
+    assert out1 == out2
+    assert all(i < 10 for i in out1)  # zzz rows gone
+    assert len(out1) == 4  # M = 4//2 = 2 -> quota 2*2 = 4
+
+
+def test_mix_rejects_empty_weights(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    with pytest.raises(ValueError):
+        resample_source_mix(df, {})
+    with pytest.raises(ValueError):
+        resample_source_mix(df, {"a": 0})
