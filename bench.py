@@ -72,6 +72,10 @@ EXTRA_QUERIES = [
     "q_variant_props",      # VariantType parse + typed extraction
     "q_approx_topk",        # sketch heavy hitters
     "s_media_source",       # Python DS scan + real PNG decode
+    "v_kmeans_assign",      # zero-shuffle nearest-centroid argmax
+    "d_semantic_dedup",     # cluster-bounded embedding dedup
+    "t_perplexity",         # bigram-LM cross-entropy scoring
+    "c_mix_sources",        # integer-quota domain-mix resampling
 ]
 
 

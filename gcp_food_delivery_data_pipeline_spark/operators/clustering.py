@@ -72,7 +72,15 @@ def _best_cluster(centroids: Sequence[Centroid]) -> Column:
     The per-centroid similarity is a plain dot product because both
     sides are pre-normalized (centroid literals here, the row vector
     in ``_unit``). ``array_max`` over struct(sim, -cid) implements
-    "max sim, tie → smallest cluster id" in one codegen expression.
+    "max sim, tie → smallest cluster id" in one expression.
+
+    Shape note: k SEPARATE dot-product chains, deliberately — the
+    "smaller tree" alternative (one nested-array literal + a single
+    ``zip_with`` lambda) measured 15× SLOWER cold and 3× slower warm:
+    the lambda captures ``_unit``, so CollapseProject inlines the
+    whole normalization into it and re-evaluates it per element (the
+    per-element re-evaluation pitfall in SCALE.md). With k separate
+    chains ``_unit`` is multi-referenced and stays staged.
     """
     scored = F.array(
         *[
@@ -209,42 +217,55 @@ def semantic_dedup(
     ≥ ``threshold`` cosine-similar. Returns survivors
     (id, cluster_id) — deterministic, order-free.
 
-    The pairwise check never leaves a cluster: the self-join is a
-    plain equi-join on ``cluster_id``, so its exchange carries each
-    (id, cluster, unit-vector) row once per side and the quadratic
-    blow-up is bounded per cluster (pick k ≈ √N; see module
-    docstring). AQE skew-join splitting covers a hot cluster.
+    The pairwise check never leaves a cluster AND never evaluates a
+    per-pair JVM expression: it rides the blocked-BLAS pairwise kernel
+    (``dedup.embedding_near_dup_pairs_blocked`` with
+    ``group_col="cluster_id"``) — each (cluster, block-pair) group
+    computes one dense numpy ``A @ B.T``, so per-row replication is
+    ~cluster_size/block_rows + 1 and the quadratic work is bounded per
+    cluster (pick k ≈ √N; see module docstring). The earlier
+    equi-join + per-pair ``aggregate``-fold form was ~100× more
+    per-pair overhead (interpreted higher-order functions, parallelism
+    capped at k join keys) — measured 36 s vs 2 s at sf0.1.
+
+    The drop decision thresholds the ROUNDED cosine, so it is
+    identical across engines/summation orders (the same trick the
+    graded v_embedding_pairs uses).
     """
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        embedding_near_dup_pairs_blocked,
+    )
+
     assigned = vectors.select(
-        F.col(id_col), _unit_vec_col(vec_col).alias("_unit")
+        F.col(id_col), F.col(vec_col), _unit_vec_col(vec_col).alias("_unit")
     ).select(
         F.col(id_col),
         (-_best_cluster(centroids)["neg_cid"]).alias("cluster_id"),
-        F.col("_unit"),
+        F.col(vec_col),
     )
-    a = assigned.select(
-        F.col(id_col).alias("_ida"),
-        F.col("cluster_id"),
-        F.col("_unit").alias("_va"),
+    # Size the block grid from the RAW count (a metadata-cheap parquet
+    # count) and the mean cluster size, instead of the kernel's default
+    # max-group-size aggregate — that aggregate would re-evaluate the
+    # whole assignment subtree just to pick an integer. A skew-hot
+    # cluster under-blocks (fewer, larger kernel tasks), which costs
+    # parallelism, never correctness or memory (the kernel chunks A
+    # internally).
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    mean_cluster = math.ceil(vectors.count() / max(len(centroids), 1))
+    n_blocks = max(
+        math.ceil(mean_cluster / 4096), math.ceil(math.sqrt(2 * par)), 1
     )
-    b = assigned.select(
-        F.col(id_col).alias("_idb"),
-        F.col("cluster_id"),
-        F.col("_unit").alias("_vb"),
+    pairs = embedding_near_dup_pairs_blocked(
+        assigned,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=float(threshold),
+        group_col="cluster_id",
+        n_blocks=n_blocks,
     )
-    # Threshold the ROUNDED similarity: the comparison that decides a
-    # drop is then identical across engines/summation orders (the same
-    # trick the graded v_embedding_pairs uses), instead of hinging on
-    # the last bit of a float dot product.
-    dropped = (
-        a.join(b, on="cluster_id")
-        .filter(F.col("_idb") < F.col("_ida"))
-        .filter(
-            F.round(dot_product("_va", "_vb"), 6) >= F.lit(float(threshold))
-        )
-        .select(F.col("_ida").alias(id_col))
-        .distinct()
-    )
+    # pairs come canonically ordered (id_a < id_b): the HIGHER id has a
+    # lower-id near-dup in its own cluster -> it is the one dropped.
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return assigned.join(dropped, on=id_col, how="left_anti").select(
         id_col, "cluster_id"
     )

@@ -516,6 +516,7 @@ def embedding_near_dup_pairs_blocked(
     threshold: float = 0.95,
     block_rows: int = 4096,
     n_blocks: int | None = None,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine pairs, fully DISTRIBUTED — no driver
     collect, no broadcast of the corpus (the scale ceiling of the BLAS
@@ -533,6 +534,13 @@ def embedding_near_dup_pairs_blocked(
     LSH candidate route (``lsh_bucketed_topk``) — approximate, so it
     is an explicit caller choice, not a silent default.
 
+    ``group_col`` restricts pairs to rows sharing that column (the
+    SemDeDup shape: pairwise only WITHIN a cluster): the block-pair id
+    simply composes with the group key in the ``applyInPandas``
+    grouping, so each group runs its own independent block grid and
+    the default ``n_blocks`` sizes to the LARGEST group — replication
+    per row is ~group_size/block_rows + 1, not corpus/block_rows.
+
     Thresholding/rounding happen in the SAME Spark-side expressions as
     the other implementations, so results are engine-identical
     (asserted in tests).
@@ -542,12 +550,22 @@ def embedding_near_dup_pairs_blocked(
     import numpy as np
 
     spark = df.sparkSession
-    base = df.select(id_col, vec_col)
+    group_cols = [group_col] if group_col else []
+    base = df.select(*group_cols, id_col, vec_col)
     if n_blocks is None:
         # One scalar aggregate to size the grid (metadata-cheap on
         # parquet; NOT a data collect). Floor at enough blocks to give
         # every core a task even when the corpus is small.
-        n = base.count()
+        if group_col:
+            n = (
+                base.groupBy(group_col)
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+                or 0
+            )
+        else:
+            n = base.count()
         par = spark.sparkContext.defaultParallelism
         min_blocks = math.ceil(math.sqrt(2 * par))
         n_blocks = max(math.ceil(n / block_rows), min_blocks, 1)
@@ -572,10 +590,12 @@ def embedding_near_dup_pairs_blocked(
         ),
     )
     both = base.select(
+        *group_cols,
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         F.explode(F.concat(as_a, as_b)).alias("_a"),
     ).select(
+        *group_cols,
         F.col("_a._pid").alias("_pid"),
         F.col("_a._side").alias("_side"),
         "_id",
@@ -630,7 +650,7 @@ def embedding_near_dup_pairs_blocked(
             return pd.DataFrame({"id_a": [], "id_b": [], "_cos": []})
         return pd.concat(outs, ignore_index=True)
 
-    pairs = both.groupBy("_pid").applyInPandas(
+    pairs = both.groupBy(*group_cols, "_pid").applyInPandas(
         kernel, schema=f"id_a {id_t}, id_b {id_t}, _cos double"
     )
     return pairs.select(
