@@ -165,35 +165,47 @@ def main() -> None:
     # independently, so order is a measurement choice, not a semantic
     # one.
     try:
-        timings["pipeline_1m_rows"] = _bench_pipeline_1m(spark)
+        timings["pipeline_1m_rows"] = min(
+            _bench_pipeline_1m(spark) for _ in range(2)
+        )
     except Exception as ex:  # noqa: BLE001
         errors["pipeline_1m_rows"] = f"{type(ex).__name__}: {ex}"[:500]
+    # Each query is timed as BEST OF TWO independent cold builds
+    # (fresh plan each time; only the JVM/JIT/page-cache state carries
+    # over). Single-shot numbers on a busy 32-thread JVM showed up to
+    # 6x one-off outliers (GC pause landing inside one query), which
+    # poisoned round-over-round comparison; min-of-2 keeps the number
+    # a property of the PLAN, not of GC timing.
+    def timed_best(name: str) -> float | None:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            try:
+                df = queries[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                el = round(time.time() - t0, 3)
+                best = el if best is None else min(best, el)
+            except Exception as ex:  # noqa: BLE001 — report, never die
+                errors[name] = f"{type(ex).__name__}: {ex}"[:500]
+                return None
+            finally:
+                # Queries that persist internally (LSH pair caches)
+                # must not pin heap across the rest of the run — each
+                # unit is timed independently, so cross-query cache
+                # reuse is never measured.
+                spark.catalog.clearCache()
+        return best
+
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        try:
-            df = queries[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as ex:  # noqa: BLE001 — report, never die
-            errors[name] = f"{type(ex).__name__}: {ex}"[:500]
-        finally:
-            # Queries that persist internally (LSH pair caches) must
-            # not pin heap across the rest of the run — each unit is
-            # timed independently, so cross-query cache reuse is never
-            # measured.
-            spark.catalog.clearCache()
+        el = timed_best(name)
+        if el is not None:
+            timings[name] = el
 
     extra: dict[str, float] = {}
     for name in EXTRA_QUERIES:
-        t0 = time.time()
-        try:
-            df = queries[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            extra[name] = round(time.time() - t0, 3)
-        except Exception as ex:  # noqa: BLE001 — report, never die
-            errors[name] = f"{type(ex).__name__}: {ex}"[:500]
-        finally:
-            spark.catalog.clearCache()
+        el = timed_best(name)
+        if el is not None:
+            extra[name] = el
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -203,6 +215,9 @@ def main() -> None:
         "queries": timings,
         "extra_queries": extra,
         "sf": sf,
+        # r1-r3 artifacts were single-shot; min-of-2 (since r4) trims
+        # GC-pause outliers, so cross-round deltas skew slightly fast.
+        "method": "min_of_2",
     }
     if errors:
         out["errors"] = errors

@@ -292,3 +292,103 @@ def test_mix_rejects_empty_weights(spark):
         resample_source_mix(df, {})
     with pytest.raises(ValueError):
         resample_source_mix(df, {"a": 0})
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): pure-Python models of the LM and mixer
+# ---------------------------------------------------------------------------
+
+from collections import Counter  # noqa: E402
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+WORD = st.sampled_from(["a", "b", "cc", "dd", "e1", "x"])
+DOC = st.lists(WORD, min_size=0, max_size=8).map(" ".join)
+
+
+def model_bigram_lm(texts: list[str]) -> dict[int, tuple[int, float | None]]:
+    """Pure-Python add-one bigram LM, mirroring bigram_lm_scores."""
+    import math
+
+    toks = {i: t.split() if t.split() else [] for i, t in enumerate(texts)}
+    uni = Counter(w for ts in toks.values() for w in ts)
+    bi = Counter(
+        (ts[j], ts[j + 1])
+        for ts in toks.values()
+        for j in range(len(ts) - 1)
+    )
+    v = len(uni)
+    out: dict[int, tuple[int, float | None]] = {}
+    for i, ts in toks.items():
+        grams = [(ts[j], ts[j + 1]) for j in range(len(ts) - 1)]
+        if not grams:
+            out[i] = (0, None)
+            continue
+        ce = sum(
+            math.log(uni[w1] + v) - math.log(bi[(w1, w2)] + 1)
+            for w1, w2 in grams
+        ) / len(grams)
+        out[i] = (len(grams), round(ce, 6))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(DOC, min_size=1, max_size=12))
+def test_bigram_lm_matches_python_model(spark_global, texts):
+    df = spark_global.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.cross_entropy)
+        for r in bigram_lm_scores(df).collect()
+    }
+    expected = model_bigram_lm(texts)
+    assert set(got) == set(expected)
+    for i in expected:
+        assert got[i][0] == expected[i][0]
+        if expected[i][1] is None:
+            assert got[i][1] is None
+        else:
+            # same rounding; allow a 1-ulp-at-6dp disagreement from
+            # summation order
+            assert abs(got[i][1] - expected[i][1]) <= 1e-6
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=1, max_value=12),
+        min_size=1,
+        max_size=3,
+    ),
+    weights=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=1, max_value=4),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_mix_quota_invariants(spark_global, counts, weights):
+    rows = [
+        (s_i * 1000 + j, s)
+        for s_i, (s, n) in enumerate(sorted(counts.items()))
+        for j in range(n)
+    ]
+    df = spark_global.createDataFrame(rows, ["doc_id", "source"])
+    eligible = {s: n for s, n in counts.items() if s in weights}
+    if not eligible:
+        out = resample_source_mix(df, weights)
+        assert out.count() == 0
+        return
+    m = min(n // weights[s] for s, n in eligible.items())
+    out = resample_source_mix(df, weights).collect()
+    got = Counter(r.source for r in out)
+    # exact integer quotas: w_s * M per eligible source, 0 otherwise
+    assert got == Counter(
+        {s: weights[s] * m for s in eligible if weights[s] * m > 0}
+    )
+    # survivors are a subset of the input rows
+    in_ids = {r[0] for r in rows}
+    assert all(r.doc_id in in_ids for r in out)
