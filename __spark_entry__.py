@@ -1748,6 +1748,21 @@ def _q_mix_sources(spark: SparkSession, sf: str) -> DataFrame:
     return resample_source_mix(d, weights).select("doc_id", "source")
 
 
+def _q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weight-proportional sampling (Efraimidis-Spirakis
+    A-ES): top-25 orders by the md5-derived exponential sort key,
+    weighted by o_totalprice — big orders proportionally likelier, same
+    sample on every engine/rerun/partitioning (no rand())."""
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        weighted_sample,
+    )
+
+    o = load_table(spark, sf, "orders")
+    return weighted_sample(
+        o, weight_col="o_totalprice", k=25, id_col="o_orderkey"
+    ).select("o_orderkey", "o_orderstatus")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering note: the driver grades keys IN ORDER and has
@@ -1763,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_semantic_dedup": _q_semantic_dedup,
         "t_perplexity": _q_perplexity,
         "c_mix_sources": _q_mix_sources,
+        "q_weighted_sample": _q_weighted_sample,
         "m_resize": _q_multimodal_resize,
         "m_frames": _q_multimodal_frames,
         "s_stream_hourly": _q_stream_hourly,
@@ -2601,6 +2617,15 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN vv GROUP BY doc_id) "
             "SELECT t.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, "
             "sc.cross_entropy FROM toks t LEFT JOIN sc USING (doc_id)"
+        ),
+        "q_weighted_sample": (
+            "SELECT o_orderkey, o_orderstatus FROM ("
+            "SELECT o_orderkey, o_orderstatus, "
+            "ln((CAST(concat('0x', "
+            "substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) + 1) "
+            "/ 4294967296.0) / o_totalprice AS sk "
+            "FROM orders WHERE o_totalprice > 0) "
+            "ORDER BY sk DESC, o_orderkey LIMIT 25"
         ),
         "c_mix_sources": (
             "WITH w AS (SELECT doc_id, source, "

@@ -76,6 +76,7 @@ EXTRA_QUERIES = [
     "d_semantic_dedup",     # cluster-bounded embedding dedup
     "t_perplexity",         # bigram-LM cross-entropy scoring
     "c_mix_sources",        # integer-quota domain-mix resampling
+    "q_weighted_sample",    # A-ES weighted top-k sampling
 ]
 
 

@@ -149,6 +149,45 @@ def seed_centroids(
     return [(j, [float(x) for x in r.v]) for j, r in enumerate(rows)]
 
 
+def seed_centroids_farthest(
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[Centroid]:
+    """Deterministic k-center greedy seeding (Gonzalez's farthest-first
+    traversal — the derandomized cousin of k-means++): start from the
+    lowest-id vector, then repeatedly take the vector LEAST similar to
+    every centroid chosen so far (tie → lowest id). Spreads seeds
+    across the space so Lloyd's starts near distinct modes instead of
+    wherever the k lowest ids happen to sit.
+
+    Cost: k-1 driver-coordinated jobs, each a zero-shuffle argmax scan
+    (the same literal-centroid expression as assignment) + a 1-row
+    ordered collect — no vector ever shuffles.
+    """
+    if k <= 0:
+        raise ValueError("seed_centroids_farthest: k must be positive")
+    staged = vectors.select(
+        F.col(id_col).alias("_i"), _unit_vec_col(vec_col).alias("_unit")
+    )
+    first = staged.orderBy("_i").limit(1).collect()
+    if not first:
+        raise ValueError("seed_centroids_farthest: empty input")
+    chosen: list[Centroid] = [(0, [float(x) for x in first[0]._unit])]
+    for j in range(1, k):
+        nxt = (
+            staged.select(
+                "_i", _best_cluster(chosen)["sim"].alias("_s"), "_unit"
+            )
+            .orderBy(F.col("_s").asc(), F.col("_i").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((j, [float(x) for x in nxt._unit]))
+    return chosen
+
+
 def kmeans_fit(
     vectors: DataFrame,
     k: int = 8,
@@ -156,8 +195,12 @@ def kmeans_fit(
     tol: float = 1e-6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "lowest_id",
 ) -> tuple[list[Centroid], int]:
     """Spherical k-means (Lloyd's, cosine) — returns (centroids, iters).
+
+    ``init``: "lowest_id" (one cheap ordered collect) or "farthest"
+    (k-center greedy spread — k-1 extra scans, better mode coverage).
 
     Each iteration: zero-shuffle assignment, then the new centroid of
     each cluster as the per-dimension mean via ``posexplode →
@@ -166,7 +209,14 @@ def kmeans_fit(
     previous centroid. Stops when every centroid's max coordinate
     shift < ``tol`` (post-normalization, so the test is scale-free).
     """
-    cents = seed_centroids(vectors, k, id_col=id_col, vec_col=vec_col)
+    if init == "farthest":
+        cents = seed_centroids_farthest(
+            vectors, k, id_col=id_col, vec_col=vec_col
+        )
+    elif init == "lowest_id":
+        cents = seed_centroids(vectors, k, id_col=id_col, vec_col=vec_col)
+    else:
+        raise ValueError(f"kmeans_fit: unknown init {init!r}")
     staged = vectors.select(
         F.col(id_col), _unit_vec_col(vec_col).alias("_unit")
     )

@@ -403,3 +403,45 @@ def resample_source_mix(
         .filter(F.col("_rk") <= F.col("_w") * F.col("_m"))
         .drop("_w", "_rk", "_m")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weight-proportional sample WITHOUT replacement, deterministic:
+    Efraimidis-Spirakis A-ES — each row gets sort key u^(1/w) (kept in
+    log form, ln(u)/w) with u a uniform derived from the engine-stable
+    md5 of its id; the k largest keys ARE a weighted sample without
+    replacement. The training-data "importance sampling" primitive:
+    upweight high-quality/rare documents without a second pass or any
+    ``rand()`` (whose stream binds to partition layout).
+
+    Scale shape: a pure projection plus a global top-k —
+    TakeOrderedAndProject computes per-partition top-k and merges k
+    rows per partition on the driver; no full sort, no single-task
+    window. Rows with weight <= 0 are excluded (zero probability).
+
+    Determinism note: u = (h+1)/2^32 over the first 8 md5 hex chars —
+    exactly representable, identical in any engine; the only
+    cross-engine float step is one ln() and one division, and the
+    chance two rows' keys land within libm's last-ulp disagreement is
+    ~n^2/2^52 — the same (accepted) risk class as every
+    float-ordered top-k in this repo.
+    """
+    if k <= 0:
+        raise ValueError("weighted_sample: k must be positive")
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(4294967296.0)
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_sk", key)
+        .orderBy(F.col("_sk").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_sk")
+    )

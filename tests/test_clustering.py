@@ -392,3 +392,106 @@ def test_mix_quota_invariants(spark_global, counts, weights):
     # survivors are a subset of the input rows
     in_ids = {r[0] for r in rows}
     assert all(r.doc_id in in_ids for r in out)
+
+
+# ---------------------------------------------------------------------------
+# farthest-first seeding
+# ---------------------------------------------------------------------------
+
+from gcp_food_delivery_data_pipeline_spark.operators.clustering import (  # noqa: E402
+    seed_centroids_farthest,
+)
+
+
+def test_farthest_seeding_spreads_across_blobs(spark):
+    """Both blobs must be seeded even though the 2 lowest ids sit in
+    ONE blob (which is exactly where lowest-id seeding fails)."""
+    pts = [(i, [10.0, 0.1 * i]) for i in range(5)] + [
+        (10 + i, [0.0, 10.0 + 0.1 * i]) for i in range(5)
+    ]
+    df = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    cents = seed_centroids_farthest(df, 2)
+    assert [c for c, _ in cents] == [0, 1]
+    # seed 0 = lowest id (blob A); seed 1 must come from blob B
+    assert cents[0][1][0] > 0.9  # unit([10, 0]) ~ [1, 0]
+    assert cents[1][1][1] > 0.9  # unit([0, 10]) ~ [0, 1]
+
+
+def test_farthest_seeding_deterministic(embeddings):
+    a = seed_centroids_farthest(embeddings, 3)
+    b = seed_centroids_farthest(embeddings.repartition(11), 3)
+    for (i1, v1), (i2, v2) in zip(a, b):
+        assert i1 == i2 and v1 == v2
+
+
+def test_kmeans_farthest_init_end_to_end(spark):
+    pts = [(i, [10.0, 0.1 * i]) for i in range(5)] + [
+        (10 + i, [0.0, 10.0 + 0.1 * i]) for i in range(5)
+    ]
+    df = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    cents, iters = kmeans_fit(df, k=2, max_iter=10, init="farthest")
+    assigned = assign_clusters(df, cents)
+    blobs = assigned.withColumn("blob", (F.col("vec_id") >= 10).cast("int"))
+    assert blobs.select("blob", "cluster_id").distinct().count() == 2
+
+
+def test_kmeans_rejects_unknown_init(spark):
+    df = spark.createDataFrame([(0, [1.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        kmeans_fit(df, k=1, init="random")
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling
+# ---------------------------------------------------------------------------
+
+from gcp_food_delivery_data_pipeline_spark.operators.corpus import (  # noqa: E402
+    weighted_sample,
+)
+
+
+def test_weighted_sample_matches_python_model(spark):
+    """Exact A-ES replay: same md5-uniform, same ln(u)/w key."""
+    import hashlib
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = sorted(
+        r.doc_id
+        for r in weighted_sample(df, "w", k=10, id_col="doc_id").collect()
+    )
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 4294967296.0
+        return math.log(u) / w
+
+    expected = sorted(
+        sorted(rows, key=lambda r: (-key(*r), r[0]))[:10]
+    )
+    assert got == [i for i, _ in expected]
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(0, 5.0), (1, 0.0), (2, -1.0), (3, 2.0)], ["doc_id", "w"]
+    )
+    got = {r.doc_id for r in weighted_sample(df, "w", k=10).collect()}
+    assert got == {0, 3}
+
+
+def test_weighted_sample_is_partitioning_independent(spark):
+    rows = [(i, float(1 + i % 5)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    a = sorted(r.doc_id for r in weighted_sample(df, "w", k=15).collect())
+    b = sorted(
+        r.doc_id
+        for r in weighted_sample(df.repartition(9), "w", k=15).collect()
+    )
+    assert a == b
+
+
+def test_weighted_sample_rejects_bad_k(spark):
+    df = spark.createDataFrame([(0, 1.0)], ["doc_id", "w"])
+    with pytest.raises(ValueError):
+        weighted_sample(df, "w", k=0)
