@@ -1763,6 +1763,29 @@ def _q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     ).select("o_orderkey", "o_orderstatus")
 
 
+def _q_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """First BPE training iteration's statistics: top-20 adjacent
+    symbol pairs over the word-count table (chars + </w> marker),
+    weighted by word frequency — the oracle-checkable core of BPE
+    vocabulary induction; the iterative trainer
+    (operators/bpe.py:bpe_train) is pytest-verified against a pure
+    Python reference. Deterministic tie-break (cnt DESC, lhs, rhs)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.bpe import (
+        pair_counts,
+        word_symbol_table,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return (
+        pair_counts(word_symbol_table(d))
+        .orderBy(F.col("cnt").desc(), F.col("left"), F.col("right"))
+        .limit(20)
+        .select(
+            F.col("left").alias("lhs"), F.col("right").alias("rhs"), "cnt"
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering note: the driver grades keys IN ORDER and has
@@ -1779,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_perplexity": _q_perplexity,
         "c_mix_sources": _q_mix_sources,
         "q_weighted_sample": _q_weighted_sample,
+        "t_bpe_pairs": _q_bpe_pairs,
         "m_resize": _q_multimodal_resize,
         "m_frames": _q_multimodal_frames,
         "s_stream_hourly": _q_stream_hourly,
@@ -2617,6 +2641,19 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN vv GROUP BY doc_id) "
             "SELECT t.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, "
             "sc.cross_entropy FROM toks t LEFT JOIN sc USING (doc_id)"
+        ),
+        "t_bpe_pairs": (
+            "WITH words AS (SELECT unnest("
+            f"{_TOKENS}) AS word FROM documents), "
+            "wc AS (SELECT word, count(*) AS n FROM words GROUP BY word), "
+            "syms AS (SELECT n, list_append(string_split(word, ''), "
+            "'</w>') AS s FROM wc), "
+            "p AS (SELECT n, unnest(list_transform(range(1, len(s)), "
+            "i -> {'l': s[i], 'r': s[i+1]})) AS pr FROM syms "
+            "WHERE len(s) >= 2) "
+            "SELECT pr.l AS lhs, pr.r AS rhs, "
+            "CAST(sum(n) AS BIGINT) AS cnt FROM p GROUP BY pr.l, pr.r "
+            "ORDER BY cnt DESC, lhs, rhs LIMIT 20"
         ),
         "q_weighted_sample": (
             "SELECT o_orderkey, o_orderstatus FROM ("

@@ -77,6 +77,7 @@ EXTRA_QUERIES = [
     "t_perplexity",         # bigram-LM cross-entropy scoring
     "c_mix_sources",        # integer-quota domain-mix resampling
     "q_weighted_sample",    # A-ES weighted top-k sampling
+    "t_bpe_pairs",          # BPE first-iteration pair statistics
 ]
 
 
