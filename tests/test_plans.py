@@ -299,3 +299,44 @@ def test_rollup_merge_is_partial_aggregated(spark):
     ]
     p = _plan(merge_rollups(parts, ["event_type", "day"], measures))
     assert "partial_sum" in p
+
+
+def test_kmeans_assignment_is_zero_shuffle(plans):
+    """The nearest-centroid argmax must stay a pure map over the scan:
+    centroids are plan literals, so ANY exchange here means the
+    assignment regressed into a join/window shape."""
+    p = plans("v_kmeans_assign")
+    assert "Exchange" not in p
+    assert "Join" not in p and "Window" not in p
+
+
+def test_weighted_sample_uses_take_ordered(plans):
+    """A-ES top-k must be TakeOrderedAndProject (per-partition top-k,
+    driver merge) — a global Sort+Limit would materialize a full sort
+    at corpus scale."""
+    p = plans("q_weighted_sample")
+    assert "TakeOrderedAndProject" in p
+    assert "WindowExec" not in p
+
+
+def test_mix_sources_windows_partition_by_source(plans):
+    """The survivor rank must partition BY SOURCE (parallel per-source
+    sorts); an unpartitioned window would funnel the corpus through
+    one task."""
+    p = plans("c_mix_sources")
+    assert "row_number()" in p
+    # every windowspecdefinition must carry the source partition key
+    for ln in p.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "source" in ln
+    # the unit-count side must reach the rank side as a broadcast
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_bpe_pair_counts_aggregate_partially(plans):
+    """Pair stats must map-side combine (partial_sum before the
+    exchange) — the shuffle then carries one row per (partition, pair),
+    not one per occurrence."""
+    p = plans("t_bpe_pairs")
+    assert "partial_sum" in p or "partial_count" in p
+    assert "TakeOrderedAndProject" in p  # deterministic top-20
