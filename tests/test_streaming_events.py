@@ -235,7 +235,9 @@ def test_stream_stream_join_matches_batch_range_join(
     q = run_click_attribution_stream(
         spark, events_dir, str(tmp_path / "ckpt"), out
     )
-    assert q.awaitTermination(180), "stream did not finish draining"
+    # 360s: under a loaded full-suite JVM the micro-batches can take
+    # 2-3x their isolated pace; 180s flaked while passing in isolation
+    assert q.awaitTermination(360), "stream did not finish draining"
 
     streamed = {
         (r.purchase_id, r.click_id)
