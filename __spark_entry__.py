@@ -1786,6 +1786,12 @@ def _q_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Median/MAD robust outlier profile per event type (the
+    outlier-immune twin of q_stats_profile)."""
+    return A.q_mad_outliers(load_table(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering note: the driver grades keys IN ORDER and has
@@ -1803,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_mix_sources": _q_mix_sources,
         "q_weighted_sample": _q_weighted_sample,
         "t_bpe_pairs": _q_bpe_pairs,
+        "q_mad_outliers": _q_mad_outliers,
         "m_resize": _q_multimodal_resize,
         "m_frames": _q_multimodal_frames,
         "s_stream_hourly": _q_stream_hourly,
@@ -2641,6 +2648,20 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN vv GROUP BY doc_id) "
             "SELECT t.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, "
             "sc.cross_entropy FROM toks t LEFT JOIN sc USING (doc_id)"
+        ),
+        "q_mad_outliers": (
+            "WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med "
+            "FROM events GROUP BY event_type), "
+            "s AS (SELECT e.event_type, max(m.med) AS med, "
+            "quantile_cont(abs(e.value - m.med), 0.5) AS mad "
+            "FROM events e JOIN m USING (event_type) GROUP BY e.event_type) "
+            "SELECT e.event_type, count(*) AS n_events, "
+            "round(max(s.med), 6) AS median_value, "
+            "round(max(s.mad), 6) AS mad, "
+            "CAST(sum(CASE WHEN round(abs(e.value - s.med), 6) > "
+            "round(4.4478 * s.mad, 6) THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_outliers "
+            "FROM events e JOIN s USING (event_type) GROUP BY e.event_type"
         ),
         "t_bpe_pairs": (
             "WITH words AS (SELECT unnest("

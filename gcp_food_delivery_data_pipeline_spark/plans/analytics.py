@@ -1198,3 +1198,44 @@ def q_grouping_sets_revenue(lineitem: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+def q_mad_outliers(events: DataFrame, k: float = 4.4478) -> DataFrame:
+    """Robust outlier profile per event type: median, MAD (median
+    absolute deviation), and the count of values beyond k·MAD of the
+    median (k = 3·1.4826 ≈ 3σ under normality). The mean/stddev
+    profile (``q_stats_profile``) breaks exactly when you need outlier
+    detection most — the outliers drag the mean; median/MAD do not.
+
+    Two aggregation passes by construction (MAD needs the median
+    first); the per-type medians table is tiny, so both re-entries are
+    broadcast joins — the events table shuffles only for its two
+    percentile aggregations. The outlier comparison runs on ROUNDED
+    operands so the boundary decision is engine-stable (same trick as
+    the similarity thresholds).
+    """
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("_med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "_med", F.abs(F.col("value") - F.col("_med")).alias("_adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("_med").alias("_med"),
+        F.percentile("_adev", F.lit(0.5)).alias("_mad"),
+    )
+    return (
+        events.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.first("_med"), 6).alias("median_value"),
+            F.round(F.first("_mad"), 6).alias("mad"),
+            F.sum(
+                (
+                    F.round(F.abs(F.col("value") - F.col("_med")), 6)
+                    > F.round(F.lit(k) * F.col("_mad"), 6)
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+    )

@@ -98,3 +98,41 @@ def test_q12_ship_priority_partitions_all_lines(spark):
     assert total == li.join(
         orders, li.l_orderkey == orders.o_orderkey
     ).count()
+
+
+def test_mad_outliers_golden(spark):
+    """Hand-computed: values [1..9, 100] -> median 5.5, adev median
+    2.5, one value (100) beyond 4.4478 * 2.5 = 11.1195 of the median."""
+    from pyspark.sql import functions as F
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_mad_outliers,
+    )
+
+    rows = [(i, "t", float(v)) for i, v in enumerate(list(range(1, 10)) + [100])]
+    ev = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    got = q_mad_outliers(ev).collect()[0]
+    assert got.n_events == 10
+    assert got.median_value == 5.5
+    assert got.mad == 2.5
+    assert got.n_outliers == 1
+
+
+def test_mad_outliers_robust_where_stddev_is_not(spark):
+    """The 3-sigma rule under mean/stddev misses the planted outlier
+    (it inflates sigma); median/MAD flags it."""
+    import statistics
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_mad_outliers,
+    )
+
+    vals = [10.0] * 20 + [10.5] * 20 + [1000.0] * 5
+    rows = [(i, "t", v) for i, v in enumerate(vals)]
+    ev = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    got = q_mad_outliers(ev).collect()[0]
+    assert got.n_outliers == 5
+    # five-way contamination masks itself under mean/stddev: the
+    # planted cluster sits INSIDE 3 sigma, so z-scoring finds nothing
+    mu, sd = statistics.mean(vals), statistics.stdev(vals)
+    assert abs(1000.0 - mu) < 3 * sd
