@@ -1786,6 +1786,36 @@ def _q_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_repair_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """P-repair: normalize Excel scientific-notation ids (the
+    reference dataset's order_id corruption, SURVEY.md §1.2) back to
+    canonical digit strings via pure string surgery — no float detour.
+    Every 7th orderkey is round-tripped through the lossy Excel form
+    (first-3-significant-digits mantissa) to exercise the repair."""
+    from gcp_food_delivery_data_pipeline_spark.operators.clean import (
+        is_scientific_id,
+        repair_scientific_id,
+    )
+
+    o = load_table(spark, sf, "orders")
+    k = F.col("o_orderkey").cast("string")
+    # lossy Excel rendering: d.dd e+(len-1), like 12345 -> 1.23e+4
+    sci = F.concat(
+        F.substring(k, 1, 1),
+        F.lit("."),
+        F.rpad(F.substring(k, 2, 2), 2, "0"),
+        F.lit("e+"),
+        (F.length(k) - 1).cast("string"),
+    )
+    raw = F.when(F.col("o_orderkey") % 7 == 0, sci).otherwise(k)
+    return o.select(
+        "o_orderkey",
+        raw.alias("raw_id"),
+        is_scientific_id(raw).alias("was_corrupt"),
+        repair_scientific_id(raw).alias("repaired_id"),
+    )
+
+
 def _q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Median/MAD robust outlier profile per event type (the
     outlier-immune twin of q_stats_profile)."""
@@ -1810,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": _q_weighted_sample,
         "t_bpe_pairs": _q_bpe_pairs,
         "q_mad_outliers": _q_mad_outliers,
+        "p_repair_ids": _q_repair_ids,
         "m_resize": _q_multimodal_resize,
         "m_frames": _q_multimodal_frames,
         "s_stream_hourly": _q_stream_hourly,
@@ -2648,6 +2679,28 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN vv GROUP BY doc_id) "
             "SELECT t.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, "
             "sc.cross_entropy FROM toks t LEFT JOIN sc USING (doc_id)"
+        ),
+        "p_repair_ids": (
+            r"WITH r AS (SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS k "
+            "FROM orders), "
+            "rw AS (SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN "
+            "substr(k, 1, 1) || '.' || rpad(substr(k, 2, 2), 2, '0') || "
+            "'e+' || CAST(length(k) - 1 AS VARCHAR) ELSE k END AS raw_id "
+            "FROM r), "
+            "x AS (SELECT o_orderkey, raw_id, "
+            r"regexp_matches(raw_id, '^([0-9]+)(?:\.([0-9]+))?e\+([0-9]+)$') "
+            "AS was_corrupt, "
+            r"regexp_extract(raw_id, '^([0-9]+)(?:\.([0-9]+))?e\+([0-9]+)$', 1) "
+            "AS ip, "
+            r"regexp_extract(raw_id, '^([0-9]+)(?:\.([0-9]+))?e\+([0-9]+)$', 2) "
+            "AS fp, "
+            r"TRY_CAST(regexp_extract(raw_id, "
+            r"'^([0-9]+)(?:\.([0-9]+))?e\+([0-9]+)$', 3) AS INT) AS ex "
+            "FROM rw) "
+            "SELECT o_orderkey, raw_id, was_corrupt, "
+            "CASE WHEN was_corrupt AND ex - length(fp) >= 0 THEN "
+            "ip || fp || repeat('0', ex - length(fp)) "
+            "ELSE raw_id END AS repaired_id FROM x"
         ),
         "q_mad_outliers": (
             "WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med "

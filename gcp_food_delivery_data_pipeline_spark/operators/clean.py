@@ -151,3 +151,43 @@ def typed_orders(cleaned: DataFrame) -> DataFrame:
         F.col("ratings").cast("int").alias("ratings"),
         F.col("feedback"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Excel-corrupted id repair (SURVEY.md §1.2: the reference dataset's
+# order_id column carries scientific-notation values like 1.00E+102 —
+# spreadsheet round-tripping corrupted the original digit strings)
+# ---------------------------------------------------------------------------
+
+SCI_ID_RE = r"^([0-9]+)(?:\.([0-9]+))?e\+([0-9]+)$"
+
+
+def is_scientific_id(col: Column | str) -> Column:
+    """TRUE where an id string is Excel scientific notation (after the
+    reference's lowercasing pass: ``1.00e+102``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(SCI_ID_RE)
+
+
+def repair_scientific_id(col: Column | str) -> Column:
+    """Canonical digit string for a scientific-notation id; any other
+    value passes through unchanged.
+
+    ``m.f e+E`` ≡ digits(m,f) × 10^(E - len(f)) — so the repair is
+    string surgery (concat + zero-pad), never a float cast: these ids
+    exceed 10^100, which no numeric type round-trips, and a DOUBLE
+    detour would re-corrupt the mantissa. Excel already dropped all
+    but 3 significant digits — the repair restores MAGNITUDE and
+    canonical form (joinable, sortable), not the lost digits; rows
+    where the notation encodes a non-integer (E < len(f)) also pass
+    through unchanged rather than inventing a fraction.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    ip = F.regexp_extract(c, SCI_ID_RE, 1)
+    fp = F.regexp_extract(c, SCI_ID_RE, 2)
+    # try_cast: non-matching rows extract '' and must yield NULL (not
+    # an ANSI cast error) so the when() falls through to pass-through
+    ex = F.regexp_extract(c, SCI_ID_RE, 3).try_cast("int")
+    pad = ex - F.length(fp)
+    repaired = F.concat(ip, fp, F.repeat(F.lit("0"), pad))
+    return F.when(is_scientific_id(c) & (pad >= 0), repaired).otherwise(c)

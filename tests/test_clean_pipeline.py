@@ -131,3 +131,48 @@ def test_run_pipeline_end_to_end(spark, food_csv, tmp_path):
     # append semantics: second run doubles the rows
     run_pipeline(spark, food_csv, out)
     assert spark.read.parquet(res.delivered_path).count() == 2 * N_DELIVERED
+
+
+def test_repair_scientific_id_golden(spark):
+    from pyspark.sql import functions as F
+
+    from gcp_food_delivery_data_pipeline_spark.operators.clean import (
+        is_scientific_id,
+        repair_scientific_id,
+    )
+
+    cases = [
+        ("1.00e+102", "1" + "0" * 102),  # the reference's literal corruption
+        ("1.23e+4", "12300"),
+        ("5e+3", "5000"),
+        ("9.876e+3", "9876"),
+        ("1.23e+1", "1.23e+1"),  # encodes 12.3 — non-integer, pass through
+        ("ord123", "ord123"),  # ordinary id untouched
+        ("", ""),
+        ("1.00E+102", "1.00E+102"),  # pre-lowercase form: not this op's input
+    ]
+    df = spark.createDataFrame(cases, ["raw", "want"])
+    rows = df.select(
+        "raw",
+        "want",
+        is_scientific_id("raw").alias("flag"),
+        repair_scientific_id("raw").alias("got"),
+    ).collect()
+    for r in rows:
+        assert r.got == r.want, (r.raw, r.got, r.want)
+    flags = {r.raw: r.flag for r in rows}
+    assert flags["1.00e+102"] and flags["1.23e+1"]
+    assert not flags["ord123"] and not flags["1.00E+102"]
+
+
+def test_repair_scientific_id_no_float_detour(spark):
+    """10^102 has no numeric round-trip; the repaired string must be
+    digit-exact, which a DOUBLE detour could not guarantee."""
+    from gcp_food_delivery_data_pipeline_spark.operators.clean import (
+        repair_scientific_id,
+    )
+
+    df = spark.createDataFrame([("7.77e+50",)], ["raw"])
+    got = df.select(repair_scientific_id("raw").alias("g")).collect()[0].g
+    assert got == "777" + "0" * 48
+    assert len(got) == 51
