@@ -42,6 +42,18 @@ KEYS = {
         "order-less aggregate window: no sort, one shuffle shared by "
         "stats and row output"
     ),
+    "v_kmeans_assign": (
+        "zero-shuffle nearest-centroid argmax: centroids as plan "
+        "literals, no exchange/join/window anywhere"
+    ),
+    "q_weighted_sample": (
+        "A-ES weighted sampling: TakeOrderedAndProject (per-partition "
+        "top-k + driver merge), no global sort"
+    ),
+    "t_bpe_pairs": (
+        "BPE pair stats: partial_sum before the exchange — one row "
+        "per (partition, pair), not per occurrence"
+    ),
 }
 
 
