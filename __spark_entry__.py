@@ -1816,6 +1816,40 @@ def _q_repair_ids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_split_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-integrity train/val/test split: bucket hashed from the
+    SOURCE, so sibling documents can never straddle the held-out
+    boundary (the split-leakage defense)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        assign_split_by_group,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return assign_split_by_group(d, "source").select(
+        "doc_id", "source", "split"
+    )
+
+
+def _q_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Padding-efficient batching: power-of-two token-length bands,
+    md5-ranked fixed-size batches within each band."""
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        length_buckets,
+    )
+
+    return length_buckets(load_table(spark, sf, "documents"), batch_size=8)
+
+
+def _q_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """int8 scalar-quantization error profile per vector (the 4x
+    memory lever for corpus-scale ANN)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    return quantize_embeddings_int8(load_table(spark, sf, "embeddings"))
+
+
 def _q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Median/MAD robust outlier profile per event type (the
     outlier-immune twin of q_stats_profile)."""
@@ -1841,6 +1875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bpe_pairs": _q_bpe_pairs,
         "q_mad_outliers": _q_mad_outliers,
         "p_repair_ids": _q_repair_ids,
+        "c_split_by_source": _q_split_by_source,
+        "c_length_buckets": _q_length_buckets,
+        "v_quantize_int8": _q_quantize_int8,
         "m_resize": _q_multimodal_resize,
         "m_frames": _q_multimodal_frames,
         "s_stream_hourly": _q_stream_hourly,
@@ -2679,6 +2716,37 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN vv GROUP BY doc_id) "
             "SELECT t.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, "
             "sc.cross_entropy FROM toks t LEFT JOIN sc USING (doc_id)"
+        ),
+        "c_split_by_source": (
+            "SELECT doc_id, source, CASE "
+            "WHEN CAST(concat('0x', substr(md5(source), 1, 8)) AS BIGINT) "
+            "% 100 < 10 THEN 'val' "
+            "WHEN CAST(concat('0x', substr(md5(source), 1, 8)) AS BIGINT) "
+            "% 100 < 20 THEN 'test' ELSE 'train' END AS split "
+            "FROM documents"
+        ),
+        "c_length_buckets": (
+            "WITH t AS (SELECT doc_id, "
+            f"len({_TOKENS}) AS nt FROM documents), "
+            "b AS (SELECT doc_id, nt, "
+            "CAST(floor(log2(greatest(nt, 1))) AS INT) AS bucket FROM t) "
+            "SELECT doc_id, CAST(nt AS INT) AS n_tokens, bucket, "
+            "CAST(floor((row_number() OVER (PARTITION BY bucket "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) / 8) "
+            "AS BIGINT) AS batch_id FROM b"
+        ),
+        "v_quantize_int8": (
+            "WITH d AS (SELECT vec_id, "
+            "generate_subscripts(embedding, 1) AS dim, "
+            "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), "
+            "st AS (SELECT dim, min(x) AS mn, max(x) AS mx "
+            "FROM d GROUP BY dim), "
+            "e AS (SELECT vec_id, CASE WHEN mx = mn THEN 0.0 ELSE "
+            "abs(least(greatest(round((x - mn) / ((mx - mn) / 255.0)), "
+            "0), 255) * ((mx - mn) / 255.0) - (x - mn)) END AS err "
+            "FROM d JOIN st USING (dim)) "
+            "SELECT vec_id, round(max(err), 6) AS max_abs_err, "
+            "round(avg(err * err), 6) AS mse FROM e GROUP BY vec_id"
         ),
         "p_repair_ids": (
             r"WITH r AS (SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS k "

@@ -155,6 +155,24 @@ def assign_split(
     return df.withColumn("split", split)
 
 
+def assign_split_by_group(
+    df: DataFrame,
+    group_col: str,
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Train/val/test assignment with GROUP integrity: the bucket is
+    hashed from ``group_col`` (source, domain, author…), so every row
+    of a group lands in the SAME split. Splitting per-document leaks
+    when related documents straddle the held-out boundary — the model
+    "generalizes" to val examples whose siblings it trained on; group
+    splitting is the standard defense. Same pure-projection shape and
+    determinism guarantees as ``assign_split``."""
+    return assign_split(
+        df, id_col=group_col, val_pct=val_pct, test_pct=test_pct
+    )
+
+
 def _global_ordered_rank_and_prefix(
     df: DataFrame,
     order_cols: list,
@@ -444,4 +462,41 @@ def weighted_sample(
         .orderBy(F.col("_sk").desc(), F.col(id_col))
         .limit(k)
         .drop("_sk")
+    )
+
+
+def length_buckets(
+    df: DataFrame,
+    batch_size: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batching: group documents of similar token
+    count into fixed-size batches so same-batch sequences pad to
+    similar lengths (padding waste is what length bucketing exists to
+    kill — batching a 10-token doc with a 4096-token doc burns 99% of
+    the batch on pad tokens).
+
+    bucket = floor(log2(n_tokens)) (powers-of-two length bands);
+    batch_id = the doc's md5-rank within its bucket, divided by
+    ``batch_size``. Output: (id, n_tokens, bucket, batch_id).
+
+    Scale shape: one window rank PARTITIONED BY BUCKET — ~log2(max_len)
+    independent parallel sorts, never a global one; the md5 order makes
+    batch membership rerun/engine/layout-stable (deterministic "random"
+    within a band, as recommended for shuffled-but-bucketed loaders).
+    """
+    if batch_size <= 0:
+        raise ValueError("length_buckets: batch_size must be positive")
+    nt = token_count(F.col(text_col))
+    bucket = F.floor(F.log2(F.greatest(nt, F.lit(1)))).cast("int")
+    staged = df.select(
+        F.col(id_col), nt.cast("int").alias("n_tokens"), bucket.alias("bucket")
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return staged.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / batch_size).cast("long"),
     )

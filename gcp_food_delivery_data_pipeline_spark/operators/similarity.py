@@ -320,3 +320,67 @@ def lsh_bucketed_topk(
         )
     )
     return _rank_topk(scored, k)
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension scalar int8 quantization error profile — the
+    memory lever for corpus-scale ANN (float32 → int8 is 4× less
+    vector storage; IVF/LSH candidate scans then stream 4× more
+    vectors per byte of I/O).
+
+    Per-dim (min, max) over the corpus define scale = (max-min)/255;
+    each coordinate quantizes to round((x-min)/scale) clamped to
+    [0, 255] and dequantizes to q·scale + min. Output per vector:
+    (id, round(max_abs_err, 6), round(mse, 6)) — the acceptance
+    metric for "is int8 enough for this corpus".
+
+    Scale shape: the d-row stats table collects to the driver and
+    re-enters as PLAN LITERALS (the kmeans-assignment trick), so
+    quantization itself is a zero-shuffle codegen projection; the only
+    shuffle is the posexplode→groupBy(dim) stats pass, map-side
+    combined to partitions×d rows. Constant dims (max == min) carry
+    zero error by convention.
+    """
+    stats = (
+        df.select(F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min(F.col("x").cast("double")).alias("mn"),
+             F.max(F.col("x").cast("double")).alias("mx"))
+        .orderBy("dim")
+        .collect()
+    )
+    mins = F.array(*[F.lit(float(r.mn)) for r in stats])
+    scales = F.array(
+        *[F.lit((float(r.mx) - float(r.mn)) / 255.0) for r in stats]
+    )
+    centered = F.zip_with(
+        F.col(vec_col), mins, lambda x, mn: x.cast("double") - mn
+    )
+    err = F.zip_with(
+        centered,
+        scales,
+        lambda d, sc: F.when(sc == 0.0, F.lit(0.0)).otherwise(
+            F.abs(
+                F.least(F.greatest(F.round(d / sc), F.lit(0.0)), F.lit(255.0))
+                * sc
+                - d
+            )
+        ),
+    )
+    staged = df.select(F.col(id_col), err.alias("_err"))
+    n = F.size("_err")
+    return staged.select(
+        F.col(id_col),
+        F.round(F.array_max("_err"), 6).alias("max_abs_err"),
+        F.round(
+            F.aggregate(
+                F.col("_err"), F.lit(0.0), lambda a, e: a + e * e
+            )
+            / n,
+            6,
+        ).alias("mse"),
+    )

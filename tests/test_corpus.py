@@ -155,3 +155,68 @@ def test_bm25_hand_computed(spark):
     want = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
     assert set(out) == {1}  # no-hit docs are omitted
     assert out[1] == pytest.approx(round(want, 6), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# group-integrity split / length buckets
+# ---------------------------------------------------------------------------
+
+
+def test_split_by_group_keeps_groups_whole(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        assign_split_by_group,
+    )
+
+    rows = [(i, f"src{i % 7}") for i in range(70)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = assign_split_by_group(df, "source")
+    # every source maps to exactly one split
+    assert (
+        out.select("source", "split").distinct().groupBy("source").count()
+        .filter("count > 1").count() == 0
+    )
+    # and re-running with different partitioning agrees
+    again = assign_split_by_group(df.repartition(5), "source")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+
+def test_length_buckets_bands_and_batches(spark):
+    from pyspark.sql import functions as F
+
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        length_buckets,
+    )
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(
+        [1, 1, 2, 3, 4, 7, 8, 15, 16, 100]
+    )]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.n_tokens, r.bucket) for r in length_buckets(
+        df, batch_size=2
+    ).collect()}
+    assert out[0] == (1, 0) and out[2] == (2, 1) and out[3] == (3, 1)
+    assert out[4] == (4, 2) and out[5] == (7, 2)
+    assert out[6] == (8, 3) and out[7] == (15, 3)
+    assert out[8] == (16, 4) and out[9] == (100, 6)
+    # batches within a band never exceed batch_size
+    sizes = (
+        length_buckets(df, batch_size=2)
+        .groupBy("bucket", "batch_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(r.n <= 2 for r in sizes)
+
+
+def test_length_buckets_rejects_bad_batch_size(spark):
+    import pytest as _pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        length_buckets,
+    )
+
+    df = spark.createDataFrame([(0, "a")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        length_buckets(df, batch_size=0)

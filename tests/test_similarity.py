@@ -142,3 +142,39 @@ def test_ann_sims_match_exact_values(embeddings):
         embeddings, queries, _fixed_tables(n_tables=4), k=10
     ).collect():
         assert exact[(r.query_id, r.neighbor_id)] == r.cosine_sim
+
+
+def test_quantize_int8_error_bounded_by_half_step(embeddings):
+    """|dequant - x| <= scale/2 everywhere (the definitional bound):
+    with per-dim range r, scale = r/255 and max_abs_err <= r/510."""
+    from pyspark.sql import functions as F
+
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    out = quantize_embeddings_int8(embeddings)
+    assert out.count() == embeddings.count()
+    stats = (
+        embeddings.select(F.posexplode("embedding").alias("d", "x"))
+        .groupBy("d")
+        .agg((F.max("x") - F.min("x")).alias("r"))
+        .agg(F.max("r"))
+        .collect()[0][0]
+    )
+    worst = out.agg(F.max("max_abs_err")).collect()[0][0]
+    assert worst <= stats / 510 + 1e-9
+    assert worst > 0  # non-degenerate corpus actually quantizes
+
+
+def test_quantize_int8_constant_dim_zero_error(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [1.0, 7.0])], ["vec_id", "embedding"]
+    )
+    got = {r.vec_id: r.max_abs_err for r in quantize_embeddings_int8(df).collect()}
+    # dim 0 constant -> zero err; dim 1 endpoints quantize exactly
+    assert got[0] == 0.0 and got[1] == 0.0
