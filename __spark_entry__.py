@@ -285,6 +285,48 @@ def _q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot versioning + time travel (sources/versioned.py): v1 =
+    orders as-is, v2 = every 10th order's totalprice +10.00; reading
+    BOTH versions back concurrently proves snapshot isolation (v1 is
+    untouched by v2's publish). The oracle recomputes each version's
+    aggregate arithmetically from the source table."""
+    import shutil
+
+    from gcp_food_delivery_data_pipeline_spark.sources.versioned import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_tt_check")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_snapshot(spark, orders, root)
+    bumped = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            (F.col("o_orderkey") % 10) == 0,
+            F.col("o_totalprice") + F.lit(10.0),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    write_snapshot(spark, bumped, root)
+
+    def agg(df: DataFrame, v: int) -> DataFrame:
+        return df.agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+
+    return agg(read_snapshot(spark, root, 1), 1).unionByName(
+        agg(read_snapshot(spark, root, 2), 2)
+    )
+
+
 def _q_s5_ddl(spark: SparkSession, sf: str) -> DataFrame:
     """S5: CREATE DATABASE IF NOT EXISTS (reference beam.py:141-150)."""
     ensure_database(spark, "food_orders")
@@ -1875,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bpe_pairs": _q_bpe_pairs,
         "q_mad_outliers": _q_mad_outliers,
         "p_repair_ids": _q_repair_ids,
+        "s_time_travel": _q_time_travel,
         "c_split_by_source": _q_split_by_source,
         "c_length_buckets": _q_length_buckets,
         "v_quantize_int8": _q_quantize_int8,
@@ -2716,6 +2759,17 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN vv GROUP BY doc_id) "
             "SELECT t.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, "
             "sc.cross_entropy FROM toks t LEFT JOIN sc USING (doc_id)"
+        ),
+        "s_time_travel": (
+            "SELECT 1 AS version, count(*) AS n_rows, "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) "
+            "AS total FROM orders "
+            "UNION ALL "
+            "SELECT 2 AS version, count(*) AS n_rows, "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) + "
+            "CASE WHEN o_orderkey % 10 = 0 THEN CAST(10.00 AS DECIMAL(18,2)) "
+            "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total "
+            "FROM orders"
         ),
         "c_split_by_source": (
             "SELECT doc_id, source, CASE "

@@ -78,6 +78,9 @@ EXTRA_QUERIES = [
     "c_mix_sources",        # integer-quota domain-mix resampling
     "q_weighted_sample",    # A-ES weighted top-k sampling
     "t_bpe_pairs",          # BPE first-iteration pair statistics
+    "q_mad_outliers",       # median/MAD robust outlier profile
+    "v_quantize_int8",      # int8 quantization error profile
+    "c_length_buckets",     # padding-efficient length batching
 ]
 
 

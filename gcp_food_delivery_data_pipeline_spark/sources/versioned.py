@@ -1,0 +1,135 @@
+"""Snapshot-versioned parquet tables with time-travel reads.
+
+The transactional-lakehouse core idea (Delta/Iceberg) reduced to its
+two essentials, with no new file format: IMMUTABLE snapshot
+directories plus an ATOMICALLY-SWAPPED pointer file.
+
+Layout::
+
+    <root>/v=1/…parquet       immutable snapshot directories
+    <root>/v=2/…parquet
+    <root>/_latest            one line: the published version number
+
+Guarantees (the ones a 100 TB pipeline actually leans on):
+
+* **Snapshot isolation for readers**: a reader that resolved the
+  pointer to v=N keeps reading v=N's immutable files even while a
+  writer publishes v=N+1 — no torn reads, no partial-overwrite window
+  (the failure mode of ``mode("overwrite")`` on a live table).
+* **Atomic publish**: the pointer is written to a temp file and
+  renamed into place — a metadata-atomic operation on HDFS/local
+  filesystems. A crash mid-write leaves an unpublished orphan
+  directory, never a corrupt table; ``vacuum`` sweeps orphans.
+* **Time travel**: ``read_snapshot(root, version=N)`` reproduces any
+  retained historical state — the audit/rollback/repro primitive.
+
+On S3-like object stores rename is not atomic — that is precisely the
+gap the real table formats fill with conditional PUTs / a log store;
+the reference's BigQuery sink gets this from BigQuery itself
+(SURVEY.md §2.1 S3/S4). This module is the self-hosted equivalent for
+filesystem-backed deployments, and the docstring-level contract maps
+1:1 onto a Delta/Iceberg swap-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "_latest"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _read_pointer(spark: SparkSession, root: str) -> int | None:
+    fs, jvm = _fs(spark, root)
+    p = jvm.org.apache.hadoop.fs.Path(f"{root}/{_POINTER}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        raw = bytes(
+            stream.readAllBytes()
+        )  # tiny file: the version number line
+    finally:
+        stream.close()
+    return int(raw.decode("ascii").strip())
+
+
+def latest_version(spark: SparkSession, root: str) -> int | None:
+    """Currently-published snapshot version (None before first write)."""
+    return _read_pointer(spark, root)
+
+
+def write_snapshot(spark: SparkSession, df: DataFrame, root: str) -> int:
+    """Materialize ``df`` as the next snapshot and publish it.
+
+    The data lands in ``v=<N+1>/`` FIRST; only after that write fully
+    succeeds does the pointer swap (tmp + rename). Readers of the old
+    version are never disturbed; a crash before the rename leaves the
+    new directory unpublished (invisible) for ``vacuum`` to sweep.
+    """
+    n = (_read_pointer(spark, root) or 0) + 1
+    df.write.mode("error").parquet(f"{root}/v={n}")
+    fs, jvm = _fs(spark, root)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/{_POINTER}.tmp")
+    dst = jvm.org.apache.hadoop.fs.Path(f"{root}/{_POINTER}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(f"{n}\n".encode("ascii"))
+    finally:
+        out.close()
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    if not fs.rename(tmp, dst):
+        raise IOError(f"write_snapshot: cannot publish pointer for v={n}")
+    return n
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read the published snapshot (or an explicit historical one)."""
+    v = version if version is not None else _read_pointer(spark, root)
+    if v is None:
+        raise FileNotFoundError(f"read_snapshot: no published version in {root}")
+    return spark.read.parquet(f"{root}/v={v}")
+
+
+def history(spark: SparkSession, root: str) -> list[int]:
+    """All snapshot versions present on disk (published or orphaned),
+    ascending."""
+    fs, jvm = _fs(spark, root)
+    jroot = jvm.org.apache.hadoop.fs.Path(root)
+    if not fs.exists(jroot):
+        return []
+    out = []
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[int]:
+    """Delete snapshots older than the ``keep_last`` most recent
+    PUBLISHED versions, plus any orphan directories newer than the
+    pointer (failed writes). Returns the versions removed. Never
+    touches the published version itself."""
+    if keep_last < 1:
+        raise ValueError("vacuum: keep_last must be >= 1")
+    latest = _read_pointer(spark, root)
+    if latest is None:
+        return []
+    fs, jvm = _fs(spark, root)
+    removed = []
+    for v in history(spark, root):
+        orphan = v > latest
+        expired = v <= latest - keep_last
+        if orphan or expired:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/v={v}"), True)
+            removed.append(v)
+    return removed
