@@ -1858,6 +1858,33 @@ def _q_repair_ids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_dq_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative data-quality constraints over orders (the Deequ-
+    style growth of the reference's C1-C3 logged counts): all count
+    rules in ONE aggregation pass, uniqueness as one keyed agg."""
+    from gcp_food_delivery_data_pipeline_spark.operators.quality import (
+        check_constraints,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        unique,
+    )
+
+    o = load_table(spark, sf, "orders")
+    return check_constraints(
+        o,
+        [
+            not_null("o_orderkey"),
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0.0, 250000.0),
+            in_set("o_orderstatus", ["O", "F", "P"]),
+            matches("o_orderpriority", r"^[1-5]-[A-Z ]+$"),
+            unique("o_orderkey"),
+        ],
+    )
+
+
 def _q_split_by_source(spark: SparkSession, sf: str) -> DataFrame:
     """Group-integrity train/val/test split: bucket hashed from the
     SOURCE, so sibling documents can never straddle the held-out
@@ -1918,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mad_outliers": _q_mad_outliers,
         "p_repair_ids": _q_repair_ids,
         "s_time_travel": _q_time_travel,
+        "q_dq_orders": _q_dq_orders,
         "c_split_by_source": _q_split_by_source,
         "c_length_buckets": _q_length_buckets,
         "v_quantize_int8": _q_quantize_int8,
@@ -2759,6 +2787,32 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN vv GROUP BY doc_id) "
             "SELECT t.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, "
             "sc.cross_entropy FROM toks t LEFT JOIN sc USING (doc_id)"
+        ),
+        "q_dq_orders": (
+            "WITH v AS ("
+            "SELECT 'not_null(o_orderkey)' AS rule, 'o_orderkey' AS \"column\", "
+            "CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_violations FROM orders "
+            "UNION ALL SELECT 'not_null(o_custkey)', 'o_custkey', "
+            "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM orders "
+            "UNION ALL SELECT 'in_range(o_totalprice)', 'o_totalprice', "
+            "CAST(sum(CASE WHEN NOT coalesce(o_totalprice >= 0.0 AND "
+            "o_totalprice <= 250000.0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM orders "
+            "UNION ALL SELECT 'in_set(o_orderstatus)', 'o_orderstatus', "
+            "CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), "
+            "FALSE) THEN 1 ELSE 0 END) AS BIGINT) FROM orders "
+            "UNION ALL SELECT 'matches(o_orderpriority)', 'o_orderpriority', "
+            "CAST(sum(CASE WHEN NOT coalesce(regexp_matches(o_orderpriority, "
+            "'^[1-5]-[A-Z ]+$'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM orders "
+            "UNION ALL SELECT 'unique(o_orderkey)', 'o_orderkey', "
+            "CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM ("
+            "SELECT o_orderkey, count(*) AS n FROM orders "
+            "GROUP BY o_orderkey)) "
+            "SELECT rule, \"column\", n_violations, "
+            "n_violations = 0 AS pass FROM v"
         ),
         "s_time_travel": (
             "SELECT 1 AS version, count(*) AS n_rows, "
