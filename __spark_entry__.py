@@ -1858,6 +1858,48 @@ def _q_repair_ids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Change-data-feed between snapshot versions: v2 deletes every
+    97th order, bumps every remaining 10th order's totalprice, and
+    inserts three synthetic keys (-1, -2, -3); the diff's per-change
+    counts are arithmetically pinned by the oracle."""
+    import shutil
+
+    from gcp_food_delivery_data_pipeline_spark.sources.versioned import (
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_diff_check")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_snapshot(spark, orders, root)
+    v2 = (
+        orders.filter((F.col("o_orderkey") % 97) != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                (F.col("o_orderkey") % 10) == 0,
+                F.col("o_totalprice") + F.lit(10.0),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            spark.range(1, 4).select(
+                (-F.col("id")).cast("long").alias("o_orderkey"),
+                F.lit(1.0).alias("o_totalprice"),
+            )
+        )
+    )
+    write_snapshot(spark, v2, root)
+    return (
+        snapshot_diff(spark, root, 1, 2, ["o_orderkey"])
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _q_dq_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Declarative data-quality constraints over orders (the Deequ-
     style growth of the reference's C1-C3 logged counts): all count
@@ -1945,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mad_outliers": _q_mad_outliers,
         "p_repair_ids": _q_repair_ids,
         "s_time_travel": _q_time_travel,
+        "s_snapshot_diff": _q_snapshot_diff,
         "q_dq_orders": _q_dq_orders,
         "c_split_by_source": _q_split_by_source,
         "c_length_buckets": _q_length_buckets,
@@ -2787,6 +2830,15 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN vv GROUP BY doc_id) "
             "SELECT t.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, "
             "sc.cross_entropy FROM toks t LEFT JOIN sc USING (doc_id)"
+        ),
+        "s_snapshot_diff": (
+            "SELECT 'delete' AS change, count(*) AS n FROM orders "
+            "WHERE o_orderkey % 97 = 0 "
+            "UNION ALL SELECT 'update', count(*) FROM orders "
+            "WHERE o_orderkey % 97 <> 0 AND o_orderkey % 10 = 0 "
+            "UNION ALL SELECT 'unchanged', count(*) FROM orders "
+            "WHERE o_orderkey % 97 <> 0 AND o_orderkey % 10 <> 0 "
+            "UNION ALL SELECT 'insert', 3"
         ),
         "q_dq_orders": (
             "WITH v AS ("

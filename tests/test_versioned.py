@@ -68,3 +68,34 @@ def test_vacuum_retention_and_guard(spark, root):
 def test_vacuum_on_empty_root_is_noop(spark, root):
     assert V.vacuum(spark, root) == []
     assert V.history(spark, root) == []
+
+
+def test_snapshot_diff_classifies_all_changes(spark, root):
+    df1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        ["id", "name", "v"],
+    )
+    df2 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, None, 40.0), (5, "e", 50.0)],
+        ["id", "name", "v"],
+    )
+    V.write_snapshot(spark, df1, root)
+    V.write_snapshot(spark, df2, root)
+    got = {
+        r.id: r.change
+        for r in V.snapshot_diff(spark, root, 1, 2, ["id"]).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "update",
+        3: "delete",
+        4: "unchanged",  # NULL payload equal via null-safe struct compare
+        5: "insert",
+    }
+
+
+def test_snapshot_diff_rejects_schema_drift(spark, root):
+    V.write_snapshot(spark, spark.range(2).selectExpr("id", "id as a"), root)
+    V.write_snapshot(spark, spark.range(2).selectExpr("id", "id as b"), root)
+    with pytest.raises(ValueError):
+        V.snapshot_diff(spark, root, 1, 2, ["id"])
