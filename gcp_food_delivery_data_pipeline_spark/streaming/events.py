@@ -517,3 +517,52 @@ def run_stream_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_stream_quality(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_path: str,
+    rules=None,
+) -> StreamingQuery:
+    """Streaming data-quality monitor: evaluate the declarative
+    constraint set (operators/quality.py) on EVERY micro-batch and
+    append one result row per (batch, rule) to a parquet audit table —
+    the reference's logged counts (C1-C3) grown into per-batch
+    constraint telemetry you can alert on.
+
+    ``foreachBatch`` is at-least-once; the audit append is keyed by
+    ``batch_id``, so a replayed batch overwrites nothing and dedup at
+    read time is ``dropDuplicates(["batch_id", "rule"])`` (results are
+    deterministic per batch, so replays write identical rows).
+    """
+    from gcp_food_delivery_data_pipeline_spark.operators.quality import (
+        check_constraints,
+        in_range,
+        not_null,
+        unique,
+    )
+
+    if rules is None:
+        rules = [
+            not_null("event_id"),
+            unique("event_id"),
+            in_range("value", 0.0, 1e6),
+        ]
+    ev = read_events_stream(spark, input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = check_constraints(batch_df, rules).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        res.write.mode("append").parquet(out_path)
+
+    return (
+        ev.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -343,3 +343,46 @@ def test_user_totals_v2_gated_or_matches_v1(spark, events_dir, tmp_path):
         for r in spark.sql("SELECT * FROM tv1").collect()
     }
     assert v2 == v1
+
+
+def test_stream_quality_monitor_per_batch(spark, events_dir, tmp_path):
+    """Every micro-batch gets its own constraint evaluation row set;
+    the summed per-batch violation counts reconcile with a batch run
+    of the same rules over the whole directory."""
+    from gcp_food_delivery_data_pipeline_spark.operators.quality import (
+        check_constraints,
+        in_range,
+        not_null,
+        unique,
+    )
+    from gcp_food_delivery_data_pipeline_spark.streaming.events import (
+        run_stream_quality,
+    )
+
+    out = str(tmp_path / "dq_out")
+    q = run_stream_quality(
+        spark, events_dir, str(tmp_path / "dq_ckpt"), out
+    )
+    assert q.awaitTermination(360), "quality stream did not drain"
+
+    res = spark.read.parquet(out)
+    batches = [r.batch_id for r in res.select("batch_id").distinct().collect()]
+    assert len(batches) >= 2  # maxFilesPerTrigger=1 -> one per file
+    assert res.count() == 3 * len(batches)  # 3 rules per batch
+
+    rules = [not_null("event_id"), in_range("value", 0.0, 1e6)]
+    whole = {
+        r.rule: r.n_violations
+        for r in check_constraints(
+            spark.read.parquet(events_dir), rules
+        ).collect()
+    }
+    summed = {
+        r.rule: r.total
+        for r in res.filter(F.col("rule") != "unique(event_id)")
+        .groupBy("rule")
+        .agg(F.sum("n_violations").alias("total"))
+        .collect()
+    }
+    # count rules are additive across batches (uniqueness is not)
+    assert summed == whole
