@@ -104,7 +104,11 @@ def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
     parts = []
     if count_rules:
         aggs = [
-            F.sum(_violation(r).cast("long")).alias(f"_v{i}")
+            # coalesce: sum() over ZERO rows is NULL, but an empty
+            # input vacuously satisfies every rule -> 0 violations
+            F.coalesce(F.sum(_violation(r).cast("long")), F.lit(0)).alias(
+                f"_v{i}"
+            )
             for i, r in enumerate(count_rules)
         ]
         row = df.agg(*aggs)

@@ -1,0 +1,152 @@
+"""Empty-input robustness: every major operator family must return an
+EMPTY result (never raise, never NaN) on a zero-row input with the
+right schema — the state of a brand-new pipeline, a fully-filtered
+partition, or a quiet streaming window."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("source", StringType()),
+    ]
+)
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+@pytest.fixture()
+def empty_docs(spark):
+    return spark.createDataFrame([], DOC_SCHEMA)
+
+
+@pytest.fixture()
+def empty_vecs(spark):
+    return spark.createDataFrame([], EMB_SCHEMA)
+
+
+def test_text_ops_on_empty(empty_docs):
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        bigram_lm_scores,
+        bm25_scores,
+        repetition_signals,
+        tf_idf_top_terms,
+    )
+
+    assert bigram_lm_scores(empty_docs).count() == 0
+    assert tf_idf_top_terms(empty_docs.select("doc_id", "text")).count() == 0
+    assert repetition_signals(empty_docs).count() == 0
+    assert bm25_scores(empty_docs, ["query"]).count() == 0
+
+
+def test_dedup_ops_on_empty(empty_docs):
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        dedup_exact,
+        lsh_candidate_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    d = empty_docs.withColumn("fp", F.md5("text"))
+    assert dedup_exact(d, "fp").count() == 0
+    assert lsh_candidate_pairs(empty_docs).count() == 0
+    assert simhash_near_dup_pairs(empty_docs, max_hamming=3, bands=4).count() == 0
+
+
+def test_corpus_ops_on_empty(empty_docs):
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        assign_split,
+        chunk_documents,
+        length_buckets,
+        pack_sequences,
+        resample_source_mix,
+        weighted_sample,
+    )
+
+    assert chunk_documents(empty_docs).count() == 0
+    assert assign_split(empty_docs).count() == 0
+    assert length_buckets(empty_docs).count() == 0
+    assert pack_sequences(empty_docs).count() == 0
+    assert resample_source_mix(empty_docs, {"src0": 1}).count() == 0
+    w = empty_docs.withColumn("w", F.lit(1.0))
+    assert weighted_sample(w, "w", k=5).count() == 0
+
+
+def test_bpe_on_empty(empty_docs):
+    from gcp_food_delivery_data_pipeline_spark.operators.bpe import (
+        bpe_segment,
+        bpe_train,
+        pair_counts,
+        word_symbol_table,
+    )
+
+    wt = word_symbol_table(empty_docs)
+    assert wt.count() == 0
+    assert pair_counts(wt).count() == 0
+    assert bpe_train(empty_docs, n_merges=3) == []
+    assert bpe_segment(empty_docs, [("a", "b")]).count() == 0
+
+
+def test_similarity_and_quantize_on_empty(empty_vecs):
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        quantize_embeddings_int8,
+        topk_exact,
+    )
+
+    assert topk_exact(empty_vecs, empty_vecs).count() == 0
+    assert quantize_embeddings_int8(empty_vecs).count() == 0
+
+
+def test_clustering_on_empty(empty_vecs, spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.clustering import (
+        assign_clusters,
+        seed_centroids,
+        semantic_dedup,
+    )
+
+    assert seed_centroids(empty_vecs, 3) == []
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    assert assign_clusters(empty_vecs, cents).count() == 0
+    assert semantic_dedup(empty_vecs, cents).count() == 0
+
+
+def test_quality_on_empty(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.quality import (
+        check_constraints,
+        not_null,
+        unique,
+    )
+
+    df = spark.createDataFrame([], "id long, name string")
+    out = {
+        r.rule: (r.n_violations, r["pass"])
+        for r in check_constraints(df, [not_null("id"), unique("id")]).collect()
+    }
+    # zero rows violate nothing — both rules hold vacuously
+    assert out == {"not_null(id)": (0, True), "unique(id)": (0, True)}
+
+
+def test_mad_outliers_on_empty(spark):
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_mad_outliers,
+    )
+
+    ev = spark.createDataFrame(
+        [], "event_id long, event_type string, value double"
+    )
+    assert q_mad_outliers(ev).count() == 0
