@@ -1900,6 +1900,54 @@ def _q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_matview(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-view maintenance end-to-end: MV over
+    orders-by-status, source moves v1 → v2 (delete every 97th, bump
+    every remaining 10th), refresh recomputes ONLY affected groups —
+    and the result must equal a from-scratch aggregation of v2 (the
+    oracle computes exactly that arithmetically)."""
+    import shutil
+
+    from gcp_food_delivery_data_pipeline_spark.sources.versioned import (
+        read_snapshot,
+        refresh_matview,
+        write_snapshot,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_mv_check")
+    shutil.rmtree(base, ignore_errors=True)
+    src, mv = f"{base}/src", f"{base}/mv"
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+
+    write_snapshot(spark, o, src)
+    refresh_matview(
+        spark, src, mv, ["o_orderkey"], ["o_orderstatus"], agg
+    )
+    v2 = o.filter((F.col("o_orderkey") % 97) != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            (F.col("o_orderkey") % 10) == 0,
+            F.col("o_totalprice") + F.lit(10.0),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    write_snapshot(spark, v2, src)
+    mode, _ = refresh_matview(
+        spark, src, mv, ["o_orderkey"], ["o_orderstatus"], agg
+    )
+    assert mode == "incremental", mode
+    return read_snapshot(spark, mv)
+
+
 def _q_dq_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Declarative data-quality constraints over orders (the Deequ-
     style growth of the reference's C1-C3 logged counts): all count
@@ -1988,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_repair_ids": _q_repair_ids,
         "s_time_travel": _q_time_travel,
         "s_snapshot_diff": _q_snapshot_diff,
+        "s_matview_refresh": _q_matview,
         "q_dq_orders": _q_dq_orders,
         "c_split_by_source": _q_split_by_source,
         "c_length_buckets": _q_length_buckets,
@@ -2832,6 +2881,13 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN vv GROUP BY doc_id) "
             "SELECT t.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, "
             "sc.cross_entropy FROM toks t LEFT JOIN sc USING (doc_id)"
+        ),
+        "s_matview_refresh": (
+            "SELECT o_orderstatus, count(*) AS n, "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) + "
+            "CASE WHEN o_orderkey % 10 = 0 THEN CAST(10.00 AS DECIMAL(18,2)) "
+            "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total "
+            "FROM orders WHERE o_orderkey % 97 <> 0 GROUP BY o_orderstatus"
         ),
         "s_snapshot_diff": (
             "SELECT 'delete' AS change, count(*) AS n FROM orders "

@@ -45,9 +45,9 @@ def _fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
 
 
-def _read_pointer(spark: SparkSession, root: str) -> int | None:
-    fs, jvm = _fs(spark, root)
-    p = jvm.org.apache.hadoop.fs.Path(f"{root}/{_POINTER}")
+def _read_int_file(spark: SparkSession, path: str) -> int | None:
+    fs, jvm = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
     if not fs.exists(p):
         return None
     stream = fs.open(p)
@@ -58,6 +58,26 @@ def _read_pointer(spark: SparkSession, root: str) -> int | None:
     finally:
         stream.close()
     return int(raw.decode("ascii").strip())
+
+
+def _write_int_file(spark: SparkSession, path: str, n: int) -> None:
+    """Atomic publish of a small integer file: tmp write + rename."""
+    fs, jvm = _fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    out = fs.create(tmp, True)
+    try:
+        out.write(f"{n}\n".encode("ascii"))
+    finally:
+        out.close()
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    if not fs.rename(tmp, dst):
+        raise IOError(f"cannot publish pointer file {path}")
+
+
+def _read_pointer(spark: SparkSession, root: str) -> int | None:
+    return _read_int_file(spark, f"{root}/{_POINTER}")
 
 
 def latest_version(spark: SparkSession, root: str) -> int | None:
@@ -75,18 +95,7 @@ def write_snapshot(spark: SparkSession, df: DataFrame, root: str) -> int:
     """
     n = (_read_pointer(spark, root) or 0) + 1
     df.write.mode("error").parquet(f"{root}/v={n}")
-    fs, jvm = _fs(spark, root)
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/{_POINTER}.tmp")
-    dst = jvm.org.apache.hadoop.fs.Path(f"{root}/{_POINTER}")
-    out = fs.create(tmp, True)
-    try:
-        out.write(f"{n}\n".encode("ascii"))
-    finally:
-        out.close()
-    if fs.exists(dst):
-        fs.delete(dst, False)
-    if not fs.rename(tmp, dst):
-        raise IOError(f"write_snapshot: cannot publish pointer for v={n}")
+    _write_int_file(spark, f"{root}/{_POINTER}", n)
     return n
 
 
@@ -178,3 +187,72 @@ def snapshot_diff(
         .otherwise(F.lit("update"))
     )
     return j.select(*key_cols, change.alias("change"))
+
+
+# ---------------------------------------------------------------------------
+# incremental materialized-view maintenance over snapshots
+# ---------------------------------------------------------------------------
+
+_SRC_PTR = "_src_version"
+
+
+def refresh_matview(
+    spark: SparkSession,
+    src_root: str,
+    mv_root: str,
+    key_cols: list[str],
+    group_cols: list[str],
+    agg_fn,
+) -> tuple[str, int]:
+    """Incremental materialized-view refresh WITH DELETE SUPPORT.
+
+    ``agg_fn(df) -> DataFrame`` must aggregate its input to one row per
+    ``group_cols`` value. The MV is itself a versioned table (time
+    travel over MV states comes free); ``_src_version`` records which
+    source snapshot the MV reflects.
+
+    Refresh strategy — re-aggregate AFFECTED GROUPS ONLY:
+    ``snapshot_diff`` between the reflected and current source versions
+    yields changed row keys; joining them back to both snapshots gives
+    the set of group values touched by any insert/delete/update. Only
+    those groups re-aggregate from the new snapshot; unaffected MV rows
+    carry over untouched. Unlike delta-folding (which only handles
+    monoid aggregates — deletes break min/max), group recomputation is
+    correct for EVERY aggregate, and the work is bounded by the
+    affected groups' row count, not table size.
+
+    Returns ("full" | "noop" | "incremental", n_groups_recomputed).
+    """
+    cur = latest_version(spark, src_root)
+    if cur is None:
+        raise FileNotFoundError(f"refresh_matview: no snapshot in {src_root}")
+    last = _read_int_file(spark, f"{mv_root}/{_SRC_PTR}")
+    if last is None:
+        mv = agg_fn(read_snapshot(spark, src_root, cur))
+        write_snapshot(spark, mv, mv_root)
+        _write_int_file(spark, f"{mv_root}/{_SRC_PTR}", cur)
+        return ("full", mv.count())
+    if last == cur:
+        return ("noop", 0)
+
+    changed = snapshot_diff(
+        spark, src_root, last, cur, key_cols
+    ).filter(F.col("change") != "unchanged")
+    old = read_snapshot(spark, src_root, last)
+    new = read_snapshot(spark, src_root, cur)
+    affected = (
+        old.join(changed, key_cols, "left_semi")
+        .select(*group_cols)
+        .unionByName(
+            new.join(changed, key_cols, "left_semi").select(*group_cols)
+        )
+        .distinct()
+    )
+    recomputed = agg_fn(new.join(affected, group_cols, "left_semi"))
+    carried = read_snapshot(spark, mv_root).join(
+        affected, group_cols, "left_anti"
+    )
+    patched = carried.unionByName(recomputed)
+    write_snapshot(spark, patched, mv_root)
+    _write_int_file(spark, f"{mv_root}/{_SRC_PTR}", cur)
+    return ("incremental", recomputed.count())

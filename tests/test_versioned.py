@@ -4,6 +4,7 @@ atomic-pointer contract, and snapshot isolation for concurrent readers."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from gcp_food_delivery_data_pipeline_spark.sources import versioned as V
 
@@ -99,3 +100,123 @@ def test_snapshot_diff_rejects_schema_drift(spark, root):
     V.write_snapshot(spark, spark.range(2).selectExpr("id", "id as b"), root)
     with pytest.raises(ValueError):
         V.snapshot_diff(spark, root, 1, 2, ["id"])
+
+
+# ---------------------------------------------------------------------------
+# incremental materialized-view maintenance
+# ---------------------------------------------------------------------------
+
+
+def _orders_agg(df):
+    return df.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amount").alias("total"),
+        F.min("amount").alias("lo"),  # NON-monoid under deletes
+        F.max("amount").alias("hi"),
+    )
+
+
+@pytest.fixture()
+def mv_roots(tmp_path):
+    return str(tmp_path / "src"), str(tmp_path / "mv")
+
+
+def test_matview_full_then_incremental_equals_recompute(spark, mv_roots):
+    src, mv = mv_roots
+    rows1 = [(i, "open" if i % 2 else "done", float(i)) for i in range(1, 21)]
+    df1 = spark.createDataFrame(rows1, ["id", "status", "amount"])
+    V.write_snapshot(spark, df1, src)
+    mode, n = V.refresh_matview(
+        spark, src, mv, ["id"], ["status"], _orders_agg
+    )
+    assert mode == "full" and n == 2
+
+    # v2: delete the current MAX of 'done' (forces min/max recompute),
+    # update one row, insert two new rows in one group
+    df2 = (
+        df1.filter(F.col("id") != 20)  # delete max(done)=20
+        .withColumn(
+            "amount",
+            F.when(F.col("id") == 3, F.lit(100.0)).otherwise(F.col("amount")),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(21, "open", 0.5), (22, "open", 99.0)],
+                ["id", "status", "amount"],
+            )
+        )
+    )
+    V.write_snapshot(spark, df2, src)
+    mode, n = V.refresh_matview(
+        spark, src, mv, ["id"], ["status"], _orders_agg
+    )
+    assert mode == "incremental" and n == 2  # both groups touched
+
+    got = {
+        r.status: (r.n, r.total, r.lo, r.hi)
+        for r in V.read_snapshot(spark, mv).collect()
+    }
+    want = {
+        r.status: (r.n, r.total, r.lo, r.hi)
+        for r in _orders_agg(df2).collect()
+    }
+    assert got == want
+    # the deleted row's max is GONE (the delta-folding failure mode)
+    assert got["done"][3] == 18.0
+
+
+def test_matview_untouched_groups_carry_over(spark, mv_roots):
+    src, mv = mv_roots
+    rows = [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
+    V.write_snapshot(
+        spark, spark.createDataFrame(rows, ["id", "status", "amount"]), src
+    )
+    V.refresh_matview(spark, src, mv, ["id"], ["status"], _orders_agg)
+    # v2 touches ONLY group 'a'
+    rows2 = [(1, "a", 9.0), (2, "b", 2.0), (3, "c", 3.0)]
+    V.write_snapshot(
+        spark, spark.createDataFrame(rows2, ["id", "status", "amount"]), src
+    )
+    mode, n = V.refresh_matview(
+        spark, src, mv, ["id"], ["status"], _orders_agg
+    )
+    assert (mode, n) == ("incremental", 1)  # b and c never recompute
+    got = {r.status: r.total for r in V.read_snapshot(spark, mv).collect()}
+    assert got == {"a": 9.0, "b": 2.0, "c": 3.0}
+
+
+def test_matview_noop_when_current(spark, mv_roots):
+    src, mv = mv_roots
+    V.write_snapshot(
+        spark,
+        spark.createDataFrame([(1, "a", 1.0)], ["id", "status", "amount"]),
+        src,
+    )
+    V.refresh_matview(spark, src, mv, ["id"], ["status"], _orders_agg)
+    assert V.refresh_matview(
+        spark, src, mv, ["id"], ["status"], _orders_agg
+    ) == ("noop", 0)
+
+
+def test_matview_group_moves_between_groups(spark, mv_roots):
+    """A row whose GROUP value changes must leave its old group and
+    join the new one — both groups are affected."""
+    src, mv = mv_roots
+    V.write_snapshot(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], ["id", "status", "amount"]
+        ),
+        src,
+    )
+    V.refresh_matview(spark, src, mv, ["id"], ["status"], _orders_agg)
+    V.write_snapshot(
+        spark,
+        spark.createDataFrame(
+            [(1, "b", 1.0), (2, "b", 2.0)], ["id", "status", "amount"]
+        ),
+        src,
+    )
+    V.refresh_matview(spark, src, mv, ["id"], ["status"], _orders_agg)
+    got = {r.status: r.n for r in V.read_snapshot(spark, mv).collect()}
+    assert got == {"b": 2}  # group 'a' vanished entirely
