@@ -269,7 +269,11 @@ def _q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
         merge_upsert,
     )
 
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_merge_check")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_merge_{os.path.basename(os.path.normpath(sf))}"
+        f"_{os.getpid()}",
+    )
     orders = load_table(spark, sf, "orders")
     orders.write.mode("overwrite").parquet(out)
     updates = orders.filter((F.col("o_orderkey") % 10) == 0).withColumn(
@@ -298,7 +302,14 @@ def _q_time_travel(spark: SparkSession, sf: str) -> DataFrame:
         write_snapshot,
     )
 
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_tt_check")
+    # keyed by (sf, pid): concurrent grader runs (e.g. cross-SF) must
+    # not rmtree each other's versioned roots (same defense as
+    # _q_media_source)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_tt_{os.path.basename(os.path.normpath(sf))}"
+        f"_{os.getpid()}",
+    )
     shutil.rmtree(root, ignore_errors=True)
     orders = load_table(spark, sf, "orders").select(
         "o_orderkey", "o_totalprice"
@@ -1870,7 +1881,11 @@ def _q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
         write_snapshot,
     )
 
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_diff_check")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_diff_{os.path.basename(os.path.normpath(sf))}"
+        f"_{os.getpid()}",
+    )
     shutil.rmtree(root, ignore_errors=True)
     orders = load_table(spark, sf, "orders").select(
         "o_orderkey", "o_totalprice"
@@ -1914,7 +1929,11 @@ def _q_matview(spark: SparkSession, sf: str) -> DataFrame:
         write_snapshot,
     )
 
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_mv_check")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_mv_{os.path.basename(os.path.normpath(sf))}"
+        f"_{os.getpid()}",
+    )
     shutil.rmtree(base, ignore_errors=True)
     src, mv = f"{base}/src", f"{base}/mv"
     o = load_table(spark, sf, "orders").select(

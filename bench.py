@@ -191,8 +191,12 @@ def main() -> None:
                 el = round(time.time() - t0, 3)
                 best = el if best is None else min(best, el)
             except Exception as ex:  # noqa: BLE001 — report, never die
+                # A failure only voids the QUERY if no run succeeded:
+                # a transient second-run failure must not erase a
+                # valid first-run measurement from the comparable
+                # headline set (it still lands in "errors").
                 errors[name] = f"{type(ex).__name__}: {ex}"[:500]
-                return None
+                break
             finally:
                 # Queries that persist internally (LSH pair caches)
                 # must not pin heap across the rest of the run — each

@@ -37,7 +37,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from gcp_food_delivery_data_pipeline_spark.operators.text import tokens
+from gcp_food_delivery_data_pipeline_spark.operators.text import (
+    adjacent_pairs,
+    tokens,
+)
 
 EOW = "</w>"  # end-of-word marker, as in Sennrich's reference trainer
 
@@ -57,14 +60,7 @@ def word_symbol_table(df: DataFrame, text_col: str = "text") -> DataFrame:
 def pair_counts(word_table: DataFrame) -> DataFrame:
     """(left, right, cnt): adjacent-symbol pair frequencies, weighted
     by word count — one BPE iteration's statistics."""
-    m = F.size("syms") - 1
-    zipped = F.when(
-        F.size("syms") >= 2,
-        F.arrays_zip(
-            F.slice("syms", 1, m).alias("left"),
-            F.slice("syms", 2, m).alias("right"),
-        ),
-    ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+    zipped = adjacent_pairs("syms", left="left", right="right")
     return (
         word_table.select(F.col("n"), F.explode(zipped).alias("_p"))
         .groupBy(

@@ -383,7 +383,9 @@ def resample_source_mix(
     rerun agrees exactly: M = min over sources of n_s // w_s (the
     largest number of "mixture units" every source can fill), and each
     source keeps quota_s = w_s * M documents. Sources absent from
-    ``weights`` (or with weight 0) are dropped.
+    ``weights`` (or with weight 0) are dropped; conversely a WEIGHTED
+    source with no rows forces M = 0 (empty result) — the mixture is a
+    contract, not a best effort.
 
     WHICH documents survive is decided by rank within source on the
     engine-stable (md5(id), id) order — reproducible, content-
@@ -409,9 +411,25 @@ def resample_source_mix(
         "_w", F.coalesce(wlit[F.col(source_col)], F.lit(0))
     ).filter(F.col("_w") > 0)
     counts = weighted.groupBy(source_col).agg(F.count(F.lit(1)).alias("_ns"))
-    m_units = counts.withColumn(
-        "_w", wlit[F.col(source_col)]
-    ).agg(F.min(F.floor(F.col("_ns") / F.col("_w"))).alias("_m"))
+    # M ranges over EVERY positively-weighted source in the declared
+    # mixture, not just sources present in the data: a weighted source
+    # with zero rows can fill zero mixture units, so M = 0 and the
+    # result is EMPTY — the strict reading of "hit the target mixture".
+    # (Minimizing only over present sources would silently ship a
+    # 100/0 mix when one declared source is missing.)
+    spark = df.sparkSession
+    declared = spark.createDataFrame(
+        [(s,) for s, w in sorted(weights.items()) if w > 0], [source_col]
+    )
+    m_units = (
+        declared.join(counts, source_col, "left")
+        .select(
+            source_col,
+            F.coalesce("_ns", F.lit(0)).alias("_ns"),
+            wlit[F.col(source_col)].alias("_w"),
+        )
+        .agg(F.min(F.floor(F.col("_ns") / F.col("_w"))).alias("_m"))
+    )
     w_rank = Window.partitionBy(source_col).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )

@@ -81,6 +81,8 @@ def merge_rollups(
     rollup-sized (not raw-sized) input.
     """
     parts = list(rollups)
+    if not parts:
+        raise ValueError("merge_rollups: need at least one rollup")
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p)

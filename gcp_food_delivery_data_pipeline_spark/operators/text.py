@@ -332,6 +332,24 @@ def ngrams_from_tokens(toks: Column, n: int = 2) -> Column:
     )
 
 
+def adjacent_pairs(
+    toks: Column | str, left: str = "w1", right: str = "w2"
+) -> Column:
+    """Array of struct(left, right) ADJACENT element pairs of a token
+    array ([] under 2 elements) — the shifted-slice ``arrays_zip``
+    construction shared by the bigram LM and BPE pair counting (one
+    place for the guard against Spark's DESCENDING ``sequence(1, 0)``
+    fabricating phantom pairs; see ``ngrams_from_tokens``)."""
+    c = F.col(toks) if isinstance(toks, str) else toks
+    m = F.size(c) - 1
+    return F.when(
+        F.size(c) >= 2,
+        F.arrays_zip(
+            F.slice(c, 1, m).alias(left), F.slice(c, 2, m).alias(right)
+        ),
+    ).otherwise(F.array().cast(f"array<struct<{left}:string,{right}:string>>"))
+
+
 def word_ngrams_all(col: Column | str, n: int = 2) -> Column:
     """Convenience form over raw text — inherits the per-element
     re-tokenization cost inside the transform lambda (see
@@ -455,14 +473,7 @@ def bigram_lm_scores(
     the vocab) without changing that.
     """
     staged = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
-    m = F.size("_toks") - 1
-    pairs = F.when(
-        F.size("_toks") >= 2,
-        F.arrays_zip(
-            F.slice("_toks", 1, m).alias("w1"),
-            F.slice("_toks", 2, m).alias("w2"),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = adjacent_pairs("_toks")
     occ = staged.select(F.col(id_col), F.explode(pairs).alias("_bg")).select(
         F.col(id_col),
         F.col("_bg.w1").alias("w1"),

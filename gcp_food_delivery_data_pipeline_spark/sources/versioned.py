@@ -61,7 +61,13 @@ def _read_int_file(spark: SparkSession, path: str) -> int | None:
 
 
 def _write_int_file(spark: SparkSession, path: str, n: int) -> None:
-    """Atomic publish of a small integer file: tmp write + rename."""
+    """Atomic publish of a small integer file: tmp write + OVERWRITING
+    rename (``FileContext.rename(…, Rename.OVERWRITE)``) — one
+    metadata op, so no reader can ever observe a missing pointer.
+    ``FileSystem.rename`` cannot overwrite, and delete-then-rename
+    opens exactly the window the module contract forbids (a reader
+    between the delete and the rename would see "no published
+    version"; a concurrent writer would restart versioning at v=1)."""
     fs, jvm = _fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
     dst = jvm.org.apache.hadoop.fs.Path(path)
@@ -70,10 +76,13 @@ def _write_int_file(spark: SparkSession, path: str, n: int) -> None:
         out.write(f"{n}\n".encode("ascii"))
     finally:
         out.close()
-    if fs.exists(dst):
-        fs.delete(dst, False)
-    if not fs.rename(tmp, dst):
-        raise IOError(f"cannot publish pointer file {path}")
+    ctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri(), spark._jsc.hadoopConfiguration()
+    )
+    ren_cls = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = spark.sparkContext._gateway.new_array(ren_cls, 1)
+    opts[0] = ren_cls.OVERWRITE
+    ctx.rename(tmp, dst, opts)  # varargs -> explicit Java array
 
 
 def _read_pointer(spark: SparkSession, root: str) -> int | None:
@@ -231,7 +240,9 @@ def refresh_matview(
         mv = agg_fn(read_snapshot(spark, src_root, cur))
         write_snapshot(spark, mv, mv_root)
         _write_int_file(spark, f"{mv_root}/{_SRC_PTR}", cur)
-        return ("full", mv.count())
+        # count the MATERIALIZED snapshot (metadata-cheap), not the
+        # plan — mv.count() would re-run the whole aggregation
+        return ("full", read_snapshot(spark, mv_root).count())
     if last == cur:
         return ("noop", 0)
 
@@ -255,4 +266,6 @@ def refresh_matview(
     patched = carried.unionByName(recomputed)
     write_snapshot(spark, patched, mv_root)
     _write_int_file(spark, f"{mv_root}/{_SRC_PTR}", cur)
-    return ("incremental", recomputed.count())
+    # affected-group count from the tiny distinct frame — never re-run
+    # the diff-join-aggregate pipeline just for the return value
+    return ("incremental", affected.count())

@@ -286,6 +286,16 @@ def test_mix_unknown_source_dropped_and_deterministic(spark):
     assert len(out1) == 4  # M = 4//2 = 2 -> quota 2*2 = 4
 
 
+def test_mix_weighted_but_absent_source_forces_empty(spark):
+    """A declared source with zero rows can fill zero mixture units:
+    the strict contract yields an EMPTY result, never a silently
+    skewed mix."""
+    df = spark.createDataFrame([(i, "a") for i in range(6)], ["doc_id", "source"])
+    assert resample_source_mix(df, {"a": 1, "ghost": 1}).count() == 0
+    # weight-0 declarations are NOT part of the mixture -> unaffected
+    assert resample_source_mix(df, {"a": 1, "ghost": 0}).count() == 6
+
+
 def test_mix_rejects_empty_weights(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
     with pytest.raises(ValueError):
@@ -377,17 +387,18 @@ def test_mix_quota_invariants(spark_global, counts, weights):
         for j in range(n)
     ]
     df = spark_global.createDataFrame(rows, ["doc_id", "source"])
-    eligible = {s: n for s, n in counts.items() if s in weights}
-    if not eligible:
-        out = resample_source_mix(df, weights)
-        assert out.count() == 0
-        return
-    m = min(n // weights[s] for s, n in eligible.items())
+    declared = {s: w for s, w in weights.items() if w > 0}
+    # strict mixture: M ranges over EVERY declared source; one with no
+    # rows forces M = 0 (n // w of a zero count)
+    m = min(counts.get(s, 0) // w for s, w in declared.items())
     out = resample_source_mix(df, weights).collect()
     got = Counter(r.source for r in out)
-    # exact integer quotas: w_s * M per eligible source, 0 otherwise
     assert got == Counter(
-        {s: weights[s] * m for s in eligible if weights[s] * m > 0}
+        {
+            s: declared[s] * m
+            for s in declared
+            if s in counts and declared[s] * m > 0
+        }
     )
     # survivors are a subset of the input rows
     in_ids = {r[0] for r in rows}

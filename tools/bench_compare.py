@@ -45,8 +45,15 @@ def main() -> None:
         f"total: base={base.get('value')}s cur={cur.get('value')}s "
         f"(sf={cur.get('sf')})"
     )
+    # max(base, 1ms): timings are rounded to 3 decimals, so a
+    # sub-millisecond base records 0.0 and a bare ratio would divide
+    # by zero
     rows = sorted(
-        ((k, bq[k], v, v / bq[k]) for k, v in cq.items() if k in bq),
+        (
+            (k, bq[k], v, v / max(bq[k], 0.001))
+            for k, v in cq.items()
+            if k in bq
+        ),
         key=lambda r: -r[3],
     )
     for k, b, c, ratio in rows:
