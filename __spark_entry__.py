@@ -1335,6 +1335,29 @@ def _q_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
     return decode_wav_stats(attach_wav_payload(d))
 
 
+def _q_decode_gif(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL multi-frame (video-shaped) decode end-to-end: synthesize
+    standards-compliant animated GIFs (frame count/geometry/content
+    derived from doc_id), decode EVERY frame through the stdlib LZW
+    codec (functions/gif.py), and emit per-clip stats the oracle pins
+    in closed form — the moving-picture sibling of m_decode_png /
+    m_decode_wav, and the REAL form of the frame-sampling stub."""
+    from gcp_food_delivery_data_pipeline_spark.operators.multimodal import (
+        attach_gif_payload,
+        decode_gif_stats,
+    )
+
+    d = load_table(spark, sf, "documents")
+    stats = decode_gif_stats(attach_gif_payload(d))
+    return stats.select(
+        "doc_id",
+        "n_frames",
+        "width",
+        "height",
+        F.round("mean_px", 6).alias("mean_px"),
+    )
+
+
 def _q_skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-mitigated dimension join: events has ~5 hot event_type
     keys (each ~20% of the table — exactly the shape that stalls a
@@ -2056,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_time_travel": _q_time_travel,
         "s_snapshot_diff": _q_snapshot_diff,
         "s_matview_refresh": _q_matview,
+        "m_decode_gif": _q_decode_gif,
         "q_dq_orders": _q_dq_orders,
         "c_split_by_source": _q_split_by_source,
         "c_length_buckets": _q_length_buckets,
@@ -3218,6 +3242,19 @@ def oracle_sql() -> dict[str, str]:
         # The PNG payloads are generated from doc_id (gradient images),
         # so the decoded stats are arithmetically determined — a hash
         # match proves the real encode→decode round-trip.
+        # GIF frames are gradient grids c+10f+x+y over (nf, w, h) =
+        # (id%5+1, id%10+1, id%7+1), so the all-frames mean is exactly
+        # c + 5(nf-1) + (w-1)/2 + (h-1)/2 — a hash match proves the
+        # container parse + per-frame LZW decode, not a fake.
+        "m_decode_gif": (
+            "SELECT doc_id, "
+            "CAST(doc_id % 5 + 1 AS INTEGER) AS n_frames, "
+            "CAST(doc_id % 10 + 1 AS INTEGER) AS width, "
+            "CAST(doc_id % 7 + 1 AS INTEGER) AS height, "
+            "round(CAST(doc_id % 150 AS DOUBLE) + 5.0 * (doc_id % 5) "
+            "+ (doc_id % 10) / 2.0 + (doc_id % 7) / 2.0, 6) AS mean_px "
+            "FROM documents"
+        ),
         "m_decode_png": (
             "SELECT doc_id, "
             "CAST(doc_id % 16 + 1 AS INTEGER) AS width, "

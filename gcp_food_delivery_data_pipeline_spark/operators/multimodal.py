@@ -496,3 +496,126 @@ def decode_wav_stats(
 
     src = ensure_min_partitions(df.select(id_col, payload_col))
     return src.mapInPandas(process, WAV_STATS_SCHEMA)
+
+
+GIF_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_px", DoubleType()),
+    ]
+)
+
+
+def attach_gif_payload(
+    documents: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize REAL animated-GIF payloads (functions/gif.py) from
+    the documents table — the VIDEO-shaped media column: ``n_frames =
+    id % 5 + 1`` grayscale frames of ``(id % 10 + 1) × (id % 7 + 1)``,
+    frame f's pixel(x, y) = ``id % 150 + 10·f + x + y`` (≤ 204, no
+    wrap). Bytes are standards-compliant GIF89a any viewer animates;
+    the arithmetic construction is what lets the oracle pin decode
+    stats in closed form."""
+    from gcp_food_delivery_data_pipeline_spark.functions.gif import (
+        encode_gif_gray,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("n_frames", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, nfs, ws, hs, sizes = [], [], [], [], [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                nf, w, h, c = i % 5 + 1, i % 10 + 1, i % 7 + 1, i % 150
+                frames = [
+                    bytes(
+                        c + 10 * f + x + y
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    for f in range(nf)
+                ]
+                gif = encode_gif_gray(w, h, frames)
+                ids.append(i)
+                payloads.append(gif)
+                nfs.append(nf)
+                ws.append(w)
+                hs.append(h)
+                sizes.append(len(gif))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "n_frames": nfs,
+                    "width": ws,
+                    "height": hs,
+                    "n_bytes": sizes,
+                }
+            )
+
+    flat = ensure_min_partitions(documents.select(id_col)).mapInPandas(
+        gen, out_schema
+    )
+    return flat.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("gif").alias("format"),
+            "n_frames",
+            "width",
+            "height",
+            "n_bytes",
+        ).alias("meta"),
+    )
+
+
+def decode_gif_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL multi-frame decode over the payload column: parse the GIF
+    container, LZW-decode EVERY frame, and emit
+    ``(doc_id, n_frames, width, height, mean_px)`` where ``mean_px``
+    averages over all frames' pixels — the working form of the
+    frame-sampling stage the ``decode_mode="real"`` gates stub."""
+    from gcp_food_delivery_data_pipeline_spark.functions.gif import (
+        decode_gif_gray,
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfs, ws, hs, means = [], [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                w, h, frames = decode_gif_gray(bytes(p))
+                ids.append(doc_id)
+                nfs.append(len(frames))
+                ws.append(w)
+                hs.append(h)
+                means.append(
+                    sum(sum(f) for f in frames) / (w * h * len(frames))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": nfs,
+                    "width": ws,
+                    "height": hs,
+                    "mean_px": means,
+                }
+            )
+
+    src = ensure_min_partitions(df.select(id_col, payload_col))
+    return src.mapInPandas(process, GIF_STATS_SCHEMA)
