@@ -81,6 +81,7 @@ EXTRA_QUERIES = [
     "q_mad_outliers",       # median/MAD robust outlier profile
     "v_quantize_int8",      # int8 quantization error profile
     "c_length_buckets",     # padding-efficient length batching
+    "m_decode_gif",         # real multi-frame LZW decode (Arrow pass)
 ]
 
 
