@@ -176,3 +176,32 @@ def test_repair_scientific_id_no_float_detour(spark):
     got = df.select(repair_scientific_id("raw").alias("g")).collect()[0].g
     assert got == "777" + "0" * 48
     assert len(got) == 51
+
+
+def test_repair_scientific_id_matches_python_model(spark):
+    """Property: for any positive int, its 3-significant-digit Excel
+    rendering repairs to the exact mantissa-padded digit string."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gcp_food_delivery_data_pipeline_spark.operators.clean import (
+        repair_scientific_id,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(ns=st.lists(st.integers(min_value=100, max_value=10**18),
+                       min_size=1, max_size=20))
+    def inner(ns):
+        rows = []
+        for n in ns:
+            s = str(n)
+            sci = f"{s[0]}.{s[1:3]}e+{len(s) - 1}"
+            want = s[0:3] + "0" * (len(s) - 3)
+            rows.append((sci, want))
+        df = spark.createDataFrame(rows, ["raw", "want"])
+        got = df.select("want",
+                        repair_scientific_id("raw").alias("got")).collect()
+        for r in got:
+            assert r.got == r.want
+
+    inner()

@@ -129,3 +129,11 @@ def test_spark_attach_decode_end_to_end(spark):
         assert (r.width, r.height) == (i % 10 + 1, i % 7 + 1)
         want = (i % 150) + 5.0 * (i % 5) + (i % 10) / 2.0 + (i % 7) / 2.0
         assert abs(r.mean_px - want) < 1e-9
+
+
+def test_roundtrip_at_sub_block_boundaries():
+    """Frames whose LZW stream crosses exact 255-byte sub-block edges
+    must round-trip (the block-reassembly seam)."""
+    for w in (254, 255, 256, 510):
+        frame = bytes(i % 256 for i in range(w))
+        assert decode_gif_gray(encode_gif_gray(w, 1, [frame]))[2] == [frame]

@@ -81,3 +81,19 @@ def test_count_rules_compile_to_one_aggregation(messy):
     )
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Aggregate") == 1
+
+
+def test_matches_rule_with_metachars_and_unicode(spark):
+    df = spark.createDataFrame(
+        [(1, "a.b"), (2, "axb"), (3, "héllo"), (4, None)], ["id", "s"]
+    )
+
+    def violations(pattern):
+        rows = check_constraints(df, [matches("s", pattern)]).collect()
+        assert len(rows) == 1
+        return rows[0].n_violations
+
+    # escaped dot: only the literal 'a.b' passes; NULL counts too
+    assert violations(r"^a\.b$") == 3
+    # unicode letter class matches the accented char
+    assert violations(r"^h\p{L}llo$") == 3  # only 'héllo' passes
