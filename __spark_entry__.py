@@ -2057,6 +2057,12 @@ def _q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     return A.q_mad_outliers(load_table(spark, sf, "events"))
 
 
+def _q_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width value histogram per event type over shared global
+    bin edges — the distribution-profiling / drift-detection query."""
+    return A.q_value_histogram(load_table(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering note: the driver grades keys IN ORDER and has
@@ -2080,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_snapshot_diff": _q_snapshot_diff,
         "s_matview_refresh": _q_matview,
         "m_decode_gif": _q_decode_gif,
+        "q_value_histogram": _q_histogram,
         "q_dq_orders": _q_dq_orders,
         "c_split_by_source": _q_split_by_source,
         "c_length_buckets": _q_length_buckets,
@@ -3030,6 +3037,15 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN was_corrupt AND ex - length(fp) >= 0 THEN "
             "ip || fp || repeat('0', ex - length(fp)) "
             "ELSE raw_id END AS repaired_id FROM x"
+        ),
+        "q_value_histogram": (
+            "WITH x AS (SELECT min(value) AS mn, max(value) AS mx "
+            "FROM events) "
+            "SELECT event_type, CAST(CASE WHEN mx = mn THEN 0 ELSE "
+            "least(floor((value - mn) / ((mx - mn) / 10)), 9) END AS INT) "
+            "AS bin, count(*) AS n, "
+            "round(min(value), 6) AS bin_lo, round(max(value), 6) AS bin_hi "
+            "FROM events CROSS JOIN x GROUP BY event_type, bin"
         ),
         "q_mad_outliers": (
             "WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med "

@@ -98,8 +98,18 @@ def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """
     if not rules:
         raise ValueError("check_constraints: need at least one rule")
-    count_rules = [r for r in rules if r.kind != "unique"]
-    uniq_rules = [r for r in rules if r.kind == "unique"]
+    # Two same-kind rules on one column share a display name; suffix
+    # repeats (#2, #3…) so result rows stay unambiguous per rule.
+    seen: dict[str, int] = {}
+    names: list[str] = []
+    for r in rules:
+        seen[r.name] = seen.get(r.name, 0) + 1
+        names.append(
+            r.name if seen[r.name] == 1 else f"{r.name}#{seen[r.name]}"
+        )
+    named = list(zip(names, rules))
+    count_rules = [(n, r) for n, r in named if r.kind != "unique"]
+    uniq_rules = [(n, r) for n, r in named if r.kind == "unique"]
 
     parts = []
     if count_rules:
@@ -109,7 +119,7 @@ def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
             F.coalesce(F.sum(_violation(r).cast("long")), F.lit(0)).alias(
                 f"_v{i}"
             )
-            for i, r in enumerate(count_rules)
+            for i, (_, r) in enumerate(count_rules)
         ]
         row = df.agg(*aggs)
         stacked = row.select(
@@ -117,23 +127,23 @@ def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
                 F.array(
                     *[
                         F.struct(
-                            F.lit(r.name).alias("rule"),
+                            F.lit(n).alias("rule"),
                             F.lit(r.column).alias("column"),
                             F.col(f"_v{i}").alias("n_violations"),
                         )
-                        for i, r in enumerate(count_rules)
+                        for i, (n, r) in enumerate(count_rules)
                     ]
                 )
             ).alias("_r")
         ).select("_r.rule", "_r.column", "_r.n_violations")
         parts.append(stacked)
-    for r in uniq_rules:
+    for n, r in uniq_rules:
         dup = (
             df.groupBy(r.column)
             .agg((F.count(F.lit(1)) - 1).alias("_extra"))
             .agg(F.sum("_extra").alias("n_violations"))
             .select(
-                F.lit(r.name).alias("rule"),
+                F.lit(n).alias("rule"),
                 F.lit(r.column).alias("column"),
                 F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
             )

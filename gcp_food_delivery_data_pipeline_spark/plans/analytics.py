@@ -1239,3 +1239,34 @@ def q_mad_outliers(events: DataFrame, k: float = 4.4478) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+def q_value_histogram(events: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Equi-width histogram of ``value`` per event type over the GLOBAL
+    [min, max] range (shared bin edges make the per-type histograms
+    comparable — the profiling/drift-detection shape). The max value
+    folds into the last bin.
+
+    One 2-row-ish global extent aggregate broadcast back, then a single
+    combinable groupBy — the histogram never materializes per-row
+    state, so it is one scan + one tiny shuffle at any corpus size.
+    """
+    extent = events.agg(
+        F.min("value").alias("_mn"), F.max("value").alias("_mx")
+    )
+    width = (F.col("_mx") - F.col("_mn")) / n_bins
+    bin_id = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("_mn")) / width),
+            F.lit(n_bins - 1),
+        )
+    )
+    return (
+        events.crossJoin(F.broadcast(extent))
+        .groupBy("event_type", bin_id.cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("bin_lo"),
+            F.round(F.max("value"), 6).alias("bin_hi"),
+        )
+    )

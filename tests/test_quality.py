@@ -97,3 +97,13 @@ def test_matches_rule_with_metachars_and_unicode(spark):
     assert violations(r"^a\.b$") == 3
     # unicode letter class matches the accented char
     assert violations(r"^h\p{L}llo$") == 3  # only 'héllo' passes
+
+
+def test_duplicate_rule_names_disambiguated(spark):
+    df = spark.createDataFrame([(1, "a.b"), (2, "x")], ["id", "s"])
+    rows = check_constraints(
+        df, [matches("s", r"^a\.b$"), matches("s", r"^x$")]
+    ).collect()
+    assert sorted(r.rule for r in rows) == ["matches(s)", "matches(s)#2"]
+    got = {r.rule: r.n_violations for r in rows}
+    assert got["matches(s)"] == 1 and got["matches(s)#2"] == 1
