@@ -40,7 +40,7 @@ from __future__ import annotations
 import math
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gcp_food_delivery_data_pipeline_spark.functions.vectors import (
@@ -322,7 +322,6 @@ def semantic_dedup(
 
 
 def semantic_dedup_kmeans(
-    spark: SparkSession,
     vectors: DataFrame,
     k: int = 8,
     threshold: float = 0.35,

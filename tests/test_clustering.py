@@ -199,9 +199,7 @@ def test_semantic_dedup_matches_brute_force_within_cluster(embeddings):
 
 
 def test_semantic_dedup_kmeans_end_to_end(embeddings):
-    out = semantic_dedup_kmeans(
-        embeddings.sparkSession, embeddings, k=4, threshold=0.35, max_iter=2
-    )
+    out = semantic_dedup_kmeans(embeddings, k=4, threshold=0.35, max_iter=2)
     n = out.count()
     assert 0 < n <= embeddings.count()
     assert out.columns == ["vec_id", "cluster_id"]
