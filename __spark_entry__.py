@@ -261,6 +261,36 @@ def _q_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _scratch_root(prefix: str, sf: str) -> str:
+    """Fresh pid-keyed scratch dir for table-writing queries, plus a
+    sweep of STALE same-prefix siblings (mtime > 1h). The pid key
+    keeps concurrent grader runs (cross-SF) from rmtree-ing each
+    other's live tables; without the age-guarded sweep every run's
+    fresh pid would leak a full table copy into tempdir forever. A
+    sibling older than an hour cannot belong to a live run of this
+    grader (whole rounds finish in minutes)."""
+    import glob
+    import shutil
+    import time
+
+    base = tempfile.gettempdir()
+    me = os.path.join(
+        base,
+        f"{prefix}_{os.path.basename(os.path.normpath(sf))}_{os.getpid()}",
+    )
+    shutil.rmtree(me, ignore_errors=True)
+    cutoff = time.time() - 3600
+    for p in glob.glob(os.path.join(base, f"{prefix}_*")):
+        if p == me:
+            continue
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    return me
+
+
 def _q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """CDC MERGE parity: seed a table from orders, upsert a batch that
     bumps every 10th order's totalprice (+10.00) and readback-aggregate;
@@ -269,11 +299,7 @@ def _q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
         merge_upsert,
     )
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_merge_{os.path.basename(os.path.normpath(sf))}"
-        f"_{os.getpid()}",
-    )
+    out = _scratch_root("spark_graft_merge", sf)
     orders = load_table(spark, sf, "orders")
     orders.write.mode("overwrite").parquet(out)
     updates = orders.filter((F.col("o_orderkey") % 10) == 0).withColumn(
@@ -295,22 +321,12 @@ def _q_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     BOTH versions back concurrently proves snapshot isolation (v1 is
     untouched by v2's publish). The oracle recomputes each version's
     aggregate arithmetically from the source table."""
-    import shutil
-
     from gcp_food_delivery_data_pipeline_spark.sources.versioned import (
         read_snapshot,
         write_snapshot,
     )
 
-    # keyed by (sf, pid): concurrent grader runs (e.g. cross-SF) must
-    # not rmtree each other's versioned roots (same defense as
-    # _q_media_source)
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_tt_{os.path.basename(os.path.normpath(sf))}"
-        f"_{os.getpid()}",
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = _scratch_root("spark_graft_tt", sf)
     orders = load_table(spark, sf, "orders").select(
         "o_orderkey", "o_totalprice"
     )
@@ -1897,19 +1913,12 @@ def _q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     97th order, bumps every remaining 10th order's totalprice, and
     inserts three synthetic keys (-1, -2, -3); the diff's per-change
     counts are arithmetically pinned by the oracle."""
-    import shutil
-
     from gcp_food_delivery_data_pipeline_spark.sources.versioned import (
         snapshot_diff,
         write_snapshot,
     )
 
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_diff_{os.path.basename(os.path.normpath(sf))}"
-        f"_{os.getpid()}",
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = _scratch_root("spark_graft_diff", sf)
     orders = load_table(spark, sf, "orders").select(
         "o_orderkey", "o_totalprice"
     )
@@ -1944,20 +1953,13 @@ def _q_matview(spark: SparkSession, sf: str) -> DataFrame:
     every remaining 10th), refresh recomputes ONLY affected groups —
     and the result must equal a from-scratch aggregation of v2 (the
     oracle computes exactly that arithmetically)."""
-    import shutil
-
     from gcp_food_delivery_data_pipeline_spark.sources.versioned import (
         read_snapshot,
         refresh_matview,
         write_snapshot,
     )
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_mv_{os.path.basename(os.path.normpath(sf))}"
-        f"_{os.getpid()}",
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch_root("spark_graft_mv", sf)
     src, mv = f"{base}/src", f"{base}/mv"
     o = load_table(spark, sf, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"

@@ -146,7 +146,18 @@ def encode_gif_gray(
 
 
 def decode_gif_gray(data: bytes) -> tuple[int, int, list[bytes]]:
-    """Parse + LZW-decode every frame: (width, height, frames)."""
+    """Parse + LZW-decode every frame: (width, height, frames).
+
+    Every malformed input — truncation anywhere, unknown blocks,
+    unsupported features — surfaces as ValueError (the module's
+    reject-loudly contract), never a bare IndexError/struct.error."""
+    try:
+        return _decode_gif_gray(data)
+    except (IndexError, struct.error) as ex:
+        raise ValueError(f"gif: truncated or malformed stream ({ex})")
+
+
+def _decode_gif_gray(data: bytes) -> tuple[int, int, list[bytes]]:
     if data[:6] not in (b"GIF89a", b"GIF87a"):
         raise ValueError("gif: bad signature")
     width, height, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
@@ -191,8 +202,12 @@ def decode_gif_gray(data: bytes) -> tuple[int, int, list[bytes]]:
                 raise ValueError("gif: decoded frame size mismatch")
             # map through the palette's red channel (identity for the
             # grayscale tables this module writes; correct generally
-            # for any gray palette)
-            frames.append(bytes(palette[3 * i] for i in idx))
+            # for any gray palette). A palette-less GIF (spec-legal)
+            # uses the raw indices as gray values.
+            if palette:
+                frames.append(bytes(palette[3 * i] for i in idx))
+            else:
+                frames.append(idx)
         else:
             raise ValueError(f"gif: unknown block 0x{block:02x}")
     if not frames:

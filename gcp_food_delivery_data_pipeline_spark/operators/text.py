@@ -335,11 +335,14 @@ def ngrams_from_tokens(toks: Column, n: int = 2) -> Column:
 def adjacent_pairs(
     toks: Column | str, left: str = "w1", right: str = "w2"
 ) -> Column:
-    """Array of struct(left, right) ADJACENT element pairs of a token
-    array ([] under 2 elements) — the shifted-slice ``arrays_zip``
-    construction shared by the bigram LM and BPE pair counting (one
-    place for the guard against Spark's DESCENDING ``sequence(1, 0)``
-    fabricating phantom pairs; see ``ngrams_from_tokens``)."""
+    """Array of struct(left, right) ADJACENT element pairs of a
+    STRING token array ([] under 2 elements) — the shifted-slice
+    ``arrays_zip`` construction shared by the bigram LM and BPE pair
+    counting (one place for the guard against Spark's DESCENDING
+    ``sequence(1, 0)`` fabricating phantom pairs; see
+    ``ngrams_from_tokens``). String-only by contract: the empty-array
+    branch is cast to string structs, so a non-string element type
+    fails analysis — stage a cast first if you need one."""
     c = F.col(toks) if isinstance(toks, str) else toks
     m = F.size(c) - 1
     return F.when(

@@ -61,28 +61,42 @@ def _read_int_file(spark: SparkSession, path: str) -> int | None:
 
 
 def _write_int_file(spark: SparkSession, path: str, n: int) -> None:
-    """Atomic publish of a small integer file: tmp write + OVERWRITING
-    rename (``FileContext.rename(…, Rename.OVERWRITE)``) — one
-    metadata op, so no reader can ever observe a missing pointer.
-    ``FileSystem.rename`` cannot overwrite, and delete-then-rename
-    opens exactly the window the module contract forbids (a reader
-    between the delete and the rename would see "no published
-    version"; a concurrent writer would restart versioning at v=1)."""
+    """Atomic publish of a small integer file: PER-WRITER tmp + an
+    OVERWRITING rename (``FileContext.rename(…, Rename.OVERWRITE)``) —
+    one metadata op, so no reader can ever observe a missing pointer.
+    The tmp name carries pid+uuid: a SHARED tmp would let two
+    concurrent writers truncate each other's half-written pointer and
+    publish garbage. ``FileSystem.rename`` cannot overwrite;
+    delete-then-rename opens exactly the window the module contract
+    forbids — it survives only as the fallback for stores whose
+    connector has no AbstractFileSystem binding (FileContext
+    unavailable), where the window is documented, not denied."""
+    import os
+    import uuid
+
     fs, jvm = _fs(spark, path)
-    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    )
     dst = jvm.org.apache.hadoop.fs.Path(path)
     out = fs.create(tmp, True)
     try:
         out.write(f"{n}\n".encode("ascii"))
     finally:
         out.close()
-    ctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-        fs.getUri(), spark._jsc.hadoopConfiguration()
-    )
-    ren_cls = jvm.org.apache.hadoop.fs.Options.Rename
-    opts = spark.sparkContext._gateway.new_array(ren_cls, 1)
-    opts[0] = ren_cls.OVERWRITE
-    ctx.rename(tmp, dst, opts)  # varargs -> explicit Java array
+    try:
+        ctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri(), spark._jsc.hadoopConfiguration()
+        )
+        ren_cls = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = spark.sparkContext._gateway.new_array(ren_cls, 1)
+        opts[0] = ren_cls.OVERWRITE
+        ctx.rename(tmp, dst, opts)  # varargs -> explicit Java array
+    except Exception:  # noqa: BLE001 — scheme without FileContext
+        if fs.exists(dst):
+            fs.delete(dst, False)
+        if not fs.rename(tmp, dst):
+            raise IOError(f"cannot publish pointer file {path}")
 
 
 def _read_pointer(spark: SparkSession, root: str) -> int | None:
@@ -230,7 +244,10 @@ def refresh_matview(
     correct for EVERY aggregate, and the work is bounded by the
     affected groups' row count, not table size.
 
-    Returns ("full" | "noop" | "incremental", n_groups_recomputed).
+    Returns ("full" | "noop" | "incremental", n): for "full" the MV's
+    group count, for "incremental" the number of AFFECTED groups (the
+    re-aggregation's input set — a fully-deleted group counts even
+    though it yields no output row).
     """
     cur = latest_version(spark, src_root)
     if cur is None:

@@ -137,3 +137,24 @@ def test_roundtrip_at_sub_block_boundaries():
     for w in (254, 255, 256, 510):
         frame = bytes(i % 256 for i in range(w))
         assert decode_gif_gray(encode_gif_gray(w, 1, [frame]))[2] == [frame]
+
+
+def test_all_malformations_raise_valueerror():
+    """The reject-loudly contract: truncation ANYWHERE surfaces as
+    ValueError, never IndexError/struct.error."""
+    good = encode_gif_gray(4, 3, [bytes(12), bytes(range(12))])
+    for cut in (3, 7, 11, 13, 100, 790, len(good) - 2):
+        with pytest.raises(ValueError):
+            decode_gif_gray(good[:cut])
+
+
+def test_palette_less_gif_uses_raw_indices():
+    """Spec-legal GIF without a global color table: indices ARE the
+    gray values."""
+    good = bytearray(encode_gif_gray(2, 2, [bytes([7, 8, 9, 10])]))
+    # clear the GCT flag and splice the 768-byte table out
+    good[10] &= 0x7F
+    stripped = bytes(good[:13]) + bytes(good[13 + 768 :])
+    w, h, frames = decode_gif_gray(stripped)
+    assert (w, h) == (2, 2)
+    assert frames == [bytes([7, 8, 9, 10])]
