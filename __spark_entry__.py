@@ -2019,6 +2019,42 @@ def _q_dq_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-leakage AUDIT: how many near-duplicate pairs (jaccard
+    ≥ 0.8) straddle two different train/val/test splits under plain
+    per-document hash splitting — the number group-integrity or
+    dedup-before-split exists to drive to zero. Returns one row:
+    (n_dup_pairs, n_cross_split_pairs)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        assign_split,
+    )
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    d = load_table(spark, sf, "documents")
+    pairs = lsh_candidate_pairs(
+        d, "text", "doc_id", num_hashes=64, bands=32
+    ).filter(F.col("jaccard") >= 0.8)
+    splits = assign_split(d.select("doc_id")).select("doc_id", "split")
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("_sa")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("_sb")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            F.coalesce(
+                F.sum((F.col("_sa") != F.col("_sb")).cast("long")), F.lit(0)
+            ).alias("n_cross_split_pairs"),
+        )
+    )
+
+
 def _q_split_by_source(spark: SparkSession, sf: str) -> DataFrame:
     """Group-integrity train/val/test split: bucket hashed from the
     SOURCE, so sibling documents can never straddle the held-out
@@ -2089,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_matview_refresh": _q_matview,
         "m_decode_gif": _q_decode_gif,
         "q_value_histogram": _q_histogram,
+        "c_split_leakage": _q_split_leakage,
         "q_dq_orders": _q_dq_orders,
         "c_split_by_source": _q_split_by_source,
         "c_length_buckets": _q_length_buckets,
@@ -2986,6 +3023,27 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN o_orderkey % 10 = 0 THEN CAST(10.00 AS DECIMAL(18,2)) "
             "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total "
             "FROM orders"
+        ),
+        "c_split_leakage": (
+            "WITH sh AS (SELECT doc_id, "
+            f"{_SHINGLES} AS s "
+            f"FROM (SELECT doc_id, {_TOKENS} AS toks "
+            "FROM documents)), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "/ len(list_distinct(a.s || b.s)) >= 0.8), "
+            "sp AS (SELECT doc_id, CASE "
+            "WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), "
+            "1, 8)) AS BIGINT) % 100 < 10 THEN 'val' "
+            "WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), "
+            "1, 8)) AS BIGINT) % 100 < 20 THEN 'test' ELSE 'train' END "
+            "AS split FROM documents) "
+            "SELECT count(*) AS n_dup_pairs, "
+            "CAST(coalesce(sum(CASE WHEN sa.split <> sb.split THEN 1 "
+            "ELSE 0 END), 0) AS BIGINT) AS n_cross_split_pairs "
+            "FROM p JOIN sp sa ON sa.doc_id = p.id_a "
+            "JOIN sp sb ON sb.doc_id = p.id_b"
         ),
         "c_split_by_source": (
             "SELECT doc_id, source, CASE "
