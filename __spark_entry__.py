@@ -2019,6 +2019,50 @@ def _q_dq_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_minhash_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash estimator accuracy, graded like the HLL sketch: for
+    every EXACT near-dup pair (jaccard ≥ 0.8) the 64-slot
+    signature-agreement estimate must sit within 0.30 of the exact
+    jaccard (≈6σ of the binomial slot-match noise at p=0.8, n=64 —
+    wide enough that regenerated testdata cannot trip it, so FALSE
+    means a broken signature, not estimator luck). The oracle pins the
+    exact jaccard and asserts the bound held."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        with_minhash,
+    )
+
+    d = load_table(spark, sf, "documents")
+    pairs = lsh_candidate_pairs(
+        d, "text", "doc_id", num_hashes=64, bands=32
+    ).filter(F.col("jaccard") >= 0.8)
+    sig = with_minhash(d.select("doc_id", "text"), "text", num_hashes=64)
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("minhash").alias("_ma"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("minhash").alias("_mb"))
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("_ma"),
+                F.col("_mb"),
+                lambda x, y: (x == y).cast("int"),
+            ),
+            F.lit(0),
+            lambda a, v: a + v,
+        )
+        / 64.0
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            (F.abs(est - F.col("jaccard")) <= 0.30).alias("estimate_ok"),
+        )
+    )
+
+
 def _q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
     """Split-leakage AUDIT: how many near-duplicate pairs (jaccard
     ≥ 0.8) straddle two different train/val/test splits under plain
@@ -2126,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_decode_gif": _q_decode_gif,
         "q_value_histogram": _q_histogram,
         "c_split_leakage": _q_split_leakage,
+        "d_minhash_estimate": _q_minhash_estimate,
         "q_dq_orders": _q_dq_orders,
         "v_quantize_int8": _q_quantize_int8,
         "m_resize": _q_multimodal_resize,
@@ -3025,6 +3070,21 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN o_orderkey % 10 = 0 THEN CAST(10.00 AS DECIMAL(18,2)) "
             "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total "
             "FROM orders"
+        ),
+        # estimator accuracy: oracle pins the exact jaccard and the
+        # TRUE bound flags (the estimate itself is engine-specific)
+        "d_minhash_estimate": (
+            "WITH sh AS (SELECT doc_id, "
+            f"{_SHINGLES} AS s "
+            f"FROM (SELECT doc_id, {_TOKENS} AS toks "
+            "FROM documents)) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "/ len(list_distinct(a.s || b.s)), 6) AS jaccard, "
+            "TRUE AS estimate_ok "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "/ len(list_distinct(a.s || b.s)) >= 0.8"
         ),
         "c_split_leakage": (
             "WITH sh AS (SELECT doc_id, "
