@@ -384,3 +384,43 @@ def quantize_embeddings_int8(
             6,
         ).alias("mse"),
     )
+
+
+def with_dequantized_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "embedding_q",
+) -> DataFrame:
+    """Round-trip the embedding column through int8 scalar quantization
+    (same per-dim stats-as-literals construction as
+    ``quantize_embeddings_int8``) — the vectors a compressed ANN index
+    actually searches. Feeding these into ``topk_exact``/``ivf_topk``
+    measures the REAL retrieval cost of the 4x memory saving (recall
+    against the float baseline), not just per-coordinate error.
+    """
+    stats = (
+        df.select(F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min(F.col("x").cast("double")).alias("mn"),
+             F.max(F.col("x").cast("double")).alias("mx"))
+        .orderBy("dim")
+        .collect()
+    )
+    mins = F.array(*[F.lit(float(r.mn)) for r in stats])
+    scales = F.array(
+        *[F.lit((float(r.mx) - float(r.mn)) / 255.0) for r in stats]
+    )
+    centered = F.zip_with(
+        F.col(vec_col), mins, lambda x, mn: x.cast("double") - mn
+    )
+    quant = F.zip_with(
+        centered,
+        scales,
+        lambda d, sc: F.when(sc == 0.0, F.lit(0.0)).otherwise(
+            F.least(F.greatest(F.round(d / sc), F.lit(0.0)), F.lit(255.0))
+            * sc
+        ),
+    )
+    deq = F.zip_with(quant, mins, lambda q, mn: q + mn)
+    return df.select(F.col(id_col), deq.alias(out_col))

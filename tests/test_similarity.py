@@ -178,3 +178,31 @@ def test_quantize_int8_constant_dim_zero_error(spark):
     got = {r.vec_id: r.max_abs_err for r in quantize_embeddings_int8(df).collect()}
     # dim 0 constant -> zero err; dim 1 endpoints quantize exactly
     assert got[0] == 0.0 and got[1] == 0.0
+
+
+def test_quantized_topk_recall_against_float_baseline(embeddings):
+    """End-to-end cost of int8 compression on RETRIEVAL: top-10 over
+    dequantized vectors must keep >= 0.8 mean recall vs the float
+    baseline (64-dim, 255-level grid — near-lossless here)."""
+    from pyspark.sql import functions as F
+
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        topk_exact,
+        with_dequantized_embeddings,
+    )
+
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    base = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_exact(embeddings, queries, k=10).collect()
+    }
+    dq = with_dequantized_embeddings(embeddings).withColumnRenamed(
+        "embedding_q", "embedding"
+    )
+    dq_queries = dq.filter(F.col("vec_id") < 5)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_exact(dq, dq_queries, k=10).collect()
+    }
+    recall = len(base & got) / len(base)
+    assert recall >= 0.8, recall
