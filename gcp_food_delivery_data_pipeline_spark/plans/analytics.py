@@ -1270,3 +1270,52 @@ def q_value_histogram(events: DataFrame, n_bins: int = 10) -> DataFrame:
             F.round(F.max("value"), 6).alias("bin_hi"),
         )
     )
+
+
+def q_funnel(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered-funnel conversion: a user reaches stage k iff some
+    stage-k event occurs at-or-after their first qualifying stage-k-1
+    reach (the sequential conditional-min definition every funnel tool
+    uses). Returns (stage_idx, stage, n_users).
+
+    One keyed aggregation per stage, each over the PRE-FILTERED slice
+    of that stage's events joined to the (tiny, one-row-per-user)
+    previous frontier — the frontier side broadcasts and every
+    aggregation map-side combines, so cost is ~one filtered pass per
+    stage regardless of funnel depth. Chosen over the
+    sorted-array-fold single-pass form because the per-stage
+    conditional min is what SQL engines state verbatim — the oracle
+    mirrors it expression for expression (tie policy included: an
+    equal-timestamp later stage counts, ``>=``).
+    """
+    if not stages:
+        raise ValueError("q_funnel: need at least one stage")
+    frontier = None
+    counts = []
+    for idx, stage in enumerate(stages):
+        ev = events.filter(F.col("event_type") == stage).select(
+            "user_id", "ts"
+        )
+        if frontier is None:
+            frontier = ev.groupBy("user_id").agg(F.min("ts").alias("_t"))
+        else:
+            frontier = (
+                ev.join(F.broadcast(frontier), "user_id")
+                .filter(F.col("ts") >= F.col("_t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("_t"))
+            )
+        counts.append(
+            frontier.agg(
+                F.lit(idx).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

@@ -136,3 +136,43 @@ def test_mad_outliers_robust_where_stddev_is_not(spark):
     # planted cluster sits INSIDE 3 sigma, so z-scoring finds nothing
     mu, sd = statistics.mean(vals), statistics.stdev(vals)
     assert abs(1000.0 - mu) < 3 * sd
+
+
+def test_funnel_ordered_reach_golden(spark):
+    """Hand-built funnel: user 1 completes in order; user 2 clicked
+    BEFORE viewing (click must not count); user 3 views only; user 4
+    has click == view timestamp (ties count, >=)."""
+    from datetime import datetime
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import q_funnel
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)
+    rows = [
+        (1, 1, t(0), "view", 0.0), (2, 1, t(1), "click", 0.0),
+        (3, 1, t(2), "purchase", 0.0),
+        (4, 2, t(0), "click", 0.0), (5, 2, t(1), "view", 0.0),
+        (6, 3, t(0), "view", 0.0),
+        (7, 4, t(0), "view", 0.0), (8, 4, t(0), "click", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got = {r.stage: r.n_users for r in q_funnel(ev).collect()}
+    # view: users 1,2,3,4; click AFTER first view: 1 and 4 (tie);
+    # purchase after that click: only 1
+    assert got == {"view": 4, "click": 2, "purchase": 1}
+
+
+def test_funnel_rejects_empty_stages(spark):
+    import pytest as _pytest
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import q_funnel
+
+    ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    with _pytest.raises(ValueError):
+        q_funnel(ev, stages=())
+    # empty events: all stages zero, still 3 rows
+    got = {r.stage: r.n_users for r in q_funnel(ev).collect()}
+    assert got == {"view": 0, "click": 0, "purchase": 0}
