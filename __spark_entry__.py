@@ -2070,6 +2070,18 @@ def _q_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return A.q_funnel(load_table(spark, sf, "events"))
 
 
+def _q_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: first-signup-day cohorts × distinct active
+    users per day offset."""
+    return A.q_retention(load_table(spark, sf, "events"))
+
+
+def _q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 src→dst event-type transitions over each user's
+    time-ordered stream (first-order Markov view)."""
+    return A.q_event_transitions(load_table(spark, sf, "events"))
+
+
 def _q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
     """Split-leakage AUDIT: how many near-duplicate pairs (jaccard
     ≥ 0.8) straddle two different train/val/test splits under plain
@@ -2318,6 +2330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # grading budget by design: zero evidence displacement; the
         # local two-SF gate is their working proof until round 5) --
         "q_funnel": _q_funnel,
+        "q_retention": _q_retention,
+        "q_event_transitions": _q_event_transitions,
     }
 
 
@@ -3081,6 +3095,26 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN o_orderkey % 10 = 0 THEN CAST(10.00 AS DECIMAL(18,2)) "
             "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total "
             "FROM orders"
+        ),
+        "q_retention": (
+            "WITH c AS (SELECT user_id, CAST(min(ts) AS DATE) AS cday "
+            "FROM events WHERE event_type = 'signup' GROUP BY user_id), "
+            "a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+            "FROM events) "
+            "SELECT strftime(cday, '%Y-%m-%d') AS cohort_day, "
+            "CAST(date_diff('day', cday, day) AS INT) AS day_offset, "
+            "count(DISTINCT a.user_id) AS n_users "
+            "FROM a JOIN c ON c.user_id = a.user_id "
+            "WHERE date_diff('day', cday, day) >= 0 "
+            "GROUP BY cohort_day, day_offset"
+        ),
+        "q_event_transitions": (
+            "SELECT src, dst, n FROM ("
+            "SELECT src, dst, count(*) AS n FROM ("
+            "SELECT event_type AS src, lead(event_type) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS dst "
+            "FROM events) WHERE dst IS NOT NULL GROUP BY src, dst) "
+            "ORDER BY n DESC, src, dst LIMIT 20"
         ),
         "q_funnel": (
             "WITH v AS (SELECT user_id, min(ts) AS t FROM events "

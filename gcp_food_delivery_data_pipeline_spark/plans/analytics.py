@@ -1319,3 +1319,54 @@ def q_funnel(
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def q_retention(events: DataFrame, signup_type: str = "signup") -> DataFrame:
+    """Cohort retention: users grouped by their first-signup day, then
+    the distinct-user count active at each day offset ≥ 0 from that
+    cohort day — the funnel's longitudinal companion.
+
+    The cohort frame is one row per signed-up user (tiny next to the
+    activity log) and broadcasts into the activity join; the
+    (user, day) distinct and the final count both map-side combine.
+    Day arithmetic stays in DATE space (no timezone-sensitive
+    timestamp truncation beyond the initial cast).
+    """
+    cohort = (
+        events.filter(F.col("event_type") == signup_type)
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("_cday"))
+    )
+    activity = events.select(
+        "user_id", F.to_date("ts").alias("_day")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(cohort), "user_id")
+        .withColumn("day_offset", F.datediff("_day", "_cday"))
+        .filter(F.col("day_offset") >= 0)
+        .groupBy(
+            F.date_format("_cday", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def q_event_transitions(events: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k event-type transitions (src → dst counts over each user's
+    time-ordered stream) — the first-order Markov view of user
+    behavior. One window pass partitioned BY USER (parallel per-user
+    sorts, deterministic (ts, event_id) tie-break), then a combinable
+    count; top-k via TakeOrdered with a full tie-break."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type").over(w)
+    return (
+        events.select(
+            F.col("event_type").alias("src"), nxt.alias("dst")
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "src", "dst")
+        .limit(k)
+    )

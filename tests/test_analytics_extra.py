@@ -176,3 +176,57 @@ def test_funnel_rejects_empty_stages(spark):
     # empty events: all stages zero, still 3 rows
     got = {r.stage: r.n_users for r in q_funnel(ev).collect()}
     assert got == {"view": 0, "click": 0, "purchase": 0}
+
+
+def test_retention_golden(spark):
+    """Two cohorts; a pre-signup activity day must NOT count
+    (negative offset filtered)."""
+    from datetime import datetime
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_retention,
+    )
+
+    d = lambda day, h=10: datetime(2024, 1, day, h)
+    rows = [
+        (1, 1, d(1), "signup", 0.0), (2, 1, d(1, 12), "view", 0.0),
+        (3, 1, d(3), "click", 0.0),
+        (4, 2, d(2), "signup", 0.0), (5, 2, d(3), "view", 0.0),
+        (6, 3, d(5), "view", 0.0),  # never signed up -> excluded
+        (7, 4, d(2), "view", 0.0), (8, 4, d(4), "signup", 0.0),  # pre-signup
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in q_retention(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,  # user 1 on signup day
+        ("2024-01-01", 2): 1,  # user 1 on day 3
+        ("2024-01-02", 0): 1,  # user 2 on signup day
+        ("2024-01-02", 1): 1,  # user 2 on day 3
+        ("2024-01-04", 0): 1,  # user 4 signup day (day-2 view filtered)
+    }
+
+
+def test_event_transitions_golden(spark):
+    from datetime import datetime
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_event_transitions,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)
+    rows = [
+        (1, 1, t(0), "view", 0.0), (2, 1, t(1), "click", 0.0),
+        (3, 1, t(2), "view", 0.0),
+        (4, 2, t(0), "view", 0.0), (5, 2, t(1), "click", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got = {(r.src, r.dst): r.n for r in q_event_transitions(ev).collect()}
+    # transitions never cross users
+    assert got == {("view", "click"): 2, ("click", "view"): 1}
