@@ -1,4 +1,5 @@
-"""Minimal real PNG codec (8-bit grayscale) on the stdlib only.
+"""Minimal real PNG codec (8-bit grayscale + 8-bit RGB) on the stdlib
+only.
 
 The multimodal operators stub *library* codecs behind a gate because
 image libs aren't in this container — but PNG itself is just zlib
@@ -19,9 +20,9 @@ C codec, which is exactly the swap the gate in
 documents. The plumbing — schema, batching, payload pruning — is
 identical either way.
 
-Color types other than grayscale-8 raise ``NotImplementedError`` with
-the supported subset spelled out; malformed framing raises
-``ValueError``.
+Color types other than grayscale-8 (type 0) and RGB-8 (type 2) raise
+``NotImplementedError`` with the supported subset spelled out;
+malformed framing raises ``ValueError``.
 """
 
 from __future__ import annotations
@@ -51,31 +52,37 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png_gray(
-    width: int, height: int, pixels: bytes, filter_mode: str = "cycle"
-) -> bytes:
-    """Encode 8-bit grayscale pixels (row-major, len == width*height)
-    as a standards-compliant PNG.
+# color type -> bytes per pixel (8-bit depth): 0 = grayscale, 2 = RGB
+# truecolor (RFC 2083 §4.1.1). Filters operate bytewise with the
+# "left" reference ``bpp`` bytes back, which is why one loop serves
+# both (RFC 2083 §6.2).
+_BPP = {0: 1, 2: 3}
 
-    ``filter_mode="cycle"`` applies filter type ``y % 5`` to row ``y``
-    so round-trip tests exercise every reconstruction branch of the
-    decoder; ``"none"`` writes filter 0 throughout (what a naive
-    encoder would do).
-    """
-    if len(pixels) != width * height:
+
+def _encode(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color_type: int,
+    filter_mode: str,
+) -> bytes:
+    bpp = _BPP[color_type]
+    if len(pixels) != width * height * bpp:
         raise ValueError(
-            f"pixel buffer is {len(pixels)} bytes, expected {width * height}"
+            f"pixel buffer is {len(pixels)} bytes, "
+            f"expected {width * height * bpp}"
         )
+    stride = width * bpp
     raw = bytearray()
-    prev = bytes(width)
+    prev = bytes(stride)
     for y in range(height):
-        row = pixels[y * width : (y + 1) * width]
+        row = pixels[y * stride : (y + 1) * stride]
         ftype = (y % 5) if filter_mode == "cycle" else 0
         raw.append(ftype)
-        for x in range(width):
-            a = row[x - 1] if x > 0 else 0  # left
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0  # left
             b = prev[x]  # up
-            c = prev[x - 1] if x > 0 else 0  # up-left
+            c = prev[x - bpp] if x >= bpp else 0  # up-left
             if ftype == 0:
                 pred = 0
             elif ftype == 1:
@@ -88,13 +95,39 @@ def encode_png_gray(
                 pred = _paeth(a, b, c)
             raw.append((row[x] - pred) & 0xFF)
         prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
         + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + _chunk(b"IEND", b"")
     )
+
+
+def encode_png_gray(
+    width: int, height: int, pixels: bytes, filter_mode: str = "cycle"
+) -> bytes:
+    """Encode 8-bit grayscale pixels (row-major, len == width*height)
+    as a standards-compliant PNG.
+
+    ``filter_mode="cycle"`` applies filter type ``y % 5`` to row ``y``
+    so round-trip tests exercise every reconstruction branch of the
+    decoder; ``"none"`` writes filter 0 throughout (what a naive
+    encoder would do).
+    """
+    return _encode(width, height, pixels, 0, filter_mode)
+
+
+def encode_png_rgb(
+    width: int, height: int, pixels: bytes, filter_mode: str = "cycle"
+) -> bytes:
+    """Encode 8-bit RGB pixels (row-major, interleaved R,G,B — len ==
+    width*height*3) as a standards-compliant truecolor PNG (color
+    type 2). Filters reference the pixel 3 bytes back per the spec, so
+    every reconstruction branch differs from the grayscale path and is
+    exercised by ``filter_mode="cycle"``.
+    """
+    return _encode(width, height, pixels, 2, filter_mode)
 
 
 def decode_png_gray(data: bytes) -> tuple[int, int, bytes]:
@@ -104,10 +137,40 @@ def decode_png_gray(data: bytes) -> tuple[int, int, bytes]:
     multiple IDAT chunks and all five filter types; validates the
     signature, IHDR geometry, and per-chunk CRCs.
     """
+    w, h, color, pixels = decode_png(data)
+    if color != 0:
+        raise NotImplementedError(
+            "decode_png_gray handles 8-bit grayscale only; "
+            f"got color_type={color} (use decode_png for RGB)"
+        )
+    return w, h, pixels
+
+
+def decode_png_rgb(data: bytes) -> tuple[int, int, bytes]:
+    """Decode an 8-bit truecolor (color type 2) PNG. Returns
+    ``(width, height, pixels)`` with pixels row-major interleaved
+    R,G,B (len == width*height*3)."""
+    w, h, color, pixels = decode_png(data)
+    if color != 2:
+        raise NotImplementedError(
+            "decode_png_rgb handles 8-bit RGB only; "
+            f"got color_type={color} (use decode_png_gray for grayscale)"
+        )
+    return w, h, pixels
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG of the implemented subset (8-bit grayscale or
+    8-bit RGB, non-interlaced). Returns ``(width, height, color_type,
+    pixels)``; pixels are row-major, ``width*height*bpp`` bytes with
+    bpp 1 (gray) or 3 (RGB). Handles multiple IDAT chunks and all five
+    filter types; validates the signature, IHDR geometry, and
+    per-chunk CRCs.
+    """
     if data[: len(_SIGNATURE)] != _SIGNATURE:
         raise ValueError("not a PNG: bad signature")
     pos = len(_SIGNATURE)
-    width = height = -1
+    width = height = color = -1
     idat = bytearray()
     seen_end = False
     while pos < len(data):
@@ -130,10 +193,11 @@ def decode_png_gray(data: bytes) -> tuple[int, int, bytes]:
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if (depth, color) != (8, 0):
+            if depth != 8 or color not in _BPP:
                 raise NotImplementedError(
-                    "only 8-bit grayscale (bit depth 8, color type 0) is "
-                    f"implemented; got depth={depth} color_type={color}"
+                    "only 8-bit grayscale (color type 0) and 8-bit RGB "
+                    "(color type 2) are implemented; got "
+                    f"depth={depth} color_type={color}"
                 )
             if comp != 0 or filt != 0 or interlace != 0:
                 raise NotImplementedError(
@@ -154,20 +218,23 @@ def decode_png_gray(data: bytes) -> tuple[int, int, bytes]:
     if not seen_end:
         raise ValueError("missing IEND")
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (width + 1):
+    bpp = _BPP[color]
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
         raise ValueError(
-            f"decompressed to {len(raw)} bytes, expected {height * (width + 1)}"
+            f"decompressed to {len(raw)} bytes, "
+            f"expected {height * (stride + 1)}"
         )
     out = bytearray()
-    prev = bytes(width)
+    prev = bytes(stride)
     for y in range(height):
-        ftype = raw[y * (width + 1)]
-        row_f = raw[y * (width + 1) + 1 : (y + 1) * (width + 1)]
-        row = bytearray(width)
-        for x in range(width):
-            a = row[x - 1] if x > 0 else 0
+        ftype = raw[y * (stride + 1)]
+        row_f = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        row = bytearray(stride)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
             b = prev[x]
-            c = prev[x - 1] if x > 0 else 0
+            c = prev[x - bpp] if x >= bpp else 0
             if ftype == 0:
                 pred = 0
             elif ftype == 1:
@@ -183,4 +250,4 @@ def decode_png_gray(data: bytes) -> tuple[int, int, bytes]:
             row[x] = (row_f[x] + pred) & 0xFF
         out.extend(row)
         prev = bytes(row)
-    return width, height, bytes(out)
+    return width, height, color, bytes(out)

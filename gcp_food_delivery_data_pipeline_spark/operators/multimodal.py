@@ -394,6 +394,130 @@ def decode_png_stats(
     return src.mapInPandas(process, PNG_STATS_SCHEMA)
 
 
+PNG_RGB_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+def attach_png_rgb_payload(
+    documents: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize REAL truecolor PNG payloads (color type 2) from the
+    documents table: each doc gets an 8-bit RGB gradient whose
+    geometry and base shades derive from ``doc_id`` —
+    ``width = id % 12 + 1``, ``height = id % 9 + 1``,
+    ``r(x,y) = id % 180 + x``, ``g(x,y) = id % 180 + y``,
+    ``b(x,y) = id % 80 + x + y`` (maxima 190/187/98, so no wrap).
+    Encoding goes through ``functions.png.encode_png_rgb`` with
+    cycling row filters, so the bytes are standards-compliant
+    truecolor PNGs and decode exercises every filter type at bpp=3
+    (the "left" reference 3 bytes back — the branch the grayscale
+    codec never takes).
+    """
+    from gcp_food_delivery_data_pipeline_spark.functions.png import (
+        encode_png_rgb,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, ws, hs, sizes = [], [], [], [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h = i % 12 + 1, i % 9 + 1
+                cg, cb = i % 180, i % 80
+                pixels = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        pixels += bytes((cg + x, cg + y, cb + x + y))
+                png = encode_png_rgb(w, h, bytes(pixels), filter_mode="cycle")
+                ids.append(i)
+                payloads.append(png)
+                ws.append(w)
+                hs.append(h)
+                sizes.append(len(png))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "width": ws,
+                    "height": hs,
+                    "n_bytes": sizes,
+                }
+            )
+
+    flat = ensure_min_partitions(documents.select(id_col)).mapInPandas(
+        gen, out_schema
+    )
+    return flat.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("png").alias("format"),
+            "width",
+            "height",
+            "n_bytes",
+        ).alias("meta"),
+    )
+
+
+def decode_png_rgb_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL truecolor decode over the payload column: parse the PNG,
+    CRC-check, inflate, reconstruct bpp=3 filters, and emit per-image
+    per-channel stats ``(doc_id, width, height, mean_r, mean_g,
+    mean_b)`` — the color sibling of ``decode_png_stats``, same Arrow
+    batching and payload-drop-before-shuffle shape.
+    """
+    from gcp_food_delivery_data_pipeline_spark.functions.png import (
+        decode_png_rgb,
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, mr, mg, mb = [], [], [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                w, h, pixels = decode_png_rgb(bytes(p))
+                n = w * h
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                mr.append(sum(pixels[0::3]) / n)
+                mg.append(sum(pixels[1::3]) / n)
+                mb.append(sum(pixels[2::3]) / n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "mean_r": mr,
+                    "mean_g": mg,
+                    "mean_b": mb,
+                }
+            )
+
+    src = ensure_min_partitions(df.select(id_col, payload_col))
+    return src.mapInPandas(process, PNG_RGB_STATS_SCHEMA)
+
+
 WAV_STATS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -15,10 +15,14 @@ from pyspark.sql import functions as F
 from gcp_food_delivery_data_pipeline_spark.functions.png import (
     encode_png_gray,
     decode_png_gray,
+    encode_png_rgb,
+    decode_png_rgb,
 )
 from gcp_food_delivery_data_pipeline_spark.operators.multimodal import (
     attach_png_payload,
+    attach_png_rgb_payload,
     decode_png_stats,
+    decode_png_rgb_stats,
 )
 
 
@@ -58,12 +62,44 @@ def test_unsupported_color_type_gated():
     data = bytearray(encode_png_gray(2, 2, bytes(4)))
     # IHDR body starts at offset 16; color type is byte 9 of the body.
     body = bytearray(data[16:29])
-    body[9] = 2  # RGB
+    body[9] = 3  # palette — outside the implemented {gray, RGB} subset
     crc = zlib.crc32(b"IHDR" + bytes(body[:13])) & 0xFFFFFFFF
     data[16:29] = body[:13]
     data[29:33] = crc.to_bytes(4, "big")
-    with pytest.raises(NotImplementedError, match="grayscale"):
+    with pytest.raises(NotImplementedError, match="color_type=3"):
         decode_png_gray(bytes(data))
+
+
+def test_gray_rgb_cross_decode_gated():
+    # A valid PNG of the OTHER color type raises the typed gate, not a
+    # silent mis-decode.
+    gray = encode_png_gray(2, 2, bytes(4))
+    rgb = encode_png_rgb(2, 2, bytes(12))
+    with pytest.raises(NotImplementedError, match="RGB only"):
+        decode_png_rgb(gray)
+    with pytest.raises(NotImplementedError, match="grayscale only"):
+        decode_png_gray(rgb)
+
+
+def test_rgb_roundtrip_all_filter_types():
+    # h ≥ 5 cycles through all five filters at bpp=3 (the "left"
+    # reference 3 bytes back — a branch the grayscale path never takes)
+    px = bytes(
+        b & 0xFF for y in range(6) for x in range(7) for b in (x, y, x + y)
+    )
+    for mode in ("cycle", "none"):
+        data = encode_png_rgb(7, 6, px, filter_mode=mode)
+        assert decode_png_rgb(data) == (7, 6, px)
+
+
+def test_rgb_roundtrip_randomized():
+    import random
+
+    rng = random.Random(99)
+    for _ in range(15):
+        w, h = rng.randint(1, 21), rng.randint(1, 21)
+        px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        assert decode_png_rgb(encode_png_rgb(w, h, px)) == (w, h, px)
 
 
 def test_multiple_idat_chunks():
@@ -109,6 +145,23 @@ def test_spark_decode_stats_match_arithmetic(spark):
         assert (row["width"], row["height"]) == (w, h)
         assert row["mean_px"] == pytest.approx(
             c + (w - 1) / 2 + (h - 1) / 2, abs=1e-9
+        )
+
+
+def test_spark_rgb_decode_stats_match_arithmetic(spark):
+    docs = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    out = decode_png_rgb_stats(attach_png_rgb_payload(docs)).orderBy("doc_id")
+    for row in out.collect():
+        i = row["doc_id"]
+        w, h = i % 12 + 1, i % 9 + 1
+        cg, cb = i % 180, i % 80
+        assert (row["width"], row["height"]) == (w, h)
+        assert row["mean_r"] == pytest.approx(cg + (w - 1) / 2, abs=1e-9)
+        assert row["mean_g"] == pytest.approx(cg + (h - 1) / 2, abs=1e-9)
+        assert row["mean_b"] == pytest.approx(
+            cb + (w - 1) / 2 + (h - 1) / 2, abs=1e-9
         )
 
 

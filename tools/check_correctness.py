@@ -48,6 +48,33 @@ def value_hash(rows, columns) -> str:
     return h.hexdigest()
 
 
+# DuckDB result types whose serialized representation differs from the
+# Spark-side type even when every value is numerically identical —
+# exactly the class of hash-only "failure" round 4 hit (HUGEINT from
+# an uncast sum()/windowed sum over integers). The local replica's
+# str() normalization structurally CANNOT see these, so lint them out
+# of existence: every oracle must cast to BIGINT/DOUBLE explicitly.
+_HASH_UNSAFE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def lint_oracle_types(con, oracles: dict[str, str]) -> list[str]:
+    """Bind every oracle (no execution) and flag result columns whose
+    DuckDB type is representation-sensitive under the driver's value
+    hash. Returns a list of 'key.column: TYPE' problems."""
+    problems = []
+    for name, sql in oracles.items():
+        try:
+            rel = con.sql(sql)
+        except Exception as ex:
+            problems.append(f"{name}: oracle does not bind: {ex}")
+            continue
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ).upper()
+            if any(t.startswith(b) for b in _HASH_UNSAFE_TYPES):
+                problems.append(f"{name}.{col}: {t}")
+    return problems
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -55,6 +82,14 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    lint = lint_oracle_types(con, entry_mod.oracle_sql())
+    if lint:
+        print("ORACLE TYPE LINT FAILURES (cast to BIGINT/DOUBLE):")
+        for p in lint:
+            print(f"  {p}")
+        return 1
+    print(f"oracle type lint: clean ({len(entry_mod.oracle_sql())} oracles)")
 
     spark = get_spark(app_name="check-correctness")
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
