@@ -82,6 +82,7 @@ EXTRA_QUERIES = [
     "v_quantize_int8",      # int8 quantization error profile
     "c_length_buckets",     # padding-efficient length batching
     "m_decode_gif",         # real multi-frame LZW decode (Arrow pass)
+    "m_decode_png_rgb",     # real truecolor decode, bpp=3 filters
 ]
 
 
@@ -182,7 +183,26 @@ def main() -> None:
     # 6x one-off outliers (GC pause landing inside one query), which
     # poisoned round-over-round comparison; min-of-2 keeps the number
     # a property of the PLAN, not of GC timing.
+    # Session-position bookkeeping (round-4 post-mortem): three
+    # queries timed 1.3-2x their fresh-session cost purely because
+    # they ran late in a 51-query single-JVM session (accumulated GC
+    # pressure / shuffle files). Two mitigations: (a) an explicit JVM
+    # GC between timed units, so one query's garbage is never charged
+    # to the next; (b) each query's session position is recorded in
+    # the JSON, so a cross-round delta can be checked against a
+    # position change before being read as a plan regression.
+    positions: dict[str, int] = {}
+    pos_counter = [0]
+
+    def _gc_between_units() -> None:
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — hygiene is best-effort
+            pass
+
     def timed_best(name: str) -> float | None:
+        positions[name] = pos_counter[0]
+        pos_counter[0] += 1
         best = None
         for _ in range(2):
             t0 = time.time()
@@ -204,6 +224,7 @@ def main() -> None:
                 # unit is timed independently, so cross-query cache
                 # reuse is never measured.
                 spark.catalog.clearCache()
+        _gc_between_units()
         return best
 
     for name in BENCH_QUERIES:
@@ -227,7 +248,11 @@ def main() -> None:
         "sf": sf,
         # r1-r3 artifacts were single-shot; min-of-2 (since r4) trims
         # GC-pause outliers, so cross-round deltas skew slightly fast.
-        "method": "min_of_2",
+        # Since r5 an explicit JVM GC runs between units and each
+        # query's session position is recorded below, so late-session
+        # inflation is both mitigated and diagnosable.
+        "method": "min_of_2_gc_between",
+        "positions": positions,
     }
     if errors:
         out["errors"] = errors

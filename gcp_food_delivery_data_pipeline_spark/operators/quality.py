@@ -94,7 +94,9 @@ def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
 
     One scan covers every count rule; each ``unique`` rule adds one
     keyed aggregation (duplicate rows counted as rows-beyond-first
-    per duplicated value, so a key appearing 3x contributes 2).
+    per duplicated value, so a key appearing 3x contributes 2; NULL
+    keys are skipped — declare ``not_null`` on the same column to
+    police nulls).
     """
     if not rules:
         raise ValueError("check_constraints: need at least one rule")
@@ -138,8 +140,13 @@ def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
         ).select("_r.rule", "_r.column", "_r.n_violations")
         parts.append(stacked)
     for n, r in uniq_rules:
+        # Deequ-style uniqueness: NULL keys are excluded — null-ness
+        # is not duplication (a groupBy would pool N nulls into one
+        # group and report N-1 phantom violations). Pair unique(col)
+        # with not_null(col) when nulls themselves are illegal.
         dup = (
-            df.groupBy(r.column)
+            df.filter(F.col(r.column).isNotNull())
+            .groupBy(r.column)
             .agg((F.count(F.lit(1)) - 1).alias("_extra"))
             .agg(F.sum("_extra").alias("n_violations"))
             .select(

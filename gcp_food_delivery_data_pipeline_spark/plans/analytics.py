@@ -1282,10 +1282,15 @@ def q_funnel(
     uses). Returns (stage_idx, stage, n_users).
 
     One keyed aggregation per stage, each over the PRE-FILTERED slice
-    of that stage's events joined to the (tiny, one-row-per-user)
-    previous frontier — the frontier side broadcasts and every
-    aggregation map-side combines, so cost is ~one filtered pass per
-    stage regardless of funnel depth. Chosen over the
+    of that stage's events joined to the one-row-per-user previous
+    frontier, and every aggregation map-side combines, so cost is ~one
+    filtered pass per stage regardless of funnel depth. The frontier
+    join carries NO broadcast hint: the frontier is one row per
+    *reached user*, which at full corpus scale can exceed any
+    broadcast/driver budget — AQE broadcasts it at runtime when it
+    measures small, and falls back to a shuffle join already
+    co-partitioned on user_id (the frontier's own groupBy key) when it
+    doesn't. Chosen over the
     sorted-array-fold single-pass form because the per-stage
     conditional min is what SQL engines state verbatim — the oracle
     mirrors it expression for expression (tie policy included: an
@@ -1303,7 +1308,7 @@ def q_funnel(
             frontier = ev.groupBy("user_id").agg(F.min("ts").alias("_t"))
         else:
             frontier = (
-                ev.join(F.broadcast(frontier), "user_id")
+                ev.join(frontier, "user_id")
                 .filter(F.col("ts") >= F.col("_t"))
                 .groupBy("user_id")
                 .agg(F.min("ts").alias("_t"))
@@ -1326,11 +1331,14 @@ def q_retention(events: DataFrame, signup_type: str = "signup") -> DataFrame:
     the distinct-user count active at each day offset ≥ 0 from that
     cohort day — the funnel's longitudinal companion.
 
-    The cohort frame is one row per signed-up user (tiny next to the
-    activity log) and broadcasts into the activity join; the
-    (user, day) distinct and the final count both map-side combine.
-    Day arithmetic stays in DATE space (no timezone-sensitive
-    timestamp truncation beyond the initial cast).
+    The cohort frame is one row per signed-up user — small next to the
+    activity log but unbounded in user count, so the activity join
+    carries no broadcast hint: AQE broadcasts it when it measures
+    under the threshold and otherwise shuffle-joins on user_id, the
+    key both sides already aggregate on. The (user, day) distinct and
+    the final count both map-side combine. Day arithmetic stays in
+    DATE space (no timezone-sensitive timestamp truncation beyond the
+    initial cast).
     """
     cohort = (
         events.filter(F.col("event_type") == signup_type)
@@ -1341,7 +1349,7 @@ def q_retention(events: DataFrame, signup_type: str = "signup") -> DataFrame:
         "user_id", F.to_date("ts").alias("_day")
     ).distinct()
     return (
-        activity.join(F.broadcast(cohort), "user_id")
+        activity.join(cohort, "user_id")
         .withColumn("day_offset", F.datediff("_day", "_cday"))
         .filter(F.col("day_offset") >= 0)
         .groupBy(

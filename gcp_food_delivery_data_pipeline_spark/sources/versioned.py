@@ -147,23 +147,45 @@ def history(spark: SparkSession, root: str) -> list[int]:
     return sorted(out)
 
 
-def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[int]:
+def vacuum(
+    spark: SparkSession,
+    root: str,
+    keep_last: int = 2,
+    orphan_grace_seconds: int = 3600,
+) -> list[int]:
     """Delete snapshots older than the ``keep_last`` most recent
-    PUBLISHED versions, plus any orphan directories newer than the
-    pointer (failed writes). Returns the versions removed. Never
-    touches the published version itself."""
+    PUBLISHED versions, plus orphan directories newer than the pointer
+    (failed writes). Returns the versions removed. Never touches the
+    published version itself.
+
+    An in-flight ``write_snapshot`` (data written, pointer not yet
+    swapped) is indistinguishable from a crashed one by shape alone,
+    so orphans are only reclaimed once their directory has been
+    untouched for ``orphan_grace_seconds`` (default 1 h, mirroring the
+    scratch-dir mtime cutoff) — a concurrent vacuum can then never
+    delete the v=N+1 a live writer is about to publish. Pass 0 to
+    reclaim immediately when no writer can be running.
+    """
+    import time as _time
+
     if keep_last < 1:
         raise ValueError("vacuum: keep_last must be >= 1")
     latest = _read_pointer(spark, root)
     if latest is None:
         return []
     fs, jvm = _fs(spark, root)
+    now_ms = _time.time() * 1000.0
     removed = []
     for v in history(spark, root):
+        path = jvm.org.apache.hadoop.fs.Path(f"{root}/v={v}")
         orphan = v > latest
+        if orphan and orphan_grace_seconds > 0:
+            age_ms = now_ms - fs.getFileStatus(path).getModificationTime()
+            if age_ms < orphan_grace_seconds * 1000.0:
+                continue  # possibly a live write — skip this pass
         expired = v <= latest - keep_last
         if orphan or expired:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/v={v}"), True)
+            fs.delete(path, True)
             removed.append(v)
     return removed
 
@@ -276,10 +298,23 @@ def refresh_matview(
         )
         .distinct()
     )
-    recomputed = agg_fn(new.join(affected, group_cols, "left_semi"))
-    carried = read_snapshot(spark, mv_root).join(
-        affected, group_cols, "left_anti"
-    )
+
+    # Null-safe group matching: a plain equi-join never matches NULL
+    # group values, which would leave a NULL-valued group neither
+    # re-aggregated nor evicted — a silently stale MV row. NULL is a
+    # legitimate group key (it is one for groupBy), so both the
+    # recompute semi-join and the carry-over anti-join use <=> on
+    # every group column.
+    def _ns(left: DataFrame, how: str) -> DataFrame:
+        la, ra = left.alias("l"), affected.alias("r")
+        cond = None
+        for c in group_cols:
+            e = F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+            cond = e if cond is None else cond & e
+        return la.join(ra, cond, how)
+
+    recomputed = agg_fn(_ns(new, "left_semi"))
+    carried = _ns(read_snapshot(spark, mv_root), "left_anti")
     patched = carried.unionByName(recomputed)
     write_snapshot(spark, patched, mv_root)
     _write_int_file(spark, f"{mv_root}/{_SRC_PTR}", cur)

@@ -58,6 +58,23 @@ def test_all_pass_on_clean_data(spark):
     assert all(r["pass"] and r.n_violations == 0 for r in out)
 
 
+def test_unique_ignores_null_keys(spark):
+    """Null-ness is not duplication (Deequ semantics): N null keys add
+    zero uniqueness violations — not_null polices them instead."""
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (None, "c"), (1, "d"), (1, "e")],
+        "id bigint, name string",
+    )
+    out = {
+        r.rule: (r.n_violations, r["pass"])
+        for r in check_constraints(
+            df, [unique("id"), not_null("id")]
+        ).collect()
+    }
+    assert out["unique(id)"] == (1, False)  # only the real dup key 1
+    assert out["not_null(id)"] == (3, False)
+
+
 def test_custom_predicate_and_guards(messy):
     out = check_constraints(
         messy, [custom("amount", F.col("amount") > F.col("id"))]

@@ -49,8 +49,12 @@ def test_failed_write_leaves_pointer_untouched(spark, root):
     _df(spark, 3, 1).write.parquet(f"{root}/v=2")
     assert V.latest_version(spark, root) == 1  # pointer never moved
     assert V.read_snapshot(spark, root).count() == 5
-    # vacuum sweeps the orphan (newer than the pointer)
-    assert V.vacuum(spark, root, keep_last=2) == [2]
+    # a fresh orphan is indistinguishable from an in-flight write, so
+    # the default grace period protects it...
+    assert V.vacuum(spark, root, keep_last=2) == []
+    assert V.history(spark, root) == [1, 2]
+    # ...and an explicit zero grace (no concurrent writers) sweeps it
+    assert V.vacuum(spark, root, keep_last=2, orphan_grace_seconds=0) == [2]
     assert V.history(spark, root) == [1]
     # and the next real write replays version 2 cleanly
     assert V.write_snapshot(spark, _df(spark, 7, 2), root) == 2
@@ -220,3 +224,35 @@ def test_matview_group_moves_between_groups(spark, mv_roots):
     V.refresh_matview(spark, src, mv, ["id"], ["status"], _orders_agg)
     got = {r.status: r.n for r in V.read_snapshot(spark, mv).collect()}
     assert got == {"b": 2}  # group 'a' vanished entirely
+
+
+def test_matview_null_group_refreshes_and_evicts(spark, mv_roots):
+    """NULL is a legitimate group key: an update inside the NULL group
+    must re-aggregate it (null-safe semi-join), and the carried MV row
+    for it must be evicted rather than duplicated (null-safe
+    anti-join). A plain equi-join silently keeps the stale row."""
+    src, mv = mv_roots
+    schema = "id long, status string, amount double"
+    V.write_snapshot(
+        spark,
+        spark.createDataFrame(
+            [(1, None, 1.0), (2, None, 2.0), (3, "a", 3.0)], schema
+        ),
+        src,
+    )
+    V.refresh_matview(spark, src, mv, ["id"], ["status"], _orders_agg)
+    # update one NULL-group row, delete the other; 'a' untouched
+    V.write_snapshot(
+        spark,
+        spark.createDataFrame([(1, None, 10.0), (3, "a", 3.0)], schema),
+        src,
+    )
+    mode, n = V.refresh_matview(
+        spark, src, mv, ["id"], ["status"], _orders_agg
+    )
+    assert mode == "incremental" and n == 1  # only the NULL group
+    rows = V.read_snapshot(spark, mv).collect()
+    assert len(rows) == 2  # no stale duplicate of the NULL group
+    got = {r.status: (r.n, r.total) for r in rows}
+    assert got[None] == (1, 10.0)
+    assert got["a"] == (1, 3.0)
