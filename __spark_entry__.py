@@ -1261,6 +1261,44 @@ def _q_stream_attribution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_stream_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming data-quality monitor, DRIVER-graded: the declarative
+    constraint set evaluates on the replayed micro-batch and appends
+    per-(batch, rule) audit rows; the oracle recomputes each rule's
+    violation count in SQL over the events table, so a wrong count in
+    the streaming path is a hash mismatch. in_range(0..50) is chosen
+    to produce a NONZERO violation count (sf-independent shape) so the
+    key can't pass vacuously."""
+    from gcp_food_delivery_data_pipeline_spark.operators.quality import (
+        in_range,
+        not_null,
+        unique,
+    )
+    from gcp_food_delivery_data_pipeline_spark.streaming.events import (
+        run_stream_quality,
+    )
+
+    in_dir, ckpt = _stage_events_stream_dir(sf, "stream_quality")
+    out_dir = os.path.join(os.path.dirname(ckpt), "audit")
+    q = run_stream_quality(
+        spark,
+        in_dir,
+        ckpt,
+        out_dir,
+        rules=[
+            not_null("event_id"),
+            unique("event_id"),
+            in_range("value", 0.0, 50.0),
+        ],
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .dropDuplicates(["batch_id", "rule"])
+        .select("rule", "column", "n_violations", "pass")
+    )
+
+
 def _q_stream_cdc_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming CDC upsert, DRIVER-graded: batch 1 delivers the full
     events table, batch 2 delivers an update file (every event_id
@@ -2332,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_dedup": _q_stream_dedup,
         "s_stream_attribution": _q_stream_attribution,
         "s_stream_cdc_upsert": _q_stream_cdc_upsert,
+        "s_stream_quality": _q_stream_quality,
         "m_decode_png_rgb": _q_decode_png_rgb,
         # -- reference parity (SURVEY.md §2): graded r2/r3, oldest
         # evidence in the suite — re-verify against regressions --
@@ -3553,6 +3592,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM events p JOIN events c ON c.user_id = p.user_id "
             "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 3600 SECONDS "
             "WHERE p.event_type = 'purchase' AND c.event_type = 'click'"
+        ),
+        # Per-rule violation counts the streaming monitor must
+        # reproduce on its micro-batch ("column" is reserved in DuckDB
+        # — quoted to match the Spark column name exactly).
+        "s_stream_quality": (
+            "SELECT rule, \"column\", n_violations, "
+            "n_violations = 0 AS pass FROM ("
+            "SELECT 'not_null(event_id)' AS rule, 'event_id' AS \"column\", "
+            "CAST(count(*) FILTER (WHERE event_id IS NULL) AS BIGINT) "
+            "AS n_violations FROM events "
+            "UNION ALL "
+            "SELECT 'unique(event_id)', 'event_id', "
+            "CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM ("
+            "SELECT count(*) AS c FROM events "
+            "WHERE event_id IS NOT NULL GROUP BY event_id) "
+            "UNION ALL "
+            "SELECT 'in_range(value)', 'value', "
+            "CAST(count(*) FILTER (WHERE value IS NULL "
+            "OR value < 0.0 OR value > 50.0) AS BIGINT) FROM events)"
         ),
         # End state after MERGEing the update stream (event_id % 10 = 0
         # re-arrives with value+1000): one row per key, update applied.
