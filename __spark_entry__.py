@@ -776,6 +776,19 @@ def _q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
 
 # ----- dedup (M5) -----
 
+def _q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicated-span (k-token window) profile per document —
+    the substring-granularity dedup audit (Lee et al. 2022) that
+    whole-doc hashing and MinHash both miss. One shuffle for the
+    corpus-wide span count, one for the per-doc rollup."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        span_dedup_profile,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return span_dedup_profile(d, k=8)
+
+
 def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents").withColumn("fp", F.md5("text"))
     kept = dedup_exact(d, "fp")
@@ -2372,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_cdc_upsert": _q_stream_cdc_upsert,
         "s_stream_quality": _q_stream_quality,
         "m_decode_png_rgb": _q_decode_png_rgb,
+        "d_span_dedup": _q_span_dedup,
         # -- reference parity (SURVEY.md §2): graded r2/r3, oldest
         # evidence in the suite — re-verify against regressions --
         "s1_scan_count": _q_s1_scan_count,
@@ -3626,6 +3640,24 @@ def oracle_sql() -> dict[str, str]:
         # mean_r = id%180 + (w-1)/2, mean_g = id%180 + (h-1)/2,
         # mean_b = id%80 + (w-1)/2 + (h-1)/2 with w = id%12+1,
         # h = id%9+1.
+        # Duplicated k-token spans: DuckDB 1-based inclusive slices —
+        # toks[i:i+k-1] is k tokens; starts range over 1..L-k+1
+        # (range() excludes its stop, hence L-k+2).
+        "d_span_dedup": (
+            f"WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents), "
+            "f AS (SELECT * FROM t WHERE len(toks) >= 8), "
+            "g AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS span "
+            "FROM (SELECT doc_id, toks, "
+            "unnest(range(1, len(toks) - 6)) AS i FROM f)), "
+            "c AS (SELECT doc_id, "
+            "count(*) OVER (PARTITION BY span) AS n FROM g) "
+            "SELECT doc_id, count(*) AS n_spans, "
+            "CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_dup_spans, "
+            "round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "/ count(*), 6) AS dup_frac "
+            "FROM c GROUP BY doc_id"
+        ),
         "m_decode_png_rgb": (
             "SELECT doc_id, "
             "CAST(doc_id % 12 + 1 AS INTEGER) AS width, "

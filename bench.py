@@ -83,6 +83,7 @@ EXTRA_QUERIES = [
     "c_length_buckets",     # padding-efficient length batching
     "m_decode_gif",         # real multi-frame LZW decode (Arrow pass)
     "m_decode_png_rgb",     # real truecolor decode, bpp=3 filters
+    "d_span_dedup",         # corpus-wide k-token duplicated-span profile
 ]
 
 

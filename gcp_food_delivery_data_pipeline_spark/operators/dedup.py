@@ -1252,3 +1252,64 @@ def fuzzy_decontaminate(
             F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
         )
     )
+
+
+def span_dedup_profile(
+    documents: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-SPAN profile: for every k-token window of every
+    document, how many of the document's windows also occur verbatim
+    elsewhere in the corpus (including another position of the same
+    document). Returns ``(doc_id, n_spans, n_dup_spans, dup_frac)``
+    for documents with at least ``k`` tokens.
+
+    This is the substring-granularity view of duplication from "the
+    train set repeats itself" literature (Lee et al. 2022,
+    *Deduplicating Training Data Makes Language Models Better*): whole
+    -document hashes miss boilerplate repeated INSIDE otherwise-unique
+    pages, and MinHash answers "are these documents similar", not
+    "which exact spans repeat". The profile is the audit/score stage;
+    a removal pass would drop or mask flagged spans.
+
+    Scale shape: windows are generated JVM-side
+    (``transform``+``slice`` over the token array — no Python, no
+    quadratic work: exactly ``L-k+1`` spans per doc), the corpus-wide
+    occurrence count is a single window aggregation partitioned by
+    span text (ONE shuffle, map-side-combinable count), and the
+    per-doc rollup shuffles once more on doc_id. Nothing is ever
+    joined all-pairs. At 100 TB the span strings dominate shuffle
+    width; production would pre-hash spans to 64-bit
+    (``xxhash64(span)``) and count by hash — identical result modulo
+    ~2^-64 collisions; the string form is kept here so the result is
+    bit-exact against the SQL oracle.
+    """
+    if k < 1:
+        raise ValueError(f"span_dedup_profile: k must be >= 1, got {k}")
+    d = documents.select(
+        id_col, tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= k)
+    spans = d.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice("_toks", i, k)),
+            )
+        ).alias("_span"),
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("_span"))
+    return (
+        spans.withColumn("_n", n)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("_n") > 1).cast("long")).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+        )
+    )

@@ -317,3 +317,40 @@ def test_fuzzy_decontaminate_flags_near_dup_of_benchmark(spark):
         ).collect()
     }
     assert got == {1: True, 2: False, 3: True}
+
+
+def test_span_dedup_profile_golden(spark):
+    """Hand-built corpus with a known repeated 3-token span: doc 1 and
+    doc 2 share "a b c"; doc 2 also repeats it internally; doc 3 is
+    span-unique; doc 4 is too short to have any span."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        span_dedup_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y"),        # spans: "a b c","b c x","c x y"
+            (2, "a b c a b c"),      # "a b c","b c a","c a b","a b c"
+            (3, "p q r s"),          # "p q r","q r s" — unique
+            (4, "a b"),              # < k tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_frac)
+        for r in span_dedup_profile(docs, k=3).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (3, 1, round(1 / 3, 6))   # only "a b c" repeats
+    assert got[2] == (4, 2, 0.5)               # its two "a b c" copies
+    assert got[3] == (2, 0, 0.0)
+
+
+def test_span_dedup_profile_rejects_bad_k(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        span_dedup_profile,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        span_dedup_profile(docs, k=0)

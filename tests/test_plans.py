@@ -340,3 +340,19 @@ def test_bpe_pair_counts_aggregate_partially(plans):
     p = plans("t_bpe_pairs")
     assert "partial_sum" in p or "partial_count" in p
     assert "TakeOrderedAndProject" in p  # deterministic top-20
+
+
+def test_span_dedup_is_two_shuffles_no_cartesian(plans):
+    """span_dedup_profile: window count over span + per-doc rollup —
+    exactly two exchanges, never a join (all-pairs would show up as
+    CartesianProduct/BroadcastNestedLoop)."""
+    p = plans("d_span_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    import re
+
+    # formatted plans list each node twice (tree + detail section);
+    # count the numbered detail entries only
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchange == 2, p
