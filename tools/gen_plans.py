@@ -54,6 +54,11 @@ KEYS = {
         "BPE pair stats: partial_sum before the exchange — one row "
         "per (partition, pair), not per occurrence"
     ),
+    "d_span_dedup": (
+        "duplicated-span profile: JVM-side window generation, ONE "
+        "span-partitioned window count + ONE per-doc rollup — two "
+        "exchanges, no join, nothing all-pairs"
+    ),
 }
 
 
