@@ -776,6 +776,36 @@ def _q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
 
 # ----- dedup (M5) -----
 
+def _q_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed co-located join, DRIVER-graded for result parity: both
+    fact tables are persisted bucketed+sorted on the join key, then
+    joined shuffle-free (the no-Exchange plan is pinned in
+    tests/test_scale_ops.py; here the graded claim is that the bucketed
+    path returns exactly the plain join's aggregate)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    write_bucketed(orders, "drv_b_orders", "o_orderkey", num_buckets=8)
+    write_bucketed(li, "drv_b_lineitem", "o_orderkey", num_buckets=8)
+    j = bucketed_join(spark, "drv_b_orders", "drv_b_lineitem", "o_orderkey")
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
 def _q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Exact duplicated-span (k-token window) profile per document —
     the substring-granularity dedup audit (Lee et al. 2022) that
@@ -2386,6 +2416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_quality": _q_stream_quality,
         "m_decode_png_rgb": _q_decode_png_rgb,
         "d_span_dedup": _q_span_dedup,
+        "s_bucketed_join": _q_bucketed_join,
         # -- reference parity (SURVEY.md §2): graded r2/r3, oldest
         # evidence in the suite — re-verify against regressions --
         "s1_scan_count": _q_s1_scan_count,
@@ -3640,6 +3671,14 @@ def oracle_sql() -> dict[str, str]:
         # mean_r = id%180 + (w-1)/2, mean_g = id%180 + (h-1)/2,
         # mean_b = id%80 + (w-1)/2 + (h-1)/2 with w = id%12+1,
         # h = id%9+1.
+        # Oracle is the PLAIN join+aggregate: bucketing must be
+        # invisible in the result (the no-shuffle plan is pytest-pinned).
+        "s_bucketed_join": (
+            "SELECT o_orderstatus, count(*) AS n_items, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderstatus"
+        ),
         # Duplicated k-token spans: DuckDB 1-based inclusive slices —
         # toks[i:i+k-1] is k tokens; starts range over 1..L-k+1
         # (range() excludes its stop, hence L-k+2).

@@ -54,7 +54,21 @@ def write_bucketed(
     Both sides of a recurring join bucketed by the same key with the
     same bucket count join WITHOUT a shuffle — the one-time write cost
     amortizes over every subsequent join/aggregation on that key.
+
+    Overwrite is made idempotent ACROSS sessions: a managed table's
+    directory can survive in the warehouse after its catalog entry is
+    gone (new session, dropped metastore), and ``saveAsTable`` then
+    fails with LOCATION_ALREADY_EXISTS rather than overwriting — so
+    any uncataloged leftover location is removed first.
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark.sparkContext._jvm
+    loc = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+    fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
     writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_key)
     if sort:
         writer = writer.sortBy(bucket_key)
