@@ -28,6 +28,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+    ensure_min_partitions,
+)
 from gcp_food_delivery_data_pipeline_spark.operators.text import (
     token_count,
     tokens,
@@ -69,7 +72,11 @@ def chunk_documents(
     chunks = F.transform(
         starts, lambda s: F.array_join(F.slice(toks, s, chunk_tokens), " ")
     )
-    out = df.select(
+    # higher-order-function lambdas evaluate interpreted (outside
+    # codegen); a single-split input file would serialize that onto
+    # one core — exact no-op once the input has enough splits
+    src = ensure_min_partitions(df.select(id_col, text_col))
+    out = src.select(
         F.col(id_col), F.posexplode(F.when(n > 0, chunks)).alias(
             "chunk_idx", "chunk_text"
         )
@@ -308,7 +315,11 @@ def ngram_contamination(
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    doc_grams = corpus.select(
+    # the per-row gram hashing runs interpreted (lambda HOFs); spread
+    # a narrow input before it — no-op at real split counts
+    doc_grams = ensure_min_partitions(
+        corpus.select(id_col, text_col)
+    ).select(
         F.col(id_col),
         F.explode_outer(gram_hashes(F.col(text_col))).alias("_gh"),
     )
