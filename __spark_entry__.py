@@ -819,6 +819,21 @@ def _q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return span_dedup_profile(d, k=8)
 
 
+def _q_span_removed(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring REMOVAL (the companion of d_span_dedup's
+    profile): later verbatim copies of every duplicated k-token span
+    are cut out, global-first occurrence kept; the oracle rebuilds the
+    cleaned text with the same window + cover logic in SQL, so token
+    order, boundary overlap, and the keep-first rule are all
+    hash-checked."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        drop_duplicate_spans,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return drop_duplicate_spans(d, k=8)
+
+
 def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents").withColumn("fp", F.md5("text"))
     kept = dedup_exact(d, "fp")
@@ -2416,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_quality": _q_stream_quality,
         "m_decode_png_rgb": _q_decode_png_rgb,
         "d_span_dedup": _q_span_dedup,
+        "d_span_removed": _q_span_removed,
         "s_bucketed_join": _q_bucketed_join,
         # -- reference parity (SURVEY.md §2): graded r2/r3, oldest
         # evidence in the suite — re-verify against regressions --
@@ -3696,6 +3712,35 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) "
             "/ count(*), 6) AS dup_frac "
             "FROM c GROUP BY doc_id"
+        ),
+        # Removal twin: duplicate occurrences (row_number > 1 in
+        # global (doc_id, pos) order per span) cover k positions each;
+        # covered tokens drop, survivors rejoin in position order.
+        "d_span_removed": (
+            f"WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents), "
+            "f AS (SELECT * FROM t WHERE len(toks) >= 8), "
+            "occ AS (SELECT doc_id, i AS pos, "
+            "array_to_string(toks[i:i+7], ' ') AS span "
+            "FROM (SELECT doc_id, toks, "
+            "unnest(range(1, len(toks) - 6)) AS i FROM f)), "
+            "dup AS (SELECT doc_id, pos FROM ("
+            "SELECT doc_id, pos, row_number() OVER ("
+            "PARTITION BY span ORDER BY doc_id, pos) AS rn FROM occ) "
+            "WHERE rn > 1), "
+            "cov AS (SELECT DISTINCT doc_id, pos + d AS p FROM ("
+            "SELECT doc_id, pos, unnest(range(0, 8)) AS d FROM dup)), "
+            "tp AS (SELECT doc_id, p, toks[p] AS tok FROM ("
+            "SELECT doc_id, toks, "
+            "unnest(range(1, len(toks) + 1)) AS p FROM f)), "
+            "fl AS (SELECT tp.doc_id, tp.p, tp.tok, "
+            "cov.p IS NOT NULL AS rm FROM tp LEFT JOIN cov "
+            "ON tp.doc_id = cov.doc_id AND tp.p = cov.p) "
+            "SELECT doc_id, count(*) AS n_tokens, "
+            "CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_removed, "
+            "coalesce(string_agg(tok, ' ' ORDER BY p) "
+            "FILTER (WHERE NOT rm), '') AS text_clean "
+            "FROM fl GROUP BY doc_id"
         ),
         "m_decode_png_rgb": (
             "SELECT doc_id, "

@@ -1313,3 +1313,83 @@ def span_dedup_profile(
             F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
         )
     )
+
+
+def drop_duplicate_spans(
+    documents: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove duplicated k-token spans from documents, keeping the
+    corpus-global FIRST occurrence of each span — the removal stage of
+    exact-substring dedup (Lee et al. 2022): later verbatim copies of
+    boilerplate are cut out of otherwise-kept documents instead of the
+    whole document being dropped.
+
+    Semantics (deterministic): span occurrences order globally by
+    (doc_id, position); an occurrence is a *duplicate* iff an earlier
+    occurrence of the same span text exists anywhere in the corpus. A
+    token is removed iff at least one duplicate occurrence covers it;
+    surviving tokens rejoin with single spaces. Overlap between a kept
+    and a duplicate span resolves to removal (covered-by-any-duplicate)
+    — the aggressive choice, biased against repetition.
+
+    Returns ``(doc_id, n_tokens, n_removed, text_clean)`` for
+    documents with ≥ k tokens (shorter documents have no spans and
+    pass through untouched — callers union them back if needed).
+
+    Scale shape: occurrence marking is ONE window pass partitioned by
+    span (row_number in global (doc_id, pos) order); duplicate
+    occurrences expand to at most k covered positions each (output ∝
+    duplication, never corpus²); the cover join and final rebuild key
+    on (doc, position). No all-pairs anywhere. As with
+    ``span_dedup_profile``, production would pre-hash spans to 64-bit
+    for shuffle width; strings keep the oracle bit-exact.
+    """
+    if k < 1:
+        raise ValueError(f"drop_duplicate_spans: k must be >= 1, got {k}")
+    d = documents.select(
+        id_col, tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= k)
+    occ = d.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice("_toks", i, k)),
+            )
+        ).alias("_pos0", "_span"),
+    ).select(id_col, (F.col("_pos0") + 1).alias("_pos"), "_span")
+    w = Window.partitionBy("_span").orderBy(id_col, "_pos")
+    dup_occ = (
+        occ.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(id_col, "_pos")
+    )
+    covered = dup_occ.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("_pos"), F.col("_pos") + (k - 1))
+        ).alias("_p"),
+    ).distinct()
+    tokpos = d.select(
+        id_col, F.posexplode("_toks").alias("_p0", "_tok")
+    ).select(id_col, (F.col("_p0") + 1).alias("_p"), "_tok")
+    flagged = tokpos.join(
+        covered.withColumn("_rm", F.lit(1)), [id_col, "_p"], "left"
+    )
+    kept_struct = F.when(
+        F.col("_rm").isNull(), F.struct(F.col("_p"), F.col("_tok"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.coalesce(F.sum("_rm"), F.lit(0)).alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["_tok"],
+            ),
+        ).alias("text_clean"),
+    )

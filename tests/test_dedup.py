@@ -354,3 +354,34 @@ def test_span_dedup_profile_rejects_bad_k(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="k must be >= 1"):
         span_dedup_profile(docs, k=0)
+
+
+def test_drop_duplicate_spans_golden(spark):
+    """doc 1 holds the first occurrence of "a b c"; doc 2's copy (and
+    only it) is removed; overlap resolves to removal; span-unique and
+    too-short docs pass through."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        drop_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y"),
+            (2, "q a b c r"),    # duplicate "a b c" at pos 2-4 removed
+            (3, "a b c a b c"),  # internal dup: second copy removed
+            (4, "p q r"),        # unique — untouched
+            (5, "a b"),          # < k: no spans, excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in drop_duplicate_spans(docs, k=3).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == (5, 0, "a b c x y")  # global first occurrence kept
+    assert got[2] == (5, 3, "q r")
+    # doc 3: BOTH of its "a b c" occurrences duplicate doc 1's global
+    # first (pos 1 covers tokens 1-3, pos 4 covers 4-6) -> empty doc
+    assert got[3] == (6, 6, "")
+    assert got[4] == (3, 0, "p q r")
