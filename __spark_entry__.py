@@ -819,6 +819,21 @@ def _q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return span_dedup_profile(d, k=8)
 
 
+def _q_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user conversion latency (first view -> first at-or-after
+    purchase) in integer microseconds — engine-exact time math, two
+    keyed mins + one user_id join."""
+    return A.q_time_to_convert(load_table(spark, sf, "events"))
+
+
+def _q_ewma_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-dependent per-user EWMA folded JVM-side over the sorted
+    event stream; the DuckDB list_reduce oracle folds the same order
+    with the same double arithmetic, so the recurrence is hash-checked
+    bit-for-bit."""
+    return A.q_ewma_value(load_table(spark, sf, "events"), alpha=0.3)
+
+
 def _q_span_removed(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-substring REMOVAL (the companion of d_span_dedup's
     profile): later verbatim copies of every duplicated k-token span
@@ -2433,6 +2448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_span_dedup": _q_span_dedup,
         "d_span_removed": _q_span_removed,
         "s_bucketed_join": _q_bucketed_join,
+        "q_time_to_convert": _q_time_to_convert,
+        "q_ewma_value": _q_ewma_value,
         # -- reference parity (SURVEY.md §2): graded r2/r3, oldest
         # evidence in the suite — re-verify against regressions --
         "s1_scan_count": _q_s1_scan_count,
@@ -3712,6 +3729,32 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) "
             "/ count(*), 6) AS dup_frac "
             "FROM c GROUP BY doc_id"
+        ),
+        # Integer-microsecond epoch math on both sides — no float
+        # seconds anywhere.
+        "q_time_to_convert": (
+            "WITH v AS (SELECT user_id, min(ts) AS t0 FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "p AS (SELECT e.user_id, min(e.ts) AS t1, min(v.t0) AS t0 "
+            "FROM events e JOIN v ON e.user_id = v.user_id "
+            "WHERE e.event_type = 'purchase' AND e.ts >= v.t0 "
+            "GROUP BY e.user_id) "
+            "SELECT user_id, CAST(epoch_us(t1) - epoch_us(t0) AS BIGINT) "
+            "AS micros_to_convert FROM p"
+        ),
+        # list_reduce seeds with the first element and folds left —
+        # the same recurrence order as the Spark aggregate(); (1.0 -
+        # 0.3) is written as a subtraction so both engines derive the
+        # coefficient with the identical IEEE op.
+        "q_ewma_value": (
+            "WITH o AS (SELECT user_id, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals "
+            "FROM events GROUP BY user_id) "
+            "SELECT user_id, n_events, "
+            "round(list_reduce(vals, "
+            "(a, x) -> 0.3 * x + (1.0 - 0.3) * a), 6) AS ewma_value "
+            "FROM o"
         ),
         # Removal twin: duplicate occurrences (row_number > 1 in
         # global (doc_id, pos) order per span) cover k positions each;

@@ -1378,3 +1378,73 @@ def q_event_transitions(events: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.col("n").desc(), "src", "dst")
         .limit(k)
     )
+
+
+def q_time_to_convert(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+) -> DataFrame:
+    """Per-user conversion latency: microseconds from the user's FIRST
+    ``from_type`` event to their first ``to_type`` event at-or-after
+    it (users who never convert are absent — left-join at call site if
+    the non-converting population matters).
+
+    Two keyed min-aggregations and one join on user_id — every stage
+    map-side combines and shares the user_id partitioning; time math
+    stays in integer microseconds (``unix_micros``) so the result is
+    engine-exact, no float epoch.
+    """
+    first_from = (
+        events.filter(F.col("event_type") == from_type)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_t0"))
+    )
+    conv = (
+        events.filter(F.col("event_type") == to_type)
+        .join(first_from, "user_id")
+        .filter(F.col("ts") >= F.col("_t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_t1"), F.min("_t0").alias("_t0"))
+    )
+    return conv.select(
+        "user_id",
+        (F.unix_micros("_t1") - F.unix_micros("_t0")).alias(
+            "micros_to_convert"
+        ),
+    )
+
+
+def q_ewma_value(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Final exponentially-weighted moving average of ``value`` per
+    user over the (ts, event_id)-ordered event stream — the classic
+    order-dependent feature no plain window aggregate expresses
+    (EWMA_1 = x_1; EWMA_i = a*x_i + (1-a)*EWMA_(i-1)).
+
+    The recurrence folds JVM-side with ``aggregate`` over the user's
+    collected-and-sorted value list: per-user work is linear in that
+    user's events and users fold in parallel after one shuffle. The
+    closed-form alternative (window sum of (1-a)^(n-i) terms)
+    overflows (1-a)^-i for long streams, so the fold is also the
+    numerically correct shape. Left-to-right double arithmetic makes
+    the result bit-identical to any engine folding the same order
+    (pinned by the DuckDB list_reduce oracle).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"q_ewma_value: alpha must be in (0, 1], got {alpha}")
+    per_user = events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("_evs")
+    )
+    vals = F.transform("_evs", lambda e: e["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return per_user.select(
+        "user_id",
+        F.size("_evs").cast("long").alias("n_events"),
+        F.round(ewma, 6).alias("ewma_value"),
+    )

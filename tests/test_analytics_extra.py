@@ -230,3 +230,74 @@ def test_event_transitions_golden(spark):
     got = {(r.src, r.dst): r.n for r in q_event_transitions(ev).collect()}
     # transitions never cross users
     assert got == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_time_to_convert_golden(spark):
+    """User 1 converts 90s after first view; user 2's purchase
+    PRECEDES their first view (not a conversion); user 3 never
+    purchases."""
+    from datetime import datetime
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_time_to_convert,
+    )
+
+    t = lambda s: datetime(2024, 1, 1, 10, s // 60, s % 60)
+    ev = spark.createDataFrame(
+        [
+            (1, t(0), 1, "view", 0.0),
+            (1, t(30), 2, "view", 0.0),   # later view ignored
+            (1, t(90), 3, "purchase", 9.0),
+            (2, t(50), 4, "purchase", 5.0),
+            (2, t(60), 5, "view", 0.0),
+            (3, t(0), 6, "view", 0.0),
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string, value double",
+    )
+    got = {
+        r.user_id: r.micros_to_convert
+        for r in q_time_to_convert(ev).collect()
+    }
+    assert got == {1: 90_000_000}
+
+
+def test_ewma_order_dependence_golden(spark):
+    """EWMA_1=x1, EWMA_i = 0.3*x_i + 0.7*EWMA_{i-1} over (ts,
+    event_id) order — the reversed stream gives a DIFFERENT value,
+    proving the fold is genuinely order-dependent."""
+    from datetime import datetime
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_ewma_value,
+    )
+
+    t = lambda s: datetime(2024, 1, 1, 10, 0, s)
+    ev = spark.createDataFrame(
+        [(1, t(0), 1, "view", 10.0), (1, t(1), 2, "view", 20.0),
+         (1, t(2), 3, "view", 40.0)],
+        "user_id long, ts timestamp, event_id long, event_type string, value double",
+    )
+    got = q_ewma_value(ev, alpha=0.3).collect()[0]
+    # fold: 10 -> .3*20+.7*10=13 -> .3*40+.7*13=21.1
+    assert got.n_events == 3 and got.ewma_value == 21.1
+    rev = spark.createDataFrame(
+        [(1, t(0), 1, "view", 40.0), (1, t(1), 2, "view", 20.0),
+         (1, t(2), 3, "view", 10.0)],
+        "user_id long, ts timestamp, event_id long, event_type string, value double",
+    )
+    # 40 -> 34 -> 26.8: order matters
+    assert q_ewma_value(rev, alpha=0.3).collect()[0].ewma_value == 26.8
+
+
+def test_ewma_rejects_bad_alpha(spark):
+    import pytest as _pytest
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_ewma_value,
+    )
+
+    ev = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_id long, event_type string, value double"
+    )
+    with _pytest.raises(ValueError, match="alpha"):
+        q_ewma_value(ev, alpha=0.0)
