@@ -819,6 +819,13 @@ def _q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return span_dedup_profile(d, k=8)
 
 
+def _q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary per customer,
+    scored 1-4 against exact quartile cuts (single-row broadcast
+    joins); the oracle recomputes cuts and scores with quantile_cont."""
+    return A.q_rfm_segments(load_table(spark, sf, "orders"))
+
+
 def _q_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user conversion latency (first view -> first at-or-after
     purchase) in integer microseconds — engine-exact time math, two
@@ -2450,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_bucketed_join": _q_bucketed_join,
         "q_time_to_convert": _q_time_to_convert,
         "q_ewma_value": _q_ewma_value,
+        "q_rfm_segments": _q_rfm_segments,
         # -- reference parity (SURVEY.md §2): graded r2/r3, oldest
         # evidence in the suite — re-verify against regressions --
         "s1_scan_count": _q_s1_scan_count,
@@ -3729,6 +3737,38 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) "
             "/ count(*), 6) AS dup_frac "
             "FROM c GROUP BY doc_id"
+        ),
+        # Quartile cuts via quantile_cont (same linear interpolation
+        # as Spark's exact percentile); scores count boundary
+        # crossings, recency inverted (recent = best).
+        "q_rfm_segments": (
+            "WITH pc AS (SELECT o_custkey, "
+            "max(CAST(o_orderdate AS DATE)) AS last_d, "
+            "CAST(count(*) AS BIGINT) AS frequency, "
+            "round(sum(o_totalprice), 2) AS monetary "
+            "FROM orders GROUP BY o_custkey), "
+            "a AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor "
+            "FROM orders), "
+            "r AS (SELECT o_custkey, CAST(date_diff('day', last_d, anchor) "
+            "AS BIGINT) AS recency_days, frequency, monetary FROM pc, a), "
+            "c AS (SELECT "
+            "quantile_cont(recency_days, 0.25) AS r1, "
+            "quantile_cont(recency_days, 0.50) AS r2, "
+            "quantile_cont(recency_days, 0.75) AS r3, "
+            "quantile_cont(frequency, 0.25) AS f1, "
+            "quantile_cont(frequency, 0.50) AS f2, "
+            "quantile_cont(frequency, 0.75) AS f3, "
+            "quantile_cont(monetary, 0.25) AS m1, "
+            "quantile_cont(monetary, 0.50) AS m2, "
+            "quantile_cont(monetary, 0.75) AS m3 FROM r) "
+            "SELECT o_custkey, recency_days, frequency, monetary, "
+            "CAST(4 - (recency_days > r1)::INT - (recency_days > r2)::INT "
+            "- (recency_days > r3)::INT AS BIGINT) AS r_score, "
+            "CAST(1 + (frequency > f1)::INT + (frequency > f2)::INT "
+            "+ (frequency > f3)::INT AS BIGINT) AS f_score, "
+            "CAST(1 + (monetary > m1)::INT + (monetary > m2)::INT "
+            "+ (monetary > m3)::INT AS BIGINT) AS m_score "
+            "FROM r, c"
         ),
         # Integer-microsecond epoch math on both sides — no float
         # seconds anywhere.

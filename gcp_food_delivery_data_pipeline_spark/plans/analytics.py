@@ -22,7 +22,7 @@ Scale design notes (these hold at 100 TB / 1000 executors):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1447,4 +1447,58 @@ def q_ewma_value(events: DataFrame, alpha: float = 0.3) -> DataFrame:
         "user_id",
         F.size("_evs").cast("long").alias("n_events"),
         F.round(ewma, 6).alias("ewma_value"),
+    )
+
+
+def q_rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM customer segmentation over the orders table: per customer,
+    recency (days from their last order to the corpus's latest order
+    date), frequency (order count), monetary (total spend), each
+    scored 1-4 against the exact quartile cuts of the per-customer
+    distribution (4 = most recent / most frequent / highest spend).
+
+    Scale shape: one keyed aggregation builds the per-customer frame;
+    the anchor date and the nine quartile cuts are single-row
+    aggregates broadcast back in (scalar joins, no shuffle of the
+    customer frame); scoring is pure arithmetic. Exact ``percentile``
+    keeps the cuts oracle-checkable — swap to ``approx_percentile``
+    when the customer count makes the exact sort too heavy.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("_last"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("_anchor"))
+    rfm = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("_anchor", "_last").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    cuts = rfm.agg(
+        *[
+            F.expr(f"percentile({col}, {q})").alias(f"_{col[0]}{i}")
+            for col in ("recency_days", "frequency", "monetary")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def score(col: str, prefix: str, invert: bool) -> Column:
+        hits = sum(
+            (F.col(col) > F.col(f"_{prefix}{i}")).cast("int")
+            for i in (1, 2, 3)
+        )
+        # high recency = stale = worst; high frequency/monetary = best
+        val = (4 - hits) if invert else (1 + hits)
+        return val.cast("long")
+
+    return rfm.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        score("recency_days", "r", invert=True).alias("r_score"),
+        score("frequency", "f", invert=False).alias("f_score"),
+        score("monetary", "m", invert=False).alias("m_score"),
     )

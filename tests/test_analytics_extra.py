@@ -301,3 +301,39 @@ def test_ewma_rejects_bad_alpha(spark):
     )
     with _pytest.raises(ValueError, match="alpha"):
         q_ewma_value(ev, alpha=0.0)
+
+
+def test_rfm_scores_golden(spark):
+    """4 customers with clearly separated R/F/M profiles: the best
+    (recent, frequent, big spender) scores 4/4/4 and the worst 1/1/1."""
+    from datetime import datetime
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_rfm_segments,
+    )
+
+    d = lambda day: datetime(2024, 1, day)
+    rows = []
+    oid = 0
+    # customer -> (order days, price): 1 best ... 4 worst
+    profile = {
+        1: ([28, 29, 30, 31], 1000.0),
+        2: ([20, 21, 22], 100.0),
+        3: ([10, 11], 10.0),
+        4: ([1], 1.0),
+    }
+    for cust, (days, price) in profile.items():
+        for day in days:
+            oid += 1
+            rows.append((oid, cust, d(day), price))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    got = {
+        r.o_custkey: (r.r_score, r.f_score, r.m_score)
+        for r in q_rfm_segments(orders).collect()
+    }
+    assert got[1] == (4, 4, 4)
+    assert got[4] == (1, 1, 1)
+    # middle customers order strictly between the extremes
+    assert got[1] > got[2] > got[3] > got[4]
