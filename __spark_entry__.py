@@ -819,6 +819,46 @@ def _q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return span_dedup_profile(d, k=8)
 
 
+def _q_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """JL random projection 64 -> 16 dims with the ±1 sign matrix as
+    plan literals; the oracle regenerates the same md5-derived matrix
+    into a left-associated SQL chain, so every projected double is
+    hash-checked bit-for-bit."""
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        random_project,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    return random_project(e, in_dim=64, out_dim=16)
+
+
+def _rp_oracle_sql(out_dim: int = 16, in_dim: int = 64) -> str:
+    """Generate the DuckDB twin of random_project: same sign matrix,
+    same left-assoc fold order, same scale and rounding."""
+    import math
+
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        rp_sign_matrix,
+    )
+
+    signs = rp_sign_matrix(out_dim, in_dim)
+    scale = repr(1.0 / math.sqrt(out_dim))
+    comps = []
+    for j in range(out_dim):
+        chain = ""
+        for i in range(in_dim):
+            term = f"CAST(embedding[{i + 1}] AS DOUBLE)"
+            if i == 0:
+                chain = term if signs[j][i] > 0 else f"(-{term})"
+            else:
+                chain += (" + " if signs[j][i] > 0 else " - ") + term
+        comps.append(f"round(({chain}) * {scale}, 6)")
+    return (
+        "SELECT vec_id, list_value(" + ", ".join(comps) + ") AS proj "
+        "FROM embeddings"
+    )
+
+
 def _q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     """RFM segmentation: recency/frequency/monetary per customer,
     scored 1-4 against exact quartile cuts (single-row broadcast
@@ -2458,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_to_convert": _q_time_to_convert,
         "q_ewma_value": _q_ewma_value,
         "q_rfm_segments": _q_rfm_segments,
+        "v_random_projection": _q_random_projection,
         # -- reference parity (SURVEY.md §2): graded r2/r3, oldest
         # evidence in the suite — re-verify against regressions --
         "s1_scan_count": _q_s1_scan_count,
@@ -3738,6 +3779,9 @@ def oracle_sql() -> dict[str, str]:
             "/ count(*), 6) AS dup_frac "
             "FROM c GROUP BY doc_id"
         ),
+        # Generated twin of the JL projection (same md5 sign matrix,
+        # same fold order) — see _rp_oracle_sql.
+        "v_random_projection": _rp_oracle_sql(16, 64),
         # Quartile cuts via quantile_cont (same linear interpolation
         # as Spark's exact percentile); scores count boundary
         # crossings, recency inverted (recent = best).

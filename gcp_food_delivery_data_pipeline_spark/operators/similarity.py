@@ -424,3 +424,61 @@ def with_dequantized_embeddings(
     )
     deq = F.zip_with(quant, mins, lambda q, mn: q + mn)
     return df.select(F.col(id_col), deq.alias(out_col))
+
+
+def rp_sign_matrix(out_dim: int, in_dim: int) -> list[list[float]]:
+    """Deterministic ±1 sign matrix for random projection, derived
+    from md5 of the (j, i) coordinates — engine-stable and
+    reproducible everywhere (same trick as the MinHash shingle hash),
+    so the projection is a pure function of the coordinates, not of a
+    seeded RNG whose stream differs across engines."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"rp_{j}_{i}".encode()).hexdigest()[:8], 16
+            )
+            & 1
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_project(
+    df: DataFrame,
+    in_dim: int = 64,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: reduce ``in_dim``
+    float vectors to ``out_dim`` via a ±1 sign matrix scaled by
+    1/sqrt(out_dim) (Achlioptas 2003 — database-friendly random
+    projections). The ANN pre-reduction step: distances are preserved
+    within (1±eps) w.h.p., so IVF/LSH build and probe on the short
+    vectors and only the final re-rank touches full vectors.
+
+    Scale shape: the matrix is out_dim x in_dim plan LITERALS (the
+    quantization-stats pattern) — zero shuffle, zero driver state at
+    execution time, pure per-row codegen arithmetic. Each output
+    component folds the signed components left-to-right in index
+    order, so any engine folding the same order (the generated oracle
+    does) reproduces the doubles bit-for-bit.
+    """
+    import math
+
+    signs = rp_sign_matrix(out_dim, in_dim)
+    scale = 1.0 / math.sqrt(out_dim)
+    comps = []
+    for j in range(out_dim):
+        expr = None
+        for i in range(in_dim):
+            t = F.element_at(F.col(vec_col), i + 1).cast("double")
+            t = t if signs[j][i] > 0 else -t
+            expr = t if expr is None else expr + t
+        comps.append(F.round(expr * F.lit(scale), 6))
+    return df.select(id_col, F.array(*comps).alias("proj"))

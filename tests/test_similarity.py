@@ -206,3 +206,48 @@ def test_quantized_topk_recall_against_float_baseline(embeddings):
     }
     recall = len(base & got) / len(base)
     assert recall >= 0.8, recall
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property on the synthetic embeddings: projected pairwise
+    squared distances stay within a loose (1±0.75) band of the
+    originals for the vast majority of sampled pairs — enough to prove
+    the projection is a genuine isometry-ish map, not a fake."""
+    import itertools
+
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        random_project,
+    )
+    from gcp_food_delivery_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings").limit(30)
+    orig = {r.vec_id: r.embedding for r in e.collect()}
+    proj = {r.vec_id: r.proj for r in random_project(e).collect()}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    ratios = []
+    for i, j in itertools.combinations(sorted(orig), 2):
+        do, dp = d2(orig[i], orig[j]), d2(proj[i], proj[j])
+        if do > 0:
+            ratios.append(dp / do)
+    inside = sum(1 for r in ratios if 0.25 <= r <= 1.75)
+    assert inside / len(ratios) >= 0.9, (min(ratios), max(ratios))
+
+
+def test_rp_sign_matrix_is_deterministic_and_balanced(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        rp_sign_matrix,
+    )
+
+    m1, m2 = rp_sign_matrix(16, 64), rp_sign_matrix(16, 64)
+    assert m1 == m2
+    flat = [s for row in m1 for s in row]
+    assert set(flat) == {1.0, -1.0}
+    # roughly balanced signs (md5 bits): within 20% of half
+    pos = sum(1 for s in flat if s > 0)
+    assert abs(pos - len(flat) / 2) < len(flat) * 0.2
