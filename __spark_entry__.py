@@ -859,6 +859,13 @@ def _rp_oracle_sql(out_dim: int = 16, in_dim: int = 64) -> str:
     )
 
 
+def _q_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-occurrence top-k with lift — the self-join is
+    co-partitioned on the order key, blow-up bounded by basket size
+    squared."""
+    return A.q_part_pairs(load_table(spark, sf, "lineitem"), k=20)
+
+
 def _q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     """RFM segmentation: recency/frequency/monetary per customer,
     scored 1-4 against exact quartile cuts (single-row broadcast
@@ -2499,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ewma_value": _q_ewma_value,
         "q_rfm_segments": _q_rfm_segments,
         "v_random_projection": _q_random_projection,
+        "q_part_pairs": _q_part_pairs,
         # -- reference parity (SURVEY.md §2): graded r2/r3, oldest
         # evidence in the suite — re-verify against regressions --
         "s1_scan_count": _q_s1_scan_count,
@@ -3782,6 +3790,27 @@ def oracle_sql() -> dict[str, str]:
         # Generated twin of the JL projection (same md5 sign matrix,
         # same fold order) — see _rp_oracle_sql.
         "v_random_projection": _rp_oracle_sql(16, 64),
+        # Basket co-occurrence: DISTINCT (order, part) first on both
+        # sides; lift arithmetic in the same operation order.
+        "q_part_pairs": (
+            "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem), "
+            "n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) "
+            "AS n_orders FROM li), "
+            "pc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part "
+            "FROM li GROUP BY l_partkey), "
+            "p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+            "CAST(count(*) AS BIGINT) AS n_both "
+            "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey "
+            "GROUP BY a.l_partkey, b.l_partkey) "
+            "SELECT part_a, part_b, n_both, "
+            "round(CAST(n_both AS DOUBLE) * n_orders "
+            "/ (pa.n_part * pb.n_part), 6) AS lift "
+            "FROM p JOIN pc pa ON p.part_a = pa.l_partkey "
+            "JOIN pc pb ON p.part_b = pb.l_partkey, n "
+            "ORDER BY n_both DESC, part_a, part_b LIMIT 20"
+        ),
         # Quartile cuts via quantile_cont (same linear interpolation
         # as Spark's exact percentile); scores count boundary
         # crossings, recency inverted (recent = best).

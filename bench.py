@@ -84,6 +84,11 @@ EXTRA_QUERIES = [
     "m_decode_gif",         # real multi-frame LZW decode (Arrow pass)
     "m_decode_png_rgb",     # real truecolor decode, bpp=3 filters
     "d_span_dedup",         # corpus-wide k-token duplicated-span profile
+    "d_span_removed",       # exact-substring removal (keep-first)
+    "q_time_to_convert",    # integer-microsecond conversion latency
+    "q_ewma_value",         # per-user order-dependent EWMA fold
+    "q_rfm_segments",       # quartile-scored RFM segmentation
+    "v_random_projection",  # JL 64->16 projection, matrix as literals
 ]
 
 

@@ -1502,3 +1502,64 @@ def q_rfm_segments(orders: DataFrame) -> DataFrame:
         score("frequency", "f", invert=False).alias("f_score"),
         score("monetary", "m", invert=False).alias("m_score"),
     )
+
+
+def q_part_pairs(lineitem: DataFrame, k: int = 20) -> DataFrame:
+    """Market-basket co-occurrence: the top-k part pairs most often
+    ordered together, with lift (observed co-rate over the
+    independence expectation) — the association-mining view of the
+    order stream.
+
+    The pair generation is a SELF-JOIN CO-PARTITIONED ON THE ORDER KEY
+    (one shuffle each side, then per-order local pairing), so the blow
+    -up is bounded by the basket size squared per order — fine at
+    TPC-H's ≤7-item baskets; a retail corpus with thousand-item
+    baskets would cap the basket or switch to FP-Growth. The part
+    marginals and the order count come back as one small join + one
+    broadcast scalar. Deterministic top-k via (n_both DESC, part_a,
+    part_b).
+    """
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    marg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    n_orders = li.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    lift = F.round(
+        F.col("n_both").cast("double")
+        * F.col("n_orders")
+        / (F.col("_na") * F.col("_nb")),
+        6,
+    )
+    return (
+        pairs.join(
+            marg.select(
+                F.col("l_partkey").alias("part_a"),
+                F.col("n_part").alias("_na"),
+            ),
+            "part_a",
+        )
+        .join(
+            marg.select(
+                F.col("l_partkey").alias("part_b"),
+                F.col("n_part").alias("_nb"),
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select("part_a", "part_b", "n_both", lift.alias("lift"))
+        .orderBy(F.col("n_both").desc(), "part_a", "part_b")
+        .limit(k)
+    )

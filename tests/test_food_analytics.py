@@ -54,3 +54,22 @@ def test_ratings_pivot_shape(typed):
     row = {r.status: r for r in piv.collect()}
     assert row["delivered"]["5"] == 4   # four 5-star delivered orders
     assert row["on hold"]["2"] == 1
+
+
+def test_part_pairs_golden(spark):
+    """3 orders: parts (1,2,3), (1,2), (1,2) -> pair (1,2) co-occurs
+    3x; lift checks the independence normalization."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_part_pairs,
+    )
+
+    rows = [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (3, 1), (3, 2)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = q_part_pairs(li, k=10).collect()
+    top = got[0]
+    assert (top.part_a, top.part_b, top.n_both) == (1, 2, 3)
+    # lift(1,2) = n_both * N / (n_1 * n_2) = 3*3/(3*3) = 1.0
+    assert top.lift == 1.0
+    # (1,3) and (2,3): 1 * 3 / (3 * 1) = 1.0
+    rest = {(r.part_a, r.part_b): (r.n_both, r.lift) for r in got[1:]}
+    assert rest == {(1, 3): (1, 1.0), (2, 3): (1, 1.0)}
