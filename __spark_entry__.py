@@ -859,6 +859,73 @@ def _rp_oracle_sql(out_dim: int = 16, in_dim: int = 64) -> str:
     )
 
 
+def _q_pagerank_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted PageRank over the part co-occurrence graph (edges =
+    parts ordered together, weight = co-order count, symmetric): a
+    driver-coordinated iterative fixed point with localCheckpoint per
+    round. Fixed 10 iterations make the result a pure function of the
+    input, so the oracle is the SAME recursion UNROLLED into 10 SQL
+    stages — iterative != unverifiable."""
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        pagerank,
+    )
+
+    li = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pr = pagerank(edges, damping=0.85, iterations=10, weight="w")
+    return pr.select(
+        F.col("node").alias("part"), F.round("rank", 8).alias("rank")
+    )
+
+
+def _pagerank_oracle_sql(iterations: int = 10) -> str:
+    """Generate the unrolled-recursion DuckDB twin of
+    _q_pagerank_parts: same edges, same (1.0 - 0.85) base arithmetic,
+    same per-round shape."""
+    ctes = [
+        "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        "p AS (SELECT a.l_partkey AS s, b.l_partkey AS d, "
+        "CAST(count(*) AS DOUBLE) AS w FROM li a JOIN li b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey "
+        "GROUP BY a.l_partkey, b.l_partkey)",
+        "o AS (SELECT s, sum(w) AS ow FROM p GROUP BY s)",
+        "e AS (SELECT p.s, p.d, p.w / o.ow AS frac FROM p JOIN o "
+        "ON p.s = o.s)",
+        "n AS (SELECT DISTINCT s AS node FROM p)",
+        "cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n)",
+        "r0 AS (SELECT node, 1.0 / cnt.nn AS rank FROM n, cnt)",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"r{t} AS (SELECT n.node, (1.0 - 0.85) / cnt.nn "
+            f"+ 0.85 * coalesce(c.acc, 0.0) AS rank "
+            "FROM n CROSS JOIN cnt LEFT JOIN ("
+            f"SELECT e.d AS node, sum(e.frac * r{t - 1}.rank) AS acc "
+            f"FROM e JOIN r{t - 1} ON e.s = r{t - 1}.node "
+            "GROUP BY e.d) c ON n.node = c.node)"
+        )
+    return (
+        ", ".join(ctes)
+        + f" SELECT node AS part, round(rank, 8) AS rank FROM r{iterations}"
+    )
+
+
 def _q_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Market-basket co-occurrence top-k with lift — the self-join is
     co-partitioned on the order key, blow-up bounded by basket size
@@ -2507,6 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rfm_segments": _q_rfm_segments,
         "v_random_projection": _q_random_projection,
         "q_part_pairs": _q_part_pairs,
+        "g_pagerank_parts": _q_pagerank_parts,
         # -- reference parity (SURVEY.md §2): graded r2/r3, oldest
         # evidence in the suite — re-verify against regressions --
         "s1_scan_count": _q_s1_scan_count,
@@ -3790,6 +3858,9 @@ def oracle_sql() -> dict[str, str]:
         # Generated twin of the JL projection (same md5 sign matrix,
         # same fold order) — see _rp_oracle_sql.
         "v_random_projection": _rp_oracle_sql(16, 64),
+        # Iterative fixed point, verified by UNROLLING the recursion
+        # into 10 SQL stages — see _pagerank_oracle_sql.
+        "g_pagerank_parts": _pagerank_oracle_sql(10),
         # Basket co-occurrence: DISTINCT (order, part) first on both
         # sides; lift arithmetic in the same operation order.
         "q_part_pairs": (

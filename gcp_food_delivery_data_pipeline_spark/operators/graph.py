@@ -1,0 +1,91 @@
+"""Iterative graph algorithms over edge-list DataFrames.
+
+The engine's second iterative operator family (the first is
+``dedup.py``'s min-label connected components): driver-coordinated
+fixed-point loops where each round is one co-partitioned join + one
+keyed aggregation, and ``localCheckpoint`` truncates the lineage so
+round t+1's plan does not replay rounds 1..t.
+
+Scale notes (100 TB / 1000 executors):
+
+* Each iteration shuffles the EDGE list once (join on src) and the
+  contribution stream once (agg on dst) — both keyed, both map-side
+  combinable. Rank state is one row per node.
+* ``localCheckpoint(eager=True)`` per round bounds plan depth and
+  memory; a production run on a shared cluster would use reliable
+  ``checkpoint`` to survive executor loss across a long loop.
+* No driver-side collection: the driver holds loop control only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank with a fixed iteration count. Returns
+    ``(node, rank)`` where ranks sum to ~1 over the node set (exactly
+    1 when every node has at least one out-edge — true for symmetric
+    edge lists).
+
+    Contribution fractions (edge weight over the source's total
+    out-weight) are precomputed ONCE and reused every round, so the
+    per-iteration work is one join + one aggregation. A fixed
+    ``iterations`` (rather than a convergence test) keeps the result
+    a pure function of the input — which is what lets an unrolled SQL
+    oracle reproduce it.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"pagerank: damping must be in (0,1), got {damping}")
+    if iterations < 1:
+        raise ValueError("pagerank: need at least one iteration")
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")
+    )
+    out_w = e.groupBy("_src").agg(F.sum("_w").alias("_out"))
+    frac = (
+        e.join(out_w, "_src")
+        .select("_src", "_dst", (F.col("_w") / F.col("_out")).alias("_frac"))
+    )
+    # cache the (static) fraction table: every iteration reads it
+    frac = frac.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            frac.join(ranks, frac["_src"] == ranks["node"])
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("_frac") * F.col("rank")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

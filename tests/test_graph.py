@@ -1,0 +1,53 @@
+"""Iterative graph operator tests (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_food_delivery_data_pipeline_spark.operators.graph import pagerank
+
+
+def test_pagerank_two_node_closed_form(spark):
+    """Symmetric 2-node graph: each node's rank is exactly 0.5 at
+    every iteration (the fixed point from the start)."""
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1)], "src long, dst long"
+    )
+    got = {r.node: r.rank for r in pagerank(e, iterations=3).collect()}
+    assert got[1] == pytest.approx(0.5, abs=1e-12)
+    assert got[2] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_pagerank_ranks_sum_to_one_and_order_by_centrality(spark):
+    """Star graph (hub 0 connected to 1..4, symmetric): ranks sum to 1
+    (no dangling mass with symmetric edges) and the hub outranks every
+    leaf."""
+    edges = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    rows = pagerank(e, iterations=15).collect()
+    total = sum(r.rank for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-9)
+    got = {r.node: r.rank for r in rows}
+    assert all(got[0] > got[i] for i in range(1, 5))
+    # leaves are symmetric -> identical ranks
+    assert len({round(got[i], 12) for i in range(1, 5)}) == 1
+
+
+def test_pagerank_weighted_edges_shift_mass(spark):
+    """Node 1 sends 90% of its weight to node 2 and 10% to node 3:
+    node 2 must outrank node 3."""
+    e = spark.createDataFrame(
+        [(1, 2, 9.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+        "src long, dst long, w double",
+    )
+    got = {r.node: r.rank for r in pagerank(e, weight="w").collect()}
+    assert got[2] > got[3]
+
+
+def test_pagerank_validates_params(spark):
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(e, damping=1.0)
+    with pytest.raises(ValueError, match="iteration"):
+        pagerank(e, iterations=0)
