@@ -89,6 +89,8 @@ EXTRA_QUERIES = [
     "q_ewma_value",         # per-user order-dependent EWMA fold
     "q_rfm_segments",       # quartile-scored RFM segmentation
     "v_random_projection",  # JL 64->16 projection, matrix as literals
+    "q_part_pairs",         # basket co-occurrence self-join + lift
+    "g_pagerank_parts",     # 10-iteration weighted PageRank loop
 ]
 
 
