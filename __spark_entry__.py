@@ -859,6 +859,22 @@ def _rp_oracle_sql(out_dim: int = 16, in_dim: int = 64) -> str:
     )
 
 
+def _q_temporal_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-based train/test split with an embargo band (purged
+    forward-chaining eval): the cutoff is the exact 0.8 time-quantile
+    and a 1-day band below it is excluded from train — the
+    leakage-prevention twin of the hash split, per-row labeled so the
+    oracle checks every assignment."""
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        temporal_split,
+    )
+
+    ev = load_table(spark, sf, "events")
+    return temporal_split(
+        ev, test_frac=0.2, embargo_seconds=86400
+    ).select("event_id", "split")
+
+
 def _q_pagerank_parts(spark: SparkSession, sf: str) -> DataFrame:
     """Weighted PageRank over the part co-occurrence graph (edges =
     parts ordered together, weight = co-order count, symmetric): a
@@ -2575,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_random_projection": _q_random_projection,
         "q_part_pairs": _q_part_pairs,
         "g_pagerank_parts": _q_pagerank_parts,
+        "c_temporal_split": _q_temporal_split,
         # -- reference parity (SURVEY.md §2): graded r2/r3, oldest
         # evidence in the suite — re-verify against regressions --
         "s1_scan_count": _q_s1_scan_count,
@@ -3858,6 +3875,16 @@ def oracle_sql() -> dict[str, str]:
         # Generated twin of the JL projection (same md5 sign matrix,
         # same fold order) — see _rp_oracle_sql.
         "v_random_projection": _rp_oracle_sql(16, 64),
+        # Quantile cutoff (same interpolation as Spark's exact
+        # percentile); integer-microsecond time math; embargo band in
+        # neither split.
+        "c_temporal_split": (
+            "WITH c AS (SELECT quantile_cont(epoch_us(ts), 0.8) AS cut "
+            "FROM events) "
+            "SELECT event_id, CASE WHEN epoch_us(ts) > cut THEN 'test' "
+            "WHEN epoch_us(ts) <= cut - 86400000000.0 THEN 'train' "
+            "ELSE 'embargo' END AS split FROM events, c"
+        ),
         # Iterative fixed point, verified by UNROLLING the recursion
         # into 10 SQL stages — see _pagerank_oracle_sql.
         "g_pagerank_parts": _pagerank_oracle_sql(10),

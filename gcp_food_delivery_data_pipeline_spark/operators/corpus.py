@@ -529,3 +529,47 @@ def length_buckets(
         "batch_id",
         F.floor((F.row_number().over(w) - 1) / batch_size).cast("long"),
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str = "ts",
+    test_frac: float = 0.2,
+    embargo_seconds: int = 86400,
+) -> DataFrame:
+    """Time-based train/test split with an EMBARGO gap: test = the
+    latest ``test_frac`` of rows by event time (cutoff = exact
+    time-quantile), train = rows at least ``embargo_seconds`` BEFORE
+    the cutoff, and rows inside the embargo band are labeled
+    ``embargo`` and excluded from both sides.
+
+    Random splits leak for time-correlated data (a model "predicts" a
+    test event it effectively saw seconds earlier in train); the
+    embargo band is the standard defense (purged/embargoed splits in
+    financial ML, forward-chaining eval elsewhere). Deterministic: the
+    cutoff is a pure quantile of the data, not a sampled boundary.
+
+    Scale shape: ONE exact-percentile aggregate produces the scalar
+    cutoff (swap to approx_percentile at extreme row counts), which
+    broadcasts back as a literal-like scalar join; labeling is a pure
+    projection. Integer-microsecond arithmetic end to end.
+    """
+    if not 0.0 < test_frac < 1.0:
+        raise ValueError(
+            f"temporal_split: test_frac must be in (0,1), got {test_frac}"
+        )
+    micros = F.unix_micros(F.col(ts_col))
+    cut = df.agg(
+        F.expr(
+            f"percentile(unix_micros({ts_col}), {1.0 - test_frac})"
+        ).alias("_cut")
+    )
+    emb = embargo_seconds * 1_000_000
+    split = (
+        F.when(micros > F.col("_cut"), F.lit("test"))
+        .when(micros <= F.col("_cut") - F.lit(float(emb)), F.lit("train"))
+        .otherwise(F.lit("embargo"))
+    )
+    return df.crossJoin(F.broadcast(cut)).withColumn(
+        "split", split
+    ).drop("_cut")

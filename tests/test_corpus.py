@@ -220,3 +220,36 @@ def test_length_buckets_rejects_bad_batch_size(spark):
     df = spark.createDataFrame([(0, "a")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         length_buckets(df, batch_size=0)
+
+
+def test_temporal_split_embargo_band(spark):
+    """10 hourly events, test_frac=0.2, 2h embargo: cutoff at the 0.8
+    time-quantile; the band (cut-2h, cut] is in NEITHER split, and
+    every train ts < every test ts with a gap >= embargo."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        temporal_split,
+    )
+
+    rows = [
+        (i, datetime(2024, 1, 1, 8 + i), 1, "view", 0.0) for i in range(10)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    out = temporal_split(ev, test_frac=0.2, embargo_seconds=7200)
+    got = {r.event_id: r.split for r in out.select("event_id", "split").collect()}
+    assert set(got.values()) == {"train", "test", "embargo"}
+    trains = [i for i, s in got.items() if s == "train"]
+    tests = [i for i, s in got.items() if s == "test"]
+    embs = [i for i, s in got.items() if s == "embargo"]
+    assert max(trains) < min(embs) < min(tests)  # strictly ordered bands
+    # gap between last train ts and first test ts covers the embargo
+    assert (min(tests) - max(trains)) >= 2
+    with _pytest.raises(ValueError, match="test_frac"):
+        temporal_split(ev, test_frac=1.5)
