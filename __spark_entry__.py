@@ -859,6 +859,31 @@ def _rp_oracle_sql(out_dim: int = 16, in_dim: int = 64) -> str:
     )
 
 
+def _q_sample_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic negative sampling (customer x part): md5-slot
+    candidates mod the part count, dense-ranked item mapping, positives
+    anti-joined out — every emitted (user, slot, item) is reproduced by
+    the oracle's identical hash arithmetic."""
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        sample_negatives,
+    )
+
+    orders = load_table(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    positives = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+    )
+    parts = load_table(spark, sf, "part").select(
+        F.col("p_partkey").alias("item")
+    )
+    return sample_negatives(positives, parts, n_neg=4)
+
+
 def _q_temporal_split(spark: SparkSession, sf: str) -> DataFrame:
     """Time-based train/test split with an embargo band (purged
     forward-chaining eval): the cutoff is the exact 0.8 time-quantile
@@ -2592,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_part_pairs": _q_part_pairs,
         "g_pagerank_parts": _q_pagerank_parts,
         "c_temporal_split": _q_temporal_split,
+        "c_sample_negatives": _q_sample_negatives,
         # -- reference parity (SURVEY.md §2): graded r2/r3, oldest
         # evidence in the suite — re-verify against regressions --
         "s1_scan_count": _q_s1_scan_count,
@@ -3875,6 +3901,26 @@ def oracle_sql() -> dict[str, str]:
         # Generated twin of the JL projection (same md5 sign matrix,
         # same fold order) — see _rp_oracle_sql.
         "v_random_projection": _rp_oracle_sql(16, 64),
+        # Same md5-slot arithmetic (first 8 hex chars -> BIGINT, mod
+        # item count), dense index via row_number, positives dropped
+        # by null-filtered left join.
+        "c_sample_negatives": (
+            "WITH pos AS (SELECT DISTINCT o.o_custkey AS user_id, "
+            "l.l_partkey AS item FROM orders o JOIN lineitem l "
+            "ON l.l_orderkey = o.o_orderkey), "
+            "it AS (SELECT p_partkey AS item, "
+            "row_number() OVER (ORDER BY p_partkey) - 1 AS idx FROM part), "
+            "n AS (SELECT CAST(count(*) AS BIGINT) AS ni FROM part), "
+            "u AS (SELECT DISTINCT user_id FROM pos), "
+            "s AS (SELECT user_id, unnest(range(0, 4)) AS slot FROM u), "
+            "c AS (SELECT user_id, CAST(slot AS BIGINT) AS slot, "
+            "CAST(concat('0x', substr(md5(concat(user_id, '_', slot)), "
+            "1, 8)) AS BIGINT) % ni AS idx FROM s, n) "
+            "SELECT c.user_id, c.slot, it.item FROM c "
+            "JOIN it ON c.idx = it.idx "
+            "LEFT JOIN pos ON pos.user_id = c.user_id "
+            "AND pos.item = it.item WHERE pos.item IS NULL"
+        ),
         # Quantile cutoff (same interpolation as Spark's exact
         # percentile); integer-microsecond time math; embargo band in
         # neither split.

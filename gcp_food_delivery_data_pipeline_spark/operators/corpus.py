@@ -573,3 +573,75 @@ def temporal_split(
     return df.crossJoin(F.broadcast(cut)).withColumn(
         "split", split
     ).drop("_cut")
+
+
+def sample_negatives(
+    positives: DataFrame,
+    items: DataFrame,
+    n_neg: int = 4,
+    user_col: str = "user_id",
+    item_col: str = "item",
+) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training:
+    for each user with positives, up to ``n_neg`` pseudo-random items
+    the user did NOT interact with. Candidate for slot j is
+    ``md5(user + '_' + j) mod |items|`` mapped through a dense item
+    index; candidates colliding with a positive are dropped by
+    anti-join semantics (LEFT JOIN + null filter), NOT resampled — a
+    single-pass bound (≤ n_neg per user) instead of a rejection loop,
+    which is the scalable trade every large-corpus sampler makes.
+    md5-derived "randomness" keeps the sample rerun- and engine-stable
+    (the same reason ``assign_split`` never uses rand()).
+
+    Scale shape: the dense item index comes from the two-phase
+    distributed rank (never a global-order window); the candidate
+    frame is |users| x n_neg rows joined on the index and
+    anti-joined on (user, item) — all keyed equi-joins.
+    """
+    if n_neg < 1:
+        raise ValueError(f"sample_negatives: n_neg must be >= 1, got {n_neg}")
+    ranked = _global_ordered_rank_and_prefix(
+        items.select(item_col), [item_col], F.lit(0)
+    ).select(
+        F.col(item_col).alias("_item"), (F.col("_grank") - 1).alias("_idx")
+    )
+    n = items.agg(F.count(F.lit(1)).cast("long").alias("_ni"))
+    users = positives.select(user_col).distinct()
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_", F.col(user_col).cast("string"),
+                    F.col("slot").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = (
+        users.select(
+            user_col,
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_neg - 1))
+            ).alias("slot"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(user_col, "slot", F.pmod(h, F.col("_ni")).alias("_idx"))
+    )
+    pos = positives.select(
+        F.col(user_col), F.col(item_col).alias("_pitem"), F.lit(1).alias("_hit")
+    ).distinct()
+    return (
+        cand.join(ranked, "_idx")
+        .join(
+            pos,
+            (cand[user_col] == pos[user_col])
+            & (F.col("_item") == F.col("_pitem")),
+            "left",
+        )
+        .filter(F.col("_hit").isNull())
+        .select(cand[user_col], "slot", F.col("_item").alias(item_col))
+    )

@@ -253,3 +253,30 @@ def test_temporal_split_embargo_band(spark):
     assert (min(tests) - max(trains)) >= 2
     with _pytest.raises(ValueError, match="test_frac"):
         temporal_split(ev, test_frac=1.5)
+
+
+def test_sample_negatives_properties(spark):
+    """Negatives never collide with positives, at most n_neg per user,
+    items come from the catalog, and the sample is deterministic."""
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        sample_negatives,
+    )
+
+    pos = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 12)], "user_id long, item long"
+    )
+    items = spark.createDataFrame(
+        [(i,) for i in range(10, 20)], "item long"
+    )
+    out1 = sample_negatives(pos, items, n_neg=3).collect()
+    out2 = sample_negatives(pos, items, n_neg=3).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # rerun-stable
+    pos_set = {(1, 10), (1, 11), (2, 12)}
+    catalog = set(range(10, 20))
+    per_user: dict[int, int] = {}
+    for r in out1:
+        assert (r.user_id, r.item) not in pos_set
+        assert r.item in catalog
+        per_user[r.user_id] = per_user.get(r.user_id, 0) + 1
+    assert all(n <= 3 for n in per_user.values())
+    assert set(per_user) <= {1, 2}
