@@ -859,6 +859,38 @@ def _rp_oracle_sql(out_dim: int = 16, in_dim: int = 64) -> str:
     )
 
 
+def _q_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle participation over the STRONG co-occurrence
+    graph (part pairs co-ordered >= 2 times): wedge-close with
+    id-ordered orientation, all keyed equi-joins — never an
+    all-pairs pass."""
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    li = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_count(edges)
+
+
 def _q_sample_negatives(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic negative sampling (customer x part): md5-slot
     candidates mod the part count, dense-ranked item mapping, positives
@@ -2618,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_pagerank_parts": _q_pagerank_parts,
         "c_temporal_split": _q_temporal_split,
         "c_sample_negatives": _q_sample_negatives,
+        "g_triangles": _q_triangles,
         # -- reference parity (SURVEY.md §2): graded r2/r3, oldest
         # evidence in the suite — re-verify against regressions --
         "s1_scan_count": _q_s1_scan_count,
@@ -3901,6 +3934,22 @@ def oracle_sql() -> dict[str, str]:
         # Generated twin of the JL projection (same md5 sign matrix,
         # same fold order) — see _rp_oracle_sql.
         "v_random_projection": _rp_oracle_sql(16, 64),
+        # Wedge-close triangle mirror: same strong-edge set (n >= 2),
+        # same a<b<c orientation, per-node participation via 3-way
+        # unnest.
+        "g_triangles": (
+            "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem), "
+            "e AS (SELECT a.l_partkey AS s, b.l_partkey AS d "
+            "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey "
+            "GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2), "
+            "t AS (SELECT e1.s AS x, e1.d AS y, e2.d AS z "
+            "FROM e e1 JOIN e e2 ON e1.d = e2.s "
+            "JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d) "
+            "SELECT node, count(*) AS n_triangles FROM ("
+            "SELECT unnest([x, y, z]) AS node FROM t) GROUP BY node"
+        ),
         # Same md5-slot arithmetic (first 8 hex chars -> BIGINT, mod
         # item count), dense index via row_number, positives dropped
         # by null-filtered left join.

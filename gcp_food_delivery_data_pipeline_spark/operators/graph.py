@@ -89,3 +89,52 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation over an undirected graph
+    (edges may arrive in either or both directions; they canonicalize
+    to ``a < b`` first). Returns ``(node, n_triangles)`` for every
+    node in at least one triangle; the global count is
+    ``sum(n_triangles) / 3``.
+
+    The classic wedge-close shape: canonical edges e(a,b) join
+    e(b,c) on the middle node — giving each candidate wedge
+    ``a < b < c`` exactly once — then a semi-style join against
+    e(a,c) closes it. Ordering by node id bounds each triangle to ONE
+    orientation (no 6x duplication); the production refinement is
+    ordering by DEGREE instead of id, which provably caps wedge count
+    at O(m^1.5) on skewed graphs — same plan, different sort key
+    (noted here because id-ordering is what the oracle mirrors).
+    All three joins are keyed equi-joins; nothing is all-pairs.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(
+            F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b")
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1._b") == F.col("e2._a"))
+        .select(
+            F.col("e1._a").alias("_x"),
+            F.col("e1._b").alias("_y"),
+            F.col("e2._b").alias("_z"),
+        )
+    )
+    tris = wedges.join(
+        e.alias("e3"),
+        (F.col("_x") == F.col("e3._a")) & (F.col("_z") == F.col("e3._b")),
+    ).select("_x", "_y", "_z")
+    return (
+        tris.select(
+            F.explode(F.array("_x", "_y", "_z")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

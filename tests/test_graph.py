@@ -51,3 +51,32 @@ def test_pagerank_validates_params(spark):
         pagerank(e, damping=1.0)
     with pytest.raises(ValueError, match="iteration"):
         pagerank(e, iterations=0)
+
+
+def test_triangle_count_golden(spark):
+    """K4 minus one edge: triangles {1,2,3} and {1,2,4} (edge 3-4
+    missing). Per-node: 1->2, 2->2, 3->1, 4->1; global = 6/3 = 2.
+    Mixed/duplicated edge directions must canonicalize away."""
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 1), (1, 4), (2, 3), (4, 2), (2, 4)],
+        "src long, dst long",
+    )
+    got = {r.node: r.n_triangles for r in triangle_count(e).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+    assert sum(got.values()) % 3 == 0
+
+
+def test_triangle_count_no_triangles(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # path graph 1-2-3-4: wedges exist, no triangle closes
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    assert triangle_count(e).count() == 0
