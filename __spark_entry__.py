@@ -859,6 +859,12 @@ def _rp_oracle_sql(out_dim: int = 16, in_dim: int = 64) -> str:
     )
 
 
+def _q_revenue_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Closed-form OLS trend per priority (regr_slope/intercept/r2) —
+    one single-pass mergeable-moment aggregation, no iteration."""
+    return A.q_revenue_trend(load_table(spark, sf, "orders"))
+
+
 def _q_triangles(spark: SparkSession, sf: str) -> DataFrame:
     """Per-node triangle participation over the STRONG co-occurrence
     graph (part pairs co-ordered >= 2 times): wedge-close with
@@ -2651,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_temporal_split": _q_temporal_split,
         "c_sample_negatives": _q_sample_negatives,
         "g_triangles": _q_triangles,
+        "q_revenue_trend": _q_revenue_trend,
         # -- reference parity (SURVEY.md §2): graded r2/r3, oldest
         # evidence in the suite — re-verify against regressions --
         "s1_scan_count": _q_s1_scan_count,
@@ -3934,6 +3941,19 @@ def oracle_sql() -> dict[str, str]:
         # Generated twin of the JL projection (same md5 sign matrix,
         # same fold order) — see _rp_oracle_sql.
         "v_random_projection": _rp_oracle_sql(16, 64),
+        # Same regr_* moment aggregates; round(6) absorbs the ~1e-15
+        # accumulation-order differences between engines.
+        "q_revenue_trend": (
+            "SELECT o_orderpriority, "
+            "round(regr_slope(y, x), 6) AS slope, "
+            "round(regr_intercept(y, x), 6) AS intercept, "
+            "round(regr_r2(y, x), 6) AS r2, "
+            "count(*) AS n_orders FROM ("
+            "SELECT o_orderpriority, CAST(date_diff('day', "
+            "DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) "
+            "AS x, CAST(o_totalprice AS DOUBLE) AS y FROM orders) "
+            "GROUP BY o_orderpriority"
+        ),
         # Wedge-close triangle mirror: same strong-edge set (n >= 2),
         # same a<b<c orientation, per-node participation via 3-way
         # unnest.

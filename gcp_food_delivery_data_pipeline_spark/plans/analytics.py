@@ -1563,3 +1563,31 @@ def q_part_pairs(lineitem: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.col("n_both").desc(), "part_a", "part_b")
         .limit(k)
     )
+
+
+def q_revenue_trend(orders: DataFrame) -> DataFrame:
+    """Per-priority linear trend of order value over time: closed-form
+    OLS via the ``regr_*`` aggregate family (slope, intercept, R²,
+    n) with x = days since a fixed epoch.
+
+    The whole regression is ONE single-pass aggregation of mergeable
+    moment statistics (Σx, Σy, Σxy, Σx², Σy² under the hood) — the
+    textbook example of an analytic that needs no iteration and no
+    second scan at any scale, and the same monoid shape
+    ``rollup.py`` exploits for incremental maintenance.
+    """
+    x = F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01"))
+    return (
+        orders.select(
+            "o_orderpriority",
+            x.cast("double").alias("_x"),
+            F.col("o_totalprice").cast("double").alias("_y"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("regr_slope(_y, _x)"), 6).alias("slope"),
+            F.round(F.expr("regr_intercept(_y, _x)"), 6).alias("intercept"),
+            F.round(F.expr("regr_r2(_y, _x)"), 6).alias("r2"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

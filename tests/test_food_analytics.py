@@ -73,3 +73,28 @@ def test_part_pairs_golden(spark):
     # (1,3) and (2,3): 1 * 3 / (3 * 1) = 1.0
     rest = {(r.part_a, r.part_b): (r.n_both, r.lift) for r in got[1:]}
     assert rest == {(1, 3): (1, 1.0), (2, 3): (1, 1.0)}
+
+
+def test_revenue_trend_recovers_planted_line(spark):
+    """Planted y = 3x + 100 (exact): slope/intercept recovered
+    exactly, r2 = 1."""
+    from datetime import datetime
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_revenue_trend,
+    )
+
+    rows = [
+        (i, "1-URGENT", datetime(1990, 1, 1 + i), 100.0 + 3.0 * i)
+        for i in range(10)
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderpriority string, "
+        "o_orderdate timestamp, o_totalprice double",
+    )
+    got = q_revenue_trend(orders).collect()[0]
+    assert got.slope == 3.0
+    assert got.intercept == 100.0
+    assert got.r2 == 1.0
+    assert got.n_orders == 10
