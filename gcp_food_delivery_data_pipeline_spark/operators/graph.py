@@ -138,3 +138,66 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation: every
+    node starts as its own label; each round it adopts the most
+    frequent label among its neighbors, ties broken by SMALLEST label
+    — the deterministic variant of Raghavan et al.'s LPA (random
+    tie-breaks don't replay and can't be oracle-checked). Returns
+    ``(node, label)`` after a fixed number of rounds.
+
+    Edges are treated as directed as given — pass both directions for
+    an undirected graph (isolated-in-degree nodes keep their label via
+    the left join). Integer labels end to end: unlike PageRank there
+    is NO floating-point state, so the fixed point is bit-trivially
+    reproducible.
+
+    Scale shape per round: one join (edges x labels, keyed on src),
+    one (node, label) count aggregation, one row_number window
+    partitioned by node — all map-side-combinable or hash-partitioned;
+    ``localCheckpoint`` truncates lineage as in ``pagerank``.
+    """
+    if iterations < 1:
+        raise ValueError("label_propagation: need at least one iteration")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    from pyspark.sql import Window
+
+    for _ in range(iterations):
+        counts = (
+            e.join(labels, e["_s"] == labels["node"])
+            .select(F.col("_d").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("_cnt").desc(), F.col("label")
+        )
+        best = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        labels = (
+            nodes.join(labels, "node")
+            .join(best, "node", "left")
+            .select(
+                "node", F.coalesce("_new", "label").alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -80,3 +80,40 @@ def test_triangle_count_no_triangles(spark):
         [(1, 2), (2, 3), (3, 4)], "src long, dst long"
     )
     assert triangle_count(e).count() == 0
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge: after a few rounds
+    each clique converges to its minimum member label; determinism
+    across reruns."""
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    clique1 = [(1, 2), (2, 3), (1, 3)]
+    clique2 = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(3, 10)]
+    und = clique1 + clique2 + bridge
+    e = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {r.node: r.label for r in label_propagation(e, iterations=6).collect()}
+    again = {
+        r.node: r.label for r in label_propagation(e, iterations=6).collect()
+    }
+    assert got == again  # deterministic
+    # each clique internally agrees on one label
+    assert len({got[1], got[2], got[3]}) == 1
+    assert len({got[10], got[11], got[12]}) == 1
+
+
+def test_label_propagation_validates_iterations(spark):
+    import pytest as _pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError, match="iteration"):
+        label_propagation(e, iterations=0)
