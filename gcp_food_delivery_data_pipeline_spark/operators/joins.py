@@ -167,3 +167,32 @@ def range_join_within(
         F.col(left_prefix + on).cast("long") - F.col(right_prefix + on).cast("long")
     )
     return joined.filter(dt <= window_seconds)
+
+
+def scd2_intervals(
+    updates: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Build slowly-changing-dimension type-2 validity intervals from
+    a change stream: each update row for a key becomes a version valid
+    from its own timestamp until the key's NEXT update
+    (``valid_to IS NULL`` marks the current version). Point-in-time
+    lookups then join on ``key AND valid_from <= t AND (t < valid_to
+    OR valid_to IS NULL)`` — the as-of join's dimension-maintenance
+    twin.
+
+    One ``lead`` window PARTITIONED BY KEY — parallel per-key sorts,
+    never a global order; a deterministic tie-break column keeps
+    equal-timestamp updates in a stable version order.
+    """
+    order = [F.col(ts_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        updates.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

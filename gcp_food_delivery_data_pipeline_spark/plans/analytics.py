@@ -1591,3 +1591,65 @@ def q_revenue_trend(orders: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+def q_benford_audit(orders: DataFrame) -> DataFrame:
+    """Benford first-digit audit of order totals: observed share of
+    each leading significant digit next to the Benford expectation
+    log10(1 + 1/d) — the classic fabricated-data / unit-mixing smell
+    test for financial columns. One aggregation pass; the scalar total
+    broadcasts back for the share division.
+    """
+    # first SIGNIFICANT digit = first [1-9] in the decimal rendering
+    # (robust to leading "0." for sub-unit values; in scientific
+    # notation the mantissa's lead digit is still the right answer)
+    digit = F.regexp_extract(
+        F.abs(F.col("o_totalprice")).cast("string"), "[1-9]", 0
+    ).cast("int")
+    counts = (
+        orders.filter(F.col("o_totalprice") != 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_tot"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("_tot"), 6).alias("observed"),
+            F.round(expected, 6).alias("expected"),
+        )
+    )
+
+
+def q_entropy_profile(events: DataFrame) -> DataFrame:
+    """Shannon entropy (bits) of categorical columns — the
+    one-number-per-column distribution profile that flags constant or
+    near-constant columns (entropy ~ 0) and uniform id-like columns
+    (entropy ~ log2 n). One aggregation per column over its value
+    counts; the entropy fold is a second tiny aggregation over the
+    distinct values.
+    """
+    outs = []
+    for col in ("event_type", "user_id"):
+        counts = events.groupBy(F.col(col).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        tot = counts.agg(F.sum("_n").alias("_t"))
+        p = F.col("_n") / F.col("_t")
+        outs.append(
+            counts.crossJoin(F.broadcast(tot)).agg(
+                F.lit(col).alias("column"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.round(
+                    -F.sum(p * F.log2(p)), 6
+                ).alias("entropy_bits"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

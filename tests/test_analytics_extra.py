@@ -337,3 +337,82 @@ def test_rfm_scores_golden(spark):
     assert got[4] == (1, 1, 1)
     # middle customers order strictly between the extremes
     assert got[1] > got[2] > got[3] > got[4]
+
+
+def test_benford_planted_distribution(spark):
+    """90 orders with first digits drawn 1x..9x: every digit observed
+    n=10, expectation column matches log10(1+1/d)."""
+    import math
+
+    from datetime import datetime
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_benford_audit,
+    )
+
+    rows = []
+    oid = 0
+    for d in range(1, 10):
+        for k in range(10):
+            oid += 1
+            rows.append(
+                (oid, "x", datetime(2024, 1, 1), float(d * 100 + k))
+            )
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderpriority string, "
+        "o_orderdate timestamp, o_totalprice double",
+    )
+    got = {r.digit: r for r in q_benford_audit(orders).collect()}
+    assert set(got) == set(range(1, 10))
+    for d in range(1, 10):
+        assert got[d].n == 10
+        assert got[d].expected == round(math.log10(1 + 1 / d), 6)
+
+
+def test_entropy_profile_bounds(spark):
+    """Constant column -> 0 bits; 4 equally likely values -> 2 bits."""
+    from datetime import datetime
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_entropy_profile,
+    )
+
+    rows = [
+        (i, datetime(2024, 1, 1), i % 4, "only_type", 0.0)
+        for i in range(400)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    got = {r["column"]: r for r in q_entropy_profile(ev).collect()}
+    assert got["event_type"].entropy_bits == 0.0
+    assert got["event_type"].n_distinct == 1
+    assert got["user_id"].entropy_bits == 2.0
+    assert got["user_id"].n_distinct == 4
+
+
+def test_scd2_intervals_chain(spark):
+    """Three updates for one key chain into half-open intervals with
+    exactly one current version."""
+    from datetime import datetime
+
+    from gcp_food_delivery_data_pipeline_spark.operators.joins import (
+        scd2_intervals,
+    )
+
+    t = lambda h: datetime(2024, 1, 1, h)
+    ev = spark.createDataFrame(
+        [(1, t(1), 101), (1, t(5), 102), (1, t(9), 103), (2, t(2), 201)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    out = scd2_intervals(ev, "user_id", "ts", "event_id").collect()
+    by_eid = {r.event_id: r for r in out}
+    assert by_eid[101].valid_to == t(5) and not by_eid[101].is_current
+    assert by_eid[102].valid_to == t(9)
+    assert by_eid[103].valid_to is None and by_eid[103].is_current
+    assert by_eid[201].is_current
+    n_current = sum(1 for r in out if r.user_id == 1 and r.is_current)
+    assert n_current == 1
