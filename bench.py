@@ -91,6 +91,12 @@ EXTRA_QUERIES = [
     "v_random_projection",  # JL 64->16 projection, matrix as literals
     "q_part_pairs",         # basket co-occurrence self-join + lift
     "g_pagerank_parts",     # 10-iteration weighted PageRank loop
+    "g_triangles",          # ordered wedge-close triangle counting
+    "g_label_propagation",  # 5-round integer LPA communities
+    "c_temporal_split",     # time-quantile split with embargo band
+    "c_sample_negatives",   # md5-slot negative sampling
+    "q_revenue_trend",      # single-pass regr_* OLS per group
+    "j_scd2_intervals",     # per-key lead-window SCD2 builder
 ]
 
 
