@@ -192,9 +192,11 @@ def label_propagation(
             .filter(F.col("_rn") == 1)
             .select("node", F.col("label").alias("_new"))
         )
+        # labels always covers every node (invariant from init), so
+        # the carry-over is a single left join against the round's
+        # winners
         labels = (
-            nodes.join(labels, "node")
-            .join(best, "node", "left")
+            labels.join(best, "node", "left")
             .select(
                 "node", F.coalesce("_new", "label").alias("label")
             )
