@@ -859,29 +859,43 @@ def _rp_oracle_sql(out_dim: int = 16, in_dim: int = 64) -> str:
     )
 
 
-def _strong_part_edges(spark: SparkSession, sf: str) -> DataFrame:
-    """Symmetric strong co-occurrence edges (parts co-ordered >= 2
-    times, both directions) — shared by the LPA/PageRank keys."""
+def _part_edges(
+    spark: SparkSession,
+    sf: str,
+    symmetric: bool = True,
+    min_n: int = 1,
+    keep_weight: bool = False,
+) -> DataFrame:
+    """Part co-occurrence edges from lineitem, shared by every graph
+    key (one definition ↔ one oracle CTE shape to keep in sync):
+    ``symmetric`` emits both directions (a != b) vs one canonical
+    direction (a < b); ``min_n`` keeps only pairs co-ordered at least
+    that often; ``keep_weight`` retains the co-order count as ``w``."""
     li = (
         load_table(spark, sf, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    return (
+    pair_cmp = (
+        F.col("a.l_partkey") != F.col("b.l_partkey")
+        if symmetric
+        else F.col("a.l_partkey") < F.col("b.l_partkey")
+    )
+    g = (
         li.alias("a")
         .join(
             li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey")) & pair_cmp,
         )
         .groupBy(
             F.col("a.l_partkey").alias("src"),
             F.col("b.l_partkey").alias("dst"),
         )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
     )
+    if min_n > 1:
+        g = g.filter(F.col("w") >= min_n)
+    return g if keep_weight else g.select("src", "dst")
 
 
 def _q_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
@@ -894,12 +908,20 @@ def _q_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return label_propagation(
-        _strong_part_edges(spark, sf), iterations=5
+        _part_edges(spark, sf, symmetric=True, min_n=2), iterations=5
     )
 
 
 def _lpa_oracle_sql(iterations: int = 5) -> str:
-    """Unrolled-recursion DuckDB twin of _q_label_propagation."""
+    """Unrolled-recursion DuckDB twin of _q_label_propagation.
+
+    ASSUMES SYMMETRIC EDGES: the node CTE derives from edge SOURCES
+    only and each round's winner CTE drops in-degree-0 nodes — both
+    equal the operator's src-union-dst universe and carry-over rule
+    only because _strong_part_edges emits every edge in both
+    directions. Re-pointing this key at a directed/asymmetric edge
+    definition requires widening the node CTE and left-joining the
+    winners (as the operator does)."""
     ctes = [
         "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
         "e AS (SELECT a.l_partkey AS s, b.l_partkey AS d "
@@ -975,27 +997,9 @@ def _q_triangles(spark: SparkSession, sf: str) -> DataFrame:
         triangle_count,
     )
 
-    li = (
-        load_table(spark, sf, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    return triangle_count(
+        _part_edges(spark, sf, symmetric=False, min_n=2)
     )
-    edges = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("src", "dst")
-    )
-    return triangle_count(edges)
 
 
 def _q_sample_negatives(spark: SparkSession, sf: str) -> DataFrame:
@@ -1050,23 +1054,8 @@ def _q_pagerank_parts(spark: SparkSession, sf: str) -> DataFrame:
         pagerank,
     )
 
-    li = (
-        load_table(spark, sf, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    edges = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
+    edges = _part_edges(
+        spark, sf, symmetric=True, min_n=1, keep_weight=True
     )
     pr = pagerank(edges, damping=0.85, iterations=10, weight="w")
     return pr.select(
@@ -1077,7 +1066,12 @@ def _q_pagerank_parts(spark: SparkSession, sf: str) -> DataFrame:
 def _pagerank_oracle_sql(iterations: int = 10) -> str:
     """Generate the unrolled-recursion DuckDB twin of
     _q_pagerank_parts: same edges, same (1.0 - 0.85) base arithmetic,
-    same per-round shape."""
+    same per-round shape.
+
+    ASSUMES SYMMETRIC EDGES (see _lpa_oracle_sql): the node count nn
+    and the node CTE derive from edge sources only, which equals the
+    operator's src-union-dst universe because every co-occurrence
+    edge is emitted in both directions."""
     ctes = [
         "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
         "p AS (SELECT a.l_partkey AS s, b.l_partkey AS d, "
@@ -3651,6 +3645,7 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'unique(o_orderkey)', 'o_orderkey', "
             "CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM ("
             "SELECT o_orderkey, count(*) AS n FROM orders "
+            "WHERE o_orderkey IS NOT NULL "
             "GROUP BY o_orderkey)) "
             "SELECT rule, \"column\", n_violations, "
             "n_violations = 0 AS pass FROM v"
@@ -4061,19 +4056,18 @@ def oracle_sql() -> dict[str, str]:
             "AS observed, round(log10(1.0 + 1.0 / digit), 6) AS expected "
             "FROM g, t"
         ),
+        # Same closed form H = log2(t) - sum(n*log2(n))/t over the
+        # same unpivoted (column, value) counts.
         "q_entropy_profile": (
-            "WITH e1 AS (SELECT event_type AS v FROM events), "
-            "c1 AS (SELECT v, count(*) AS n FROM e1 GROUP BY v), "
-            "t1 AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM c1), "
-            "e2 AS (SELECT user_id AS v2 FROM events), "
-            "c2 AS (SELECT v2, count(*) AS n FROM e2 GROUP BY v2), "
-            "t2 AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM c2) "
-            "SELECT 'event_type' AS \"column\", "
-            "CAST(count(*) AS BIGINT) AS n_distinct, "
-            "round(-sum((n / t) * log2(n / t)), 6) AS entropy_bits "
-            "FROM c1, t1 "
-            "UNION ALL SELECT 'user_id', CAST(count(*) AS BIGINT), "
-            "round(-sum((n / t) * log2(n / t)), 6) FROM c2, t2"
+            "WITH u AS (SELECT 'event_type' AS \"column\", "
+            "event_type AS value FROM events "
+            "UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) "
+            "FROM events), "
+            "c AS (SELECT \"column\", value, "
+            "CAST(count(*) AS DOUBLE) AS n FROM u GROUP BY 1, 2) "
+            "SELECT \"column\", CAST(count(*) AS BIGINT) AS n_distinct, "
+            "round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) "
+            "AS entropy_bits FROM c GROUP BY \"column\""
         ),
         # Same lead-window interval construction, integer microseconds.
         "j_scd2_intervals": (

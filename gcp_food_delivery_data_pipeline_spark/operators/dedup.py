@@ -32,6 +32,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+    ensure_min_partitions,
+)
 from gcp_food_delivery_data_pipeline_spark.operators.text import tokens
 
 # MinHash modulus: Mersenne prime 2^31-1, with the 32-bit shingle hash
@@ -1288,8 +1291,17 @@ def span_dedup_profile(
     """
     if k < 1:
         raise ValueError(f"span_dedup_profile: k must be >= 1, got {k}")
-    d = documents.select(
-        id_col, tokens(F.col(text_col)).alias("_toks")
+    # ensure_min_partitions: (a) spreads the interpreted tokenizer
+    # lambdas across cores on narrow inputs, and (b) makes the staged
+    # projection an EXCHANGE that identical downstream branches reuse
+    # (drop_duplicate_spans reads d twice — without the exchange each
+    # branch re-tokenizes the corpus). The >=k filter itself still
+    # pushes below the exchange (Catalyst pushes deterministic
+    # filters through repartitions), so a bounded 2x-per-DOCUMENT
+    # tokenize remains — the per-output-row re-evaluation class this
+    # repo pins in SCALE.md is what must never appear, and doesn't.
+    d = ensure_min_partitions(
+        documents.select(id_col, tokens(F.col(text_col)).alias("_toks"))
     ).filter(F.size("_toks") >= k)
     spans = d.select(
         id_col,
@@ -1349,8 +1361,17 @@ def drop_duplicate_spans(
     """
     if k < 1:
         raise ValueError(f"drop_duplicate_spans: k must be >= 1, got {k}")
-    d = documents.select(
-        id_col, tokens(F.col(text_col)).alias("_toks")
+    # ensure_min_partitions: (a) spreads the interpreted tokenizer
+    # lambdas across cores on narrow inputs, and (b) makes the staged
+    # projection an EXCHANGE that identical downstream branches reuse
+    # (drop_duplicate_spans reads d twice — without the exchange each
+    # branch re-tokenizes the corpus). The >=k filter itself still
+    # pushes below the exchange (Catalyst pushes deterministic
+    # filters through repartitions), so a bounded 2x-per-DOCUMENT
+    # tokenize remains — the per-output-row re-evaluation class this
+    # repo pins in SCALE.md is what must never appear, and doesn't.
+    d = ensure_min_partitions(
+        documents.select(id_col, tokens(F.col(text_col)).alias("_toks"))
     ).filter(F.size("_toks") >= k)
     occ = d.select(
         id_col,

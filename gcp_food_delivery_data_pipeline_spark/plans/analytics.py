@@ -1629,27 +1629,29 @@ def q_entropy_profile(events: DataFrame) -> DataFrame:
     """Shannon entropy (bits) of categorical columns — the
     one-number-per-column distribution profile that flags constant or
     near-constant columns (entropy ~ 0) and uniform id-like columns
-    (entropy ~ log2 n). One aggregation per column over its value
-    counts; the entropy fold is a second tiny aggregation over the
-    distinct values.
+    (entropy ~ log2 n).
+
+    ONE scan profiles every column: ``stack`` unpivots the columns to
+    (column, value) rows, one aggregation counts values, and the
+    per-column rollup uses the closed form
+    ``H = log2(t) - sum(n*log2(n))/t`` — equal to -sum(p*log2 p) but
+    needing only per-group sums, so no scalar-total join and no
+    second scan. Adding a profiled column adds a stack argument, not
+    a pass (the quality-rule engine's own discipline).
     """
-    outs = []
-    for col in ("event_type", "user_id"):
-        counts = events.groupBy(F.col(col).alias("_v")).agg(
-            F.count(F.lit(1)).alias("_n")
+    unpivoted = events.select(
+        F.expr(
+            "stack(2, 'event_type', event_type, "
+            "'user_id', cast(user_id as string)) AS (column, value)"
         )
-        tot = counts.agg(F.sum("_n").alias("_t"))
-        p = F.col("_n") / F.col("_t")
-        outs.append(
-            counts.crossJoin(F.broadcast(tot)).agg(
-                F.lit(col).alias("column"),
-                F.count(F.lit(1)).alias("n_distinct"),
-                F.round(
-                    -F.sum(p * F.log2(p)), 6
-                ).alias("entropy_bits"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    )
+    counts = unpivoted.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    n, t = F.col("_n"), F.sum("_n")
+    return counts.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.log2(t) - F.sum(n * F.log2(n)) / t, 6
+        ).alias("entropy_bits"),
+    )

@@ -342,10 +342,11 @@ def test_bpe_pair_counts_aggregate_partially(plans):
     assert "TakeOrderedAndProject" in p  # deterministic top-20
 
 
-def test_span_dedup_is_two_shuffles_no_cartesian(plans):
-    """span_dedup_profile: window count over span + per-doc rollup —
-    exactly two exchanges, never a join (all-pairs would show up as
-    CartesianProduct/BroadcastNestedLoop)."""
+def test_span_dedup_is_three_shuffles_no_cartesian(plans):
+    """span_dedup_profile: narrow-input spread (round-robin), window
+    count over span, per-doc rollup — exactly three exchanges, never a
+    join (all-pairs would show up as CartesianProduct/
+    BroadcastNestedLoop)."""
     p = plans("d_span_dedup")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
@@ -355,4 +356,4 @@ def test_span_dedup_is_two_shuffles_no_cartesian(plans):
     # formatted plans list each node twice (tree + detail section);
     # count the numbered detail entries only
     n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
-    assert n_exchange == 2, p
+    assert n_exchange == 3, p
