@@ -955,6 +955,12 @@ def _q_revenue_trend(spark: SparkSession, sf: str) -> DataFrame:
     return A.q_revenue_trend(load_table(spark, sf, "orders"))
 
 
+def _q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group winsorization audit: exact [p1, p99] clip band, tail
+    clip counts, mean before/after."""
+    return A.q_winsorize(load_table(spark, sf, "events"))
+
+
 def _q_benford(spark: SparkSession, sf: str) -> DataFrame:
     """Benford first-significant-digit audit of order totals vs the
     log10(1 + 1/d) expectation — the fabricated-data smell test."""
@@ -2755,6 +2761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_label_propagation": _q_label_propagation,
         "q_revenue_trend": _q_revenue_trend,
         "q_benford_audit": _q_benford,
+        "q_winsorize": _q_winsorize,
         "q_entropy_profile": _q_entropy_profile,
         "j_scd2_intervals": _q_scd2,
         # -- reference parity (SURVEY.md §2): graded r2/r3, oldest
@@ -4044,6 +4051,23 @@ def oracle_sql() -> dict[str, str]:
         # Integer-only iterative fixed point — unrolled like pagerank
         # but with zero float state; see _lpa_oracle_sql.
         "g_label_propagation": _lpa_oracle_sql(5),
+        # Same percentile interpolation, same least/greatest clip.
+        "q_winsorize": (
+            "WITH c AS (SELECT event_type, "
+            "quantile_cont(value, 0.01) AS lo, "
+            "quantile_cont(value, 0.99) AS hi "
+            "FROM events GROUP BY event_type) "
+            "SELECT e.event_type, count(*) AS n_events, "
+            "CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_clipped_low, "
+            "CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_clipped_high, "
+            "round(avg(value), 6) AS mean_raw, "
+            "round(avg(least(greatest(value, lo), hi)), 6) "
+            "AS mean_winsorized "
+            "FROM events e JOIN c ON e.event_type = c.event_type "
+            "GROUP BY e.event_type"
+        ),
         # First [1-9] of the decimal rendering on both engines.
         "q_benford_audit": (
             "WITH c AS (SELECT CAST(regexp_extract(CAST(abs(o_totalprice) "

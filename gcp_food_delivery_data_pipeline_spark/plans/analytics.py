@@ -1655,3 +1655,41 @@ def q_entropy_profile(events: DataFrame) -> DataFrame:
             F.log2(t) - F.sum(n * F.log2(n)) / t, 6
         ).alias("entropy_bits"),
     )
+
+
+def q_winsorize(
+    events: DataFrame, p_lo: float = 0.01, p_hi: float = 0.99
+) -> DataFrame:
+    """Per-group winsorization audit: clip ``value`` to the group's
+    exact [p_lo, p_hi] percentile band and report how many rows each
+    tail clipped plus the mean before/after — the standard
+    outlier-robust preprocessing step (clip, don't drop), reported as
+    an audit so the transform's effect is inspectable before it's
+    applied to the training table.
+
+    One aggregation computes the percentile cuts per group; they join
+    back by group key (broadcast-sized: one row per group) and the
+    clip is a pure projection — two scans total because exact
+    percentiles can't be computed alongside the clip in one pass
+    (swap to approx_percentile to fuse at extreme cardinalities).
+    """
+    cuts = events.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {p_lo})").alias("_lo"),
+        F.expr(f"percentile(value, {p_hi})").alias("_hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi"))
+    return (
+        events.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value") < F.col("_lo")).cast("long")).alias(
+                "n_clipped_low"
+            ),
+            F.sum((F.col("value") > F.col("_hi")).cast("long")).alias(
+                "n_clipped_high"
+            ),
+            F.round(F.avg("value"), 6).alias("mean_raw"),
+            F.round(F.avg(clipped), 6).alias("mean_winsorized"),
+        )
+    )

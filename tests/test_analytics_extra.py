@@ -416,3 +416,27 @@ def test_scd2_intervals_chain(spark):
     assert by_eid[201].is_current
     n_current = sum(1 for r in out if r.user_id == 1 and r.is_current)
     assert n_current == 1
+
+
+def test_winsorize_clips_planted_outliers(spark):
+    """100 unit values + 2 extreme outliers, p=[0.05, 0.95]: both
+    tails clip and the winsorized mean moves toward the bulk."""
+    from datetime import datetime
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_winsorize,
+    )
+
+    vals = [10.0] * 100 + [-1000.0, 5000.0]
+    rows = [
+        (i, datetime(2024, 1, 1), 1, "t", v) for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    got = q_winsorize(ev, p_lo=0.05, p_hi=0.95).collect()[0]
+    assert got.n_events == 102
+    assert got.n_clipped_low == 1 and got.n_clipped_high == 1
+    assert abs(got.mean_winsorized - 10.0) < abs(got.mean_raw - 10.0)
