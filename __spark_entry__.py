@@ -955,6 +955,18 @@ def _q_revenue_trend(spark: SparkSession, sf: str) -> DataFrame:
     return A.q_revenue_trend(load_table(spark, sf, "orders"))
 
 
+def _q_pareto_front(spark: SparkSession, sf: str) -> DataFrame:
+    """Smallest part set reaching 80% of revenue (two-phase
+    distributed rank + broadcast total; deterministic tie-break)."""
+    return A.q_pareto_front(load_table(spark, sf, "lineitem"), share=0.8)
+
+
+def _q_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini concentration of part revenue via the sorted-rank closed
+    form — one distributed rank + one aggregation, never O(n^2)."""
+    return A.q_gini_revenue(load_table(spark, sf, "lineitem"))
+
+
 def _q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group winsorization audit: exact [p1, p99] clip band, tail
     clip counts, mean before/after."""
@@ -2762,6 +2774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_revenue_trend": _q_revenue_trend,
         "q_benford_audit": _q_benford,
         "q_winsorize": _q_winsorize,
+        "q_pareto_front": _q_pareto_front,
+        "q_gini_revenue": _q_gini,
         "q_entropy_profile": _q_entropy_profile,
         "j_scd2_intervals": _q_scd2,
         # -- reference parity (SURVEY.md §2): graded r2/r3, oldest
@@ -4051,6 +4065,34 @@ def oracle_sql() -> dict[str, str]:
         # Integer-only iterative fixed point — unrolled like pagerank
         # but with zero float state; see _lpa_oracle_sql.
         "g_label_propagation": _lpa_oracle_sql(5),
+        # Running-sum window mirrors the two-phase rank's prefix sums;
+        # rounding absorbs differing addition trees.
+        "q_pareto_front": (
+            "WITH rev AS (SELECT l_partkey, "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) "
+            "* (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) "
+            "AS revenue FROM lineitem GROUP BY l_partkey), "
+            "r AS (SELECT l_partkey, revenue, "
+            "row_number() OVER (ORDER BY revenue DESC, l_partkey) AS rank, "
+            "coalesce(sum(revenue) OVER (ORDER BY revenue DESC, l_partkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS before FROM rev), "
+            "t AS (SELECT sum(revenue) AS tot FROM rev) "
+            "SELECT rank, l_partkey, revenue, "
+            "round((before + revenue) / tot, 6) AS cum_share "
+            "FROM r, t WHERE before / tot < 0.8"
+        ),
+        "q_gini_revenue": (
+            "WITH rev AS (SELECT l_partkey, "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) "
+            "* (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) "
+            "AS revenue FROM lineitem GROUP BY l_partkey), "
+            "r AS (SELECT revenue, row_number() OVER ("
+            "ORDER BY revenue, l_partkey) AS rnk FROM rev) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_parts, "
+            "round(2.0 * sum(rnk * revenue) / (count(*) * sum(revenue)) "
+            "- (count(*) + 1.0) / count(*), 6) AS gini FROM r"
+        ),
         # Same percentile interpolation, same least/greatest clip.
         "q_winsorize": (
             "WITH c AS (SELECT event_type, "

@@ -1693,3 +1693,91 @@ def q_winsorize(
             F.round(F.avg(clipped), 6).alias("mean_winsorized"),
         )
     )
+
+
+def q_pareto_front(lineitem: DataFrame, share: float = 0.8) -> DataFrame:
+    """Pareto (80/20) concentration: the smallest set of parts —
+    taken in descending revenue order — whose cumulative revenue
+    reaches ``share`` of the total, with each kept part's cumulative
+    share. The assortment-rationalization classic.
+
+    The cumulative sum over the revenue ordering uses the two-phase
+    distributed rank (range repartition → local prefix sums →
+    per-partition offsets), NEVER a global-order window; the total
+    joins back as a broadcast scalar. Ties in revenue break by part
+    key, so the front is deterministic.
+    """
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        _global_ordered_rank_and_prefix,
+    )
+
+    # DECIMAL summation: the per-part revenue is compared/ranked, and
+    # a double sum can land exactly on a cent-rounding boundary where
+    # the two engines' addition orders round apart (observed once at
+    # sf0.01) — exact decimal arithmetic removes the boundary entirely
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    rev = lineitem.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))), 2
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    ranked = _global_ordered_rank_and_prefix(
+        rev.select(
+            "l_partkey", "revenue", (-F.col("revenue")).alias("_neg")
+        ),
+        ["_neg", "l_partkey"],
+        F.col("revenue"),
+    )
+    total = rev.agg(F.sum("revenue").alias("_tot"))
+    cum_share = (F.col("_gbefore") + F.col("revenue")) / F.col("_tot")
+    prev_share = F.col("_gbefore") / F.col("_tot")
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        # keep every part needed to REACH the share: all whose
+        # cumulative share before them is still below the target
+        .filter(prev_share < share)
+        .select(
+            F.col("_grank").alias("rank"),
+            "l_partkey",
+            "revenue",
+            F.round(cum_share, 6).alias("cum_share"),
+        )
+    )
+
+
+def q_gini_revenue(lineitem: DataFrame) -> DataFrame:
+    """Gini coefficient of revenue concentration across parts (0 =
+    perfectly equal, →1 = one part takes everything), via the sorted
+    -rank closed form G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending
+    revenue — one distributed rank plus one aggregation, no pairwise
+    |xᵢ−xⱼ| expansion (the naive definition is O(n²)).
+    """
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        _global_ordered_rank_and_prefix,
+    )
+
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    rev = lineitem.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))), 2
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    ranked = _global_ordered_rank_and_prefix(
+        rev.select("l_partkey", "revenue"),
+        ["revenue", "l_partkey"],
+        F.lit(0),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(
+            2.0
+            * F.sum(F.col("_grank") * F.col("revenue"))
+            / (F.count(F.lit(1)) * F.sum("revenue"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )

@@ -440,3 +440,43 @@ def test_winsorize_clips_planted_outliers(spark):
     assert got.n_events == 102
     assert got.n_clipped_low == 1 and got.n_clipped_high == 1
     assert abs(got.mean_winsorized - 10.0) < abs(got.mean_raw - 10.0)
+
+
+def test_pareto_front_golden(spark):
+    """Revenues 50/30/15/5: the 80% front is exactly {A, B} and
+    cum_share is monotone."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_pareto_front,
+    )
+
+    rows = [
+        (1, 50.0, 0.0), (2, 30.0, 0.0), (3, 15.0, 0.0), (4, 5.0, 0.0)
+    ]
+    li = spark.createDataFrame(
+        rows, "l_partkey long, l_extendedprice double, l_discount double"
+    )
+    got = sorted(
+        (r.rank, r.l_partkey, r.cum_share)
+        for r in q_pareto_front(li, share=0.8).collect()
+    )
+    assert [(k, s) for _, k, s in got] == [(1, 0.5), (2, 0.8)]
+
+
+def test_gini_extremes(spark):
+    """Equal revenues -> G=0 (up to the (n-1)/n discreteness of the
+    rank form, exactly 0 here); total concentration -> G -> (n-1)/n."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_gini_revenue,
+    )
+
+    equal = spark.createDataFrame(
+        [(k, 10.0, 0.0) for k in range(1, 5)],
+        "l_partkey long, l_extendedprice double, l_discount double",
+    )
+    assert q_gini_revenue(equal).collect()[0].gini == 0.0
+    skewed = spark.createDataFrame(
+        [(1, 1000.0, 0.0)] + [(k, 0.01, 0.0) for k in range(2, 5)],
+        "l_partkey long, l_extendedprice double, l_discount double",
+    )
+    g = q_gini_revenue(skewed).collect()[0].gini
+    assert 0.7 < g < 0.75  # -> (n-1)/n = 0.75 as the small parts -> 0
