@@ -955,6 +955,23 @@ def _q_revenue_trend(spark: SparkSession, sf: str) -> DataFrame:
     return A.q_revenue_trend(load_table(spark, sf, "orders"))
 
 
+def _q_order_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-purchase cadence per customer (keyed lag window +
+    exact median)."""
+    return A.q_order_intervals(load_table(spark, sf, "orders"))
+
+
+def _q_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily new-vs-returning user split (growth accounting)."""
+    return A.q_new_vs_returning(load_table(spark, sf, "events"))
+
+
+def _q_session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k in-session event-type n-grams (sequence mining over the
+    30-minute-gap sessionization)."""
+    return A.q_session_paths(load_table(spark, sf, "events"))
+
+
 def _q_pareto_front(spark: SparkSession, sf: str) -> DataFrame:
     """Smallest part set reaching 80% of revenue (two-phase
     distributed rank + broadcast total; deterministic tie-break)."""
@@ -2776,6 +2793,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winsorize": _q_winsorize,
         "q_pareto_front": _q_pareto_front,
         "q_gini_revenue": _q_gini,
+        "q_order_intervals": _q_order_intervals,
+        "q_new_vs_returning": _q_new_vs_returning,
+        "q_session_paths": _q_session_paths,
         "q_entropy_profile": _q_entropy_profile,
         "j_scd2_intervals": _q_scd2,
         # -- reference parity (SURVEY.md §2): graded r2/r3, oldest
@@ -4065,6 +4085,48 @@ def oracle_sql() -> dict[str, str]:
         # Integer-only iterative fixed point — unrolled like pagerank
         # but with zero float state; see _lpa_oracle_sql.
         "g_label_propagation": _lpa_oracle_sql(5),
+        "q_order_intervals": (
+            "WITH g AS (SELECT o_custkey, date_diff('day', "
+            "lag(CAST(o_orderdate AS DATE)) OVER ("
+            "PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), "
+            "o_orderkey), CAST(o_orderdate AS DATE)) AS gap FROM orders) "
+            "SELECT o_custkey, count(*) AS n_gaps, "
+            "round(quantile_cont(gap, 0.5), 6) AS median_gap_days, "
+            "CAST(max(gap) AS BIGINT) AS max_gap_days "
+            "FROM g WHERE gap IS NOT NULL GROUP BY o_custkey"
+        ),
+        "q_new_vs_returning": (
+            "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) "
+            "AS d FROM events), "
+            "f AS (SELECT user_id, min(d) AS fd FROM ud GROUP BY user_id) "
+            "SELECT strftime(ud.d, '%Y-%m-%d') AS day, "
+            "CAST(sum(CASE WHEN ud.d = f.fd THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_new, "
+            "CAST(sum(CASE WHEN ud.d <> f.fd THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_returning "
+            "FROM ud JOIN f ON ud.user_id = f.user_id GROUP BY ud.d"
+        ),
+        # Same micros-gap sessionization as q_sessionize, then list
+        # n-grams per session.
+        "q_session_paths": (
+            "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) "
+            "- epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END "
+            "AS ns FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid "
+            "FROM o), "
+            "q AS (SELECT user_id, sid, "
+            "list(event_type ORDER BY ts, event_id) AS types "
+            "FROM s GROUP BY user_id, sid), "
+            "g AS (SELECT unnest(list_transform("
+            "range(1, len(types) - 1), "
+            "i -> array_to_string(types[i:i+2], '>'))) AS path "
+            "FROM q WHERE len(types) >= 3) "
+            "SELECT path, count(*) AS n FROM g GROUP BY path "
+            "ORDER BY n DESC, path LIMIT 20"
+        ),
         # Running-sum window mirrors the two-phase rank's prefix sums;
         # rounding absorbs differing addition trees.
         "q_pareto_front": (

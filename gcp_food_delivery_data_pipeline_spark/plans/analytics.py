@@ -1781,3 +1781,117 @@ def q_gini_revenue(lineitem: DataFrame) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def q_order_intervals(orders: DataFrame) -> DataFrame:
+    """Inter-purchase cadence per customer: the gaps (days) between a
+    customer's consecutive orders, summarized as count / median / max.
+    Repeat-purchase behavior in one keyed window pass (lag PARTITIONED
+    BY CUSTOMER — parallel per-key sorts) plus one aggregation; only
+    customers with at least two orders appear (one order = no gap).
+    """
+    day = F.to_date("o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy(day, "o_orderkey")
+    gap = F.datediff(day, F.lag(day).over(w))
+    return (
+        orders.select("o_custkey", gap.alias("_gap"))
+        .filter(F.col("_gap").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.expr("percentile(_gap, 0.5)"), 6).alias(
+                "median_gap_days"
+            ),
+            F.max("_gap").cast("long").alias("max_gap_days"),
+        )
+    )
+
+
+def q_new_vs_returning(events: DataFrame) -> DataFrame:
+    """Daily new-vs-returning user split: a user is NEW on their first
+    active day and RETURNING on every later active day — the
+    growth-accounting view of the event stream. One distinct
+    (user, day) pass, one per-user min, one per-day rollup; the
+    first-day frame joins back keyed on user (co-partitioned with the
+    distinct's own shuffle).
+    """
+    ud = events.select(
+        "user_id", F.to_date("ts").alias("_day")
+    ).distinct()
+    first = ud.groupBy("user_id").agg(F.min("_day").alias("_first"))
+    return (
+        ud.join(first, "user_id")
+        .groupBy(F.date_format("_day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum((F.col("_day") == F.col("_first")).cast("long")).alias(
+                "n_new"
+            ),
+            F.sum((F.col("_day") != F.col("_first")).cast("long")).alias(
+                "n_returning"
+            ),
+        )
+    )
+
+
+def q_session_paths(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k behavior paths: the most frequent n-grams of event types
+    within sessions (same 30-minute-gap sessionization as
+    q_sessionize) — the sequence-mining view of user behavior, e.g.
+    'view>click>purchase'.
+
+    Per-session sequences come from one keyed collect+sort (bounded by
+    session length, watermark-analogous to the batch sessionizer);
+    n-grams are generated JVM-side (transform+slice) and counted with
+    a combinable aggregation; top-k orders deterministically.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_micros(F.col("ts"))
+    new_s = (
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(
+            epoch - F.unix_micros(F.lag("ts").over(w))
+            > gap_seconds * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+    )
+    sess = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seqs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_sid", sess)
+        .groupBy("user_id", "_sid")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ).alias("_types")
+        )
+    )
+    grams = seqs.select(
+        F.explode(
+            F.when(
+                F.size("_types") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_types") - (n - 1)),
+                    lambda i: F.concat_ws(
+                        ">", F.slice("_types", i, n)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("path")
+    )
+    return (
+        grams.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(k)
+    )

@@ -480,3 +480,78 @@ def test_gini_extremes(spark):
     )
     g = q_gini_revenue(skewed).collect()[0].gini
     assert 0.7 < g < 0.75  # -> (n-1)/n = 0.75 as the small parts -> 0
+
+
+def test_order_intervals_golden(spark):
+    """Customer 1 orders on days 1, 4, 10 -> gaps 3, 6 (median 4.5);
+    single-order customer 2 emits no row."""
+    from datetime import datetime
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_order_intervals,
+    )
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1)), (2, 1, datetime(2024, 1, 4)),
+        (3, 1, datetime(2024, 1, 10)), (4, 2, datetime(2024, 1, 5)),
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    )
+    got = {r.o_custkey: r for r in q_order_intervals(orders).collect()}
+    assert set(got) == {1}
+    assert got[1].n_gaps == 2
+    assert got[1].median_gap_days == 4.5
+    assert got[1].max_gap_days == 6
+
+
+def test_new_vs_returning_golden(spark):
+    """User 1 active days 1+2, user 2 day 2 only: day1 = 1 new; day2 =
+    1 new (user 2) + 1 returning (user 1)."""
+    from datetime import datetime
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_new_vs_returning,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9), 1, "view", 0.0),
+        (2, datetime(2024, 1, 2, 9), 1, "view", 0.0),
+        (3, datetime(2024, 1, 2, 10), 2, "view", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    got = {r.day: (r.n_new, r.n_returning) for r in q_new_vs_returning(ev).collect()}
+    assert got == {"2024-01-01": (1, 0), "2024-01-02": (1, 1)}
+
+
+def test_session_paths_golden(spark):
+    """One session view>click>purchase>view yields trigrams
+    v>c>p and c>p>v; a 2-event session yields none; a session break
+    (>30 min) splits the path."""
+    from datetime import datetime, timedelta
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_session_paths,
+    )
+
+    t0 = datetime(2024, 1, 1, 9)
+    rows = [
+        (1, t0, 1, "view", 0.0),
+        (2, t0 + timedelta(minutes=1), 1, "click", 0.0),
+        (3, t0 + timedelta(minutes=2), 1, "purchase", 0.0),
+        (4, t0 + timedelta(minutes=3), 1, "view", 0.0),
+        # session break: next trigram must NOT span the gap
+        (5, t0 + timedelta(hours=2), 1, "click", 0.0),
+        (6, t0 + timedelta(hours=2, minutes=1), 1, "error", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    got = {r.path: r.n for r in q_session_paths(ev).collect()}
+    assert got == {"view>click>purchase": 1, "click>purchase>view": 1}
