@@ -1037,6 +1037,45 @@ def _q_triangles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-round k-core peel (k=3, 5 rounds) over the strong
+    symmetric co-occurrence graph — the graph family's
+    degree-threshold fourth member, integer-only like LPA."""
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import kcore
+
+    return kcore(
+        _part_edges(spark, sf, symmetric=True, min_n=2), k=3, rounds=5
+    )
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 5) -> str:
+    """Unrolled peel twin of _q_kcore (symmetric strong edges)."""
+    ctes = [
+        "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        "e0 AS (SELECT a.l_partkey AS s, b.l_partkey AS d "
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey <> b.l_partkey "
+        "GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2)",
+    ]
+    prev = "e0"
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"k{t} AS (SELECT s FROM {prev} GROUP BY s "
+            f"HAVING count(*) >= {k})"
+        )
+        ctes.append(
+            f"e{t} AS (SELECT p.s, p.d FROM {prev} p "
+            f"WHERE p.s IN (SELECT s FROM k{t}) "
+            f"AND p.d IN (SELECT s FROM k{t}))"
+        )
+        prev = f"e{t}"
+    return (
+        ", ".join(ctes)
+        + f" SELECT s AS node, CAST(count(*) AS BIGINT) AS degree "
+        f"FROM {prev} GROUP BY s"
+    )
+
+
 def _q_sample_negatives(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic negative sampling (customer x part): md5-slot
     candidates mod the part count, dense-ranked item mapping, positives
@@ -2788,6 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_sample_negatives": _q_sample_negatives,
         "g_triangles": _q_triangles,
         "g_label_propagation": _q_label_propagation,
+        "g_kcore": _q_kcore,
         "q_revenue_trend": _q_revenue_trend,
         "q_benford_audit": _q_benford,
         "q_winsorize": _q_winsorize,
@@ -4085,6 +4125,7 @@ def oracle_sql() -> dict[str, str]:
         # Integer-only iterative fixed point — unrolled like pagerank
         # but with zero float state; see _lpa_oracle_sql.
         "g_label_propagation": _lpa_oracle_sql(5),
+        "g_kcore": _kcore_oracle_sql(3, 5),
         "q_order_intervals": (
             "WITH g AS (SELECT o_custkey, date_diff('day', "
             "lag(CAST(o_orderdate AS DATE)) OVER ("

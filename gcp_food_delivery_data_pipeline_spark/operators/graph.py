@@ -203,3 +203,54 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling over a SYMMETRIC edge list: each
+    round drops every node whose current degree is below ``k``
+    (removing its edges), which can push neighbors below the threshold
+    for the next round. Returns ``(node, degree)`` of the survivors
+    after ``rounds`` rounds.
+
+    A fixed round count (rather than peel-until-stable) keeps the
+    result a pure function of the input — the same trade PageRank and
+    LPA make here, and what lets the oracle unroll the recursion; on
+    most graphs a handful of rounds reaches the true k-core (each
+    round strictly shrinks the edge set or the loop is already
+    stable). Integer degrees only — no float state.
+
+    Per round: one degree aggregation + two semi-joins (src side, dst
+    side) — all keyed; ``localCheckpoint`` truncates lineage.
+    """
+    if k < 1:
+        raise ValueError(f"kcore: k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError("kcore: need at least one round")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    e = e.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select(F.col("_s").alias("_keep"))
+        )
+        e = (
+            e.join(keep, e["_s"] == keep["_keep"], "left_semi")
+            .join(
+                keep.select(F.col("_keep").alias("_keep2")),
+                F.col("_d") == F.col("_keep2"),
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.groupBy(F.col("_s").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

@@ -117,3 +117,40 @@ def test_label_propagation_validates_iterations(spark):
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
     with _pytest.raises(ValueError, match="iteration"):
         label_propagation(e, iterations=0)
+
+
+def test_kcore_peels_tail(spark):
+    """Triangle {1,2,3} plus pendant 3-4: with k=2 the pendant node 4
+    peels (degree 1), which drops 3's degree to 2 — the triangle
+    survives as the 2-core with degree 2 everywhere."""
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import kcore
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    e = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {r.node: r.degree for r in kcore(e, k=2, rounds=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_everything_peels(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import kcore
+
+    # path graph: no 2-core at all
+    und = [(1, 2), (2, 3), (3, 4)]
+    e = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    assert kcore(e, k=2, rounds=4).count() == 0
+
+
+def test_kcore_validates_params(spark):
+    import pytest as _pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import kcore
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError, match="k must be"):
+        kcore(e, k=0)
+    with _pytest.raises(ValueError, match="round"):
+        kcore(e, rounds=0)
