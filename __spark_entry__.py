@@ -918,9 +918,9 @@ def _lpa_oracle_sql(iterations: int = 5) -> str:
     ASSUMES SYMMETRIC EDGES: the node CTE derives from edge SOURCES
     only and each round's winner CTE drops in-degree-0 nodes — both
     equal the operator's src-union-dst universe and carry-over rule
-    only because _strong_part_edges emits every edge in both
-    directions. Re-pointing this key at a directed/asymmetric edge
-    definition requires widening the node CTE and left-joining the
+    only because _part_edges(symmetric=True) emits every edge in both
+    directions (see _part_edges). Re-pointing this key at a
+    directed/asymmetric edge definition requires widening the node CTE and left-joining the
     winners (as the operator does)."""
     ctes = [
         "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
@@ -4147,7 +4147,9 @@ def oracle_sql() -> dict[str, str]:
             "AS n_returning "
             "FROM ud JOIN f ON ud.user_id = f.user_id GROUP BY ud.d"
         ),
-        # Same micros-gap sessionization as q_sessionize, then list
+        # Micros-gap sessionization (sub-second precision — note
+        # q_sessionize's own twin compares floor-SECOND gaps, so the
+        # two keys may split boundary events differently), then list
         # n-grams per session.
         "q_session_paths": (
             "WITH o AS (SELECT user_id, ts, event_id, event_type, "
@@ -4171,19 +4173,25 @@ def oracle_sql() -> dict[str, str]:
         # Running-sum window mirrors the two-phase rank's prefix sums;
         # rounding absorbs differing addition trees.
         "q_pareto_front": (
+            # integer-cents prefix sums: exact, so the 0.8
+            # threshold compare is regrouping-proof
             "WITH rev AS (SELECT l_partkey, "
             "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) "
             "* (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) "
-            "AS revenue FROM lineitem GROUP BY l_partkey), "
-            "r AS (SELECT l_partkey, revenue, "
-            "row_number() OVER (ORDER BY revenue DESC, l_partkey) AS rank, "
-            "coalesce(sum(revenue) OVER (ORDER BY revenue DESC, l_partkey "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
-            "AS before FROM rev), "
-            "t AS (SELECT sum(revenue) AS tot FROM rev) "
+            "AS revenue, "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) "
+            "* (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) * 100 "
+            "AS BIGINT) AS cents FROM lineitem GROUP BY l_partkey), "
+            "r AS (SELECT l_partkey, revenue, cents, "
+            "row_number() OVER (ORDER BY cents DESC, l_partkey) AS rank, "
+            "CAST(coalesce(sum(cents) OVER (ORDER BY cents DESC, "
+            "l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS BIGINT) AS before FROM rev), "
+            "t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM rev) "
             "SELECT rank, l_partkey, revenue, "
-            "round((before + revenue) / tot, 6) AS cum_share "
-            "FROM r, t WHERE before / tot < 0.8"
+            "round(CAST(before + cents AS DOUBLE) / tot, 6) "
+            "AS cum_share "
+            "FROM r, t WHERE CAST(before AS DOUBLE) / tot < 0.8"
         ),
         "q_gini_revenue": (
             "WITH rev AS (SELECT l_partkey, "
@@ -4208,7 +4216,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) "
             "AS n_clipped_high, "
             "round(avg(value), 6) AS mean_raw, "
-            "round(avg(least(greatest(value, lo), hi)), 6) "
+            "round(avg(CASE WHEN value IS NOT NULL "
+            "THEN least(greatest(value, lo), hi) END), 6) "
             "AS mean_winsorized "
             "FROM events e JOIN c ON e.event_type = c.event_type "
             "GROUP BY e.event_type"

@@ -1291,11 +1291,10 @@ def span_dedup_profile(
     """
     if k < 1:
         raise ValueError(f"span_dedup_profile: k must be >= 1, got {k}")
-    # ensure_min_partitions: (a) spreads the interpreted tokenizer
-    # lambdas across cores on narrow inputs, and (b) makes the staged
-    # projection an EXCHANGE that identical downstream branches reuse
-    # (drop_duplicate_spans reads d twice — without the exchange each
-    # branch re-tokenizes the corpus). The >=k filter itself still
+    # ensure_min_partitions here spreads the interpreted tokenizer
+    # lambdas across cores on narrow inputs (d has a single consumer
+    # in THIS function — the exchange-reuse benefit the same staging
+    # buys drop_duplicate_spans does not apply). The >=k filter still
     # pushes below the exchange (Catalyst pushes deterministic
     # filters through repartitions), so a bounded 2x-per-DOCUMENT
     # tokenize remains — the per-output-row re-evaluation class this

@@ -1677,7 +1677,14 @@ def q_winsorize(
         F.expr(f"percentile(value, {p_lo})").alias("_lo"),
         F.expr(f"percentile(value, {p_hi})").alias("_hi"),
     )
-    clipped = F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi"))
+    # greatest/least SKIP nulls (greatest(NULL, lo) = lo), which would
+    # silently turn NULL measurements into the low cut and drag the
+    # winsorized mean; clip only real values so avg() skips NULLs on
+    # both sides of the audit identically
+    clipped = F.when(
+        F.col("value").isNotNull(),
+        F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi")),
+    )
     return (
         events.join(F.broadcast(cuts), "event_type")
         .groupBy("event_type")
@@ -1692,6 +1699,30 @@ def q_winsorize(
             F.round(F.avg("value"), 6).alias("mean_raw"),
             F.round(F.avg(clipped), 6).alias("mean_winsorized"),
         )
+    )
+
+
+def _part_revenue_cents(lineitem: DataFrame) -> DataFrame:
+    """Per-part revenue with EXACT arithmetic: decimal summation (a
+    double sum was observed landing exactly on a cent-rounding
+    boundary at sf0.01, where the engines' addition orders round
+    apart), exposed both as integer cents (``_cents`` — for exact
+    prefix sums and threshold compares) and as a double ``revenue``
+    for display. Shared by the Pareto and Gini analytics so the two
+    revenue definitions cannot drift."""
+
+    def dec(c: str) -> Column:
+        return F.col(c).cast("decimal(18,4)")
+
+    rev = lineitem.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))), 2
+        ).alias("_revd")
+    )
+    return rev.select(
+        "l_partkey",
+        (F.col("_revd") * 100).cast("long").alias("_cents"),
+        F.col("_revd").cast("double").alias("revenue"),
     )
 
 
@@ -1711,27 +1742,24 @@ def q_pareto_front(lineitem: DataFrame, share: float = 0.8) -> DataFrame:
         _global_ordered_rank_and_prefix,
     )
 
-    # DECIMAL summation: the per-part revenue is compared/ranked, and
-    # a double sum can land exactly on a cent-rounding boundary where
-    # the two engines' addition orders round apart (observed once at
-    # sf0.01) — exact decimal arithmetic removes the boundary entirely
-    dec = lambda c: F.col(c).cast("decimal(18,4)")
-    rev = lineitem.groupBy("l_partkey").agg(
-        F.round(
-            F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))), 2
-        )
-        .cast("double")
-        .alias("revenue")
-    )
+    rev = _part_revenue_cents(lineitem)
     ranked = _global_ordered_rank_and_prefix(
         rev.select(
-            "l_partkey", "revenue", (-F.col("revenue")).alias("_neg")
+            "l_partkey",
+            "revenue",
+            "_cents",
+            (-F.col("_cents")).alias("_neg"),
         ),
         ["_neg", "l_partkey"],
-        F.col("revenue"),
+        F.col("_cents"),
     )
-    total = rev.agg(F.sum("revenue").alias("_tot"))
-    cum_share = (F.col("_gbefore") + F.col("revenue")) / F.col("_tot")
+    total = rev.agg(F.sum("_cents").alias("_tot"))
+    # share arithmetic on INTEGER cents: the prefix sums are exact, so
+    # the keep/drop threshold compare cannot be moved across the
+    # boundary by float regrouping (the two-phase rank's offset sums
+    # add in a different order than a sequential window — harmless for
+    # integers, an ulp hazard for doubles)
+    cum_share = (F.col("_gbefore") + F.col("_cents")) / F.col("_tot")
     prev_share = F.col("_gbefore") / F.col("_tot")
     return (
         ranked.crossJoin(F.broadcast(total))
@@ -1758,14 +1786,7 @@ def q_gini_revenue(lineitem: DataFrame) -> DataFrame:
         _global_ordered_rank_and_prefix,
     )
 
-    dec = lambda c: F.col(c).cast("decimal(18,4)")
-    rev = lineitem.groupBy("l_partkey").agg(
-        F.round(
-            F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))), 2
-        )
-        .cast("double")
-        .alias("revenue")
-    )
+    rev = _part_revenue_cents(lineitem).drop("_cents")
     ranked = _global_ordered_rank_and_prefix(
         rev.select("l_partkey", "revenue"),
         ["revenue", "l_partkey"],

@@ -555,3 +555,27 @@ def test_session_paths_golden(spark):
     )
     got = {r.path: r.n for r in q_session_paths(ev).collect()}
     assert got == {"view>click>purchase": 1, "click>purchase>view": 1}
+
+
+def test_winsorize_nulls_stay_out_of_both_means(spark):
+    """NULL measurements must not be coerced to the low cut: both
+    means are computed over real values only."""
+    from datetime import datetime
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_winsorize,
+    )
+
+    vals = [10.0] * 20 + [None] * 20
+    rows = [
+        (i, datetime(2024, 1, 1), 1, "t", v) for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    got = q_winsorize(ev, p_lo=0.05, p_hi=0.95).collect()[0]
+    assert got.mean_raw == 10.0
+    assert got.mean_winsorized == 10.0  # NULLs skipped, not clipped
+    assert got.n_clipped_low == 0 and got.n_clipped_high == 0
