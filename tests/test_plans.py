@@ -357,3 +357,36 @@ def test_span_dedup_is_three_shuffles_no_cartesian(plans):
     # count the numbered detail entries only
     n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
     assert n_exchange == 3, p
+
+
+def test_rfm_cuts_and_anchor_broadcast(plans):
+    """q_rfm_segments: the anchor date and the nine quartile cuts are
+    single-row aggregates that must BROADCAST back into the customer
+    frame — a non-broadcast cross join would be the scale-killer."""
+    p = plans("q_rfm_segments")
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+    assert "BroadcastNestedLoopJoin" in p  # scalar x frame, broadcast side
+
+
+def test_winsorize_cuts_broadcast_per_group(plans):
+    """q_winsorize: per-group percentile cuts join back as a broadcast
+    hash join on event_type, never a shuffle of the event stream for a
+    handful of cut rows."""
+    p = plans("q_winsorize")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_temporal_split_is_scalar_broadcast_projection(plans):
+    """c_temporal_split: one scalar cutoff broadcast + pure projection
+    — the event stream itself must not shuffle."""
+    p = plans("c_temporal_split")
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+    import re
+
+    # the only exchanges allowed are the single-row cutoff broadcast
+    # and the percentile aggregation's own single-partition exchange
+    n_shuffle = len(re.findall(r"\(\d+\) Exchange hashpartitioning", p))
+    assert n_shuffle == 0, p
