@@ -385,3 +385,35 @@ def test_drop_duplicate_spans_golden(spark):
     # first (pos 1 covers tokens 1-3, pos 4 covers 4-6) -> empty doc
     assert got[3] == (6, 6, "")
     assert got[4] == (3, 0, "p q r")
+
+
+def test_span_profile_and_removal_invariants(spark):
+    """Cross-operator invariants on a random-ish corpus: dup spans
+    never exceed total spans; removal is conservative (n_removed <=
+    n_tokens, cleaned token count = n_tokens - n_removed); a doc with
+    zero dup spans is untouched by removal."""
+    import random
+
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        drop_duplicate_spans,
+        span_dedup_profile,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    prof = {r.doc_id: r for r in span_dedup_profile(df, k=3).collect()}
+    rem = {r.doc_id: r for r in drop_duplicate_spans(df, k=3).collect()}
+    assert set(prof) == set(rem)
+    for i in prof:
+        assert 0 <= prof[i].n_dup_spans <= prof[i].n_spans
+        r = rem[i]
+        assert 0 <= r.n_removed <= r.n_tokens
+        kept = r.text_clean.split() if r.text_clean else []
+        assert len(kept) == r.n_tokens - r.n_removed
+        if prof[i].n_dup_spans == 0:
+            assert r.n_removed == 0
