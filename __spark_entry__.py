@@ -1050,9 +1050,14 @@ def _q_kcore(spark: SparkSession, sf: str) -> DataFrame:
 
 def _kcore_oracle_sql(k: int = 3, rounds: int = 5) -> str:
     """Unrolled peel twin of _q_kcore (symmetric strong edges)."""
+    # AS MATERIALIZED is load-bearing: each e{t} references its
+    # predecessor THREE times (FROM + two IN-subqueries), so default
+    # CTE inlining re-evaluates the whole chain 3^rounds times — at
+    # sf0.1 that spilled DuckDB past 80 GB of temp before failing.
     ctes = [
-        "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
-        "e0 AS (SELECT a.l_partkey AS s, b.l_partkey AS d "
+        "WITH li AS MATERIALIZED "
+        "(SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        "e0 AS MATERIALIZED (SELECT a.l_partkey AS s, b.l_partkey AS d "
         "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey "
         "AND a.l_partkey <> b.l_partkey "
         "GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2)",
@@ -1060,11 +1065,11 @@ def _kcore_oracle_sql(k: int = 3, rounds: int = 5) -> str:
     prev = "e0"
     for t in range(1, rounds + 1):
         ctes.append(
-            f"k{t} AS (SELECT s FROM {prev} GROUP BY s "
+            f"k{t} AS MATERIALIZED (SELECT s FROM {prev} GROUP BY s "
             f"HAVING count(*) >= {k})"
         )
         ctes.append(
-            f"e{t} AS (SELECT p.s, p.d FROM {prev} p "
+            f"e{t} AS MATERIALIZED (SELECT p.s, p.d FROM {prev} p "
             f"WHERE p.s IN (SELECT s FROM k{t}) "
             f"AND p.d IN (SELECT s FROM k{t}))"
         )

@@ -199,6 +199,16 @@ def _global_ordered_rank_and_prefix(
     r = df.repartitionByRange(n_parts, *order_cols).withColumn(
         "_part", F.spark_partition_id()
     ).withColumn("_val", val)
+    # PIN one materialized partitioning: `r` is consumed by TWO
+    # subtrees (local ranks and partition totals), and
+    # repartitionByRange SAMPLES its boundaries — if the exchange is
+    # not reused (AQE replanning, task retries under pressure), the
+    # two consumers can see DIFFERENT partition boundaries and the
+    # offsets no longer match the local ranks: corrupted global ranks
+    # that vary run-to-run (observed once at sf0.1 under a loaded
+    # session). localCheckpoint makes both consumers read the same
+    # materialized partitions unconditionally.
+    r = r.localCheckpoint(eager=True)
     w_local = Window.partitionBy("_part").orderBy(*order_cols)
     local = r.withColumn("_lrank", F.row_number().over(w_local)).withColumn(
         "_lbefore",
