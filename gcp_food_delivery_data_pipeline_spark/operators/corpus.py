@@ -377,8 +377,12 @@ def pack_sequences(
     ``Window.orderBy`` over the whole corpus.
     """
     nt = token_count(F.col(text_col))
+    # prune to (id, token count) BEFORE the rank: the helper now pins
+    # its partitioning with a localCheckpoint, so every carried column
+    # is materialized — shipping the text through it would serialize
+    # the whole corpus for a projection that never reads it again
     out = _global_ordered_rank_and_prefix(
-        df.withColumn("_nt", nt), [id_col], F.col("_nt")
+        df.select(F.col(id_col), nt.alias("_nt")), [id_col], F.col("_nt")
     )
     before = F.col("_gbefore")
     return out.select(
