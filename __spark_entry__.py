@@ -821,20 +821,26 @@ def _q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_random_projection(spark: SparkSession, sf: str) -> DataFrame:
     """JL random projection 64 -> 16 dims with the ±1 sign matrix as
-    plan literals; the oracle regenerates the same md5-derived matrix
-    into a left-associated SQL chain, so every projected double is
-    hash-checked bit-for-bit."""
+    plan literals, emitted as 16 SCALAR columns (proj_00..proj_15):
+    the round-5 array<double> shape was the suite's only LIST-typed
+    result and crashed the driver's pandas canonicalizer, so the
+    graded shape is now wide-scalar (and the oracle type linter
+    rejects LIST/STRUCT/MAP outright). The oracle regenerates the
+    same md5-derived matrix into the same 0.0-seeded left-assoc
+    chain, so every projected double is hash-checked bit-for-bit."""
     from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
-        random_project,
+        random_project_cols,
     )
 
     e = load_table(spark, sf, "embeddings")
-    return random_project(e, in_dim=64, out_dim=16)
+    return random_project_cols(e, in_dim=64, out_dim=16)
 
 
 def _rp_oracle_sql(out_dim: int = 16, in_dim: int = 64) -> str:
-    """Generate the DuckDB twin of random_project: same sign matrix,
-    same left-assoc fold order, same scale and rounding."""
+    """Generate the DuckDB twin of random_project_cols: same sign
+    matrix, same 0.0-seeded left-assoc fold order (matching the
+    aggregate() fold in _rp_components), same scale and rounding,
+    one scalar column per component."""
     import math
 
     from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
@@ -845,18 +851,12 @@ def _rp_oracle_sql(out_dim: int = 16, in_dim: int = 64) -> str:
     scale = repr(1.0 / math.sqrt(out_dim))
     comps = []
     for j in range(out_dim):
-        chain = ""
+        chain = "0.0"
         for i in range(in_dim):
             term = f"CAST(embedding[{i + 1}] AS DOUBLE)"
-            if i == 0:
-                chain = term if signs[j][i] > 0 else f"(-{term})"
-            else:
-                chain += (" + " if signs[j][i] > 0 else " - ") + term
-        comps.append(f"round(({chain}) * {scale}, 6)")
-    return (
-        "SELECT vec_id, list_value(" + ", ".join(comps) + ") AS proj "
-        "FROM embeddings"
-    )
+            chain += (" + " if signs[j][i] > 0 else " - ") + term
+        comps.append(f"round(({chain}) * {scale}, 6) AS proj_{j:02d}")
+    return "SELECT vec_id, " + ", ".join(comps) + " FROM embeddings"
 
 
 def _part_edges(
@@ -1038,18 +1038,44 @@ def _q_triangles(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_kcore(spark: SparkSession, sf: str) -> DataFrame:
-    """Fixed-round k-core peel (k=3, 5 rounds) over the strong
+    """Fixed-round k-core peel (k=3, 12 rounds) over the strong
     symmetric co-occurrence graph — the graph family's
-    degree-threshold fourth member, integer-only like LPA."""
+    degree-threshold fourth member, integer-only like LPA.
+
+    12 rounds reaches the TRUE k-core on the graded data (measured:
+    the peel is stable after round 11 at sf0.01 and round 3 at
+    sf0.1/sf0.001), and `g_kcore_stable` grades that claim — a 13th
+    round removes 0 nodes."""
     from gcp_food_delivery_data_pipeline_spark.operators.graph import kcore
 
     return kcore(
-        _part_edges(spark, sf, symmetric=True, min_n=2), k=3, rounds=5
+        _part_edges(spark, sf, symmetric=True, min_n=2), k=3, rounds=12
     )
 
 
-def _kcore_oracle_sql(k: int = 3, rounds: int = 5) -> str:
-    """Unrolled peel twin of _q_kcore (symmetric strong edges)."""
+def _q_kcore_stable(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-point evidence for _q_kcore: the survivors' degrees ARE
+    their degrees within the surviving subgraph, so the count of
+    survivors below k is exactly the node count one more peel round
+    would remove. Must be 0 — the 12-round peel is the true k-core,
+    not a truncation artifact."""
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import kcore
+
+    kc = kcore(
+        _part_edges(spark, sf, symmetric=True, min_n=2), k=3, rounds=12
+    )
+    return kc.filter(F.col("degree") < 3).agg(
+        F.count(F.lit(1)).cast("long").alias("n_unstable")
+    )
+
+
+def _kcore_oracle_sql(
+    k: int = 3, rounds: int = 5, stability_probe: bool = False
+) -> str:
+    """Unrolled peel twin of _q_kcore (symmetric strong edges); with
+    ``stability_probe`` the final select counts survivors whose
+    degree is below k (what one more round would remove) instead of
+    returning the survivor degrees."""
     # AS MATERIALIZED is load-bearing: each e{t} references its
     # predecessor THREE times (FROM + two IN-subqueries), so default
     # CTE inlining re-evaluates the whole chain 3^rounds times — at
@@ -1074,6 +1100,13 @@ def _kcore_oracle_sql(k: int = 3, rounds: int = 5) -> str:
             f"AND p.d IN (SELECT s FROM k{t}))"
         )
         prev = f"e{t}"
+    if stability_probe:
+        return (
+            ", ".join(ctes)
+            + f" SELECT CAST(count(*) AS BIGINT) AS n_unstable FROM "
+            f"(SELECT s FROM {prev} GROUP BY s "
+            f"HAVING count(*) < {k}) u"
+        )
     return (
         ", ".join(ctes)
         + f" SELECT s AS node, CAST(count(*) AS BIGINT) AS degree "
@@ -2833,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_triangles": _q_triangles,
         "g_label_propagation": _q_label_propagation,
         "g_kcore": _q_kcore,
+        "g_kcore_stable": _q_kcore_stable,
         "q_revenue_trend": _q_revenue_trend,
         "q_benford_audit": _q_benford,
         "q_winsorize": _q_winsorize,
@@ -4130,7 +4164,9 @@ def oracle_sql() -> dict[str, str]:
         # Integer-only iterative fixed point — unrolled like pagerank
         # but with zero float state; see _lpa_oracle_sql.
         "g_label_propagation": _lpa_oracle_sql(5),
-        "g_kcore": _kcore_oracle_sql(3, 5),
+        "g_kcore": _kcore_oracle_sql(3, 12),
+        # Fixed-point evidence: one more peel round removes 0 nodes.
+        "g_kcore_stable": _kcore_oracle_sql(3, 12, stability_probe=True),
         "q_order_intervals": (
             "WITH g AS (SELECT o_custkey, date_diff('day', "
             "lag(CAST(o_orderdate AS DATE)) OVER ("
@@ -4352,7 +4388,8 @@ def oracle_sql() -> dict[str, str]:
             "WITH pc AS (SELECT o_custkey, "
             "max(CAST(o_orderdate AS DATE)) AS last_d, "
             "CAST(count(*) AS BIGINT) AS frequency, "
-            "round(sum(o_totalprice), 2) AS monetary "
+            "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) "
+            "AS DOUBLE) AS monetary "
             "FROM orders GROUP BY o_custkey), "
             "a AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor "
             "FROM orders), "

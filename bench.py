@@ -253,7 +253,16 @@ def main() -> None:
             extra[name] = el
 
     total = round(sum(timings.values()), 3)
-    out = {
+    # Full-detail artifact (positions, method, 3-decimal timings,
+    # errors) goes to a FILE the round commits; the stdout line stays
+    # compact. Round-5 post-mortem: the driver tail-captures only the
+    # last 2000 characters of stdout, and the full JSON line (66
+    # queries + the positions map) overflowed that, truncating the
+    # line's FRONT — total and flagship timings lost. The final line
+    # must stay well under 2000 chars: 2-decimal values, no spaces,
+    # no positions; if the suite grows past the budget anyway, the
+    # slowest queries are kept and the rest spill to the file.
+    detail = {
         "metric": "total_wall_sec",
         "value": total,
         "unit": "sec",
@@ -263,14 +272,45 @@ def main() -> None:
         # r1-r3 artifacts were single-shot; min-of-2 (since r4) trims
         # GC-pause outliers, so cross-round deltas skew slightly fast.
         # Since r5 an explicit JVM GC runs between units and each
-        # query's session position is recorded below, so late-session
-        # inflation is both mitigated and diagnosable.
+        # query's session position is recorded in the detail file, so
+        # late-session inflation is both mitigated and diagnosable.
         "method": "min_of_2_gc_between",
         "positions": positions,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_result.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+
+    def compact_line(q: dict, x: dict) -> str:
+        out = {
+            "metric": "total_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "queries": q,
+            "extra_queries": x,
+        }
+        if errors:
+            out["errors"] = {k: v[:60] for k, v in errors.items()}
+        return json.dumps(out, separators=(",", ":"))
+
+    r2 = lambda d: {k: round(v, 2) for k, v in d.items()}  # noqa: E731
+    line = compact_line(r2(timings), r2(extra))
+    budget = 1900  # driver tail buffer is 2000 chars
+    if len(line) > budget:
+        keep = dict(
+            sorted(extra.items(), key=lambda kv: -kv[1])
+        )
+        while len(line) > budget and keep:
+            keep.popitem()
+            x = r2(keep)
+            x["_spilled"] = len(extra) - len(keep)
+            line = compact_line(r2(timings), x)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -648,14 +648,23 @@ def sample_negatives(
     pos = positives.select(
         F.col(user_col), F.col(item_col).alias("_pitem"), F.lit(1).alias("_hit")
     ).distinct()
+    # Explicit string aliases on both sides: `cand` and `pos` share
+    # lineage (both derive from `positives`), so a dataframe-object
+    # equality predicate makes the analyzer warn about a trivially-
+    # true self-join equality and correctness would hinge on
+    # dataset-id disambiguation. Qualified column names resolve
+    # unambiguously regardless of analyzer version.
     return (
-        cand.join(ranked, "_idx")
+        cand.alias("c")
+        .join(ranked, "_idx")
         .join(
-            pos,
-            (cand[user_col] == pos[user_col])
+            pos.alias("p"),
+            (F.col(f"c.{user_col}") == F.col(f"p.{user_col}"))
             & (F.col("_item") == F.col("_pitem")),
             "left",
         )
         .filter(F.col("_hit").isNull())
-        .select(cand[user_col], "slot", F.col("_item").alias(item_col))
+        .select(
+            F.col(f"c.{user_col}"), "slot", F.col("_item").alias(item_col)
+        )
     )

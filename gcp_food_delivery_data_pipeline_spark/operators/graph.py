@@ -67,7 +67,7 @@ def pagerank(
     n = nodes.count()
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             frac.join(ranks, frac["_src"] == ranks["node"])
             .select(
@@ -77,17 +77,21 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_in"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
+            ).alias("rank"),
         )
+        # Checkpoint every 2nd round (and the last): lineage stays
+        # bounded at <= 2 join+agg rounds, but the loop pays half the
+        # materializations of the original per-round eager checkpoint
+        # (round-5 profiling: 10x checkpoint cost dominated the wall
+        # time at small SF). Checkpoint frequency never changes the
+        # arithmetic — only where the plan is cut.
+        if it % 2 == 1 or it == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -145,6 +149,7 @@ def label_propagation(
     iterations: int = 5,
     src: str = "src",
     dst: str = "dst",
+    keep_prev: bool = False,
 ) -> DataFrame:
     """Community detection by synchronous label propagation: every
     node starts as its own label; each round it adopts the most
@@ -177,6 +182,7 @@ def label_propagation(
     labels = nodes.select("node", F.col("node").alias("label"))
     from pyspark.sql import Window
 
+    prev = labels
     for _ in range(iterations):
         counts = (
             e.join(labels, e["_s"] == labels["node"])
@@ -195,12 +201,23 @@ def label_propagation(
         # labels always covers every node (invariant from init), so
         # the carry-over is a single left join against the round's
         # winners
+        prev = labels
         labels = (
             labels.join(best, "node", "left")
             .select(
                 "node", F.coalesce("_new", "label").alias("label")
             )
             .localCheckpoint(eager=True)
+        )
+    if keep_prev:
+        # Stability-probe shape: expose round N-1's label next to
+        # round N's so `label <> prev_label` counts the nodes still
+        # moving — the fixed-point evidence for the fixed round count.
+        return labels.join(
+            prev.select(
+                "node", F.col("label").alias("prev_label")
+            ),
+            "node",
         )
     return labels
 

@@ -59,13 +59,46 @@ def write_bucketed(
     directory can survive in the warehouse after its catalog entry is
     gone (new session, dropped metastore), and ``saveAsTable`` then
     fails with LOCATION_ALREADY_EXISTS rather than overwriting — so
-    any uncataloged leftover location is removed first.
+    any uncataloged leftover location is removed first. That cleanup
+    only applies to UNQUALIFIED names in the default database: the
+    <warehouse>/<name> path convention does not hold for `db.table`
+    (or catalog-qualified) names, and deleting it for one would nuke
+    an unrelated directory — so qualified names are rejected, and the
+    path is only deleted when no cataloged table still owns it (the
+    DROP above removed this table's own entry, so any remaining owner
+    is an unrelated external table).
     """
+    if "." in table:
+        raise ValueError(
+            "write_bucketed: qualified table names are not supported "
+            f"(got {table!r}); the leftover-location cleanup assumes "
+            "<warehouse>/<name> which only holds for unqualified "
+            "names in the default database"
+        )
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     wh = spark.conf.get("spark.sql.warehouse.dir")
     jvm = spark.sparkContext._jvm
     loc = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+    loc_path = loc.toUri().getPath()
+    # Never delete a directory some OTHER cataloged table still points
+    # at (this table's own entry is already dropped above): a stray
+    # external table registered over <warehouse>/<name> must survive.
+    for t in spark.catalog.listTables():
+        qual = f"{t.database}.{t.name}" if t.database else t.name
+        try:
+            rows = spark.sql(f"DESCRIBE TABLE EXTENDED {qual}").collect()
+        except Exception:  # noqa: BLE001 — concurrent drop; skip
+            continue
+        t_loc = next(
+            (str(r.data_type) for r in rows if r.col_name == "Location"),
+            "",
+        )
+        if t_loc and t_loc.rstrip("/").endswith(loc_path.rstrip("/")):
+            raise ValueError(
+                f"write_bucketed: refusing to overwrite {loc_path}: it "
+                f"is the location of cataloged table {qual}"
+            )
     fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     if fs.exists(loc):
         fs.delete(loc, True)

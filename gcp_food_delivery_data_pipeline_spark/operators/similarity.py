@@ -448,6 +448,41 @@ def rp_sign_matrix(out_dim: int, in_dim: int) -> list[list[float]]:
     ]
 
 
+def _rp_components(
+    vec_col: str, out_dim: int, in_dim: int
+) -> "list[F.Column]":
+    """The out_dim projected components as Column expressions: each is
+    a ``zip_with`` of the vector against its ±1 sign row (a literal
+    array) folded left-to-right by ``aggregate`` from a 0.0 seed.
+
+    The higher-order-function fold replaced a hand-unrolled 64-term
+    ``+``/``-`` Column tree (~1,024 expression nodes total) that cost
+    ~5 s of plan-compile/codegen per query at ANY data size; the fold
+    form compiles in ~1 s with identical arithmetic: 0.0 + x == x and
+    x * ±1.0 == ±x bit-exactly in IEEE 754, and ``aggregate`` folds in
+    element order, so any engine chaining ``0.0 + t1 ± t2 ...`` in
+    index order reproduces every double bit-for-bit.
+    """
+    import math
+
+    signs = rp_sign_matrix(out_dim, in_dim)
+    scale = 1.0 / math.sqrt(out_dim)
+    comps = []
+    for j in range(out_dim):
+        sign_row = F.array(*[F.lit(s) for s in signs[j]])
+        folded = F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                sign_row,
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        comps.append(F.round(folded * F.lit(scale), 6))
+    return comps
+
+
 def random_project(
     df: DataFrame,
     in_dim: int = 64,
@@ -464,21 +499,30 @@ def random_project(
 
     Scale shape: the matrix is out_dim x in_dim plan LITERALS (the
     quantization-stats pattern) — zero shuffle, zero driver state at
-    execution time, pure per-row codegen arithmetic. Each output
-    component folds the signed components left-to-right in index
-    order, so any engine folding the same order (the generated oracle
-    does) reproduces the doubles bit-for-bit.
+    execution time, pure per-row codegen arithmetic (see
+    ``_rp_components`` for the fold-order contract that keeps the
+    doubles engine-reproducible).
     """
-    import math
-
-    signs = rp_sign_matrix(out_dim, in_dim)
-    scale = 1.0 / math.sqrt(out_dim)
-    comps = []
-    for j in range(out_dim):
-        expr = None
-        for i in range(in_dim):
-            t = F.element_at(F.col(vec_col), i + 1).cast("double")
-            t = t if signs[j][i] > 0 else -t
-            expr = t if expr is None else expr + t
-        comps.append(F.round(expr * F.lit(scale), 6))
+    comps = _rp_components(vec_col, out_dim, in_dim)
     return df.select(id_col, F.array(*comps).alias("proj"))
+
+
+def random_project_cols(
+    df: DataFrame,
+    in_dim: int = 64,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``random_project`` with the projection as out_dim SCALAR
+    columns (``proj_00`` .. ``proj_NN``) instead of one array column.
+
+    This is the hash-auditable shape: an array-typed result column is
+    representation-sensitive under order-insensitive value hashing
+    (pandas cannot factorize list cells; engines disagree on list
+    serialization), so the graded query and its SQL oracle both emit
+    the wide scalar form — same doubles, scalar types only.
+    """
+    comps = _rp_components(vec_col, out_dim, in_dim)
+    named = [c.alias(f"proj_{j:02d}") for j, c in enumerate(comps)]
+    return df.select(id_col, *named)

@@ -1467,7 +1467,14 @@ def q_rfm_segments(orders: DataFrame) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(F.to_date("o_orderdate")).alias("_last"),
         F.count(F.lit(1)).cast("long").alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        # decimal summation (the _part_revenue_cents pattern): a
+        # double sum landing exactly on a .005 cent boundary can
+        # round apart between engines depending on addition order —
+        # exact decimal makes monetary (and the quartile cuts built
+        # on it) regrouping-proof.
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("monetary"),
     )
     anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("_anchor"))
     rfm = per_cust.crossJoin(F.broadcast(anchor)).select(

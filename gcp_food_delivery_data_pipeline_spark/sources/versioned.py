@@ -165,6 +165,14 @@ def vacuum(
     scratch-dir mtime cutoff) — a concurrent vacuum can then never
     delete the v=N+1 a live writer is about to publish. Pass 0 to
     reclaim immediately when no writer can be running.
+
+    "Now" is derived from the FILESYSTEM's clock, not the driver's:
+    a freshly-touched probe file's mtime is compared against the
+    orphan's mtime, so both timestamps come from the same clock and
+    a skewed object-store clock cannot shrink the grace window (the
+    failure mode of comparing driver ``time.time()`` to remote
+    mtimes). Falls back to the driver clock only if the probe cannot
+    be written.
     """
     import time as _time
 
@@ -174,7 +182,13 @@ def vacuum(
     if latest is None:
         return []
     fs, jvm = _fs(spark, root)
-    now_ms = _time.time() * 1000.0
+    try:
+        probe = jvm.org.apache.hadoop.fs.Path(f"{root}/_vacuum_probe")
+        fs.create(probe, True).close()
+        now_ms = float(fs.getFileStatus(probe).getModificationTime())
+        fs.delete(probe, False)
+    except Exception:  # noqa: BLE001 — read-only FS: driver clock
+        now_ms = _time.time() * 1000.0
     removed = []
     for v in history(spark, root):
         path = jvm.org.apache.hadoop.fs.Path(f"{root}/v={v}")

@@ -56,11 +56,20 @@ def value_hash(rows, columns) -> str:
 # of existence: every oracle must cast to BIGINT/DOUBLE explicitly.
 _HASH_UNSAFE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
 
+# Nested result types crash the DRIVER's canonicalizer outright
+# (round 5: `v_random_projection` returned array<double> and pandas
+# factorize raised "unhashable type: list" — the suite's only nested
+# column). Graded results must be scalar-only: explode arrays to rows
+# or project components to wide scalar columns instead.
+_NESTED_MARKERS = ("[]", "STRUCT", "MAP(", "LIST", "UNION(")
+
 
 def lint_oracle_types(con, oracles: dict[str, str]) -> list[str]:
     """Bind every oracle (no execution) and flag result columns whose
     DuckDB type is representation-sensitive under the driver's value
-    hash. Returns a list of 'key.column: TYPE' problems."""
+    hash (HUGEINT/DECIMAL) or nested and therefore un-canonicalizable
+    by the driver (LIST/STRUCT/MAP). Returns a list of
+    'key.column: TYPE' problems."""
     problems = []
     for name, sql in oracles.items():
         try:
@@ -72,6 +81,8 @@ def lint_oracle_types(con, oracles: dict[str, str]) -> list[str]:
             t = str(typ).upper()
             if any(t.startswith(b) for b in _HASH_UNSAFE_TYPES):
                 problems.append(f"{name}.{col}: {t}")
+            elif any(m in t for m in _NESTED_MARKERS):
+                problems.append(f"{name}.{col}: nested type {t}")
     return problems
 
 
