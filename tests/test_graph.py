@@ -154,3 +154,66 @@ def test_kcore_validates_params(spark):
         kcore(e, k=0)
     with _pytest.raises(ValueError, match="round"):
         kcore(e, rounds=0)
+
+
+def test_label_propagation_keep_prev_exposes_round_delta(spark):
+    """keep_prev=True returns (node, label, prev_label) where
+    prev_label is round N-1's assignment — equal to a separate
+    (N-1)-iteration run, enabling the stability probe without
+    re-running the loop."""
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 10), (10, 11), (11, 12), (10, 12)]
+    e = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    both = {
+        r.node: (r.label, r.prev_label)
+        for r in label_propagation(e, iterations=3, keep_prev=True).collect()
+    }
+    l3 = {
+        r.node: r.label
+        for r in label_propagation(e, iterations=3).collect()
+    }
+    l2 = {
+        r.node: r.label
+        for r in label_propagation(e, iterations=2).collect()
+    }
+    assert {k: v[0] for k, v in both.items()} == l3
+    assert {k: v[1] for k, v in both.items()} == l2
+
+
+def test_kcore_survivor_degrees_detect_instability(spark):
+    """The survivors' returned degree IS their degree inside the
+    surviving subgraph, so `degree < k` counts exactly what one more
+    peel round would remove: with rounds=1 on a pendant chain the
+    truncated peel leaves an under-k survivor; at the fixed point the
+    count is zero."""
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import kcore
+
+    # chain 1-2-3 + triangle {3,4,5}: k=2 peels 1 (deg 1), then 2
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (3, 5)]
+    e = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    one_round = kcore(e, k=2, rounds=1)
+    assert one_round.filter(F.col("degree") < 2).count() == 1  # node 2
+    fixed = kcore(e, k=2, rounds=3)
+    assert fixed.filter(F.col("degree") < 2).count() == 0
+    assert {r.node for r in fixed.collect()} == {3, 4, 5}
+
+
+def test_pagerank_checkpoint_cadence_preserves_values(spark):
+    """Checkpoint frequency is a plan-materialization choice, not an
+    arithmetic one: 10-iteration ranks on a small graph equal the
+    closed-form stationary distribution regardless of cadence."""
+    und = [(1, 2), (2, 3), (1, 3)]
+    e = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {r.node: r.rank for r in pagerank(e, iterations=10).collect()}
+    # symmetric triangle: uniform stationary distribution
+    for v in got.values():
+        assert abs(v - 1.0 / 3.0) < 1e-9

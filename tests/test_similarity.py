@@ -251,3 +251,26 @@ def test_rp_sign_matrix_is_deterministic_and_balanced(spark):
     # roughly balanced signs (md5 bits): within 20% of half
     pos = sum(1 for s in flat if s > 0)
     assert abs(pos - len(flat) / 2) < len(flat) * 0.2
+
+
+def test_random_project_cols_matches_array_form(spark):
+    """random_project_cols is the same projection as random_project,
+    reshaped to wide scalar columns (the hash-auditable shape) —
+    every component must match the array form bit-for-bit."""
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        random_project,
+        random_project_cols,
+    )
+    from gcp_food_delivery_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings").limit(20)
+    arr = {r.vec_id: list(r.proj) for r in random_project(e).collect()}
+    wide = random_project_cols(e).collect()
+    assert wide, "projection produced no rows"
+    cols = [c for c in wide[0].asDict() if c.startswith("proj_")]
+    assert cols == sorted(cols) == [f"proj_{j:02d}" for j in range(16)]
+    for r in wide:
+        assert [r[c] for c in cols] == arr[r.vec_id]
