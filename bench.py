@@ -95,6 +95,9 @@ EXTRA_QUERIES = [
     "g_label_propagation",  # 5-round integer LPA communities
     "c_temporal_split",     # time-quantile split with embargo band
     "c_sample_negatives",   # md5-slot negative sampling
+    "d_incremental_dedup",  # new-batch-vs-corpus banded anti-join
+    "t_ngram_novelty",      # arrival-order span novelty profile
+    "t_sparse_nn",          # inverted-index TF-IDF cosine NN
     "q_revenue_trend",      # single-pass regr_* OLS per group
     "j_scd2_intervals",     # per-key lead-window SCD2 builder
 ]

@@ -1413,3 +1413,150 @@ def drop_duplicate_spans(
             ),
         ).alias("text_clean"),
     )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus: drop every batch
+    document whose shingle-Jaccard with ANY corpus document reaches
+    ``threshold``; batch-internal duplicates are untouched (run
+    ``near_dedup`` on the batch for those). Returns the kept batch
+    rows with their original columns.
+
+    This is the daily-ingest shape of near-dedup: re-deduping the
+    whole (corpus + batch) union per arrival re-pays the corpus-sized
+    minhash + band join every day, while the incremental form only
+    minhashes the batch and joins it against the corpus's band table.
+    Unlike ``fuzzy_decontaminate`` (whose benchmark side is small by
+    construction and broadcast), NEITHER side is broadcastable here —
+    the band join is a plain keyed equi-join, shuffle ∝ batch + the
+    corpus band partitions it touches.
+
+    100 TB shape: the corpus band table is a pure function of the
+    corpus, so production materializes it ONCE (bucketed by
+    (band, band_hash)) and every batch joins against the bucketed
+    table shuffle-free on the corpus side, then appends its own kept
+    docs' bands — the corpus is never re-minhashed. Recall follows
+    the banding bound (bands=32 of 2 rows: miss ~6e-15 at t=0.8 —
+    effectively exhaustive, gradeable against an all-pairs oracle).
+    """
+    from pyspark import StorageLevel
+
+    rows = num_hashes // bands
+    # Each signature frame feeds its band table AND the shingle
+    # re-attach below; persist so the minhash pass runs once per side
+    # (released as soon as the small dup-id list materializes).
+    c_sig = _minhash_frame_arrow(
+        corpus, text_col, id_col, num_hashes, shingle_k
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    b_sig = _minhash_frame_arrow(
+        batch, text_col, id_col, num_hashes, shingle_k
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    c_band = _band_hashes(c_sig, bands, rows)
+    b_band = _band_hashes(b_sig, bands, rows)
+    cands = (
+        b_band.alias("b")
+        .join(
+            c_band.alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.band_hash") == F.col("c.band_hash")),
+        )
+        .select(F.col("b._id").alias("_bid"), F.col("c._id").alias("_cid"))
+        .dropDuplicates(["_bid", "_cid"])
+    )
+    dup_ids = (
+        cands.join(
+            b_sig.select(
+                F.col("_id").alias("_bid"), F.col("_shingles").alias("_sh_b")
+            ),
+            "_bid",
+        )
+        .join(
+            c_sig.select(
+                F.col("_id").alias("_cid"), F.col("_shingles").alias("_sh_c")
+            ),
+            "_cid",
+        )
+        .filter(
+            F.size(F.array_intersect("_sh_b", "_sh_c"))
+            / F.size(F.array_union("_sh_b", "_sh_c"))
+            >= threshold
+        )
+        .select(F.col("_bid").alias(id_col))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup_ids.count()  # materialize the (small) dup list, then release
+    c_sig.unpersist()
+    b_sig.unpersist()
+    return batch.join(dup_ids, id_col, "left_anti")
+
+
+def ngram_novelty(
+    documents: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrival-order span novelty: for every k-token window of every
+    document, whether that exact span FIRST occurred in an earlier
+    document (by ascending ``id_col`` — the arrival surrogate).
+    Returns ``(doc_id, n_spans, n_stale, novelty_frac)`` for
+    documents with at least ``k`` tokens, where ``n_stale`` counts
+    spans whose first corpus occurrence is an earlier document and
+    ``novelty_frac = 1 - n_stale / n_spans``.
+
+    This is the corpus-growth view of duplication (the "how much of
+    today's crawl is genuinely new text" curve): ``span_dedup_profile``
+    answers WHETHER a span repeats anywhere; novelty attributes each
+    repeated span to its first arrival, so later copies score stale
+    while the original stays novel — the quantity that decides
+    whether ingesting a new source is worth it.
+
+    Scale shape: identical to the profile — spans generated JVM-side
+    (L-k+1 per doc), ONE window aggregation partitioned by span text
+    (min(doc_id) instead of count), one per-doc rollup. Production
+    pre-hashes spans to 64-bit before the shuffle (same note as the
+    profile); the string form keeps the SQL oracle bit-exact.
+    """
+    if k < 1:
+        raise ValueError(f"ngram_novelty: k must be >= 1, got {k}")
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        ensure_min_partitions,
+    )
+
+    d = ensure_min_partitions(
+        documents.select(id_col, tokens(F.col(text_col)).alias("_toks"))
+    ).filter(F.size("_toks") >= k)
+    spans = d.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice("_toks", i, k)),
+            )
+        ).alias("_span"),
+    )
+    first_seen = F.min(id_col).over(Window.partitionBy("_span"))
+    return (
+        spans.withColumn("_first", first_seen)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                (F.col("_first") < F.col(id_col)).cast("long")
+            ).alias("n_stale"),
+        )
+        .withColumn(
+            "novelty_frac",
+            F.round(1 - F.col("n_stale") / F.col("n_spans"), 6),
+        )
+    )

@@ -51,6 +51,11 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")
     )
+    # Materialize the edge list ONCE before deriving frac and nodes:
+    # both derive from e, and without this checkpoint each eager
+    # derivation re-runs the caller's (possibly expensive) edge
+    # pipeline — profiled at 2x a full co-occurrence self-join here.
+    e = e.localCheckpoint(eager=True)
     out_w = e.groupBy("_src").agg(F.sum("_w").alias("_out"))
     frac = (
         e.join(out_w, "_src")

@@ -531,3 +531,114 @@ def bigram_lm_scores(
             "cross_entropy",
         )
     )
+
+
+def sparse_nn_tfidf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_frac: float = 1.0,
+    query_pred: Column | None = None,
+) -> DataFrame:
+    """Each document's single nearest neighbor by TF-IDF cosine — the
+    lexical (sparse-vector) twin of the embedding top-k family, via an
+    inverted-index join instead of dense dot products.
+
+    tf = term count / doc tokens; idf = ln(N / docs-containing-term);
+    cosine = Σ_t w_a(t)·w_b(t) / (‖w_a‖·‖w_b‖), accumulated ONLY over
+    shared terms by joining the postings list against itself on the
+    term — the classic inverted-index similarity join: a pair is ever
+    scored only if it shares a term, so disjoint-vocabulary pairs cost
+    nothing (dense top-k scores every pair regardless).
+
+    Scale shape: postings (doc, term, weight) self-join on term — the
+    shuffle key is the TERM, so hot terms are the skew axis; the
+    ``max_df_frac`` knob drops terms present in more than that
+    fraction of documents BEFORE the join (a term in f·N docs alone
+    creates (f·N)² candidate pairs while contributing ~ln(1/f)≈0
+    weight — stop-terms are quadratic cost for near-zero signal).
+    The per-doc top-1 is a window over the pair scores. Deterministic
+    tie-break: (rounded cosine DESC, neighbor id ASC).
+
+    ``query_pred`` (a predicate over the frame's columns) restricts
+    the QUERY side of the join — neighbors still come from the whole
+    corpus, and idf/norms are corpus-wide. This is the load-bearing
+    knob on corpora whose vocabulary is dense (every term in most
+    docs): there the postings join degenerates to all-pairs — df·N
+    candidates per term is quadratic cost that no exact algorithm
+    avoids when every pair genuinely shares terms (measured 181 s
+    corpus-wide vs <2 s for a 100-doc query set at sf0.1) — so
+    corpus-wide NN is only affordable on Zipfian vocabularies with
+    ``max_df_frac`` pruning, while query-set-vs-corpus stays linear
+    in |queries|·df regardless of corpus shape.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tk")
+    ).select(
+        F.col(id_col),
+        F.explode("_tk").alias("term"),
+        F.size("_tk").alias("_n_tokens"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        (F.count(F.lit(1)) / F.first("_n_tokens")).alias("_tf")
+    )
+    w_term = Window.partitionBy("term")
+    posting = (
+        tf.withColumn("_df", F.count(F.lit(1)).over(w_term))
+        .filter(F.col("_df") <= F.lit(max_df_frac) * F.lit(float(n_docs)))
+        .select(
+            F.col(id_col).alias("_id"),
+            "term",
+            (
+                F.col("_tf")
+                * F.log(F.lit(float(n_docs)) / F.col("_df"))
+            ).alias("_w"),
+        )
+    )
+    norms = posting.groupBy("_id").agg(
+        F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_norm")
+    )
+    query_side = (
+        posting if query_pred is None
+        else posting.filter(query_pred)
+    )
+    dots = (
+        query_side.alias("a")
+        .join(
+            posting.alias("b"),
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("_ida"), F.col("b._id").alias("_idb")
+        )
+        .agg(F.sum(F.col("a._w") * F.col("b._w")).alias("_dot"))
+    )
+    scored = (
+        dots.join(norms.withColumnRenamed("_id", "_ida"), "_ida")
+        .withColumnRenamed("_norm", "_na")
+        .join(norms.withColumnRenamed("_id", "_idb"), "_idb")
+        .withColumnRenamed("_norm", "_nb")
+        .select(
+            "_ida",
+            "_idb",
+            F.round(
+                F.col("_dot") / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("_ida").orderBy(
+        F.col("cosine_sim").desc(), F.col("_idb")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_ida").alias(id_col),
+            F.col("_idb").alias("nn_doc_id"),
+            "cosine_sim",
+        )
+    )

@@ -417,3 +417,81 @@ def test_span_profile_and_removal_invariants(spark):
         assert len(kept) == r.n_tokens - r.n_removed
         if prof[i].n_dup_spans == 0:
             assert r.n_removed == 0
+
+
+def test_incremental_dedup_drops_only_cross_matches(spark):
+    """A batch doc near-identical to a corpus doc is dropped; a batch
+    doc only duplicated INSIDE the batch is kept (incremental dedup
+    is new-vs-corpus, never batch-internal); unique docs survive."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark shuffles here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),                       # dup of corpus doc 1
+            (11, "novel sentence with its own unique vocabulary set"),
+            (12, "an in batch twin sentence repeated word for word ok"),
+            (13, "an in batch twin sentence repeated word for word ok"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r.doc_id
+        for r in incremental_dedup(corpus, batch, threshold=0.8).collect()
+    }
+    assert kept == {11, 12, 13}
+
+
+def test_incremental_dedup_empty_batch_and_corpus(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some text here for the corpus side")],
+        "doc_id long, text string",
+    )
+    empty = docs.filter("doc_id < 0")
+    assert incremental_dedup(docs, empty).count() == 0
+    # empty corpus: everything in the batch is kept
+    assert incremental_dedup(empty, docs).count() == 1
+
+
+def test_ngram_novelty_attributes_first_arrival(spark):
+    """Doc 1 originates a span; doc 2 repeats it verbatim plus new
+    tokens. Doc 1 scores fully novel; doc 2's repeated windows are
+    stale while its genuinely-new windows stay novel."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        ngram_novelty,
+    )
+
+    s = "a b c d e f g h"          # exactly one 8-token span
+    docs = spark.createDataFrame(
+        [(1, s), (2, s + " x y z")],  # doc 2: 4 spans, 1 copied
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_spans, r.n_stale, r.novelty_frac)
+        for r in ngram_novelty(docs, k=8).collect()
+    }
+    assert got[1] == (1, 0, 1.0)
+    assert got[2] == (4, 1, 0.75)
+
+
+def test_ngram_novelty_short_docs_excluded(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        ngram_novelty,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    out = ngram_novelty(docs, k=8)
+    assert [r.doc_id for r in out.collect()] == [2]

@@ -285,3 +285,34 @@ def test_repetition_signals_edges(spark):
     assert out[2] == (5, 0.0, 0.25, True)  # tiny doc: 1/4 bigram share
     assert out[3] == (0, 0.0, 0.0, False)
     assert out[4] == (1, 0.0, 0.0, False)
+
+
+def test_sparse_nn_tfidf_mutual_nearest_pair(spark):
+    """Two docs sharing a rare term are each other's nearest
+    neighbors; the corpus-wide idf ignores the query restriction."""
+    from pyspark.sql import functions as F
+
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        sparse_nn_tfidf,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra quantum flux common"),
+            (2, "zebra quantum flux common"),
+            (3, "common words only here"),
+            (4, "entirely disjoint vocabulary set"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.nn_doc_id, r.cosine_sim) for r in sparse_nn_tfidf(docs).collect()}
+    assert out[1][0] == 2 and out[2][0] == 1
+    assert out[1][1] == out[2][1] == 1.0  # identical tf-idf vectors
+    # doc 4 shares no term with anyone -> no pair row at all
+    assert 4 not in out
+    # query_pred restricts the query side but not the neighbor side
+    restricted = {
+        r.doc_id: r.nn_doc_id
+        for r in sparse_nn_tfidf(docs, query_pred=F.col("_id") == 1).collect()
+    }
+    assert restricted == {1: 2}
