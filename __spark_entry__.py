@@ -1301,6 +1301,20 @@ def _q_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return A.q_part_pairs(load_table(spark, sf, "lineitem"), k=20)
 
 
+def _q_holt_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt double-exponential smoothing of each customer's order
+    amounts (level+trend state pair folded over the ordered
+    sequence) — the trend-aware upgrade of the EWMA fold, reproduced
+    by a recursive-CTE oracle (DuckDB's list_reduce mis-folds struct
+    state — see the oracle comment). alpha=0.4 on purpose: 0.5 keeps
+    2-decimal money on the terminating-decimal lattice (pure
+    halvings), which lands levels EXACTLY on .xxxxxx5 rounding
+    boundaries where the engines' round() implementations disagree;
+    an inexact-binary coefficient leaves the lattice and the
+    boundary has measure ~0."""
+    return A.q_holt_linear(load_table(spark, sf, "orders"))
+
+
 def _q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     """RFM segmentation: recency/frequency/monetary per customer,
     scored 1-4 against exact quartile cuts (single-row broadcast
@@ -2576,6 +2590,34 @@ def _q_mix_sources(spark: SparkSession, sf: str) -> DataFrame:
     return resample_source_mix(d, weights).select("doc_id", "source")
 
 
+def _q_session_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak concurrent sessions per hour — sweep-line (+1/-1 session
+    boundaries, distributed global running sum via the two-phase
+    prefix machinery; never a single-task global window)."""
+    return A.q_session_concurrency(load_table(spark, sf, "events"))
+
+
+def _q_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort LTV triangle: first-order-month cohorts x integer month
+    age, active customers + decimal-summed revenue per cell."""
+    return A.q_cohort_ltv(load_table(spark, sf, "orders"))
+
+
+def _q_mix_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled domain mix (n^0.5 upweighting of small
+    sources, largest-remainder integer quotas, md5-rank survivors):
+    300 docs sampled across sources — every kept doc reproduced by
+    the oracle's identical sqrt/fold/apportion arithmetic."""
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        temperature_mix,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return temperature_mix(d, total=300, alpha=0.5).select(
+        "doc_id", "source"
+    )
+
+
 def _q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic weight-proportional sampling (Efraimidis-Spirakis
     A-ES): top-25 orders by the md5-derived exponential sort key,
@@ -2919,6 +2961,10 @@ _GRADE_FIRST = [
     "d_incremental_dedup",
     "t_ngram_novelty",
     "t_sparse_nn",
+    "q_holt_linear",
+    "c_mix_temperature",
+    "q_session_concurrency",
+    "q_cohort_ltv",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -2933,9 +2979,7 @@ _GRADE_FIRST = [
     "q_hourly_gapfill",
     # -- oldest r3-era grades, filling to 50 --
     "c1_c3_counts", "s3_write_readback", "s5_ddl", "o6_conf",
-    "s_json_roundtrip", "s_merge_upsert", "q_hash_sample",
-    "s_orc_roundtrip", "s_schema_evolution", "q_value_moving_1h",
-    "q_stats_profile", "q_grouping_sets",
+    "s_json_roundtrip",
 ]
 
 
@@ -2990,6 +3034,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_incremental_dedup": _q_incremental_dedup,
         "t_ngram_novelty": _q_ngram_novelty,
         "t_sparse_nn": _q_sparse_nn,
+        "q_holt_linear": _q_holt_linear,
+        "c_mix_temperature": _q_mix_temperature,
+        "q_session_concurrency": _q_session_concurrency,
+        "q_cohort_ltv": _q_cohort_ltv,
         "q_revenue_trend": _q_revenue_trend,
         "q_benford_audit": _q_benford,
         "q_winsorize": _q_winsorize,
@@ -3594,6 +3642,50 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT unnest({_TOKENS}) AS word "
             "FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 20"
         ),
+        # Sweep-line concurrency: same gaps-and-islands sessions as
+        # q_sessionize, boundaries +1/-1, running sum ordered
+        # (t, +1-before--1); hourly max is permutation-invariant
+        # under equal-(t,delta) ties, so both engines agree exactly.
+        "q_session_concurrency": (
+            "WITH o AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "OR CAST(floor(epoch(ts)) AS BIGINT) "
+            "- lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
+            "THEN 1 ELSE 0 END AS is_new FROM events), "
+            "s AS (SELECT user_id, ts, sum(is_new) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid "
+            "FROM o), "
+            "g AS (SELECT epoch_us(min(ts)) AS st, epoch_us(max(ts)) AS en "
+            "FROM s GROUP BY user_id, sid), "
+            "b AS (SELECT st AS t, CAST(1 AS BIGINT) AS d FROM g "
+            "UNION ALL SELECT en, CAST(-1 AS BIGINT) FROM g), "
+            "p AS (SELECT t, sum(d) OVER (ORDER BY t, d DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc "
+            "FROM b) "
+            "SELECT t // 3600000000 AS hour_bucket, "
+            "CAST(max(conc) AS BIGINT) AS max_concurrency, "
+            "count(*) AS n_boundaries FROM p GROUP BY t // 3600000000"
+        ),
+        # Integer month index (year*12+month) keeps cohort/age exact;
+        # revenue decimal-summed before the 2-decimal round.
+        "q_cohort_ltv": (
+            "WITH om AS (SELECT o_custkey, o_totalprice, "
+            "year(CAST(o_orderdate AS DATE)) * 12 "
+            "+ month(CAST(o_orderdate AS DATE)) AS m FROM orders), "
+            "f AS (SELECT o_custkey, min(m) AS cohort FROM om "
+            "GROUP BY o_custkey) "
+            "SELECT CAST(cohort AS BIGINT) AS cohort_month_idx, "
+            "CAST(om.m - f.cohort AS BIGINT) AS age_months, "
+            "CAST(count(DISTINCT om.o_custkey) AS BIGINT) "
+            "AS n_active_customers, "
+            "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) "
+            "AS DOUBLE) AS revenue "
+            "FROM om JOIN f ON om.o_custkey = f.o_custkey "
+            "GROUP BY cohort, om.m - f.cohort"
+        ),
         "q_sessionize": (
             "SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, "
             "count(*) AS n_events FROM ("
@@ -4083,6 +4175,33 @@ def oracle_sql() -> dict[str, str]:
             "/ 4294967296.0) / o_totalprice AS sk "
             "FROM orders WHERE o_totalprice > 0) "
             "ORDER BY sk DESC, o_orderkey LIMIT 25"
+        ),
+        # Temperature mix: ordered left-fold normalizer (list_reduce
+        # seeds with the first share; the Spark aggregate's 0.0 seed
+        # is bit-neutral since shares are positive), then identical
+        # sqrt / floor / largest-remainder arithmetic.
+        "c_mix_temperature": (
+            "WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS ns "
+            "FROM documents GROUP BY source), "
+            "sh AS (SELECT source, ns, sqrt(CAST(ns AS DOUBLE)) AS s "
+            "FROM cnt), "
+            "tot AS (SELECT list_reduce(list(s ORDER BY source), "
+            "(a, b) -> a + b) AS big_s FROM sh), "
+            "t AS (SELECT source, ns, "
+            "CAST(300 AS DOUBLE) * s / big_s AS tgt FROM sh, tot), "
+            "b AS (SELECT source, ns, CAST(floor(tgt) AS BIGINT) AS base, "
+            "tgt - floor(tgt) AS rem FROM t), "
+            "lo AS (SELECT 300 - CAST(sum(base) AS BIGINT) AS lft FROM b), "
+            "r AS (SELECT source, ns, base, row_number() OVER ("
+            "ORDER BY rem DESC, source) AS rr FROM b), "
+            "q AS (SELECT source, least(base + CASE WHEN "
+            "rr <= (SELECT lft FROM lo) THEN 1 ELSE 0 END, ns) AS quota "
+            "FROM r), "
+            "sel AS (SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), "
+            "doc_id) AS rk FROM documents) "
+            "SELECT sel.doc_id, sel.source FROM sel JOIN q "
+            "ON sel.source = q.source WHERE sel.rk <= q.quota"
         ),
         "c_mix_sources": (
             "WITH w AS (SELECT doc_id, source, "
@@ -4633,6 +4752,38 @@ def oracle_sql() -> dict[str, str]:
         # the same recurrence order as the Spark aggregate(); (1.0 -
         # 0.3) is written as a subtraction so both engines derive the
         # coefficient with the identical IEEE op.
+        # Recursive-CTE unroll of the (level, trend) recurrence —
+        # position t derives from t-1 with the identical IEEE ops the
+        # Spark struct fold applies. NOT a list_reduce twin on
+        # purpose: DuckDB 1.0.0's list_reduce mis-evaluates repeated
+        # compound subexpressions across struct fields (verified: a
+        # 3-element struct fold returns values no left-fold of the
+        # lambda can produce, while the same ops in plain projections
+        # are correct), so the oracle unrolls through the recursive
+        # CTE instead (the d_dup_components pattern).
+        "q_holt_linear": (
+            "WITH RECURSIVE seq AS (SELECT o_custkey, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS pos, "
+            "CAST(o_totalprice AS DOUBLE) AS y FROM orders), "
+            "cnt AS (SELECT o_custkey, CAST(count(*) AS BIGINT) "
+            "AS n_orders FROM seq GROUP BY o_custkey), "
+            "rec(o_custkey, pos, l, b) AS ("
+            "SELECT o_custkey, pos, y, CAST(0.0 AS DOUBLE) "
+            "FROM seq WHERE pos = 1 "
+            "UNION ALL "
+            "SELECT s.o_custkey, s.pos, "
+            "0.4 * s.y + (1.0 - 0.4) * (r.l + r.b), "
+            "0.3 * ((0.4 * s.y + (1.0 - 0.4) * (r.l + r.b)) - r.l) "
+            "+ (1.0 - 0.3) * r.b "
+            "FROM rec r JOIN seq s ON s.o_custkey = r.o_custkey "
+            "AND s.pos = r.pos + 1) "
+            "SELECT r.o_custkey, c.n_orders, round(r.l, 6) AS level, "
+            "round(r.b, 6) AS trend, "
+            "round(r.l + r.b, 6) AS forecast_next "
+            "FROM rec r JOIN cnt c ON r.o_custkey = c.o_custkey "
+            "AND r.pos = c.n_orders"
+        ),
         "q_ewma_value": (
             "WITH o AS (SELECT user_id, "
             "CAST(count(*) AS BIGINT) AS n_events, "

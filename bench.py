@@ -98,6 +98,10 @@ EXTRA_QUERIES = [
     "d_incremental_dedup",  # new-batch-vs-corpus banded anti-join
     "t_ngram_novelty",      # arrival-order span novelty profile
     "t_sparse_nn",          # inverted-index TF-IDF cosine NN
+    "q_holt_linear",        # level+trend struct fold per customer
+    "c_mix_temperature",    # n^alpha largest-remainder domain mix
+    "q_session_concurrency",  # distributed sweep-line peak sessions
+    "q_cohort_ltv",         # cohort x age revenue triangle
     "q_revenue_trend",      # single-pass regr_* OLS per group
     "j_scd2_intervals",     # per-key lead-window SCD2 builder
 ]

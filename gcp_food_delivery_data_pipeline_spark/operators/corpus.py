@@ -668,3 +668,97 @@ def sample_negatives(
             F.col(f"c.{user_col}"), "slot", F.col("_item").alias(item_col)
         )
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    total: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled domain mixture: sample ``total`` documents
+    with per-source quotas proportional to n_s^alpha — the
+    multilingual-LM sampling rule (XLM-R / mT5: alpha < 1 upweights
+    low-resource domains relative to their raw share; alpha = 1 is
+    proportional, alpha = 0 uniform). Fractional targets become
+    integer quotas by largest-remainder apportionment (deterministic
+    tie-break: remainder DESC, source ASC), each capped at n_s (no
+    replacement; capped surplus is NOT redistributed — the quota is a
+    contract per source). WHICH documents survive is the same
+    engine-stable (md5(id), id) rank ``resample_source_mix`` uses.
+
+    Everything stays in-plan: per-source counts are a tiny groupBy,
+    the share normalizer folds the SORTED share list left-to-right
+    JVM-side (one fixed summation order, so any engine folding the
+    same order reproduces the doubles bit-for-bit), apportionment is
+    a window over the #sources-row frame, and quotas broadcast back
+    to the ranked corpus. alpha = 0.5 uses ``sqrt`` explicitly — IEEE
+    requires correctly-rounded sqrt, while ``pow`` may differ in the
+    last ulp across libm implementations (other alphas use ``pow``
+    and carry that caveat).
+
+    Scale shape: identical to ``resample_source_mix`` — the window
+    rank partitioned by source is the only corpus-sized work.
+    """
+    if total < 1:
+        raise ValueError(f"temperature_mix: total must be >= 1, got {total}")
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"temperature_mix: alpha must be in [0,1], got {alpha}")
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_ns")
+    )
+    share = (
+        F.sqrt(F.col("_ns").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("_ns").cast("double"), F.lit(alpha))
+    )
+    shared = counts.withColumn("_sh", share)
+    norm = shared.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(source_col), F.col("_sh")))
+                ),
+                lambda s: s["_sh"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_S")
+    )
+    targets = shared.crossJoin(F.broadcast(norm)).select(
+        source_col,
+        "_ns",
+        (F.lit(float(total)) * F.col("_sh") / F.col("_S")).alias("_tgt"),
+    )
+    based = targets.select(
+        source_col,
+        "_ns",
+        F.floor("_tgt").cast("long").alias("_base"),
+        (F.col("_tgt") - F.floor("_tgt")).alias("_rem"),
+    )
+    leftover = based.agg(
+        (F.lit(total) - F.sum("_base")).cast("long").alias("_left")
+    )
+    w_rem = Window.orderBy(F.col("_rem").desc(), F.col(source_col))
+    quotas = (
+        based.withColumn("_rr", F.row_number().over(w_rem))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            source_col,
+            F.least(
+                F.col("_base")
+                + (F.col("_rr") <= F.col("_left")).cast("long"),
+                F.col("_ns"),
+            ).alias("_quota"),
+        )
+    )
+    w_rank = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w_rank))
+        .join(F.broadcast(quotas), source_col)
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .drop("_rk", "_quota")
+    )

@@ -1923,3 +1923,177 @@ def q_session_paths(
         .orderBy(F.col("n").desc(), "path")
         .limit(k)
     )
+
+
+def q_holt_linear(
+    orders: DataFrame, alpha: float = 0.4, beta: float = 0.3
+) -> DataFrame:
+    """Holt's linear (double exponential) smoothing of each customer's
+    order-amount sequence, ordered by (o_orderdate, o_orderkey):
+
+        l_t = a*y_t + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}
+
+    seeded l_1 = y_1, b_1 = 0. Returns the final level/trend and the
+    one-step-ahead forecast l_T + b_T per customer — the trend-aware
+    upgrade of q_ewma_value (EWMA lags any drifting series; Holt
+    tracks the drift explicitly).
+
+    Same scale shape as the EWMA fold: one shuffle to collect each
+    key's ordered sequence, then a linear JVM-side ``aggregate`` fold
+    over a STRUCT accumulator (level, trend) — the state-pair
+    recurrence no window aggregate expresses. Left-to-right IEEE
+    arithmetic with the new level's expression written identically in
+    both positions, so an engine folding the same order (the DuckDB
+    list_reduce oracle does, structs and all) reproduces every double
+    bit-for-bit.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"q_holt_linear: alpha must be in (0,1], got {alpha}")
+    if not 0.0 < beta <= 1.0:
+        raise ValueError(f"q_holt_linear: beta must be in (0,1], got {beta}")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.to_date("o_orderdate").alias("d"),
+                    F.col("o_orderkey").alias("k"),
+                    F.col("o_totalprice").cast("double").alias("y"),
+                )
+            )
+        ).alias("_seq")
+    )
+    ys = F.transform("_seq", lambda s: s["y"])
+    a, b_ = F.lit(alpha), F.lit(beta)
+
+    def step(acc, y):
+        new_l = a * y + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
+        new_b = (
+            b_ * ((a * y + (F.lit(1.0) - a) * (acc["l"] + acc["b"]))
+                  - acc["l"])
+            + (F.lit(1.0) - b_) * acc["b"]
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    state = F.aggregate(
+        F.slice(ys, 2, F.greatest(F.size(ys) - 1, F.lit(0))),
+        F.struct(
+            F.element_at(ys, 1).alias("l"), F.lit(0.0).alias("b")
+        ),
+        step,
+    )
+    return per_cust.select(
+        "o_custkey",
+        F.size("_seq").cast("long").alias("n_orders"),
+        F.round(state["l"], 6).alias("level"),
+        F.round(state["b"], 6).alias("trend"),
+        F.round(state["l"] + state["b"], 6).alias("forecast_next"),
+    )
+
+
+def q_session_concurrency(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Peak concurrent sessions per hour — the sweep-line interval
+    problem (how many user sessions are simultaneously open) solved
+    distributed: each session contributes a (+1 at start, -1 at end)
+    boundary in integer microseconds, the running sum over the global
+    (t, +1-before--1) boundary order IS the concurrency after each
+    boundary, and the hourly rollup takes the max. Sessions touching
+    at an instant count as overlapping (inclusive [start, end]; +1
+    sorts before -1 at equal t).
+
+    Scale shape: the global running sum uses the two-phase
+    distributed rank/prefix machinery (range repartition, local
+    prefix sums, partition-total offsets) — NEVER a bare global-order
+    window funneling every boundary through one task. Ties at equal
+    (t, delta) permute only identical deltas, so the multiset of
+    running values — and therefore every hourly max — is permutation-
+    invariant and engine-deterministic.
+    """
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        _global_ordered_rank_and_prefix,
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("long")
+    prev = F.lag(ts_s).over(w)
+    is_new = F.when(
+        prev.isNull() | ((ts_s - prev) > gap_seconds), 1
+    ).otherwise(0)
+    sess = (
+        events.withColumn(
+            "_sid",
+            F.sum(is_new).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "_sid")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("_start"),
+            F.unix_micros(F.max("ts")).alias("_end"),
+        )
+    )
+    bounds = sess.select(
+        F.col("_start").alias("_t"), F.lit(1).cast("long").alias("_d")
+    ).unionByName(
+        sess.select(
+            F.col("_end").alias("_t"), F.lit(-1).cast("long").alias("_d")
+        )
+    )
+    ranked = _global_ordered_rank_and_prefix(
+        bounds, [F.col("_t"), (-F.col("_d")).alias("_negd")], F.col("_d")
+    )
+    conc = ranked.select(
+        "_t", (F.col("_gbefore") + F.col("_d")).alias("_conc")
+    )
+    return (
+        conc.groupBy(
+            F.expr("_t div 3600000000").alias("hour_bucket")
+        )
+        .agg(
+            F.max("_conc").alias("max_concurrency"),
+            F.count(F.lit(1)).alias("n_boundaries"),
+        )
+    )
+
+
+def q_cohort_ltv(orders: DataFrame) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by the month of
+    their FIRST order (the cohort), revenue accumulated per cohort at
+    each integer month age — the (cohort month x age) triangle every
+    growth/retention deck is built from.
+
+    Month arithmetic is integer (year*12 + month), so ages are
+    engine-exact; revenue sums as decimal before the 2-decimal round
+    (the _part_revenue_cents regrouping-proof pattern). Two keyed
+    aggregations and one broadcast-sized first-order join — nothing
+    order-dependent.
+    """
+    om = F.year(F.to_date("o_orderdate")) * 12 + F.month(
+        F.to_date("o_orderdate")
+    )
+    first = orders.groupBy("o_custkey").agg(F.min(om).alias("_cohort"))
+    joined = orders.join(first, "o_custkey").select(
+        "_cohort",
+        (om - F.col("_cohort")).cast("long").alias("age_months"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    return (
+        joined.groupBy("_cohort", "age_months")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active_customers"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.col("_cohort").cast("long").alias("cohort_month_idx"),
+            "age_months",
+            "n_active_customers",
+            "revenue",
+        )
+    )

@@ -579,3 +579,84 @@ def test_winsorize_nulls_stay_out_of_both_means(spark):
     assert got.mean_raw == 10.0
     assert got.mean_winsorized == 10.0  # NULLs skipped, not clipped
     assert got.n_clipped_low == 0 and got.n_clipped_high == 0
+
+
+def test_holt_linear_golden_and_single_order(spark):
+    """Hand-computed fold on a 3-order customer; single-order
+    customers return level = the amount, zero trend."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_holt_linear,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            (1, 101, "1995-01-01", 100.0),
+            (1, 102, "1995-02-01", 200.0),
+            (1, 103, "1995-03-01", 300.0),
+            (2, 201, "1995-01-01", 50.0),
+        ],
+        "o_custkey long, o_orderkey long, o_orderdate string, o_totalprice double",
+    )
+    got = {r.o_custkey: r for r in q_holt_linear(orders).collect()}
+    # alpha=0.4, beta=0.3: l1=100,b1=0; l2=.4*200+.6*100=140,
+    # b2=.3*40=12; l3=.4*300+.6*152=211.2, b3=.3*71.2+.7*12=29.76
+    assert got[1].n_orders == 3
+    assert abs(got[1].level - 211.2) < 1e-9
+    assert abs(got[1].trend - 29.76) < 1e-9
+    assert abs(got[1].forecast_next - 240.96) < 1e-9
+    assert got[2].level == 50.0 and got[2].trend == 0.0
+
+
+def test_session_concurrency_overlap_golden(spark):
+    """Two users with overlapping single-event... sessions built from
+    explicit event streams: user A active 00:00-00:10, user B
+    00:05-00:15 — peak concurrency 2 in hour 0; user C alone at
+    02:00 — peak 1 in hour 2."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_session_concurrency,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10),
+        (1, "2024-01-01 00:10:00", 11),
+        (2, "2024-01-01 00:05:00", 20),
+        (2, "2024-01-01 00:15:00", 21),
+        (3, "2024-01-01 02:00:00", 30),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, e) for u, t, e in rows],
+        "user_id long, ts_s string, event_id long",
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_id")
+    got = {
+        r.hour_bucket: (r.max_concurrency, r.n_boundaries)
+        for r in q_session_concurrency(ev).collect()
+    }
+    hours = sorted(got)
+    assert len(hours) == 2
+    assert got[hours[0]] == (2, 4)   # A and B overlap
+    assert got[hours[1]] == (1, 2)   # C alone
+
+
+def test_cohort_ltv_triangle(spark):
+    """Customer joining in month M contributes to (M, 0) and their
+    later order to (M, age); revenue accumulates per cell."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_cohort_ltv,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "2020-01-15", 10.0),
+            (1, 2, "2020-03-02", 20.0),
+            (2, 3, "2020-03-20", 40.0),
+        ],
+        "o_custkey long, o_orderkey long, o_orderdate string, o_totalprice double",
+    )
+    got = {
+        (r.cohort_month_idx, r.age_months): (r.n_active_customers, r.revenue)
+        for r in q_cohort_ltv(orders).collect()
+    }
+    m0 = 2020 * 12 + 1
+    assert got[(m0, 0)] == (1, 10.0)
+    assert got[(m0, 2)] == (1, 20.0)
+    assert got[(2020 * 12 + 3, 0)] == (1, 40.0)

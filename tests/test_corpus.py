@@ -280,3 +280,54 @@ def test_sample_negatives_properties(spark):
         per_user[r.user_id] = per_user.get(r.user_id, 0) + 1
     assert all(n <= 3 for n in per_user.values())
     assert set(per_user) <= {1, 2}
+
+
+def test_temperature_mix_quotas_and_determinism(spark):
+    """alpha=0.5 upweights the small source relative to proportional
+    sampling; quotas sum to the total (when uncapped) and the kept
+    set is identical across reruns."""
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        temperature_mix,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, total=100, alpha=0.5)
+    per = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert sum(per.values()) == 100
+    # proportional would be 90/10; sqrt scaling gives 75/25
+    assert per["small"] == 25 and per["big"] == 75
+    again = {r.doc_id for r in temperature_mix(df, total=100, alpha=0.5).collect()}
+    assert again == {r.doc_id for r in out.collect()}
+
+
+def test_temperature_mix_caps_at_available(spark):
+    """A source smaller than its quota contributes everything it has
+    (capped, not redistributed)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        temperature_mix,
+    )
+
+    rows = [(i, "big") for i in range(400)] + [(900 + i, "tiny") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, total=100, alpha=0.5)
+    per = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    # sqrt shares: 20 vs 2 -> targets ~90.9/9.1 -> tiny capped at 4
+    assert per["tiny"] == 4
+    assert per["big"] <= 91
+
+
+def test_temperature_mix_validates(spark):
+    import pytest as _pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        temperature_mix,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with _pytest.raises(ValueError, match="total"):
+        temperature_mix(df, total=0)
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_mix(df, total=10, alpha=1.5)
