@@ -390,3 +390,67 @@ def test_temporal_split_is_scalar_broadcast_projection(plans):
     # and the percentile aggregation's own single-partition exchange
     n_shuffle = len(re.findall(r"\(\d+\) Exchange hashpartitioning", p))
     assert n_shuffle == 0, p
+
+
+def test_incremental_dedup_band_join_is_keyed(plans):
+    """The batch-vs-corpus candidate join must be a keyed equi-join on
+    (band, band_hash) — never cartesian: the whole point of banding is
+    shuffle ∝ corpus, not corpus²."""
+    p = plans("d_incremental_dedup")
+    assert "CartesianProduct" not in p
+    assert "band" in p
+
+
+def test_ngram_novelty_windows_partition_by_span(plans):
+    """First-arrival attribution is ONE window partitioned by the span
+    text; an unpartitioned window would serialize the corpus."""
+    p = plans("t_ngram_novelty")
+    for ln in p.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "_span" in ln
+    assert "CartesianProduct" not in p
+
+
+def test_sparse_nn_joins_on_term(plans):
+    """The postings join keys on the term (inverted index); norms
+    attach by doc id. No cartesian anywhere."""
+    p = plans("t_sparse_nn")
+    assert "CartesianProduct" not in p
+    assert "term" in p
+
+
+def test_temperature_mix_rank_partitions_by_source(plans):
+    """Corpus-sized work is only the per-source rank window; quotas
+    reach it as a broadcast."""
+    p = plans("c_mix_temperature")
+    for ln in p.splitlines():
+        if "windowspecdefinition" in ln and "_rem" not in ln:
+            assert "source" in ln
+    assert "BroadcastExchange" in p
+
+
+def test_holt_linear_is_single_shuffle_fold(plans):
+    """One hash aggregate keyed on customer collects the sequence; the
+    fold itself is a projection (no extra exchange, no Python)."""
+    p = plans("q_holt_linear")
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_session_concurrency_no_global_single_task_window(plans):
+    """Every window carries a partition key (user_id or _part) — the
+    sweep-line's global order must come from the two-phase prefix
+    machinery, never Window.orderBy with no partitioning."""
+    p = plans("q_session_concurrency")
+    for ln in p.splitlines():
+        if "windowspecdefinition" in ln:
+            assert ("user_id" in ln) or ("_part" in ln)
+
+
+def test_cohort_ltv_first_order_join_broadcasts(plans):
+    """The per-customer cohort frame is dimension-sized relative to
+    orders and must broadcast back (or at worst co-partition); the
+    cells aggregate partially map-side."""
+    p = plans("q_cohort_ltv")
+    assert "partial_count" in p or "partial_sum" in p
+    assert "CartesianProduct" not in p
