@@ -2040,6 +2040,51 @@ def _q_shuffle_rank(spark: SparkSession, sf: str) -> DataFrame:
     return global_shuffle_rank(d)
 
 
+def _q_phash(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash image dedup end-to-end: real PNG payloads are
+    DECODED (full codec path) and average-hashed on a 7x7 sample grid
+    with an all-integer above-mean rule. The oracle derives each hash
+    in closed form from doc_id (the gradient pixel model makes the
+    base shade cancel out of the comparison exactly), so a hash match
+    proves decode + sampling + bit packing — not a lookup."""
+    from gcp_food_delivery_data_pipeline_spark.operators.multimodal import (
+        attach_png_payload,
+        phash_png,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return phash_png(attach_png_payload(d)).select(
+        "doc_id", "width", "height", "phash"
+    )
+
+
+def _phash_oracle_sql() -> str:
+    """Closed-form twin of phash_png over the gradient payloads:
+    sample(i,j) = c + (i*w)//7 + (j*h)//7 with c = id%200; the
+    integer bit rule 49*sample > sum cancels c, leaving
+    7*(x_i + y_j) > (sum_x + sum_y) — pure integer arithmetic."""
+    xs = [f"(({i} * w) // 7)" for i in range(7)]
+    ys = [f"(({j} * h) // 7)" for j in range(7)]
+    sx = " + ".join(xs)
+    sy = " + ".join(ys)
+    bits = []
+    for i in range(7):
+        for j in range(7):
+            k = 7 * i + j
+            bits.append(
+                f"(CASE WHEN 7 * ({xs[i]} + {ys[j]}) > s THEN {1 << k} "
+                "ELSE 0 END)"
+            )
+    return (
+        "WITH g AS (SELECT doc_id, doc_id % 16 + 1 AS w, "
+        "doc_id % 12 + 1 AS h FROM documents), "
+        f"t AS (SELECT doc_id, w, h, {sx} + {sy} AS s FROM g) "
+        "SELECT doc_id, CAST(w AS INTEGER) AS width, "
+        "CAST(h AS INTEGER) AS height, "
+        "CAST(" + " + ".join(bits) + " AS BIGINT) AS phash FROM t"
+    )
+
+
 def _q_decode_png(spark: SparkSession, sf: str) -> DataFrame:
     """REAL image decode end-to-end: synthesize standards-compliant
     PNG payloads (gradient grayscale, geometry derived from doc_id),
@@ -2965,6 +3010,7 @@ _GRADE_FIRST = [
     "c_mix_temperature",
     "q_session_concurrency",
     "q_cohort_ltv",
+    "m_phash",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -2979,7 +3025,6 @@ _GRADE_FIRST = [
     "q_hourly_gapfill",
     # -- oldest r3-era grades, filling to 50 --
     "c1_c3_counts", "s3_write_readback", "s5_ddl", "o6_conf",
-    "s_json_roundtrip",
 ]
 
 
@@ -3186,6 +3231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unpivot": _q_unpivot,
         "q_approx_topk": _q_approx_topk,
         "m_decode_png": _q_decode_png,
+        "m_phash": _q_phash,
         "m_decode_wav": _q_decode_wav,
     }
     # The driver grades the FIRST 50 keys each round; _GRADE_FIRST
@@ -4892,6 +4938,9 @@ def oracle_sql() -> dict[str, str]:
             "+ (doc_id % 10) / 2.0 + (doc_id % 7) / 2.0, 6) AS mean_px "
             "FROM documents"
         ),
+        # Generated closed-form twin of the 7x7 integer aHash —
+        # see _phash_oracle_sql.
+        "m_phash": _phash_oracle_sql(),
         "m_decode_png": (
             "SELECT doc_id, "
             "CAST(doc_id % 16 + 1 AS INTEGER) AS width, "

@@ -743,3 +743,84 @@ def decode_gif_stats(
 
     src = ensure_min_partitions(df.select(id_col, payload_col))
     return src.mapInPandas(process, GIF_STATS_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def phash_png(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual (average) hash of REAL decoded PNG payloads: decode
+    the image (full codec path — chunks, CRCs, zlib, filters), sample
+    a fixed 7x7 grid (x_i = i*w//7, y_j = j*h//7), and set bit
+    k = 7*i + j when the sample exceeds the grid mean. 49 bits fit a
+    positive BIGINT, and the comparison is ALL-INTEGER
+    (49*sample > sum-of-samples) — no float mean, so the hash is
+    engine- and platform-exact.
+
+    This is the image twin of SimHash: near-identical images differ in
+    few bits, so hamming-band bucketing (group by hash bands) finds
+    visual near-duplicates without pairwise comparison — the
+    image-dedup stage of a multimodal corpus pipeline. Same Arrow
+    batching and payload-drop-before-shuffle shape as the decode
+    stats; downstream grouping shuffles only (id, hash).
+    """
+    from gcp_food_delivery_data_pipeline_spark.functions.png import (
+        decode_png_gray,
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, hashes = [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                w, h, pixels = decode_png_gray(bytes(p))
+                xs = [(i * w) // 7 for i in range(7)]
+                ys = [(j * h) // 7 for j in range(7)]
+                samples = [
+                    pixels[y * w + x] for x in xs for y in ys
+                ]  # k = 7*i + j order
+                total = sum(samples)
+                hv = 0
+                for k, s in enumerate(samples):
+                    if 49 * s > total:
+                        hv |= 1 << k
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                hashes.append(hv)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    src = ensure_min_partitions(df.select(id_col, payload_col))
+    return src.mapInPandas(process, PHASH_SCHEMA)
+
+
+def phash_groups(phashed: DataFrame) -> DataFrame:
+    """Visual-duplicate groups by exact perceptual-hash identity:
+    ``(phash, n_images, min_doc_id)`` for hashes shared by 2+ images
+    — the keep-first dedup view over the perceptual key (hamming-
+    tolerant matching bands the hash like SimHash; exact identity is
+    the zero-distance special case and the common case for re-encoded
+    identical images). One combinable groupBy."""
+    return (
+        phashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_images") >= 2)
+    )

@@ -316,3 +316,51 @@ def test_sparse_nn_tfidf_mutual_nearest_pair(spark):
         for r in sparse_nn_tfidf(docs, query_pred=F.col("_id") == 1).collect()
     }
     assert restricted == {1: 2}
+
+
+def test_phash_identical_images_same_hash_groups(spark):
+    """Docs whose ids share (width, height) geometry produce the same
+    gradient image shape, hence the same perceptual hash (the base
+    shade cancels out of the above-mean rule); phash_groups collects
+    them with keep-first min id."""
+    from gcp_food_delivery_data_pipeline_spark.operators.multimodal import (
+        attach_png_payload,
+        phash_groups,
+        phash_png,
+    )
+
+    # ids 0 and 48 share id%16 and id%12 -> identical geometry
+    docs = spark.createDataFrame(
+        [(0,), (48,), (96,), (1,)], "doc_id long"
+    )
+    hashed = phash_png(attach_png_payload(docs))
+    got = {r.doc_id: r.phash for r in hashed.collect()}
+    assert got[0] == got[48] == got[96]
+    assert got[1] != got[0]
+    groups = phash_groups(hashed).collect()
+    assert len(groups) == 1
+    assert groups[0].n_images == 3 and groups[0].min_doc_id == 0
+
+
+def test_phash_is_integer_above_mean_rule(spark):
+    """Hand-check one image: doc_id=1 -> 2x2 gradient [c, c+1, c+1,
+    c+2]; 7x7 sampling of a 2x2 image repeats pixels; bits follow the
+    all-integer 49*sample > total rule exactly."""
+    from gcp_food_delivery_data_pipeline_spark.operators.multimodal import (
+        attach_png_payload,
+        phash_png,
+    )
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    got = phash_png(attach_png_payload(docs)).collect()[0]
+    w, h = 1 % 16 + 1, 1 % 12 + 1
+    assert (got.width, got.height) == (w, h)
+    xs = [(i * w) // 7 for i in range(7)]
+    ys = [(j * h) // 7 for j in range(7)]
+    samples = [1 % 200 + x + y for x in xs for y in ys]
+    total = sum(samples)
+    expect = 0
+    for k, s in enumerate(samples):
+        if 49 * s > total:
+            expect |= 1 << k
+    assert got.phash == expect
