@@ -2635,6 +2635,26 @@ def _q_mix_sources(spark: SparkSession, sf: str) -> DataFrame:
     return resample_source_mix(d, weights).select("doc_id", "source")
 
 
+def _q_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-user session co-presence: for each user pair, how many of
+    their sessions overlapped in time and for how long (total µs) —
+    the bucketized interval-overlap join (explode into hour buckets,
+    equi-join on the bucket, verify true overlap, dedup) vs the
+    oracle's plain inequality join over all session pairs."""
+    from gcp_food_delivery_data_pipeline_spark.operators.joins import (
+        interval_overlap_pairs,
+    )
+
+    sess = A.user_sessions(load_table(spark, sf, "events"))
+    pairs = interval_overlap_pairs(sess, entity_col="user_id")
+    return pairs.groupBy(
+        F.col("user_id_a"), F.col("user_id_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.sum("overlap_us").alias("total_overlap_us"),
+    )
+
+
 def _q_session_concurrency(spark: SparkSession, sf: str) -> DataFrame:
     """Peak concurrent sessions per hour — sweep-line (+1/-1 session
     boundaries, distributed global running sum via the two-phase
@@ -3011,6 +3031,7 @@ _GRADE_FIRST = [
     "q_session_concurrency",
     "q_cohort_ltv",
     "m_phash",
+    "j_interval_overlap",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -3024,7 +3045,7 @@ _GRADE_FIRST = [
     "q_custkeys_only_open", "q_balance_quartiles", "q_status_pivot",
     "q_hourly_gapfill",
     # -- oldest r3-era grades, filling to 50 --
-    "c1_c3_counts", "s3_write_readback", "s5_ddl", "o6_conf",
+    "c1_c3_counts", "s3_write_readback", "s5_ddl",
 ]
 
 
@@ -3083,6 +3104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_mix_temperature": _q_mix_temperature,
         "q_session_concurrency": _q_session_concurrency,
         "q_cohort_ltv": _q_cohort_ltv,
+        "j_interval_overlap": _q_interval_overlap,
         "q_revenue_trend": _q_revenue_trend,
         "q_benford_audit": _q_benford,
         "q_winsorize": _q_winsorize,
@@ -3687,6 +3709,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, count(*) AS n FROM ("
             f"SELECT unnest({_TOKENS}) AS word "
             "FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 20"
+        ),
+        # Oracle is the PLAIN inequality join over all session pairs
+        # — bucketing must be result-invariant (like salting); sum of
+        # BIGINT overlaps cast back from HUGEINT.
+        "j_interval_overlap": (
+            "WITH o AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "OR CAST(floor(epoch(ts)) AS BIGINT) "
+            "- lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
+            "THEN 1 ELSE 0 END AS is_new FROM events), "
+            "s AS (SELECT user_id, ts, sum(is_new) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid "
+            "FROM o), "
+            "g AS (SELECT user_id, epoch_us(min(ts)) AS st, "
+            "epoch_us(max(ts)) AS en FROM s GROUP BY user_id, sid) "
+            "SELECT a.user_id AS user_id_a, b.user_id AS user_id_b, "
+            "count(*) AS n_overlaps, "
+            "CAST(sum(least(a.en, b.en) - greatest(a.st, b.st)) "
+            "AS BIGINT) AS total_overlap_us "
+            "FROM g a JOIN g b ON a.user_id < b.user_id "
+            "AND a.st <= b.en AND b.st <= a.en "
+            "GROUP BY a.user_id, b.user_id"
         ),
         # Sweep-line concurrency: same gaps-and-islands sessions as
         # q_sessionize, boundaries +1/-1, running sum ordered

@@ -103,6 +103,7 @@ EXTRA_QUERIES = [
     "q_session_concurrency",  # distributed sweep-line peak sessions
     "q_cohort_ltv",         # cohort x age revenue triangle
     "m_phash",              # real-decode perceptual hash (7x7 aHash)
+    "j_interval_overlap",   # bucketized interval-overlap join
     "q_revenue_trend",      # single-pass regr_* OLS per group
     "j_scd2_intervals",     # per-key lead-window SCD2 builder
 ]

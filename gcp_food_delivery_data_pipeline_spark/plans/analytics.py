@@ -1991,6 +1991,34 @@ def q_holt_linear(
     )
 
 
+def user_sessions(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Per-user session intervals from the gaps-and-islands rule:
+    ``(user_id, session_id, start_us, end_us)`` in integer
+    microseconds. The shared interval source for the sweep-line
+    concurrency and the interval-overlap join."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("long")
+    prev = F.lag(ts_s).over(w)
+    is_new = F.when(
+        prev.isNull() | ((ts_s - prev) > gap_seconds), 1
+    ).otherwise(0)
+    return (
+        events.withColumn(
+            "session_id",
+            F.sum(is_new).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+        )
+    )
+
+
 def q_session_concurrency(
     events: DataFrame, gap_seconds: int = 1800
 ) -> DataFrame:
@@ -2015,30 +2043,12 @@ def q_session_concurrency(
         _global_ordered_rank_and_prefix,
     )
 
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_s = F.col("ts").cast("long")
-    prev = F.lag(ts_s).over(w)
-    is_new = F.when(
-        prev.isNull() | ((ts_s - prev) > gap_seconds), 1
-    ).otherwise(0)
-    sess = (
-        events.withColumn(
-            "_sid",
-            F.sum(is_new).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .groupBy("user_id", "_sid")
-        .agg(
-            F.unix_micros(F.min("ts")).alias("_start"),
-            F.unix_micros(F.max("ts")).alias("_end"),
-        )
-    )
+    sess = user_sessions(events, gap_seconds)
     bounds = sess.select(
-        F.col("_start").alias("_t"), F.lit(1).cast("long").alias("_d")
+        F.col("start_us").alias("_t"), F.lit(1).cast("long").alias("_d")
     ).unionByName(
         sess.select(
-            F.col("_end").alias("_t"), F.lit(-1).cast("long").alias("_d")
+            F.col("end_us").alias("_t"), F.lit(-1).cast("long").alias("_d")
         )
     )
     ranked = _global_ordered_rank_and_prefix(

@@ -194,3 +194,59 @@ def test_asof_nearest_prefers_closer_forward(spark):
         trades, quotes, "ts", "sym", ["price"], direction="nearest"
     ).collect()[0]
     assert row.price_matched == 300.0
+
+
+def test_interval_overlap_pairs_golden(spark):
+    """Three entities: A [0,10], B [5,15] overlap 5; C [20,30] is
+    disjoint; touching-at-an-instant counts (B [5,15] x D [15,18]
+    overlap 0). Bucketing (tiny bucket to force multi-bucket spans)
+    must not duplicate pairs."""
+    from gcp_food_delivery_data_pipeline_spark.operators.joins import (
+        interval_overlap_pairs,
+    )
+
+    iv = spark.createDataFrame(
+        [("A", 0, 10), ("B", 5, 15), ("C", 20, 30), ("D", 15, 18)],
+        "ent string, start_us long, end_us long",
+    )
+    got = {
+        (r.ent_a, r.ent_b): r.overlap_us
+        for r in interval_overlap_pairs(
+            iv, entity_col="ent", bucket_us=3
+        ).collect()
+    }
+    assert got == {("A", "B"): 5, ("B", "D"): 0}
+
+
+def test_interval_overlap_same_entity_excluded(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.joins import (
+        interval_overlap_pairs,
+    )
+
+    iv = spark.createDataFrame(
+        [("A", 0, 10), ("A", 5, 15)],
+        "ent string, start_us long, end_us long",
+    )
+    assert interval_overlap_pairs(iv, entity_col="ent").count() == 0
+
+
+def test_interval_overlap_bucket_width_is_result_invariant(spark):
+    """Bucketing is an execution strategy: any width gives the same
+    pair set as the inequality-join definition."""
+    from gcp_food_delivery_data_pipeline_spark.operators.joins import (
+        interval_overlap_pairs,
+    )
+
+    iv = spark.createDataFrame(
+        [("A", 0, 100), ("B", 50, 60), ("C", 99, 200), ("D", 300, 400)],
+        "ent string, start_us long, end_us long",
+    )
+    expect = {("A", "B"), ("A", "C")}
+    for width in (1, 7, 1000):
+        got = {
+            (r.ent_a, r.ent_b)
+            for r in interval_overlap_pairs(
+                iv, entity_col="ent", bucket_us=width
+            ).collect()
+        }
+        assert got == expect, width
