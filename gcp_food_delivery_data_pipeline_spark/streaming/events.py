@@ -566,3 +566,46 @@ def run_stream_quality(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_stream_enrich(
+    spark: SparkSession,
+    input_dir: str,
+    dim: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "stream_enrich",
+    key_col: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_attr: str = "c_mktsegment",
+) -> StreamingQuery:
+    """Stream-static enrichment join — the dimension-lookup shape of
+    production streaming: each micro-batch of events left-joins a
+    STATIC dimension frame (broadcast: the dim ships to executors
+    once per batch and no stream-side shuffle or state is needed —
+    stream-static joins are stateless by construction, unlike
+    stream-stream joins which buffer both sides under watermarks).
+    Unmatched keys keep the row with an ``unknown`` attribute; append
+    mode emits each enriched event exactly once.
+
+    At 100 TB-of-stream scale the static side refreshes by restarting
+    the query (or `foreachBatch` re-reading a versioned snapshot —
+    sources/versioned.py pairs with this); dims too big to broadcast
+    fall back to a shuffled join per micro-batch, same code path.
+    """
+    ev = read_events_stream(spark, input_dir)
+    enriched = ev.join(
+        F.broadcast(dim), ev[key_col] == dim[dim_key], "left"
+    ).select(
+        ev["event_id"],
+        ev[key_col],
+        F.coalesce(dim[dim_attr], F.lit("unknown")).alias("segment"),
+        ev["value"],
+    )
+    return (
+        enriched.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

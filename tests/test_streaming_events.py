@@ -394,3 +394,47 @@ def test_stream_quality_monitor_per_batch(spark, events_dir, tmp_path):
     }
     # count rules are additive across batches (uniqueness is not)
     assert summed == whole
+
+
+def test_stream_enrich_matches_batch_left_join(spark, events_dir, tmp_path):
+    """Stream-static enrichment over 3 micro-batches equals the batch
+    left join row-for-row, including the unknown fallback for keys
+    missing from the dimension."""
+    from gcp_food_delivery_data_pipeline_spark.streaming.events import (
+        run_stream_enrich,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    # dim covering only half the users -> both match and fallback paths
+    dim = (
+        load_table(spark, SF_DIR, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .filter(F.col("c_custkey") % 2 == 0)
+    )
+    q = run_stream_enrich(
+        spark,
+        events_dir,
+        dim,
+        str(tmp_path / "enrich_ckpt"),
+        query_name="t_stream_enrich",
+    )
+    assert q.awaitTermination(360), "enrich stream did not drain"
+    got = {
+        (r.event_id, r.user_id, r.segment, r.value)
+        for r in spark.table("t_stream_enrich").collect()
+    }
+    expect = {
+        (r.event_id, r.user_id, r.segment, r.value)
+        for r in ev.join(
+            dim, ev["user_id"] == dim["c_custkey"], "left"
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("c_mktsegment", F.lit("unknown")).alias("segment"),
+            "value",
+        )
+        .collect()
+    }
+    assert got == expect
+    assert any(seg == "unknown" for _, _, seg, _ in got)
