@@ -491,6 +491,32 @@ def _q_q21(spark: SparkSession, sf: str) -> DataFrame:
     return A.q21_last_shipper(t["supplier"], t["lineitem"], t["nation"])
 
 
+def _q_q2(spark: SparkSession, sf: str) -> DataFrame:
+    t = _tables(spark, sf, "part", "supplier", "lineitem", "nation", "region")
+    return A.q2_min_cost_supplier(
+        t["part"], t["supplier"], t["lineitem"], t["nation"], t["region"]
+    )
+
+
+def _q_q11(spark: SparkSession, sf: str) -> DataFrame:
+    t = _tables(spark, sf, "lineitem", "supplier", "nation")
+    return A.q11_important_stock(t["lineitem"], t["supplier"], t["nation"])
+
+
+def _q_q16(spark: SparkSession, sf: str) -> DataFrame:
+    t = _tables(spark, sf, "part", "lineitem", "supplier")
+    return A.q16_supplier_by_part_attrs(
+        t["part"], t["lineitem"], t["supplier"]
+    )
+
+
+def _q_q20(spark: SparkSession, sf: str) -> DataFrame:
+    t = _tables(spark, sf, "part", "supplier", "lineitem", "nation")
+    return A.q20_promo_part_suppliers(
+        t["part"], t["supplier"], t["lineitem"], t["nation"]
+    )
+
+
 def _q_anti(spark: SparkSession, sf: str) -> DataFrame:
     t = _tables(spark, sf, "customer", "orders")
     return A.q_customers_without_orders(t["customer"], t["orders"])
@@ -3054,6 +3080,10 @@ _GRADE_FIRST = [
     "m_phash",
     "j_interval_overlap",
     "s_stream_enrich",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_attrs",
+    "q20_promo_suppliers",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -3097,6 +3127,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new impl --
         "q_ntile_buckets": _q_ntile,
         "q21_last_shipper": _q_q21,
+        # -- new in round 6: TPC-H set completed (q2/q11/q16/q20
+        # shaped — no partsupp table in testdata, see docstrings) --
+        "q2_min_cost_supplier": _q_q2,
+        "q11_important_stock": _q_q11,
+        "q16_supplier_attrs": _q_q16,
+        "q20_promo_suppliers": _q_q20,
         # -- new in round 5 --
         "s_stream_dedup": _q_stream_dedup,
         "s_stream_attribution": _q_stream_attribution,
@@ -3651,6 +3687,80 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON s_nationkey = n_nationkey "
             "WHERE n_name = 'NATION_3' "
             "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
+        ),
+        "q2_min_cost_supplier": (
+            "WITH cost AS ("
+            "SELECT l_partkey, l_suppkey, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) "
+            "/ CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
+            "AS supply_cost "
+            "FROM lineitem GROUP BY 1, 2), "
+            "supp AS ("
+            "SELECT s_suppkey, s_name, s_acctbal, n_name "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'EUROPE'), "
+            "cheapest AS ("
+            "SELECT * FROM ("
+            "SELECT cost.*, supp.*, "
+            "min(supply_cost) OVER (PARTITION BY l_partkey) AS min_cost "
+            "FROM cost JOIN supp ON l_suppkey = s_suppkey) "
+            "WHERE supply_cost = min_cost) "
+            "SELECT s_acctbal, s_name, n_name, p_partkey, p_size, "
+            "supply_cost "
+            "FROM cheapest JOIN part ON l_partkey = p_partkey "
+            "WHERE p_type = 'LARGE' AND p_size >= 10 "
+            "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
+        ),
+        "q11_important_stock": (
+            "WITH per_part AS ("
+            "SELECT l_partkey, "
+            "sum(CAST(l_extendedprice * (1 - l_discount) "
+            "AS DECIMAL(18,4))) AS part_value_dec "
+            "FROM lineitem WHERE l_suppkey IN ("
+            "SELECT s_suppkey FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_name = 'NATION_2') "
+            "GROUP BY 1) "
+            "SELECT l_partkey, "
+            "CAST(round(part_value_dec, 2) AS DOUBLE) AS part_value "
+            "FROM per_part "
+            "WHERE CAST(part_value_dec AS DOUBLE) > "
+            "(SELECT CAST(sum(part_value_dec) AS DOUBLE) / count(*) "
+            "FROM per_part) * 2.0"
+        ),
+        "q16_supplier_attrs": (
+            "WITH links AS ("
+            "SELECT DISTINCT p_brand, p_type, p_size, l_suppkey "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#1' "
+            "AND p_type NOT IN ('PROMO', 'ECONOMY') "
+            "AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34) "
+            "AND l_suppkey NOT IN ("
+            "SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) "
+            "SELECT p_brand, p_type, p_size, count(*) AS supplier_cnt "
+            "FROM links GROUP BY 1, 2, 3 "
+            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        "q20_promo_suppliers": (
+            "WITH per_supp AS ("
+            "SELECT l_suppkey, "
+            "sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '2000-01-01' "
+            "AND l_shipdate < TIMESTAMP '2001-01-01' "
+            "AND l_partkey IN ("
+            "SELECT p_partkey FROM part WHERE p_name LIKE 'red%') "
+            "GROUP BY 1), "
+            "avg_q AS (SELECT CAST(sum(qty_dec) AS DOUBLE) / count(*) "
+            "AS avg_qty FROM per_supp) "
+            "SELECT s_name, s_acctbal "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_name = 'NATION_8' AND s_suppkey IN ("
+            "SELECT l_suppkey FROM per_supp, avg_q "
+            "WHERE CAST(qty_dec AS DOUBLE) > avg_qty * 0.5) "
+            "ORDER BY s_name"
         ),
         "q_stats_profile": (
             "SELECT l_returnflag, count(*) AS n_lines, "

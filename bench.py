@@ -106,6 +106,10 @@ EXTRA_QUERIES = [
     "j_interval_overlap",   # bucketized interval-overlap join
     "q_revenue_trend",      # single-pass regr_* OLS per group
     "j_scd2_intervals",     # per-key lead-window SCD2 builder
+    "q2_min_cost_supplier", # derived-cost min-per-part window + dims
+    "q11_important_stock",  # two-level agg + scalar broadcast HAVING
+    "q16_supplier_attrs",   # distinct-collapse count-distinct + anti
+    "q20_promo_suppliers",  # nested semi-join chain + scalar threshold
 ]
 
 

@@ -276,3 +276,57 @@ def kcore(
         e.groupBy(F.col("_s").alias("node"))
         .agg(F.count(F.lit(1)).alias("degree"))
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from ANY seed node to
+    every node reachable within ``max_hops``. Returns ``(node, dist)``
+    with ``dist`` in [0, max_hops]; unreachable nodes are absent.
+
+    Frontier-style level-synchronous BFS: round t joins only the
+    NEWLY-settled frontier (nodes first reached at distance t) against
+    the edge list, so each edge is traversed at most once per incident
+    frontier appearance, and settled nodes are anti-joined away —
+    the standard Pregel/GraphX BFS schedule expressed as DataFrame
+    ops. A fixed ``max_hops`` bound keeps the result a pure function
+    of the input (oracle: a depth-bounded recursive SQL unroll).
+
+    Scale shape (100 TB / 1000 executors): per round one keyed
+    equi-join (edges on src x frontier) + one distinct + one anti-join
+    against the settled set — all partitioned by node id; the frontier
+    only ever holds ids, never payloads; ``localCheckpoint`` truncates
+    lineage so round t+1 does not replay rounds 1..t. The driver
+    holds loop control only (no collect).
+    """
+    if max_hops < 0:
+        raise ValueError(f"bfs_distances: max_hops must be >= 0, got {max_hops}")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    e = e.localCheckpoint(eager=True)
+    settled = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = settled.select("node")
+    for hop in range(1, max_hops + 1):
+        reached = (
+            e.join(frontier, e["_s"] == frontier["node"], "left_semi")
+            .select(F.col("_d").alias("node"))
+            .distinct()
+        )
+        new_nodes = reached.join(
+            settled.select("node"), "node", "left_anti"
+        ).select("node", F.lit(hop).alias("dist"))
+        settled = settled.unionByName(new_nodes).localCheckpoint(
+            eager=True
+        )
+        frontier = settled.filter(F.col("dist") == hop).select("node")
+    return settled

@@ -642,3 +642,69 @@ def sparse_nn_tfidf(
             "cosine_sim",
         )
     )
+
+
+def zipf_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = "source",
+    min_rank_terms: int = 5,
+) -> DataFrame:
+    """Zipf rank-frequency fit per group: OLS slope of
+    ``ln(freq) ~ ln(rank)`` over the group's word-frequency table
+    (natural text sits near slope -1; a flat slope flags synthetic or
+    templated corpora — a standard corpus-forensics signal alongside
+    [[t_repetition]]-style duplication checks).
+
+    Two aggregations + one window, all keyed by group: explode words
+    -> (group, word) counts -> rank by (freq DESC, word) inside each
+    group (the vocabulary frame, far smaller than the token stream,
+    is all the window ever sorts) -> single-pass ``regr_slope`` +
+    ``regr_r2`` per group. The deterministic word tie-break makes the
+    rank — and therefore the fit — a pure function of the input,
+    which is what lets the SQL oracle reproduce it bit-for-bit.
+    Groups with fewer than ``min_rank_terms`` distinct words are
+    dropped (a 2-point fit is noise, and r2 degenerates).
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col) if group_col else F.lit("all")
+    words = df.select(
+        g.alias("grp"), F.explode(tokens(text_col)).alias("word")
+    )
+    freq = words.groupBy("grp", "word").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("freq").desc(), F.col("word")
+    )
+    ranked = freq.withColumn("rank", F.row_number().over(w))
+    fitted = (
+        ranked.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("freq").alias("n_tokens"),
+            F.round(
+                F.regr_slope(
+                    F.log(F.col("freq").cast("double")),
+                    F.log(F.col("rank").cast("double")),
+                ),
+                6,
+            ).alias("zipf_slope"),
+            F.round(
+                F.regr_r2(
+                    F.log(F.col("freq").cast("double")),
+                    F.log(F.col("rank").cast("double")),
+                ),
+                6,
+            ).alias("fit_r2"),
+        )
+        .filter(F.col("n_terms") >= min_rank_terms)
+    )
+    return fitted.select(
+        F.col("grp").alias(group_col if group_col else "grp"),
+        "n_terms",
+        "n_tokens",
+        "zipf_slope",
+        "fit_r2",
+    )

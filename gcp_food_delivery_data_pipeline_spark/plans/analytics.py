@@ -2107,3 +2107,294 @@ def q_cohort_ltv(orders: DataFrame) -> DataFrame:
             "revenue",
         )
     )
+
+
+def q2_min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+    part_type: str = "LARGE",
+    min_size: int = 10,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2-shaped min-cost supplier. The testdata has no
+    ``partsupp`` table, so supply cost is DERIVED from observed trade:
+    per (part, supplier) the quantity-weighted unit price
+    sum(price)/sum(qty) over all lineitem rows (exact decimal sums —
+    engine-stable regardless of row order; see the inline comment for
+    why NO per-row division or rounding is used). Q2's correlated
+    ``ps_supplycost = (SELECT min ...)``
+    subquery becomes a window ``min`` over the already-collapsed
+    (part, supplier) frame; ties keep every minimal supplier, exactly
+    like Q2.
+
+    Scale shape: lineitem collapses FIRST via one keyed aggregation
+    (map-side combine shrinks 100 TB of lines to |part|x|supp| rows
+    that actually traded); the window and all later joins run on that
+    collapsed frame. Supplier+nation+region fold into one broadcast
+    dimension; part filters push into the parquet scan.
+    """
+    # Quantity-weighted unit cost: sum(price)/sum(qty). Both sums are
+    # exact decimals (order-independent, engine-identical); ONE double
+    # division at the end is bit-identical across engines. A per-row
+    # price/qty division cast to decimal would hit half-up boundary
+    # divergence (Spark casts via the double's shortest decimal repr,
+    # other engines via its binary value), and round(double, k) has
+    # the same failure class — so neither appears anywhere here.
+    cost = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+            ).alias("price_sum"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias(
+                "qty_sum"
+            ),
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (
+                F.col("price_sum").cast("double")
+                / F.col("qty_sum").cast("double")
+            ).alias("supply_cost"),
+        )
+    )
+    eligible_supp = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(
+                        region.filter(F.col("r_name") == region_name)
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    in_region = cost.join(
+        F.broadcast(eligible_supp),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    w = Window.partitionBy("l_partkey")
+    cheapest = in_region.withColumn(
+        "min_cost", F.min("supply_cost").over(w)
+    ).filter(F.col("supply_cost") == F.col("min_cost"))
+    wanted_parts = part.filter(
+        (F.col("p_type") == part_type) & (F.col("p_size") >= min_size)
+    ).select("p_partkey", "p_type", "p_size")
+    return (
+        cheapest.join(
+            wanted_parts, F.col("l_partkey") == F.col("p_partkey")
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_size",
+            "supply_cost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name"),
+            F.col("s_name"),
+            F.col("p_partkey"),
+        )
+        .limit(k)
+    )
+
+
+def q11_important_stock(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_2",
+    avg_multiplier: float = 2.0,
+) -> DataFrame:
+    """TPC-H Q11-shaped important stock: total traded value per part
+    through one nation's suppliers, keeping parts whose value exceeds
+    ``avg_multiplier`` x the nation's AVERAGE per-part value. Q11's
+    scalar subquery (``HAVING value > (SELECT sum(...)*fraction``)
+    becomes a broadcast cross-join of the 1-row average against the
+    per-part aggregate — the same single-pass two-level aggregation,
+    no second scan of lineitem. The threshold is avg-relative rather
+    than TPC-H's total-fraction because the fraction must shrink with
+    scale factor (TPC-H specs 0.0001/SF); an avg multiple selects the
+    same top tail at EVERY scale with one constant.
+
+    Scale shape: nation->supplier folds to one broadcast semi-join
+    (the fact scan never shuffles for it); one keyed aggregation on
+    l_partkey; the grand total re-aggregates the per-part frame
+    (|parts| rows, not |lines|); decimal sums keep both engines
+    bit-identical.
+    """
+    nat_supp = supplier.join(
+        F.broadcast(
+            nation.filter(F.col("n_name") == nation_name).select(
+                "n_nationkey"
+            )
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    val = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    per_part = (
+        lineitem.join(
+            F.broadcast(nat_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("part_value_dec"))
+    )
+    # exact decimal sum -> double / integer count (engine-stable; see
+    # q2_min_cost_supplier for why decimal division is avoided)
+    avg_val = per_part.agg(
+        (
+            F.sum("part_value_dec").cast("double") / F.count(F.lit(1))
+        ).alias("avg_value")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(avg_val))
+        .filter(
+            F.col("part_value_dec").cast("double")
+            > F.col("avg_value") * F.lit(avg_multiplier)
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("part_value_dec"), 2)
+            .cast("double")
+            .alias("part_value"),
+        )
+    )
+
+
+def q16_supplier_by_part_attrs(
+    part: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    excl_brand: str = "Brand#1",
+    excl_types: tuple = ("PROMO", "ECONOMY"),
+    sizes: tuple = (1, 4, 9, 14, 19, 24, 29, 34),
+) -> DataFrame:
+    """TPC-H Q16-shaped supplier diversity per part attribute group:
+    how many DISTINCT suppliers have shipped parts of each surviving
+    (brand, type, size) combination, excluding flagged suppliers.
+    The testdata's parts have no comment column, so Q16's
+    "complaints" supplier exclusion becomes ``s_acctbal < 0``
+    (delinquent account) — the same NOT-IN anti-join shape.
+
+    Scale shape: part-attribute filters push into the part scan; the
+    link table (lineitem's (partkey, suppkey) pairs) is first
+    DISTINCT-collapsed per attribute group (map-side combine), so the
+    count-distinct shuffle carries collapsed pairs, not raw lines; the
+    excluded-supplier set is a broadcast anti-join (6 rows here, and
+    at any scale a tiny fraction of suppliers).
+    """
+    wanted = part.filter(
+        (F.col("p_brand") != excl_brand)
+        & (~F.col("p_type").isin(list(excl_types)))
+        & (F.col("p_size").isin(list(sizes)))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    flagged = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    links = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(flagged),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(wanted, F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        links.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand"),
+            F.col("p_type"),
+            F.col("p_size"),
+        )
+    )
+
+
+def q20_promo_part_suppliers(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    name_prefix: str = "red",
+    ship_from: str = "2000-01-01",
+    ship_until: str = "2001-01-01",
+    nation_name: str = "NATION_8",
+    excess_factor: float = 0.5,
+) -> DataFrame:
+    """TPC-H Q20-shaped promotion-candidate suppliers: the nested
+    semi-join chain (part name pattern -> shipped-quantity threshold
+    -> supplier -> nation). Without ``ps_availqty`` the threshold
+    "availqty > 0.5 * shipped qty" becomes "this supplier's shipped
+    qty of pattern parts in the window exceeds ``excess_factor`` x
+    the all-supplier average of that same quantity" — a scalar
+    broadcast threshold with identical join nesting.
+
+    Scale shape: the name-pattern part filter pushes to the part scan
+    and semi-joins the fact table BEFORE any aggregation; one keyed
+    agg per supplier; the 1-row average broadcasts; the final
+    qualifying-supplier set semi-joins the (broadcast) supplier dim.
+    Exact decimal quantity sums keep the threshold engine-stable.
+    """
+    pat_parts = part.filter(
+        F.col("p_name").startswith(name_prefix)
+    ).select("p_partkey")
+    window_lines = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(ship_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(ship_until).cast("timestamp"))
+    ).join(
+        F.broadcast(pat_parts),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    per_supp = window_lines.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec")
+    )
+    # exact decimal sum -> double / integer count: engine-stable (see
+    # q2_min_cost_supplier for why decimal division is avoided)
+    avg_qty = per_supp.agg(
+        (
+            F.sum("qty_dec").cast("double") / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    qualifying = (
+        per_supp.crossJoin(F.broadcast(avg_qty))
+        .filter(
+            F.col("qty_dec").cast("double")
+            > F.col("avg_qty") * F.lit(excess_factor)
+        )
+        .select("l_suppkey")
+    )
+    nat = nation.filter(F.col("n_name") == nation_name).select(
+        "n_nationkey"
+    )
+    return (
+        supplier.join(
+            F.broadcast(qualifying),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
