@@ -517,6 +517,67 @@ def _q_q20(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-direction as-of: each click's closest purchase in time
+    (either direction) by the same user; exact ties prefer the
+    backward row — attribution when the conversion may precede OR
+    follow the touchpoint."""
+    from gcp_food_delivery_data_pipeline_spark.operators.joins import (
+        asof_join,
+    )
+
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by="user_id",
+        right_value_cols=[],
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+        F.unix_micros("ts_matched").alias("nearest_purchase_us"),
+    )
+
+
+def _q_bfs_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS over the strong co-occurrence graph: hop
+    distance from the seed set (part ids <= 5 present in the graph)
+    to every node within 4 hops — the reachability/blast-radius
+    primitive of the iterative-graph family. Oracle: a depth-bounded
+    recursive CTE taking min(dist) per node (level-synchronous BFS
+    == min over all <=4-hop walks)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    edges = _part_edges(spark, sf, symmetric=True, min_n=2)
+    seeds = edges.select(F.col("src").alias("node")).filter(
+        F.col("node") <= 5
+    )
+    return bfs_distances(edges, seeds, max_hops=4)
+
+
+def _q_zipf_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf rank-frequency fit per source: ln(freq)~ln(rank) OLS
+    slope + r2 over each source's word-frequency table — the
+    corpus-forensics signal that flags templated/synthetic text."""
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        zipf_profile,
+    )
+
+    return zipf_profile(load_table(spark, sf, "documents"))
+
+
 def _q_anti(spark: SparkSession, sf: str) -> DataFrame:
     t = _tables(spark, sf, "customer", "orders")
     return A.q_customers_without_orders(t["customer"], t["orders"])
@@ -1582,6 +1643,45 @@ def _q_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN graded by RECALL against the exact
+    top-k computed in the same plan (the v_topk_ann pattern): the
+    oracle pins (n_queries, recall_ok) where recall_ok asserts mean
+    recall@10 >= 0.7 (measured, deterministic per SF: 0.90 at sf0.01
+    and 0.76 at sf0.1 with rerank=250 over 8x16 codebooks — the
+    synthetic embeddings are near-uniform, the hard case for PQ)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 5)
+    ann = (
+        pq_topk(e, queries_df, k=10, rerank=250)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    exact = (
+        topk_exact(e, queries_df, k=10)
+        .select("query_id", F.col("neighbor_id").alias("_exact_nb"))
+        .localCheckpoint()
+    )
+    hits = ann.join(
+        exact,
+        (ann["query_id"] == exact["query_id"])
+        & (ann["neighbor_id"] == exact["_exact_nb"]),
+    )
+    per_q = exact.groupBy(exact["query_id"]).count().agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("count").alias("_n_exact"),
+    )
+    n_hits = hits.agg(F.count(F.lit(1)).alias("_n_hits"))
+    return per_q.crossJoin(n_hits).select(
+        "n_queries",
+        (F.col("_n_hits") / F.col("_n_exact") >= 0.7).alias("recall_ok"),
+    )
+
+
 def _q_embedding_dims(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "embeddings")
     return e.select("vec_id", F.size("embedding").alias("dim"), "label")
@@ -2167,6 +2267,22 @@ def _q_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents")
     return decode_wav_stats(attach_wav_payload(d))
+
+
+def _q_audio_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Short-time-energy framing over REAL WAV decode: per clip the
+    count of full 16-sample frames plus max/total integer frame
+    energy — the VAD/silence-trim primitive. The oracle regenerates
+    the deterministic ramp samples relationally (range + zip-unnest)
+    and aggregates the same integer sums, so the decode+DSP path is
+    pinned bit-for-bit."""
+    from gcp_food_delivery_data_pipeline_spark.operators.multimodal import (
+        attach_wav_payload,
+        audio_frame_features,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return audio_frame_features(attach_wav_payload(d))
 
 
 def _q_decode_gif(spark: SparkSession, sf: str) -> DataFrame:
@@ -3084,6 +3200,11 @@ _GRADE_FIRST = [
     "q11_important_stock",
     "q16_supplier_attrs",
     "q20_promo_suppliers",
+    "v_pq_topk",
+    "j_asof_nearest",
+    "g_bfs_parts",
+    "t_zipf_profile",
+    "m_audio_frames",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -3133,6 +3254,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_stock": _q_q11,
         "q16_supplier_attrs": _q_q16,
         "q20_promo_suppliers": _q_q20,
+        "v_pq_topk": _q_pq_topk,
+        "j_asof_nearest": _q_asof_nearest,
+        "g_bfs_parts": _q_bfs_parts,
+        "t_zipf_profile": _q_zipf_profile,
+        "m_audio_frames": _q_audio_frames,
         # -- new in round 5 --
         "s_stream_dedup": _q_stream_dedup,
         "s_stream_attribution": _q_stream_attribution,
@@ -4870,6 +4996,62 @@ def oracle_sql() -> dict[str, str]:
         # Wedge-close triangle mirror: same strong-edge set (n >= 2),
         # same a<b<c orientation, per-node participation via 3-way
         # unnest.
+        # v_pq_topk: approximate (PQ+ADC+rerank) — graded like
+        # v_topk_ann by a recall bound the query computes itself.
+        "v_pq_topk": (
+            "SELECT count(*) AS n_queries, TRUE AS recall_ok "
+            "FROM embeddings WHERE vec_id < 5"
+        ),
+        "j_asof_nearest": (
+            "SELECT event_id, user_id, epoch_us(ts) AS click_us, "
+            "CASE WHEN bts IS NULL THEN epoch_us(fts) "
+            "WHEN fts IS NULL THEN epoch_us(bts) "
+            "WHEN (epoch_us(fts) - epoch_us(ts)) < "
+            "(epoch_us(ts) - epoch_us(bts)) THEN epoch_us(fts) "
+            "ELSE epoch_us(bts) END AS nearest_purchase_us "
+            "FROM (SELECT c.event_id, c.user_id, c.ts, "
+            "(SELECT max(p.ts) FROM events p WHERE "
+            "p.event_type = 'purchase' AND p.user_id = c.user_id "
+            "AND p.ts <= c.ts) AS bts, "
+            "(SELECT min(p.ts) FROM events p WHERE "
+            "p.event_type = 'purchase' AND p.user_id = c.user_id "
+            "AND p.ts >= c.ts) AS fts "
+            "FROM events c WHERE c.event_type = 'click')"
+        ),
+        # Level-synchronous BFS == min(dist) over all depth-bounded
+        # walks: the recursive CTE's UNION (distinct) bounds rows to
+        # nodes x (max_hops+1), so the unroll terminates on cycles.
+        "g_bfs_parts": (
+            "WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, "
+            "l_partkey FROM lineitem), "
+            "e AS (SELECT a.l_partkey AS s, b.l_partkey AS d "
+            "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey <> b.l_partkey "
+            "GROUP BY 1, 2 HAVING count(*) >= 2), "
+            "walk(node, dist) AS ("
+            "SELECT DISTINCT s, 0 FROM e WHERE s <= 5 "
+            "UNION "
+            "SELECT e.d, walk.dist + 1 FROM walk "
+            "JOIN e ON e.s = walk.node WHERE walk.dist < 4) "
+            "SELECT node, CAST(min(dist) AS INT) AS dist "
+            "FROM walk GROUP BY node"
+        ),
+        "t_zipf_profile": (
+            "WITH w AS (SELECT source AS grp, "
+            f"unnest({_TOKENS}) AS word FROM documents), "
+            "freq AS (SELECT grp, word, count(*) AS freq "
+            "FROM w GROUP BY 1, 2), "
+            "ranked AS (SELECT grp, freq, row_number() OVER ("
+            "PARTITION BY grp ORDER BY freq DESC, word) AS rank "
+            "FROM freq) "
+            "SELECT grp AS source, count(*) AS n_terms, "
+            "CAST(sum(freq) AS BIGINT) AS n_tokens, "
+            "round(regr_slope(ln(CAST(freq AS DOUBLE)), "
+            "ln(CAST(rank AS DOUBLE))), 6) AS zipf_slope, "
+            "round(regr_r2(ln(CAST(freq AS DOUBLE)), "
+            "ln(CAST(rank AS DOUBLE))), 6) AS fit_r2 "
+            "FROM ranked GROUP BY grp HAVING count(*) >= 5"
+        ),
         "g_triangles": (
             "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey "
             "FROM lineitem), "
@@ -5140,6 +5322,23 @@ def oracle_sql() -> dict[str, str]:
         # WAV payloads are ramp waveforms generated from doc_id, so the
         # decoded stats are arithmetically determined: n = id%50+10,
         # sample[i] = id%1000 + i ⇒ sum = n*c + n*(n-1)/2.
+        # Regenerate the deterministic ramp samples relationally and
+        # frame them with integer aggregation: all-integer energies,
+        # so decode+DSP is pinned exactly. HAVING count(*)=16 drops
+        # the trailing partial frame, matching hop=frame framing.
+        "m_audio_frames": (
+            "WITH s AS (SELECT doc_id, doc_id % 1000 AS c, "
+            "doc_id % 50 + 10 AS n FROM documents), "
+            "samp AS (SELECT doc_id, c, unnest(range(0, n)) AS i "
+            "FROM s), "
+            "fr AS (SELECT doc_id, i // 16 AS f, "
+            "sum((c + i) * (c + i)) AS e FROM samp "
+            "GROUP BY doc_id, i // 16 HAVING count(*) = 16) "
+            "SELECT doc_id, CAST(count(*) AS INT) AS n_frames, "
+            "CAST(max(e) AS BIGINT) AS max_frame_energy, "
+            "CAST(sum(e) AS BIGINT) AS total_energy "
+            "FROM fr GROUP BY doc_id"
+        ),
         "m_decode_wav": (
             "SELECT doc_id, "
             "CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate, "

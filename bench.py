@@ -110,6 +110,11 @@ EXTRA_QUERIES = [
     "q11_important_stock",  # two-level agg + scalar broadcast HAVING
     "q16_supplier_attrs",   # distinct-collapse count-distinct + anti
     "q20_promo_suppliers",  # nested semi-join chain + scalar threshold
+    "v_pq_topk",            # product-quantization ADC + exact rerank
+    "j_asof_nearest",       # bidirectional nearest as-of join
+    "g_bfs_parts",          # frontier BFS, 4 hops, anti-join settled
+    "t_zipf_profile",       # rank-frequency OLS per source
+    "m_audio_frames",       # real WAV decode + short-time-energy DSP
 ]
 
 

@@ -824,3 +824,77 @@ def phash_groups(phashed: DataFrame) -> DataFrame:
         )
         .filter(F.col("n_images") >= 2)
     )
+
+
+AUDIO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("max_frame_energy", LongType()),
+        StructField("total_energy", LongType()),
+    ]
+)
+
+
+def audio_frame_features(
+    df: DataFrame,
+    frame_size: int = 16,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-level audio features over REAL WAV decode: split each
+    clip's PCM samples into fixed ``frame_size`` windows and emit per
+    clip ``(n_frames, max_frame_energy, total_energy)`` where a
+    frame's energy is its integer sum of squared samples — the
+    short-time-energy primitive under VAD / silence trimming /
+    loudness normalization in an audio-corpus pipeline. Clips shorter
+    than one full frame are dropped (a partial window has no
+    comparable energy); the trailing partial frame is discarded,
+    standard hop=frame framing.
+
+    All-integer arithmetic end to end, so the SQL oracle (which
+    regenerates the deterministic ramp samples and aggregates them
+    relationally) matches bit-for-bit — no float summation order to
+    diverge. Same Arrow-batched ``mapInPandas`` shape as
+    ``decode_wav_stats``: payload bytes never cross a shuffle, one
+    output row per clip.
+    """
+    from gcp_food_delivery_data_pipeline_spark.functions.wav import (
+        decode_wav_pcm16,
+    )
+
+    if frame_size < 1:
+        raise ValueError(
+            f"audio_frame_features: frame_size must be >= 1, got {frame_size}"
+        )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfr, mx, tot = [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                _rate, n, samples = decode_wav_pcm16(bytes(p))
+                full = n // frame_size
+                if not full:
+                    continue
+                energies = [
+                    sum(
+                        v * v
+                        for v in samples[f * frame_size : (f + 1) * frame_size]
+                    )
+                    for f in range(full)
+                ]
+                ids.append(doc_id)
+                nfr.append(full)
+                mx.append(max(energies))
+                tot.append(sum(energies))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(nfr, dtype="int32"),
+                    "max_frame_energy": pd.Series(mx, dtype="int64"),
+                    "total_energy": pd.Series(tot, dtype="int64"),
+                }
+            )
+
+    src = ensure_min_partitions(df.select(id_col, payload_col))
+    return src.mapInPandas(process, AUDIO_FRAME_SCHEMA)

@@ -22,7 +22,7 @@ Vector arithmetic is ``zip_with``+``aggregate`` (functions/vectors.py)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gcp_food_delivery_data_pipeline_spark.functions.vectors import (
@@ -526,3 +526,202 @@ def random_project_cols(
     comps = _rp_components(vec_col, out_dim, in_dim)
     named = [c.alias(f"proj_{j:02d}") for j, c in enumerate(comps)]
     return df.select(id_col, *named)
+
+
+def train_pq_codebooks(
+    candidates: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_cap: int = 2048,
+    iters: int = 5,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al. 2011): split
+    the vector into ``n_subspaces`` contiguous sub-vectors and run a
+    small deterministic Lloyd k-means per subspace over a bounded
+    sample. Returns ``codebooks[s][c] = centroid`` (python floats,
+    destined to become plan literals).
+
+    The training sample is the first ``sample_cap`` vectors by id —
+    deterministic and driver-sized BY CONSTRUCTION (PQ codebooks are
+    always trained on a fixed sample, not the corpus; at 100 TB the
+    only change is sampling that cap uniformly instead of by id
+    prefix). Lloyd is seeded from the sample's first ``n_codes``
+    sub-vectors, runs a FIXED ``iters`` rounds with lowest-index
+    tie-break, and keeps a centroid unchanged on an empty cell — every
+    choice deterministic, so encode/score stay reproducible.
+    """
+    import numpy as np
+
+    sample = (
+        candidates.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_cap)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("train_pq_codebooks: empty candidate frame")
+    mat = np.asarray([r[1] for r in sample], dtype=np.float64)
+    dim = mat.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(
+            f"train_pq_codebooks: dim {dim} not divisible by "
+            f"{n_subspaces} subspaces"
+        )
+    sub_d = dim // n_subspaces
+    books: list[list[list[float]]] = []
+    for s in range(n_subspaces):
+        sub = mat[:, s * sub_d : (s + 1) * sub_d]
+        cents = sub[: min(n_codes, len(sub))].copy()
+        if len(cents) < n_codes:  # tiny sample: pad by repetition
+            reps = -(-n_codes // len(cents))
+            cents = np.concatenate([cents] * reps)[:n_codes]
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # numpy argmin = lowest index
+            for c in range(n_codes):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
+def _pq_sub(vec_col: str, s: int, sub_d: int) -> Column:
+    """Double-cast sub-vector s (1-based slice) of ``vec_col``."""
+    return F.transform(
+        F.slice(F.col(vec_col), s * sub_d + 1, sub_d),
+        lambda x: x.cast("double"),
+    )
+
+
+def _pq_dist2(sub: Column, cent: list[float]) -> Column:
+    """Squared euclidean distance of ``sub`` to a literal centroid."""
+    lit = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_pq_codes(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Append the PQ code array: per subspace, the index of the
+    nearest codebook centroid (squared-euclid, lowest index on ties
+    via the (dist, code) struct sort — matching numpy argmin).
+
+    Pure codegen Column expressions: the codebooks ride in the plan as
+    literals (n_subspaces x n_codes x sub_d doubles — a few KiB), so
+    encoding is a zero-shuffle map over the corpus, embarrassingly
+    parallel at any scale.
+    """
+    n_codes = len(codebooks[0])
+    sub_d = len(codebooks[0][0])
+    codes = []
+    for s, book in enumerate(codebooks):
+        sub = _pq_sub(vec_col, s, sub_d)
+        best = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        _pq_dist2(sub, book[c]).alias("d"),
+                        F.lit(c).alias("c"),
+                    )
+                    for c in range(n_codes)
+                ]
+            )
+        )[0]["c"]
+        codes.append(best)
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    k: int = 10,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via product quantization with exact re-rank:
+    asymmetric distance computation (ADC) over PQ codes prunes the
+    corpus to ``rerank`` candidates per query, then exact cosine
+    ranks those. Same output contract as ``topk_exact``.
+
+    Scale shape: encoding is zero-shuffle (codebooks are literals);
+    each query's ADC lookup table (n_subspaces x n_codes doubles) is
+    computed once per query row and broadcast with it; the scored
+    stream carries only (query, candidate, approx-dist) and the
+    ``rerank`` cut happens in the same two-phase window pattern as
+    ``topk_exact_scalable`` — the exact cosine touches rerank·|Q|
+    rows, not N·|Q|. Unlike IVF the index needs no cluster shuffle:
+    codes live with the rows.
+    """
+    books = train_pq_codebooks(
+        candidates, n_subspaces, n_codes, vec_col, id_col
+    )
+    sub_d = len(books[0][0])
+    coded = with_pq_codes(candidates, books, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        "pq_code",
+    )
+    # per-query ADC lookup table: dtab[s][c] = ||q_s - book[s][c]||^2
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    dtab = F.array(
+        *[
+            F.array(
+                *[
+                    _pq_dist2(_pq_sub("_qvec", s, sub_d), books[s][c])
+                    for c in range(len(books[s]))
+                ]
+            )
+            for s in range(len(books))
+        ]
+    )
+    q = q.withColumn("_dtab", dtab)
+    approx = (
+        coded.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "_adist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_dtab"),
+                    F.col("pq_code"),
+                    lambda tab, code: F.element_at(tab, code + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w_local = Window.partitionBy("query_id", "_part").orderBy(
+        F.col("_adist"), F.col("neighbor_id")
+    )
+    w_glob = Window.partitionBy("query_id").orderBy(
+        F.col("_adist"), F.col("neighbor_id")
+    )
+    survivors = (
+        approx.withColumn("_part", F.spark_partition_id())
+        .withColumn("_lrn", F.row_number().over(w_local))
+        .filter(F.col("_lrn") <= rerank)
+        .withColumn("_grn", F.row_number().over(w_glob))
+        .filter(F.col("_grn") <= rerank)
+    )
+    scored = survivors.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity("_qvec", "_cvec").alias("_sim"),
+    )
+    return _rank_topk(scored, k)

@@ -217,3 +217,39 @@ def test_pagerank_checkpoint_cadence_preserves_values(spark):
     # symmetric triangle: uniform stationary distribution
     for v in got.values():
         assert abs(v - 1.0 / 3.0) < 1e-9
+
+
+def test_bfs_distances_chain_golden(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    # path 1-2-3-4-5 plus isolated 6-7: distances from seed {1}
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)]]
+        + [(b, a) for a, b in [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)]],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(edges, seeds, max_hops=3).collect()
+    }
+    # 5 is 4 hops away -> absent at max_hops=3; 6/7 unreachable
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_multi_source_takes_min(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,), (4,)], ["node"])
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(edges, seeds, max_hops=5).collect()
+    }
+    assert got == {1: 0, 4: 0, 2: 1, 3: 1}

@@ -274,3 +274,54 @@ def test_random_project_cols_matches_array_form(spark):
     assert cols == sorted(cols) == [f"proj_{j:02d}" for j in range(16)]
     for r in wide:
         assert [r[c] for c in cols] == arr[r.vec_id]
+
+
+def test_pq_codes_shape_and_determinism(embeddings):
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        train_pq_codebooks,
+        with_pq_codes,
+    )
+
+    books = train_pq_codebooks(embeddings, n_subspaces=8, n_codes=16)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    books2 = train_pq_codebooks(embeddings, n_subspaces=8, n_codes=16)
+    assert books == books2  # fully deterministic training
+    coded = with_pq_codes(embeddings, books).select("pq_code").collect()
+    for r in coded:
+        assert len(r.pq_code) == 8
+        assert all(0 <= c < 16 for c in r.pq_code)
+
+
+def test_pq_topk_recall_floor(embeddings):
+    from pyspark.sql import functions as F
+
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        pq_topk,
+        topk_exact,
+    )
+
+    q = embeddings.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_exact(embeddings, q, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(embeddings, q, k=10, rerank=250).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.7
+    # scores of true hits are exact (rerank recomputes real cosine)
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    import pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(df, n_subspaces=2, n_codes=2)

@@ -364,3 +364,76 @@ def test_phash_is_integer_above_mean_rule(spark):
         if 49 * s > total:
             expect |= 1 << k
     assert got.phash == expect
+
+
+def test_zipf_profile_natural_vs_uniform(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        zipf_profile,
+    )
+
+    # zipfy corpus: word_i appears ~N/i times; uniform corpus: all equal
+    zipf_text = " ".join(
+        w for i, w in enumerate(["alpha", "beta", "gamma", "delta", "eps"])
+        for w in [f"w{i}"] * (32 // (i + 1))
+    )
+    uni_text = " ".join(f"u{i}" for i in range(10) for _ in range(3))
+    df = spark.createDataFrame(
+        [(1, zipf_text, "zipfy"), (2, uni_text, "uniform")],
+        ["doc_id", "text", "source"],
+    )
+    rows = {r.source: r for r in zipf_profile(df).collect()}
+    assert rows["zipfy"].zipf_slope < -0.5          # steep decay
+    assert abs(rows["uniform"].zipf_slope) < 0.01   # flat
+    assert rows["zipfy"].n_terms == 5
+    assert 0.0 <= rows["zipfy"].fit_r2 <= 1.0
+
+
+def test_zipf_profile_drops_tiny_groups(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        zipf_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "tiny"), (2, "q w e r t y u", "ok")],
+        ["doc_id", "text", "source"],
+    )
+    got = {r.source for r in zipf_profile(df).collect()}
+    assert got == {"ok"}  # 3 distinct words < min_rank_terms=5
+
+
+def test_audio_frame_features_golden(spark):
+    from gcp_food_delivery_data_pipeline_spark.functions.wav import (
+        encode_wav_pcm16,
+    )
+    from gcp_food_delivery_data_pipeline_spark.operators.multimodal import (
+        audio_frame_features,
+    )
+
+    # clip A: 10 samples of value 2 with frame_size 4 -> 2 full frames,
+    # each energy 4*4=16; trailing 2 samples discarded.
+    # clip B: 3 samples -> shorter than one frame -> dropped.
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav_pcm16([2] * 10, 8000))),
+            (2, bytearray(encode_wav_pcm16([9, 9, 9], 8000))),
+        ],
+        ["doc_id", "payload"],
+    )
+    rows = audio_frame_features(df, frame_size=4).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_id, r.n_frames, r.max_frame_energy, r.total_energy) == (
+        1, 2, 16, 32
+    )
+
+
+def test_audio_frame_features_rejects_bad_frame_size(spark):
+    import pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.multimodal import (
+        audio_frame_features,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(b""))], ["doc_id", "payload"])
+    with pytest.raises(ValueError, match="frame_size"):
+        audio_frame_features(df, frame_size=0)
