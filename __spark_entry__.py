@@ -1984,6 +1984,54 @@ def _q_stream_attribution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join, DRIVER-graded: every
+    purchase emits — joined to same-user clicks in the preceding hour
+    or as a NULL-click row once the watermark proves no match can
+    still arrive. The flush sentinel (far-future event appended to the
+    replay dir) advances the watermark past the data's tail so those
+    null rows actually emit in a bounded drain; the oracle is the
+    equivalent batch LEFT JOIN, so state-expiry-driven null emission
+    is hash-checked against relational semantics."""
+    from gcp_food_delivery_data_pipeline_spark.streaming.events import (
+        append_watermark_flush,
+        run_click_attribution_left_stream,
+    )
+
+    in_dir, ckpt = _stage_events_stream_dir(sf, "stream_left_join")
+    # typed sentinels: this query filters click/purchase BEFORE its
+    # watermark nodes, so a 'flush'-typed row would never advance them
+    append_watermark_flush(spark, in_dir, event_types=("click", "purchase"))
+    out_dir = os.path.join(os.path.dirname(ckpt), "out")
+    # TWO drains on one checkpoint with a second, later flush sentinel
+    # between them: outer-join null rows are emitted in a micro-batch
+    # that runs AFTER the watermark advance expiring their state — the
+    # first drain's last batch (sentinel 1) still executes under the
+    # pre-sentinel watermark, and an availableNow restart with no new
+    # files runs no batch at all. Sentinel 2 gives drain 2 one real
+    # batch, which executes under sentinel 1's far-future watermark and
+    # therefore evicts + emits every real unmatched purchase. In
+    # production nothing special is needed — data keeps arriving and
+    # each batch flushes the previous watermark's expiries.
+    for i in range(2):
+        q = run_click_attribution_left_stream(
+            spark, in_dir, ckpt, out_dir, horizon_seconds=3600
+        )
+        q.awaitTermination()
+        if i == 0:
+            append_watermark_flush(
+                spark, in_dir, event_types=("click", "purchase")
+            )
+    return spark.read.parquet(out_dir).filter(
+        F.col("p_user") != -1  # drop the sentinel purchase's own row
+    ).select(
+        "purchase_id",
+        "click_id",
+        "p_user",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
 def _q_stream_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming data-quality monitor, DRIVER-graded: the declarative
     constraint set evaluates on the replayed micro-batch and appends
@@ -3205,6 +3253,7 @@ _GRADE_FIRST = [
     "g_bfs_parts",
     "t_zipf_profile",
     "m_audio_frames",
+    "s_stream_left_join",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -3264,6 +3313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_attribution": _q_stream_attribution,
         "s_stream_cdc_upsert": _q_stream_cdc_upsert,
         "s_stream_quality": _q_stream_quality,
+        "s_stream_left_join": _q_stream_left_join,
         "m_decode_png_rgb": _q_decode_png_rgb,
         "d_span_dedup": _q_span_dedup,
         "d_span_removed": _q_span_removed,
@@ -4710,6 +4760,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM events p JOIN events c ON c.user_id = p.user_id "
             "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 3600 SECONDS "
             "WHERE p.event_type = 'purchase' AND c.event_type = 'click'"
+        ),
+        # LEFT OUTER twin: null rows are emitted by watermark-driven
+        # state expiry in the stream; relationally they are just the
+        # unmatched side of a batch LEFT JOIN.
+        "s_stream_left_join": (
+            "SELECT p.event_id AS purchase_id, c.event_id AS click_id, "
+            "p.user_id AS p_user, round(p.value, 2) AS purchase_value "
+            "FROM events p LEFT JOIN events c ON c.user_id = p.user_id "
+            "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 3600 SECONDS "
+            "AND c.event_type = 'click' "
+            "WHERE p.event_type = 'purchase'"
         ),
         # Per-rule violation counts the streaming monitor must
         # reproduce on its micro-batch ("column" is reserved in DuckDB

@@ -178,6 +178,7 @@ def append_watermark_flush(
     input_dir: str,
     flush_interval: str = "48 HOURS",
     sentinel_user: int = -1,
+    event_types: tuple = ("flush",),
 ) -> None:
     """Append a far-future sentinel event to a replay directory so an
     append-mode availableNow drain FINALIZES every real window/session:
@@ -189,18 +190,30 @@ def append_watermark_flush(
     oldest-first), so the flush arrives in the LAST micro-batch; its
     own still-open session never emits. Consumers filter out
     ``sentinel_user`` rows.
+
+    ``event_types``: a watermark only advances from rows that REACH
+    its ``withWatermark`` node — a query that filters on event_type
+    BEFORE watermarking (e.g. the stream-stream joins' click/purchase
+    split) never sees a ``'flush'``-typed row, and its watermark
+    stays put. Pass the types that query keeps (one sentinel row per
+    type, all at the same far-future ts, all under ``sentinel_user``).
     """
     import time
 
     ev = spark.read.parquet(input_dir)
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
-    sentinel = spark.range(1).select(
-        F.lit(-999).cast("long").alias("event_id"),
-        (F.lit(max_ts) + F.expr(f"INTERVAL {flush_interval}")).alias("ts"),
-        F.lit(sentinel_user).cast("long").alias("user_id"),
-        F.lit("flush").alias("event_type"),
-        F.lit(0.0).cast("double").alias("value"),
-        F.lit("{}").alias("props"),
+    sentinel = (
+        spark.createDataFrame([(t,) for t in event_types], ["et"])
+        .select(
+            F.lit(-999).cast("long").alias("event_id"),
+            (F.lit(max_ts) + F.expr(f"INTERVAL {flush_interval}")).alias(
+                "ts"
+            ),
+            F.lit(sentinel_user).cast("long").alias("user_id"),
+            F.col("et").alias("event_type"),
+            F.lit(0.0).cast("double").alias("value"),
+            F.lit("{}").alias("props"),
+        )
     )
     existing = set(os.listdir(input_dir))
     sentinel.coalesce(1).write.mode("append").parquet(input_dir)
@@ -604,6 +617,68 @@ def run_stream_enrich(
     return (
         enriched.writeStream.format("memory")
         .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_click_attribution_left_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_path: str,
+    horizon_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """LEFT OUTER stream-stream join: every purchase emits, attributed
+    to same-user clicks within the preceding ``horizon_seconds`` —
+    or with a NULL click when none arrives. The outer semantics are
+    the part plain inner join can't express: an unmatched purchase's
+    null row may only be emitted once the watermark proves no
+    matching click can still arrive (click state for that interval is
+    evicted), so null emission IS the state-expiry machinery made
+    visible. A bounded replay must advance the watermark past its own
+    tail for those rows to flush — the harness appends a far-future
+    flush sentinel (``append_watermark_flush``); production streams
+    just keep receiving data.
+
+    Same bounded-memory design as the inner twin
+    (``run_click_attribution_stream``): watermarks on BOTH sides plus
+    the time-bound predicate let Spark evict buffered state.
+    """
+    ev = read_events_stream(spark, input_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"c_user = p_user AND click_ts <= purchase_ts "
+            f"AND click_ts >= purchase_ts - INTERVAL {horizon_seconds} SECONDS"
+        ),
+        "leftOuter",
+    ).select("purchase_id", "click_id", "p_user", "purchase_value")
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", output_path)
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
