@@ -115,6 +115,7 @@ EXTRA_QUERIES = [
     "g_bfs_parts",          # frontier BFS, 4 hops, anti-join settled
     "t_zipf_profile",       # rank-frequency OLS per source
     "m_audio_frames",       # real WAV decode + short-time-energy DSP
+    "v_topk_truncated",     # Matryoshka 16-dim prefix retrieval
 ]
 
 

@@ -725,3 +725,35 @@ def pq_topk(
         cosine_similarity("_qvec", "_cvec").alias("_sim"),
     )
     return _rank_topk(scored, k)
+
+
+def truncated_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    prefix_dim: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style truncated retrieval (Kusupati et al. 2022):
+    exact cosine top-k over only the FIRST ``prefix_dim`` components
+    of each vector. With MRL-trained embeddings the prefix carries
+    most of the signal, so this is the cheap first stage of adaptive
+    retrieval (prefix search -> full-dim rerank); here it is exposed
+    as its own operator because — unlike LSH/IVF/PQ — it is fully
+    deterministic given the input, so the SQL oracle checks the
+    neighbor lists themselves, not a recall bound.
+
+    Same plan as ``topk_exact`` with vectors sliced BEFORE the scored
+    cross join: per-pair work drops by dim/prefix_dim, and at scale
+    the sliced candidate column is what ships to executors (the full
+    vector is pruned out by Catalyst column pruning).
+    """
+    if prefix_dim < 1:
+        raise ValueError(
+            f"truncated_topk: prefix_dim must be >= 1, got {prefix_dim}"
+        )
+    cut = F.slice(F.col(vec_col), 1, prefix_dim)
+    c = candidates.select(F.col(id_col), cut.alias(vec_col))
+    q = queries.select(F.col(id_col), cut.alias(vec_col))
+    return _rank_topk(_scored(c, q, id_col, vec_col), k)

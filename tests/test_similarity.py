@@ -325,3 +325,35 @@ def test_pq_rejects_indivisible_dim(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         train_pq_codebooks(df, n_subspaces=2, n_codes=2)
+
+
+def test_truncated_topk_prefix_recall_and_validation(embeddings):
+    from pyspark.sql import functions as F
+
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        topk_exact,
+        truncated_topk,
+    )
+
+    q = embeddings.filter(F.col("vec_id") < 5)
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_exact(embeddings, q, k=10).collect()
+    }
+    # full prefix == full search (sanity: slice of dim d is identity)
+    dim = len(embeddings.select("embedding").first()[0])
+    same = {
+        (r.query_id, r.neighbor_id)
+        for r in truncated_topk(embeddings, q, prefix_dim=dim, k=10).collect()
+    }
+    assert same == full
+    # a 16-dim prefix still finds a nontrivial share of true neighbors
+    pref = {
+        (r.query_id, r.neighbor_id)
+        for r in truncated_topk(embeddings, q, prefix_dim=16, k=10).collect()
+    }
+    assert len(pref & full) / len(full) >= 0.2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="prefix_dim"):
+        truncated_topk(embeddings, q, prefix_dim=0)
