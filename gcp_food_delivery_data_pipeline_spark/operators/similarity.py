@@ -606,6 +606,27 @@ def _pq_dist2(sub: Column, cent: list[float]) -> Column:
     )
 
 
+def _pq_book_dists(sub: Column, book: list[list[float]]) -> Column:
+    """All-codeword squared distances of ``sub`` to one subspace's
+    codebook, as ONE ``transform`` lambda over a literal
+    array-of-arrays. The lambda body (zip_with + aggregate fold) is a
+    single expression tree the engine compiles ONCE and evaluates per
+    codeword — vs materializing n_codes separate fold trees, which
+    made the encode plan ~16x larger and cost ~5 s of compile for 5 K
+    rows (profiled at sf0.1)."""
+    booklit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+    )
+    return F.transform(
+        booklit,
+        lambda cent: F.aggregate(
+            F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
 def with_pq_codes(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -621,22 +642,16 @@ def with_pq_codes(
     encoding is a zero-shuffle map over the corpus, embarrassingly
     parallel at any scale.
     """
-    n_codes = len(codebooks[0])
     sub_d = len(codebooks[0][0])
     codes = []
     for s, book in enumerate(codebooks):
-        sub = _pq_sub(vec_col, s, sub_d)
-        best = F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        _pq_dist2(sub, book[c]).alias("d"),
-                        F.lit(c).alias("c"),
-                    )
-                    for c in range(n_codes)
-                ]
-            )
-        )[0]["c"]
+        dists = _pq_book_dists(_pq_sub(vec_col, s, sub_d), book)
+        # first position of the min == lowest index on ties (numpy
+        # argmin); exact double equality is safe — both sides are the
+        # same computed value
+        best = (
+            F.array_position(dists, F.array_min(dists)) - 1
+        ).cast("int")
         codes.append(best)
     return df.withColumn(code_col, F.array(*codes))
 
@@ -680,12 +695,7 @@ def pq_topk(
     )
     dtab = F.array(
         *[
-            F.array(
-                *[
-                    _pq_dist2(_pq_sub("_qvec", s, sub_d), books[s][c])
-                    for c in range(len(books[s]))
-                ]
-            )
+            _pq_book_dists(_pq_sub("_qvec", s, sub_d), books[s])
             for s in range(len(books))
         ]
     )
