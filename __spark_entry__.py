@@ -567,6 +567,20 @@ def _q_bfs_parts(spark: SparkSession, sf: str) -> DataFrame:
     return bfs_distances(edges, seeds, max_hops=4)
 
 
+def _q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Common-neighbors link prediction over the strong co-occurrence
+    graph: top-50 non-adjacent pairs by Jaccard coefficient — the
+    classic missing-edge ranking. Candidates come from the wedge
+    join (distance-2 support only), never all-pairs."""
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    return link_prediction_scores(
+        _part_edges(spark, sf, symmetric=True, min_n=2), k=50
+    )
+
+
 def _q_zipf_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Zipf rank-frequency fit per source: ln(freq)~ln(rank) OLS
     slope + r2 over each source's word-frequency table — the
@@ -3270,6 +3284,7 @@ _GRADE_FIRST = [
     "m_audio_frames",
     "s_stream_left_join",
     "v_topk_truncated",
+    "g_link_prediction",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -3323,6 +3338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_topk_truncated": _q_topk_truncated,
         "j_asof_nearest": _q_asof_nearest,
         "g_bfs_parts": _q_bfs_parts,
+        "g_link_prediction": _q_link_prediction,
         "t_zipf_profile": _q_zipf_profile,
         "m_audio_frames": _q_audio_frames,
         # -- new in round 5 --
@@ -5145,6 +5161,29 @@ def oracle_sql() -> dict[str, str]:
             "round(regr_r2(ln(CAST(freq AS DOUBLE)), "
             "ln(CAST(rank AS DOUBLE))), 6) AS fit_r2 "
             "FROM ranked GROUP BY grp HAVING count(*) >= 5"
+        ),
+        "g_link_prediction": (
+            "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem), "
+            "e0 AS (SELECT a.l_partkey AS s, b.l_partkey AS d "
+            "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey <> b.l_partkey "
+            "GROUP BY 1, 2 HAVING count(*) >= 2), "
+            "e AS (SELECT DISTINCT least(s, d) AS a, "
+            "greatest(s, d) AS b FROM e0), "
+            "adj AS (SELECT a AS node, b AS nb FROM e "
+            "UNION ALL SELECT b, a FROM e), "
+            "deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1), "
+            "w AS (SELECT l.nb AS x, r.nb AS z, count(*) AS cn "
+            "FROM adj l JOIN adj r ON l.node = r.node AND l.nb < r.nb "
+            "GROUP BY 1, 2), "
+            "ne AS (SELECT x, z, cn FROM w WHERE NOT EXISTS ("
+            "SELECT 1 FROM e WHERE e.a = w.x AND e.b = w.z)) "
+            "SELECT x AS node_a, z AS node_b, CAST(cn AS BIGINT) AS cn, "
+            "CAST(cn AS DOUBLE) / (dx.deg + dz.deg - cn) AS jaccard "
+            "FROM ne JOIN deg dx ON dx.node = ne.x "
+            "JOIN deg dz ON dz.node = ne.z "
+            "ORDER BY jaccard DESC, cn DESC, node_a, node_b LIMIT 50"
         ),
         "g_triangles": (
             "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey "

@@ -116,6 +116,7 @@ EXTRA_QUERIES = [
     "t_zipf_profile",       # rank-frequency OLS per source
     "m_audio_frames",       # real WAV decode + short-time-energy DSP
     "v_topk_truncated",     # Matryoshka 16-dim prefix retrieval
+    "g_link_prediction",    # wedge-join common-neighbors + Jaccard
 ]
 
 

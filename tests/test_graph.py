@@ -253,3 +253,33 @@ def test_bfs_multi_source_takes_min(spark):
         for r in bfs_distances(edges, seeds, max_hops=5).collect()
     }
     assert got == {1: 0, 4: 0, 2: 1, 3: 1}
+
+
+def test_link_prediction_square_golden(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    # square 1-2-3-4-1: the two diagonals (1,3) and (2,4) are the only
+    # non-adjacent pairs; each shares BOTH its neighbors -> cn=2,
+    # jaccard = 2 / (2 + 2 - 2) = 1.0
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"]
+    )
+    rows = {
+        (r.node_a, r.node_b): (r.cn, r.jaccard)
+        for r in link_prediction_scores(edges).collect()
+    }
+    assert rows == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    # triangle: every distance-2 pair is ALSO an edge -> empty result
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], ["src", "dst"]
+    )
+    assert link_prediction_scores(edges).count() == 0
