@@ -567,6 +567,15 @@ def _q_bfs_parts(spark: SparkSession, sf: str) -> DataFrame:
     return bfs_distances(edges, seeds, max_hops=4)
 
 
+def _q_hourly_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear interpolation across hourly gaps per event type — the
+    level-metric twin of q_hourly_gapfill's zero-fill. Two
+    ignore-nulls struct-carry window passes; exact integer hour
+    indexes + decimal-summed values keep the arithmetic
+    bit-reproducible in the SQL oracle."""
+    return A.q_hourly_interpolate(load_table(spark, sf, "events"))
+
+
 def _q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     """Common-neighbors link prediction over the strong co-occurrence
     graph: top-50 non-adjacent pairs by Jaccard coefficient — the
@@ -3285,6 +3294,7 @@ _GRADE_FIRST = [
     "s_stream_left_join",
     "v_topk_truncated",
     "g_link_prediction",
+    "q_hourly_interpolate",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -3339,6 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_asof_nearest": _q_asof_nearest,
         "g_bfs_parts": _q_bfs_parts,
         "g_link_prediction": _q_link_prediction,
+        "q_hourly_interpolate": _q_hourly_interpolate,
         "t_zipf_profile": _q_zipf_profile,
         "m_audio_frames": _q_audio_frames,
         # -- new in round 5 --
@@ -4178,6 +4189,41 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(o.sum_value, 0.0) AS sum_value "
             "FROM spine s LEFT JOIN obs o "
             "ON s.event_type = o.event_type AND s.hour = o.hour"
+        ),
+        # Same struct-free shape via IGNORE NULLS window carries; hour
+        # indexes are exact integers and values exact decimal sums, so
+        # the interpolation expression is bit-identical across engines.
+        "q_hourly_interpolate": (
+            "WITH obs AS (SELECT event_type, date_trunc('hour', ts) AS hour, "
+            "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val "
+            "FROM events GROUP BY 1, 2), "
+            "spine AS (SELECT event_type, unnest(generate_series("
+            "date_trunc('hour', min(ts)), date_trunc('hour', max(ts)), "
+            "INTERVAL 1 HOUR)) AS hour FROM events GROUP BY event_type), "
+            "filled AS (SELECT s.event_type, "
+            "CAST(epoch_us(s.hour) // 3600000000 AS BIGINT) AS hour_idx, "
+            "o.val FROM spine s LEFT JOIN obs o "
+            "ON s.event_type = o.event_type AND s.hour = o.hour), "
+            "carried AS (SELECT event_type, hour_idx, val, "
+            "last_value(CASE WHEN val IS NOT NULL THEN hour_idx END "
+            "IGNORE NULLS) OVER wb AS pi, "
+            "last_value(CASE WHEN val IS NOT NULL THEN val END "
+            "IGNORE NULLS) OVER wb AS pv, "
+            "first_value(CASE WHEN val IS NOT NULL THEN hour_idx END "
+            "IGNORE NULLS) OVER wf AS ni, "
+            "first_value(CASE WHEN val IS NOT NULL THEN val END "
+            "IGNORE NULLS) OVER wf AS nv "
+            "FROM filled WINDOW "
+            "wb AS (PARTITION BY event_type ORDER BY hour_idx "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+            "wf AS (PARTITION BY event_type ORDER BY hour_idx "
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) "
+            "SELECT event_type, hour_idx, val IS NOT NULL AS observed, "
+            "CASE WHEN val IS NOT NULL THEN val "
+            "WHEN pi IS NULL THEN nv "
+            "WHEN ni IS NULL THEN pv "
+            "ELSE pv + (nv - pv) * (hour_idx - pi) / (ni - pi) END "
+            "AS value_filled FROM carried"
         ),
         "q_status_pivot": (
             "SELECT o_orderpriority, "

@@ -117,6 +117,7 @@ EXTRA_QUERIES = [
     "m_audio_frames",       # real WAV decode + short-time-energy DSP
     "v_topk_truncated",     # Matryoshka 16-dim prefix retrieval
     "g_link_prediction",    # wedge-join common-neighbors + Jaccard
+    "q_hourly_interpolate", # two-pass ignore-nulls linear gapfill
 ]
 
 

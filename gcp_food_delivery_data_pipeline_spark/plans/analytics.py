@@ -2398,3 +2398,80 @@ def q20_promo_part_suppliers(
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+def q_hourly_interpolate(events: DataFrame) -> DataFrame:
+    """Dense hourly spine per event type with LINEAR interpolation
+    across gaps — the time-series repair twin of ``q_hourly_gapfill``
+    (whose zero-fill is right for counts but wrong for level metrics
+    like sensor readings or balances). Each missing hour gets
+    ``prev + (next - prev) * elapsed/(span)`` between its nearest
+    observed neighbors; hours before the first / after the last
+    observation clamp to the nearest observed value (the spine is
+    bounded by observations, so only interior gaps interpolate).
+
+    One aggregation + one spine explode + TWO ignore-nulls window
+    passes (backward carry, forward carry) — the same
+    struct-carry-per-direction machinery as the nearest as-of join,
+    all keyed by event type. Hour indexes are exact integers (epoch
+    hours) and the observed values exact decimal sums cast to double,
+    so the interpolation arithmetic — identical expression shape in
+    the SQL oracle — is bit-reproducible.
+    """
+    observed = events.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("_val")
+    )
+    spine = (
+        events.groupBy("event_type")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("_lo"),
+            F.date_trunc("hour", F.max("ts")).alias("_hi"),
+        )
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    filled = spine.join(
+        F.broadcast(observed), ["event_type", "hour"], "left"
+    ).withColumn(
+        "hour_idx", (F.unix_micros("hour") / 3_600_000_000).cast("long")
+    )
+    mark = F.when(
+        F.col("_val").isNotNull(),
+        F.struct(F.col("hour_idx").alias("i"), F.col("_val").alias("v")),
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_idx")
+    wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    carried = filled.select(
+        "event_type",
+        "hour_idx",
+        "_val",
+        F.last(mark, ignorenulls=True).over(wb).alias("_p"),
+        F.first(mark, ignorenulls=True).over(wf).alias("_n"),
+    )
+    interp = (
+        F.when(F.col("_val").isNotNull(), F.col("_val"))
+        .when(F.col("_p").isNull(), F.col("_n.v"))
+        .when(F.col("_n").isNull(), F.col("_p.v"))
+        .otherwise(
+            F.col("_p.v")
+            + (F.col("_n.v") - F.col("_p.v"))
+            * (F.col("hour_idx") - F.col("_p.i"))
+            / (F.col("_n.i") - F.col("_p.i"))
+        )
+    )
+    return carried.select(
+        "event_type",
+        "hour_idx",
+        F.col("_val").isNotNull().alias("observed"),
+        interp.alias("value_filled"),
+    )

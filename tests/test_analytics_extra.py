@@ -764,3 +764,33 @@ def test_q20_suppliers_all_in_nation(spark):
     }
     assert names <= nation8
     assert [r.s_name for r in rows] == sorted(r.s_name for r in rows)
+
+
+def test_hourly_interpolate_golden(spark):
+    from datetime import datetime
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_hourly_interpolate,
+    )
+
+    # type A observed at hours 0 (val 10) and 3 (val 40): hours 1, 2
+    # interpolate to 20, 30. type B single observation -> one row.
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 30), 7, "A", 10.0, "{}"),
+        (2, datetime(2024, 1, 1, 3, 10), 7, "A", 40.0, "{}"),
+        (3, datetime(2024, 1, 1, 5, 0), 8, "B", 5.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {
+        (r.event_type, r.hour_idx): (r.observed, r.value_filled)
+        for r in q_hourly_interpolate(ev).collect()
+    }
+    base = int(datetime(2024, 1, 1).timestamp() // 3600)
+    assert got[("A", base + 0)] == (True, 10.0)
+    assert got[("A", base + 1)] == (False, 20.0)
+    assert got[("A", base + 2)] == (False, 30.0)
+    assert got[("A", base + 3)] == (True, 40.0)
+    assert got[("B", base + 5)] == (True, 5.0)
+    assert len(got) == 5
