@@ -243,6 +243,32 @@ def _q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_avro_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Avro sink + source — the row-oriented interchange codec next to
+    the columnar parquet/ORC twins. A bare pyspark install lacks the
+    short-name service registration, so the writer addresses the full
+    provider class (sources/writers.py:write_avro); timestamps travel
+    as micros and are read back losslessly."""
+    from gcp_food_delivery_data_pipeline_spark.sources.writers import (
+        read_avro,
+        write_avro,
+    )
+
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_avro_check")
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "value", "ts"
+    )
+    write_avro(ev, out)
+    back = read_avro(spark, out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
+    )
+
+
 def _q_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Reproducible 5% sample via a stable content hash of the key —
     the scale-correct sampling primitive: deterministic across runs,
@@ -3295,6 +3321,7 @@ _GRADE_FIRST = [
     "v_topk_truncated",
     "g_link_prediction",
     "q_hourly_interpolate",
+    "s_avro_roundtrip",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -3409,6 +3436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o6_conf": _q_o6_conf,
         # -- r2-graded core analytics / sources: next-oldest evidence --
         "s_json_roundtrip": _q_json_roundtrip,
+        "s_avro_roundtrip": _q_avro_roundtrip,
         "s_merge_upsert": _q_merge_upsert,
         "q_hash_sample": _q_hash_sample,
         "s_orc_roundtrip": _q_orc_roundtrip,
@@ -3678,6 +3706,15 @@ def oracle_sql() -> dict[str, str]:
         "s3_write_readback": (
             "SELECT o_orderstatus AS status, count(*) AS n, "
             "round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY o_orderstatus"
+        ),
+        # Avro readback parity: decimal-exact value sums + integer
+        # microsecond timestamps, so codec loss would hash-mismatch.
+        "s_avro_roundtrip": (
+            "SELECT event_type, count(*) AS n, "
+            "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) "
+            "AS sum_value, "
+            "max(epoch_us(ts)) AS max_ts_us "
+            "FROM events GROUP BY event_type"
         ),
         "s_json_roundtrip": (
             "SELECT event_type, count(*) AS n, "

@@ -266,3 +266,46 @@ def write_status_fanout(
             jvm.org.apache.hadoop.fs.Path(jroot, "_SUCCESS"), True
         ).close()
     fs.delete(jtmp, True)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the Avro file format is usable. The SHORT name
+    ``format("avro")`` needs the spark-avro module's DataSourceRegister
+    service entry, which a bare pyspark install lacks — but pyspark's
+    bundled jars DO carry the implementation class, which the full
+    provider name reaches directly. This probes the class itself."""
+    try:
+        spark._jvm.java.lang.Class.forName(AVRO_PROVIDER)
+        return True
+    except Exception:  # noqa: BLE001 — absence == ClassNotFound via Py4J
+        return False
+
+
+AVRO_PROVIDER = "org.apache.spark.sql.avro.AvroFileFormat"
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro sink (row-oriented interchange format; the usual Kafka/
+    ingest-edge codec, vs parquet/ORC for analytics at rest).
+    Addressed by the full provider class name, which works on a bare
+    pyspark install where the short ``format("avro")`` does not (no
+    DataSourceRegister service entry); fails fast with the dependency
+    coordinate if even the class is absent."""
+    if not avro_available(df.sparkSession):
+        raise NotImplementedError(
+            "write_avro: the Avro provider class is not on the "
+            "classpath; launch with spark.jars.packages="
+            "org.apache.spark:spark-avro_2.13:<spark-version>"
+        )
+    df.write.mode(mode).format(AVRO_PROVIDER).save(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro source twin of ``write_avro`` — same provider addressing."""
+    if not avro_available(spark):
+        raise NotImplementedError(
+            "read_avro: the Avro provider class is not on the "
+            "classpath; launch with spark.jars.packages="
+            "org.apache.spark:spark-avro_2.13:<spark-version>"
+        )
+    return spark.read.format(AVRO_PROVIDER).load(path)

@@ -33,3 +33,27 @@ def test_read_gcs_csv_local_path_passthrough(spark, tmp_path):
     csv = write_food_csv(str(tmp_path / "food.csv"))
     df = read_gcs_csv(spark, csv)
     assert df.count() > 0 and "customer_id" in df.columns
+
+
+def test_avro_gate_or_roundtrip(spark):
+    """Avro is an external Spark module: when absent the writer/reader
+    fail fast naming the exact jar coordinate; when present the
+    roundtrip must preserve aggregates (mirrors the BigQuery gate)."""
+    import pytest as _pytest
+
+    from gcp_food_delivery_data_pipeline_spark.sources.writers import (
+        avro_available,
+        read_avro,
+        write_avro,
+    )
+
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    if not avro_available(spark):
+        with _pytest.raises(NotImplementedError, match="spark-avro"):
+            write_avro(df, "/tmp/avro_gate_probe")
+        with _pytest.raises(NotImplementedError, match="spark-avro"):
+            read_avro(spark, "/tmp/avro_gate_probe")
+    else:
+        write_avro(df, "/tmp/avro_gate_probe")
+        back = read_avro(spark, "/tmp/avro_gate_probe")
+        assert back.agg({"v": "sum"}).collect()[0][0] == 90
