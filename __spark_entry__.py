@@ -243,6 +243,31 @@ def _q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_sql_api_twin(spark: SparkSession, sf: str) -> DataFrame:
+    """The spark.sql() entry path, driver-graded: register the tables
+    as temp views and run a multi-join aggregation as SQL TEXT —
+    proving the other half of the DataFrame/SQL surface goes through
+    the same Catalyst plans (broadcast dims, pushdown) as the
+    DataFrame twins that grade everywhere else. Revenue per region
+    over delivered-equivalent (F) orders, decimal-summed."""
+    for t in ("orders", "customer", "nation", "region"):
+        load_table(spark, sf, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT r.r_name AS region,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS revenue
+        FROM v_orders o
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        JOIN v_region r ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY r.r_name
+        """
+    )
+
+
 def _q_avro_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Avro sink + source — the row-oriented interchange codec next to
     the columnar parquet/ORC twins. A bare pyspark install lacks the
@@ -3322,6 +3347,7 @@ _GRADE_FIRST = [
     "g_link_prediction",
     "q_hourly_interpolate",
     "s_avro_roundtrip",
+    "q_sql_api_twin",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -3437,6 +3463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r2-graded core analytics / sources: next-oldest evidence --
         "s_json_roundtrip": _q_json_roundtrip,
         "s_avro_roundtrip": _q_avro_roundtrip,
+        "q_sql_api_twin": _q_sql_api_twin,
         "s_merge_upsert": _q_merge_upsert,
         "q_hash_sample": _q_hash_sample,
         "s_orc_roundtrip": _q_orc_roundtrip,
@@ -3706,6 +3733,16 @@ def oracle_sql() -> dict[str, str]:
         "s3_write_readback": (
             "SELECT o_orderstatus AS status, count(*) AS n, "
             "round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY o_orderstatus"
+        ),
+        "q_sql_api_twin": (
+            "SELECT r.r_name AS region, count(*) AS n_orders, "
+            "CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) "
+            "AS DOUBLE) AS revenue "
+            "FROM orders o "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "WHERE o.o_orderstatus = 'F' GROUP BY r.r_name"
         ),
         # Avro readback parity: decimal-exact value sums + integer
         # microsecond timestamps, so codec loss would hash-mismatch.

@@ -523,3 +523,12 @@ def test_zipf_window_partitions_by_group(plans):
     w = p.find("Window")
     assert w != -1
     assert "SinglePartition" not in p[:w]
+
+
+def test_sql_api_twin_broadcasts_dims(plans):
+    # SQL-text entry goes through the same Catalyst planning: the
+    # three dimension joins must all be broadcast, never shuffled
+    p = plans("q_sql_api_twin")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+    assert "EqualTo(o_orderstatus,F)" in p  # filter pushed to scan
