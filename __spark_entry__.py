@@ -243,6 +243,18 @@ def _q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-card summary (volume, diversity, dup rate, language
+    share, mean length) in long (metric, value) format: one
+    aggregation pass + a stack unpivot; every value an exact count or
+    exact count ratio, so the card is engine-reproducible."""
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        dataset_card,
+    )
+
+    return dataset_card(load_table(spark, sf, "documents"))
+
+
 def _q_sql_api_twin(spark: SparkSession, sf: str) -> DataFrame:
     """The spark.sql() entry path, driver-graded: register the tables
     as temp views and run a multi-join aggregation as SQL TEXT —
@@ -3348,6 +3360,7 @@ _GRADE_FIRST = [
     "q_hourly_interpolate",
     "s_avro_roundtrip",
     "q_sql_api_twin",
+    "c_dataset_card",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -3464,6 +3477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_json_roundtrip": _q_json_roundtrip,
         "s_avro_roundtrip": _q_avro_roundtrip,
         "q_sql_api_twin": _q_sql_api_twin,
+        "c_dataset_card": _q_dataset_card,
         "s_merge_upsert": _q_merge_upsert,
         "q_hash_sample": _q_hash_sample,
         "s_orc_roundtrip": _q_orc_roundtrip,
@@ -3733,6 +3747,23 @@ def oracle_sql() -> dict[str, str]:
         "s3_write_readback": (
             "SELECT o_orderstatus AS status, count(*) AS n, "
             "round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY o_orderstatus"
+        ),
+        # One 1-row aggregate unpivoted; every value is an exact count
+        # or an exact ratio of counts — engine-reproducible by design.
+        "c_dataset_card": (
+            "WITH a AS (SELECT count(*) AS n, "
+            "count(DISTINCT source) AS src, "
+            "count(DISTINCT lang) AS lg, "
+            "count(DISTINCT md5(text)) AS uq, "
+            "count(CASE WHEN lang = 'en' THEN 1 END) AS en, "
+            "sum(n_chars) AS ch FROM documents) "
+            "SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM a "
+            "UNION ALL SELECT 'n_sources', CAST(src AS DOUBLE) FROM a "
+            "UNION ALL SELECT 'n_langs', CAST(lg AS DOUBLE) FROM a "
+            "UNION ALL SELECT 'exact_dup_rate', "
+            "1.0 - CAST(uq AS DOUBLE) / n FROM a "
+            "UNION ALL SELECT 'en_share', CAST(en AS DOUBLE) / n FROM a "
+            "UNION ALL SELECT 'mean_chars', CAST(ch AS DOUBLE) / n FROM a"
         ),
         "q_sql_api_twin": (
             "SELECT r.r_name AS region, count(*) AS n_orders, "

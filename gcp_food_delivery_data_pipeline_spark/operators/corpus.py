@@ -762,3 +762,39 @@ def temperature_mix(
         .filter(F.col("_rk") <= F.col("_quota"))
         .drop("_rk", "_quota")
     )
+
+
+def dataset_card(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Dataset-card summary in long format ``(metric, value)`` — the
+    release-report layer of a corpus pipeline (doc volume, source/
+    language diversity, majority-language share, exact-duplicate rate,
+    mean length). ONE aggregation pass over the corpus; the single
+    result row is then unpivoted with ``stack`` (a projection), so the
+    whole card costs one scan + one 1-row shuffle at any scale. Every
+    metric is an exact-integer count or an exact ratio of counts —
+    nothing float-accumulated — so the card is engine-reproducible.
+    """
+    agg = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct(source_col).alias("_src"),
+        F.countDistinct(lang_col).alias("_lang"),
+        F.countDistinct(F.md5(text_col)).alias("_uniq"),
+        F.count(F.when(F.col(lang_col) == "en", 1)).alias("_en"),
+        F.sum(chars_col).alias("_chars"),
+    )
+    return agg.selectExpr(
+        """stack(6,
+           'n_docs',         CAST(_n AS DOUBLE),
+           'n_sources',      CAST(_src AS DOUBLE),
+           'n_langs',        CAST(_lang AS DOUBLE),
+           'exact_dup_rate', 1.0 - CAST(_uniq AS DOUBLE) / _n,
+           'en_share',       CAST(_en AS DOUBLE) / _n,
+           'mean_chars',     CAST(_chars AS DOUBLE) / _n
+        ) AS (metric, value)"""
+    )

@@ -331,3 +331,26 @@ def test_temperature_mix_validates(spark):
         temperature_mix(df, total=0)
     with _pytest.raises(ValueError, match="alpha"):
         temperature_mix(df, total=10, alpha=1.5)
+
+
+def test_dataset_card_golden(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        dataset_card,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world", "en", "a", 11),
+            (2, "hello world", "en", "a", 11),   # exact dup of 1
+            (3, "bonjour", "fr", "b", 7),
+            (4, "hola mundo", "es", "b", 10),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {r.metric: r.value for r in dataset_card(df).collect()}
+    assert got["n_docs"] == 4.0
+    assert got["n_sources"] == 2.0
+    assert got["n_langs"] == 3.0
+    assert got["exact_dup_rate"] == 0.25   # 3 unique of 4
+    assert got["en_share"] == 0.5
+    assert got["mean_chars"] == 39 / 4
