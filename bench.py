@@ -118,6 +118,9 @@ EXTRA_QUERIES = [
     "v_topk_truncated",     # Matryoshka 16-dim prefix retrieval
     "g_link_prediction",    # wedge-join common-neighbors + Jaccard
     "q_hourly_interpolate", # two-pass ignore-nulls linear gapfill
+    "s_avro_roundtrip",     # row-format codec roundtrip parity
+    "q_sql_api_twin",       # SQL-text entry, broadcast-dim plan
+    "c_dataset_card",       # one-pass corpus report + stack unpivot
 ]
 
 
