@@ -788,13 +788,15 @@ def dataset_card(
         F.count(F.when(F.col(lang_col) == "en", 1)).alias("_en"),
         F.sum(chars_col).alias("_chars"),
     )
+    # try_divide: under ANSI mode a plain / raises DIVIDE_BY_ZERO on an
+    # empty corpus; the card should report NULL ratios instead of dying
     return agg.selectExpr(
         """stack(6,
            'n_docs',         CAST(_n AS DOUBLE),
            'n_sources',      CAST(_src AS DOUBLE),
            'n_langs',        CAST(_lang AS DOUBLE),
-           'exact_dup_rate', 1.0 - CAST(_uniq AS DOUBLE) / _n,
-           'en_share',       CAST(_en AS DOUBLE) / _n,
-           'mean_chars',     CAST(_chars AS DOUBLE) / _n
+           'exact_dup_rate', 1.0 - try_divide(CAST(_uniq AS DOUBLE), _n),
+           'en_share',       try_divide(CAST(_en AS DOUBLE), _n),
+           'mean_chars',     try_divide(CAST(_chars AS DOUBLE), _n)
         ) AS (metric, value)"""
     )

@@ -150,3 +150,65 @@ def test_mad_outliers_on_empty(spark):
         [], "event_id long, event_type string, value double"
     )
     assert q_mad_outliers(ev).count() == 0
+
+
+def test_round6_graph_ops_on_empty(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        bfs_distances,
+        link_prediction_scores,
+    )
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    seeds = spark.createDataFrame([], "node long")
+    assert bfs_distances(edges, seeds, max_hops=2).count() == 0
+    assert link_prediction_scores(edges).count() == 0
+    # seeds over an empty edge list still emit distance-0 rows
+    seeded = spark.createDataFrame([(7,)], ["node"])
+    rows = bfs_distances(edges, seeded, max_hops=2).collect()
+    assert [(r.node, r.dist) for r in rows] == [(7, 0)]
+
+
+def test_round6_text_and_card_on_empty(spark, empty_docs):
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        dataset_card,
+    )
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        zipf_profile,
+    )
+
+    assert zipf_profile(empty_docs).count() == 0
+    # card needs the full documents schema (lang + n_chars too);
+    # it still emits all 6 metric rows; ratios are NULL (0/0)
+    full = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    card = {r.metric: r.value for r in dataset_card(full).collect()}
+    assert card["n_docs"] == 0.0
+    assert card["exact_dup_rate"] is None
+
+
+def test_truncated_topk_on_empty_queries(empty_vecs, spark):
+    from pyspark.sql import functions as F
+
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        truncated_topk,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0] * 4), (2, [0.5] * 4)], ["vec_id", "embedding"]
+    )
+    out = truncated_topk(vecs, vecs.filter(F.col("vec_id") < 0), prefix_dim=2)
+    assert out.count() == 0
+
+
+def test_interpolate_on_empty(spark):
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_hourly_interpolate,
+    )
+
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    assert q_hourly_interpolate(ev).count() == 0
