@@ -121,6 +121,7 @@ EXTRA_QUERIES = [
     "s_avro_roundtrip",     # row-format codec roundtrip parity
     "q_sql_api_twin",       # SQL-text entry, broadcast-dim plan
     "c_dataset_card",       # one-pass corpus report + stack unpivot
+    "q_hilbert_buckets",    # hilbert walk as one struct-fold lambda
 ]
 
 

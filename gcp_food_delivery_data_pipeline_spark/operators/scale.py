@@ -237,3 +237,62 @@ def key_skew_report(
         .orderBy(F.col("n_rows").desc(), F.col(key))
         .limit(top_n)
     )
+
+
+def hilbert_key(
+    xcol: Column | str, ycol: Column | str, bits: int = 8
+) -> Column:
+    """Hilbert-curve key for two non-negative integer columns (low
+    ``bits`` bits participate): the space-filling layout that beats
+    Z-order for range scans — Hilbert never makes the long diagonal
+    jumps Morton interleave does, so consecutive key ranges map to
+    CONTIGUOUS grid tiles and each written file's min/max bounding box
+    is tighter for the same file size.
+
+    The classic per-level rotate-and-accumulate loop (Hilbert curve
+    via gray-code quadrant walk) is expressed as ONE ``aggregate``
+    fold over the level array with a struct (x, y, d) accumulator —
+    the single-lambda plan shape (see similarity._pq_book_dists):
+    the rotation logic compiles once and evaluates per level, instead
+    of ``bits`` levels of substituted when-trees growing ~3x per
+    level. All-integer arithmetic; the oracle reproduces the SAME
+    recurrence as a recursive CTE (DuckDB's list_reduce mis-evaluates
+    struct-state folds — verify SKILL gotcha — so the SQL twin
+    unrolls via recursion instead).
+    """
+    if bits < 1 or 2 * bits > 62:
+        raise ValueError(
+            f"hilbert_key: bits must be in [1, 31], got {bits}"
+        )
+    x0 = (F.col(xcol) if isinstance(xcol, str) else xcol).cast("long")
+    y0 = (F.col(ycol) if isinstance(ycol, str) else ycol).cast("long")
+    levels = F.array(
+        *[F.lit(1 << k).cast("long") for k in range(bits - 1, -1, -1)]
+    )
+    init = F.struct(
+        x0.alias("x"), y0.alias("y"), F.lit(0).cast("long").alias("d")
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        rx = F.when(acc["x"].bitwiseAND(s) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ).cast("long")
+        ry = F.when(acc["y"].bitwiseAND(s) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ).cast("long")
+        d2 = acc["d"] + s * s * (rx * 3).bitwiseXOR(ry)
+        # quadrant rotation: reflect when (ry=0, rx=1), then swap x/y
+        # whenever ry=0 — the gray-code walk's frame adjustment
+        xr = F.when(
+            (ry == 0) & (rx == 1), s - 1 - acc["x"]
+        ).otherwise(acc["x"])
+        yr = F.when(
+            (ry == 0) & (rx == 1), s - 1 - acc["y"]
+        ).otherwise(acc["y"])
+        return F.struct(
+            F.when(ry == 0, yr).otherwise(xr).alias("x"),
+            F.when(ry == 0, xr).otherwise(yr).alias("y"),
+            d2.alias("d"),
+        )
+
+    return F.aggregate(levels, init, step)["d"]

@@ -236,3 +236,55 @@ def test_zorder_key_rejects_bit_overflow():
     with pytest.raises(ValueError, match="63"):
         zorder_key("a", "b", "c", "d", bits=16)  # 64 positions
     zorder_key("a", "b", "c", "d", bits=15)  # 60 positions: fine
+
+
+def test_hilbert_key_matches_reference_walk(spark):
+    """Bit-exact vs the textbook xy2d rotate-and-accumulate loop over
+    the FULL 16x16 grid, plus the defining Hilbert property: each
+    consecutive key is a grid NEIGHBOR (manhattan distance 1) — the
+    locality guarantee Morton interleave lacks."""
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        hilbert_key,
+    )
+
+    def xy2d(n, x, y):
+        rx, ry, d = 0, 0, 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = {
+        (r.x, r.y): r.h
+        for r in df.select(
+            "x", "y", hilbert_key("x", "y", bits=4).alias("h")
+        ).collect()
+    }
+    assert got == {(x, y): xy2d(16, x, y) for x, y in rows}
+    byd = {v: k for k, v in got.items()}
+    assert all(
+        abs(byd[i][0] - byd[i + 1][0]) + abs(byd[i][1] - byd[i + 1][1]) == 1
+        for i in range(255)
+    )
+
+
+def test_hilbert_key_validates_bits(spark):
+    import pytest as _pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        hilbert_key,
+    )
+
+    with _pytest.raises(ValueError, match="bits"):
+        hilbert_key("a", "b", bits=0)
+    with _pytest.raises(ValueError, match="bits"):
+        hilbert_key("a", "b", bits=32)
