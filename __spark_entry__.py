@@ -243,6 +243,21 @@ def _q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Size-balanced export sharding: (weight DESC, id) rank dealt in
+    snake order — the one-pass LPT approximation that keeps shard
+    costs within one max-document of optimal. Rank is the two-phase
+    distributed machinery, never a single-task global window; the
+    oracle restates it with a plain window (correct at oracle scale)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        shard_assign_balanced,
+    )
+
+    return shard_assign_balanced(
+        load_table(spark, sf, "documents"), n_shards=8
+    )
+
+
 def _q_hilbert_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """Hilbert-curve layout probe beside q_zorder_buckets: same
     (custkey, orderkey) domain, same per-top-bits bucket aggregation,
@@ -3391,6 +3406,7 @@ _GRADE_FIRST = [
     "q_sql_api_twin",
     "c_dataset_card",
     "q_hilbert_buckets",
+    "c_shard_assign",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -3509,6 +3525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_api_twin": _q_sql_api_twin,
         "c_dataset_card": _q_dataset_card,
         "q_hilbert_buckets": _q_hilbert_buckets,
+        "c_shard_assign": _q_shard_assign,
         "s_merge_upsert": _q_merge_upsert,
         "q_hash_sample": _q_hash_sample,
         "s_orc_roundtrip": _q_orc_roundtrip,
@@ -3778,6 +3795,13 @@ def oracle_sql() -> dict[str, str]:
         "s3_write_readback": (
             "SELECT o_orderstatus AS status, count(*) AS n, "
             "round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY o_orderstatus"
+        ),
+        "c_shard_assign": (
+            "WITH r AS (SELECT doc_id, n_chars, "
+            "row_number() OVER (ORDER BY -n_chars, doc_id) - 1 AS r0 "
+            "FROM documents) "
+            "SELECT doc_id, n_chars, CAST(CASE WHEN (r0 // 8) % 2 = 0 "
+            "THEN r0 % 8 ELSE 7 - r0 % 8 END AS INT) AS shard FROM r"
         ),
         # The SAME per-level rotate-and-accumulate recurrence as the
         # Spark fold, unrolled by recursion (UNION ALL — identical

@@ -122,6 +122,7 @@ EXTRA_QUERIES = [
     "q_sql_api_twin",       # SQL-text entry, broadcast-dim plan
     "c_dataset_card",       # one-pass corpus report + stack unpivot
     "q_hilbert_buckets",    # hilbert walk as one struct-fold lambda
+    "c_shard_assign",       # snake-order LPT export sharding
 ]
 
 

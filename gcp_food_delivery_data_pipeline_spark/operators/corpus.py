@@ -800,3 +800,45 @@ def dataset_card(
            'mean_chars',     try_divide(CAST(_chars AS DOUBLE), _n)
         ) AS (metric, value)"""
     )
+
+
+def shard_assign_balanced(
+    df: DataFrame,
+    n_shards: int = 8,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Size-balanced shard assignment for corpus export: rank docs by
+    (weight DESC, id) and deal them to shards in SNAKE order
+    (0..k-1, k-1..0, ...) — the classic one-pass LPT approximation
+    that keeps every shard's total weight within one max-document of
+    optimal, where round-robin systematically overloads shard 0 on
+    skewed sizes and hash assignment ignores size entirely (the
+    [[c_split_assign]] hash split is the right tool for STATISTICAL
+    splits; this one is for equal-COST output files).
+
+    The global ordering uses the two-phase distributed rank (range
+    repartition -> local ranks -> partition-count offsets), never a
+    single-task global window; the snake arithmetic is a pure
+    projection on the rank. Deterministic: the (weight, id) order is
+    total, so the same corpus always deals the same shards.
+    """
+    if n_shards < 1:
+        raise ValueError(
+            f"shard_assign_balanced: n_shards must be >= 1, got {n_shards}"
+        )
+    keyed = df.withColumn("_negw", -F.col(weight_col).cast("long"))
+    ranked = _global_ordered_rank_and_prefix(
+        keyed, ["_negw", id_col], F.lit(0)
+    )
+    r0 = F.col("_grank") - 1
+    cycle = F.floor(r0 / n_shards)
+    pos = r0 % n_shards
+    shard = F.when(
+        cycle % 2 == 0, pos
+    ).otherwise(n_shards - 1 - pos)
+    return ranked.select(
+        id_col,
+        F.col(weight_col),
+        shard.cast("int").alias("shard"),
+    )

@@ -354,3 +354,37 @@ def test_dataset_card_golden(spark):
     assert got["exact_dup_rate"] == 0.25   # 3 unique of 4
     assert got["en_share"] == 0.5
     assert got["mean_chars"] == 39 / 4
+
+
+def test_shard_assign_balances_weights(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        shard_assign_balanced,
+    )
+
+    # skewed sizes: 100, 99, ..., 1 over 4 shards — snake dealing keeps
+    # every shard's total within one max-document of the mean
+    rows = [(i, 101 - i) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    out = shard_assign_balanced(df, n_shards=4)
+    sums = {
+        r.shard: r.s
+        for r in out.groupBy("shard").agg(
+            __import__("pyspark").sql.functions.sum("n_chars").alias("s")
+        ).collect()
+    }
+    assert set(sums) == {0, 1, 2, 3}
+    assert max(sums.values()) - min(sums.values()) <= 100  # one max doc
+    # round-robin comparison: snake is strictly tighter on this ramp
+    assert max(sums.values()) - min(sums.values()) <= 8
+
+
+def test_shard_assign_validates(spark):
+    import pytest as _pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        shard_assign_balanced,
+    )
+
+    df = spark.createDataFrame([(1, 5)], ["doc_id", "n_chars"])
+    with _pytest.raises(ValueError, match="n_shards"):
+        shard_assign_balanced(df, n_shards=0)
