@@ -767,3 +767,124 @@ def truncated_topk(
     c = candidates.select(F.col(id_col), cut.alias(vec_col))
     q = queries.select(F.col(id_col), cut.alias(vec_col))
     return _rank_topk(_scored(c, q, id_col, vec_col), k)
+
+
+def _sign_words(
+    vec_col: str, dim: int = 64, word_bits: int = 32
+) -> list[Column]:
+    """Pack the sign pattern of ``vec_col`` (component > 0) into
+    ``dim/word_bits`` BIGINT words, low component = low bit. 32 bits
+    per word keeps every packed value well inside signed-64 range, so
+    the same integers are representable in any engine.
+
+    Pure codegen: the bit weights ride as a literal array and the fold
+    is one ``zip_with`` + ``aggregate`` per word — zero shuffle, zero
+    Python.
+    """
+    if dim % word_bits:
+        raise ValueError(
+            f"_sign_words: dim {dim} not divisible by {word_bits}"
+        )
+    pow2 = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(word_bits)]
+    )
+    words = []
+    for w in range(dim // word_bits):
+        seg = F.slice(F.col(vec_col), w * word_bits + 1, word_bits)
+        bits = F.zip_with(
+            seg,
+            pow2,
+            lambda x, p: F.when(x > 0, p).otherwise(F.lit(0).cast("long")),
+        )
+        words.append(
+            F.aggregate(
+                bits,
+                F.lit(0).cast("long"),
+                lambda acc, v: acc.bitwiseOR(v),
+            )
+        )
+    return words
+
+
+def binary_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    dim: int = 64,
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantization retrieval: 1-bit sign quantization
+    (component > 0) packed into two BIGINT words, hamming-distance
+    prune to ``rerank`` candidates per query, exact cosine re-rank to
+    top ``k``. The cheapest quantization tier below int8/PQ — 64 dims
+    become 8 bytes, and the prune distance is two XOR+popcount ops
+    per pair (``bit_count``), no float math at all.
+
+    Fully deterministic (hamming ASC, neighbor_id tie-break; then
+    cosine DESC, neighbor_id), so the SQL oracle checks the neighbor
+    lists themselves, unlike the recall-bounded ANN keys.
+
+    Scale shape: packing is a zero-shuffle map (weights are plan
+    literals); queries broadcast with their packed words; the pruned
+    stream entering the cosine stage carries rerank·|Q| rows, not
+    N·|Q| — and the two-phase window (per-partition, then global)
+    keeps the global rank's shuffle to ~partitions·|Q|·rerank rows.
+    """
+    cw = _sign_words(vec_col, dim)
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        cw[0].alias("_cb0"),
+        cw[1].alias("_cb1"),
+    )
+    qw = _sign_words(vec_col, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        qw[0].alias("_qb0"),
+        qw[1].alias("_qb1"),
+    )
+    hamming = (
+        F.bit_count(F.col("_cb0").bitwiseXOR(F.col("_qb0")))
+        + F.bit_count(F.col("_cb1").bitwiseXOR(F.col("_qb1")))
+    ).cast("int")
+    paired = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("hamming", hamming)
+    )
+    w_local = Window.partitionBy("query_id", "_part").orderBy(
+        F.col("hamming"), F.col("neighbor_id")
+    )
+    w_glob = Window.partitionBy("query_id").orderBy(
+        F.col("hamming"), F.col("neighbor_id")
+    )
+    survivors = (
+        paired.withColumn("_part", F.spark_partition_id())
+        .withColumn("_lrn", F.row_number().over(w_local))
+        .filter(F.col("_lrn") <= rerank)
+        .withColumn("_grn", F.row_number().over(w_glob))
+        .filter(F.col("_grn") <= rerank)
+    )
+    scored = survivors.select(
+        "query_id",
+        "neighbor_id",
+        "hamming",
+        cosine_similarity("_qvec", "_cvec").alias("_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "hamming",
+            F.round(F.col("_sim"), 6).alias("cosine_sim"),
+        )
+    )

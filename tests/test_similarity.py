@@ -357,3 +357,66 @@ def test_truncated_topk_prefix_recall_and_validation(embeddings):
 
     with _pytest.raises(ValueError, match="prefix_dim"):
         truncated_topk(embeddings, q, prefix_dim=0)
+
+
+def test_binary_topk_sign_words_pack_correctly(spark):
+    """A hand-built vector whose positive components sit at known
+    positions must pack to exactly those bits (low dim = low bit,
+    32 dims per word)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        _sign_words,
+    )
+
+    vec = [0.0] * 64
+    for i in (0, 5, 31, 32, 63):
+        vec[i] = 1.0
+    df = spark.createDataFrame([(vec,)], ["embedding"])
+    w = _sign_words("embedding")
+    row = df.select(w[0].alias("w0"), w[1].alias("w1")).collect()[0]
+    assert row.w0 == (1 << 0) | (1 << 5) | (1 << 31)
+    assert row.w1 == (1 << 0) | (1 << 31)  # dims 32 and 63
+
+
+def test_binary_topk_full_rerank_matches_exact(embeddings):
+    """With rerank >= corpus size the hamming prune drops nothing, so
+    binary_topk must return exactly the exact top-k neighbor lists."""
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        binary_topk,
+    )
+
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    n = embeddings.count()
+    exact = topk_exact(embeddings, queries, k=5)
+    bitq = binary_topk(embeddings, queries, k=5, rerank=n)
+    a = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+        for r in exact.collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+        for r in bitq.collect()
+    )
+    assert a == b
+
+
+def test_binary_topk_recall_floor_and_hamming_sanity(embeddings):
+    """At rerank=50 the sign-bit prune must keep >= 60% of the true
+    top-10 (random-ish embeddings; Charikar sign bits preserve angle),
+    and every reported hamming must be within [0, 64]."""
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        binary_topk,
+    )
+
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    exact = topk_exact(embeddings, queries, k=10)
+    bitq = binary_topk(embeddings, queries, k=10, rerank=50)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in bitq.collect():
+        assert 0 <= r.hamming <= 64
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.6, f"binary recall {hits}/{total}"
