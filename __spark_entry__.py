@@ -708,6 +708,17 @@ def _q_zipf_profile(spark: SparkSession, sf: str) -> DataFrame:
     return zipf_profile(load_table(spark, sf, "documents"))
 
 
+def _q_distinctive_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source distinctive vocabulary by smoothed rate ratio
+    (fightin'-words family): exact integer counts, one fixed-shape
+    IEEE quotient — bit-reproducible ranking, no rounding step."""
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        distinctive_terms,
+    )
+
+    return distinctive_terms(load_table(spark, sf, "documents"))
+
+
 def _q_anti(spark: SparkSession, sf: str) -> DataFrame:
     t = _tables(spark, sf, "customer", "orders")
     return A.q_customers_without_orders(t["customer"], t["orders"])
@@ -1516,6 +1527,13 @@ def _q_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
     co-partitioned on the order key, blow-up bounded by basket size
     squared."""
     return A.q_part_pairs(load_table(spark, sf, "lineitem"), k=20)
+
+
+def _q_ols_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-priority OLS revenue trend from exact sufficient statistics
+    (integer day index, decimal sums); the fit is one fixed-shape IEEE
+    double expression — bit-reproducible with no rounding step."""
+    return A.q_ols_trend(load_table(spark, sf, "orders"))
 
 
 def _q_holt_linear(spark: SparkSession, sf: str) -> DataFrame:
@@ -3425,6 +3443,8 @@ _GRADE_FIRST = [
     "q_hilbert_buckets",
     "c_shard_assign",
     "v_bitq_topk",
+    "q_ols_trend",
+    "t_distinctive_terms",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -3482,6 +3502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_link_prediction": _q_link_prediction,
         "q_hourly_interpolate": _q_hourly_interpolate,
         "t_zipf_profile": _q_zipf_profile,
+        "t_distinctive_terms": _q_distinctive_terms,
         "m_audio_frames": _q_audio_frames,
         # -- new in round 5 --
         "s_stream_dedup": _q_stream_dedup,
@@ -3510,6 +3531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_ngram_novelty": _q_ngram_novelty,
         "t_sparse_nn": _q_sparse_nn,
         "q_holt_linear": _q_holt_linear,
+        "q_ols_trend": _q_ols_trend,
         "c_mix_temperature": _q_mix_temperature,
         "q_session_concurrency": _q_session_concurrency,
         "q_cohort_ltv": _q_cohort_ltv,
@@ -5436,6 +5458,38 @@ def oracle_sql() -> dict[str, str]:
             "ln(CAST(rank AS DOUBLE))), 6) AS fit_r2 "
             "FROM ranked GROUP BY grp HAVING count(*) >= 5"
         ),
+        # Rate-ratio distinctive terms: every count exact; the score
+        # is one fixed-shape double expression (a·(d+1))/(b·(c+1)) —
+        # raw quotient, no rounding (the g_link_prediction convention).
+        "t_distinctive_terms": (
+            "WITH toks AS (SELECT source, "
+            f"unnest({_TOKENS}) AS term FROM documents), "
+            "per AS (SELECT source, term, "
+            "CAST(count(*) AS BIGINT) AS n_in_source "
+            "FROM toks GROUP BY 1, 2), "
+            "tot AS (SELECT CAST(sum(n_in_source) AS BIGINT) AS total "
+            "FROM per), "
+            "src AS (SELECT source, CAST(sum(n_in_source) AS BIGINT) AS b "
+            "FROM per GROUP BY 1), "
+            "trm AS (SELECT term, CAST(sum(n_in_source) AS BIGINT) AS tt "
+            "FROM per GROUP BY 1) "
+            "SELECT source, term_rank, term, n_in_source, ratio FROM ("
+            "SELECT p.source, p.term, p.n_in_source, "
+            "(CAST(p.n_in_source AS DOUBLE) * "
+            "CAST(tot.total - s.b + 1 AS DOUBLE)) / "
+            "(CAST(s.b AS DOUBLE) * "
+            "CAST(t.tt - p.n_in_source + 1 AS DOUBLE)) AS ratio, "
+            "row_number() OVER (PARTITION BY p.source ORDER BY "
+            "(CAST(p.n_in_source AS DOUBLE) * "
+            "CAST(tot.total - s.b + 1 AS DOUBLE)) / "
+            "(CAST(s.b AS DOUBLE) * "
+            "CAST(t.tt - p.n_in_source + 1 AS DOUBLE)) DESC, p.term) "
+            "AS term_rank "
+            "FROM per p CROSS JOIN tot "
+            "JOIN src s ON p.source = s.source "
+            "JOIN trm t ON p.term = t.term "
+            "WHERE p.n_in_source >= 5) WHERE term_rank <= 10"
+        ),
         "g_link_prediction": (
             "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey "
             "FROM lineitem), "
@@ -5570,6 +5624,26 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY e.user_id) "
             "SELECT user_id, CAST(epoch_us(t1) - epoch_us(t0) AS BIGINT) "
             "AS micros_to_convert FROM p"
+        ),
+        # OLS from exact sufficient statistics: integer day index,
+        # decimal Σy/Σxy, then ONE fixed-shape double expression over
+        # identically-rounded double casts — raw quotients, no
+        # rounding step (the g_link_prediction convention).
+        "q_ols_trend": (
+            "WITH b AS (SELECT o_orderpriority, "
+            "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) "
+            "AS x, CAST(o_totalprice AS DECIMAL(18,2)) AS y FROM orders), "
+            "s AS (SELECT o_orderpriority, "
+            "CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(x) AS DOUBLE) AS sx, "
+            "CAST(sum(x*x) AS DOUBLE) AS sxx, "
+            "CAST(sum(y) AS DOUBLE) AS sy, "
+            "CAST(sum(y * CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sxy "
+            "FROM b GROUP BY o_orderpriority) "
+            "SELECT o_orderpriority, n_orders, "
+            "(n_orders*sxy - sx*sy)/(n_orders*sxx - sx*sx) AS slope_per_day, "
+            "(sy - ((n_orders*sxy - sx*sy)/(n_orders*sxx - sx*sx))*sx)"
+            "/n_orders AS intercept FROM s"
         ),
         # list_reduce seeds with the first element and folds left —
         # the same recurrence order as the Spark aggregate(); (1.0 -

@@ -708,3 +708,66 @@ def zipf_profile(
         "zipf_slope",
         "fit_r2",
     )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 10,
+    min_count: int = 5,
+) -> DataFrame:
+    """Per-source distinctive vocabulary: the k terms whose usage RATE
+    in a source most exceeds their rate in the rest of the corpus
+    (the Monroe et al. 2008 "fightin' words" rate-ratio family, with
+    add-one smoothing on the complement so unseen-elsewhere terms
+    stay finite).
+
+    ratio = (a / b) / ((c + 1) / (d + 1)) computed as
+    (a·(d+1)) / (b·(c+1)) — a single division of two products of
+    EXACT integers, evaluated in fixed-shape IEEE double arithmetic,
+    so the score (and therefore the ranking) is bit-reproducible
+    across engines with no rounding step. a = term count in source,
+    b = source tokens, c = term count elsewhere, d = tokens elsewhere.
+
+    Scale shape: ONE explode pass; (source, term) counts aggregate
+    with map-side combine; the term and source totals are windows
+    over the already-aggregated (small) counts frame — never a second
+    corpus scan; the corpus total is one scalar job on that frame.
+    Per-source top-k is a bounded row_number window keyed by source.
+    ``min_count`` prunes the long hapax tail before ranking — at
+    corpus scale that is the difference between ranking millions of
+    noise terms and the meaningful vocabulary.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    per = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("n_in_source")
+    )
+    total = per.agg(F.sum("n_in_source")).collect()[0][0] or 0
+    w_term = Window.partitionBy("term")
+    w_src = Window.partitionBy("source")
+    a = F.col("n_in_source")
+    b = F.sum("n_in_source").over(w_src)
+    tt = F.sum("n_in_source").over(w_term)
+    scored = per.select(
+        "source",
+        "term",
+        "n_in_source",
+        (
+            (a.cast("double") * (F.lit(total) - b + 1).cast("double"))
+            / (b.cast("double") * (tt - a + 1).cast("double"))
+        ).alias("ratio"),
+    ).filter(F.col("n_in_source") >= min_count)
+    w = Window.partitionBy("source").orderBy(
+        F.col("ratio").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select("source", "term_rank", "term", "n_in_source", "ratio")
+    )

@@ -2475,3 +2475,47 @@ def q_hourly_interpolate(events: DataFrame) -> DataFrame:
         F.col("_val").isNotNull().alias("observed"),
         interp.alias("value_filled"),
     )
+
+
+def q_ols_trend(orders: DataFrame) -> DataFrame:
+    """Per-priority OLS revenue trend: slope and intercept of
+    o_totalprice against order age (days since 1992-01-01), fit from
+    the closed-form normal equations.
+
+    Reproducibility contract: the five sufficient statistics (n, Σx,
+    Σx², Σy, Σxy) are EXACT — x is an integer day index, y and x·y
+    are summed as decimals — and the slope/intercept arithmetic is
+    one fixed-shape IEEE double expression over their (identically
+    rounded) double casts, so both engines produce the same bits with
+    no rounding step at all. Anchoring x at 1992-01-01 instead of the
+    epoch keeps x ≈ thousands, which keeps Σxy inside decimal
+    precision headroom at large row counts.
+
+    Scale shape: one partial-aggregable groupBy pass (every statistic
+    is a sum, so map-side combine applies) over ~5 groups — the same
+    single-shuffle profile as ``q_stats_profile``; the fit itself is
+    a per-group scalar projection.
+    """
+    x = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+    ).cast("long")
+    y = F.col("o_totalprice").cast("decimal(18,2)")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(x).alias("_sx"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y).alias("_sy"),
+        F.sum(y * x.cast("decimal(18,0)")).alias("_sxy"),
+    )
+    n = F.col("n_orders").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        slope.alias("slope_per_day"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )

@@ -794,3 +794,38 @@ def test_hourly_interpolate_golden(spark):
     assert got[("A", base + 3)] == (True, 40.0)
     assert got[("B", base + 5)] == (True, 5.0)
     assert len(got) == 5
+
+
+def test_ols_trend_golden(spark):
+    """Hand-computed fit: points (x=0,y=10), (x=1,y=12), (x=2,y=14)
+    give slope exactly 2 and intercept exactly 10; a flat group gives
+    slope 0."""
+    import datetime
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_ols_trend,
+    )
+
+    base = datetime.datetime(1992, 1, 1)
+    rows = [
+        (1, 1, "O", 10.0, base, "1-URGENT"),
+        (2, 1, "O", 12.0, base + datetime.timedelta(days=1), "1-URGENT"),
+        (3, 1, "O", 14.0, base + datetime.timedelta(days=2), "1-URGENT"),
+        (4, 2, "O", 7.0, base, "2-HIGH"),
+        (5, 2, "O", 7.0, base + datetime.timedelta(days=5), "2-HIGH"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        [
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        ],
+    )
+    out = {r.o_orderpriority: r for r in q_ols_trend(df).collect()}
+    urgent = out["1-URGENT"]
+    assert urgent.n_orders == 3
+    assert urgent.slope_per_day == 2.0
+    assert urgent.intercept == 10.0
+    high = out["2-HIGH"]
+    assert high.slope_per_day == 0.0
+    assert high.intercept == 7.0

@@ -437,3 +437,29 @@ def test_audio_frame_features_rejects_bad_frame_size(spark):
     df = spark.createDataFrame([(1, bytearray(b""))], ["doc_id", "payload"])
     with pytest.raises(ValueError, match="frame_size"):
         audio_frame_features(df, frame_size=0)
+
+
+def test_distinctive_terms_golden(spark):
+    """A term concentrated in one source must rank first there with
+    the hand-computed smoothed rate ratio; terms below min_count are
+    pruned."""
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        distinctive_terms,
+    )
+
+    # source A: 'spam' x6 + 'base' x6; source B: 'base' x12
+    rows = [(1, "spam " * 6 + "base " * 6, "A"), (2, "base " * 12, "B")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = distinctive_terms(df, k=2, min_count=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    a_top = sorted(by_src["A"], key=lambda r: r.term_rank)[0]
+    assert a_top.term == "spam" and a_top.n_in_source == 6
+    # a=6, b=12 (A tokens), c=0 elsewhere, d=12 (B tokens):
+    # ratio = (6*(12+1)) / (12*(0+1)) = 78/12 = 6.5
+    assert a_top.ratio == 6.5
+    # 'base' in B: a=12, b=12, c=6, d=12 -> (12*13)/(12*7) = 13/7
+    b_top = sorted(by_src["B"], key=lambda r: r.term_rank)[0]
+    assert b_top.term == "base"
+    assert b_top.ratio == 156.0 / 84.0
