@@ -2957,6 +2957,19 @@ def _q_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
     return prefix_similarity_join(d, threshold=0.6)
 
 
+def _q_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT asymmetric containment join (quote/subset detector):
+    prefix-filtered candidates against full postings, zero false
+    negatives — the all-pairs oracle must match exactly. Raw-quotient
+    containment (exact-integer ratio, bit-identical across engines)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        containment_join,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return containment_join(d, threshold=0.8)
+
+
 def _q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
         simhash_near_dup_pairs,
@@ -3445,6 +3458,7 @@ _GRADE_FIRST = [
     "v_bitq_topk",
     "q_ols_trend",
     "t_distinctive_terms",
+    "d_containment",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -3667,6 +3681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_sessions": _q_stream_sessions,
         "s_compact_roundtrip": _q_compact_roundtrip,
         "d_prefix_join": _q_prefix_join,
+        "d_containment": _q_containment,
         "q_corr_stats": _q_corr_stats,
         "d_fuzzy_decontam": _q_fuzzy_decontam,
         "q_zscore": _q_zscore,
@@ -5908,6 +5923,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM s a JOIN s b ON a.doc_id < b.doc_id) "
             "SELECT id_a, id_b, round(j, 6) AS jaccard "
             "FROM p WHERE round(j, 6) >= 0.6"
+        ),
+        # Asymmetric containment (|A∩B|/|A|): raw double quotient of
+        # exact ints — no rounding (the g_link_prediction convention).
+        "d_containment": (
+            "WITH sh AS (SELECT doc_id, "
+            f"{_SHINGLES} AS s "
+            f"FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "/ len(a.s) AS containment "
+            "FROM sh a JOIN sh b ON a.doc_id <> b.doc_id "
+            "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            "/ len(a.s) >= 0.8"
         ),
         "s_compact_roundtrip": (
             "SELECT event_type, count(*) AS n_events, "

@@ -495,3 +495,66 @@ def test_ngram_novelty_short_docs_excluded(spark):
     )
     out = ngram_novelty(docs, k=8)
     assert [r.doc_id for r in out.collect()] == [2]
+
+
+def test_containment_join_quote_detection(spark):
+    """A short doc fully quoted inside a longer one: containment of
+    (short -> long) is 1.0 while Jaccard is low; the reverse direction
+    falls below threshold; an unrelated doc never pairs."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        containment_join,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    long_doc = (
+        "intro words here now " + quote + " trailing content words "
+        "one two three four five six seven eight nine ten"
+    )
+    rows = [
+        (1, quote),
+        (2, long_doc),
+        (3, "totally different vocabulary nothing shared at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.id_a, r.id_b): r.containment for r in
+           containment_join(df, threshold=0.8).collect()}
+    assert (1, 2) in out and out[(1, 2)] == 1.0
+    assert (2, 1) not in out       # long is not contained in short
+    assert all(3 not in pair for pair in out)
+
+
+def test_containment_join_matches_bruteforce(spark):
+    """Prefix filtering must lose nothing: the result equals the
+    brute-force all-pairs containment on the sf0.001 documents."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        containment_join,
+        shingles,
+    )
+    from gcp_food_delivery_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents")
+    fast = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_join(d, threshold=0.8).collect()
+    }
+    sh = d.select(
+        F.col("doc_id").alias("_id"), shingles(F.col("text")).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    brute = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a._id") != F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            (
+                F.size(F.array_intersect("a._sh", "b._sh")).cast("double")
+                / F.size("a._sh")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.8)
+    )
+    slow = {(r.id_a, r.id_b): r.containment for r in brute.collect()}
+    assert fast == slow and len(fast) > 0
