@@ -123,6 +123,10 @@ EXTRA_QUERIES = [
     "c_dataset_card",       # one-pass corpus report + stack unpivot
     "q_hilbert_buckets",    # hilbert walk as one struct-fold lambda
     "c_shard_assign",       # snake-order LPT export sharding
+    "v_bitq_topk",          # sign-bit hamming prune + exact rerank
+    "q_ols_trend",          # exact-sufficient-statistics OLS fit
+    "t_distinctive_terms",  # rate-ratio per-source keyword extraction
+    "d_containment",        # prefix-filtered asymmetric containment
 ]
 
 

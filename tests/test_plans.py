@@ -532,3 +532,41 @@ def test_sql_api_twin_broadcasts_dims(plans):
     assert p.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in p
     assert "EqualTo(o_orderstatus,F)" in p  # filter pushed to scan
+
+
+def test_bitq_topk_broadcasts_queries_no_python(plans):
+    # sign packing is pure codegen (literal bit weights); the query
+    # side (5 rows + packed words) must broadcast, and the hamming
+    # prune must keep the plan free of Python evaluation
+    p = plans("v_bitq_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "PythonUDF" not in p and "ArrowEvalPython" not in p
+    # two-phase prune: a per-partition row_number window precedes the
+    # global one, so the wide exchange carries only local winners
+    assert p.count("row_number") >= 3
+
+
+def test_ols_trend_single_shuffle_partial_agg(plans):
+    # every sufficient statistic is a sum: ONE exchange, with a
+    # partial_ aggregate on the map side (combinable pre-shuffle)
+    p = plans("q_ols_trend")
+    assert p.count("Exchange") <= 2  # agg shuffle (+ AQE read)
+    assert "partial_" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_distinctive_terms_windows_never_single_partition(plans):
+    # term/source totals are windows over the aggregated counts frame
+    # — keyed exchanges, never an Exchange SinglePartition feeding a
+    # window (the global-sort scale-killer)
+    p = plans("t_distinctive_terms")
+    assert "SinglePartition" not in p
+    assert "PythonUDF" not in p
+
+
+def test_containment_join_is_equi_join_no_cartesian(plans):
+    # candidate generation must be an equi-join on prefix shingles;
+    # the quadratic all-pairs shape exists only in the ORACLE
+    p = plans("d_containment")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
