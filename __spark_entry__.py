@@ -1109,6 +1109,29 @@ def _q_random_projection(spark: SparkSession, sf: str) -> DataFrame:
     return random_project_cols(e, in_dim=64, out_dim=16)
 
 
+def _cms_oracle_sql(d: int = 4, w: int = 1024, k: int = 20) -> str:
+    """Count-Min oracle: the identical row-salted md5 bucket grid and
+    min-over-rows estimate, all integers — bit-exact by construction."""
+    buckets = ", ".join(
+        f"CAST(concat('0x', substr(md5(concat('{r}:', "
+        f"CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % {w} AS _b{r}"
+        for r in range(d)
+    )
+    sums = ", ".join(
+        f"sum(n_exact) OVER (PARTITION BY _b{r})" for r in range(d)
+    )
+    return (
+        "WITH keyed AS (SELECT user_id, CAST(count(*) AS BIGINT) "
+        "AS n_exact FROM events GROUP BY user_id), "
+        f"b AS (SELECT user_id, n_exact, {buckets} FROM keyed), "
+        "e AS (SELECT user_id, n_exact, "
+        f"least({sums}) AS n_est FROM b) "
+        "SELECT user_id, n_exact, CAST(n_est AS BIGINT) AS n_est, "
+        "n_est >= n_exact AS est_ok FROM e "
+        f"ORDER BY n_exact DESC, user_id LIMIT {k}"
+    )
+
+
 def _rp_oracle_sql(out_dim: int = 16, in_dim: int = 64) -> str:
     """Generate the DuckDB twin of random_project_cols: same sign
     matrix, same 0.0-seeded left-assoc fold order (matching the
@@ -2861,6 +2884,18 @@ def _q_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_cms_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch heavy hitters, verified against exact counts:
+    row-salted md5 buckets, min-over-rows estimate, never-
+    underestimates invariant pinned per key. All-integer — the oracle
+    rebuilds the identical counter grid."""
+    from gcp_food_delivery_data_pipeline_spark.operators.rollup import (
+        countmin_profile,
+    )
+
+    return countmin_profile(load_table(spark, sf, "events"))
+
+
 def _q_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Distinct-count rollup WITHOUT raw re-scan: per-(type, day) HLL
     sketches union up to per-type distinct-user estimates. Distinct is
@@ -3459,6 +3494,7 @@ _GRADE_FIRST = [
     "q_ols_trend",
     "t_distinctive_terms",
     "d_containment",
+    "q_cms_counts",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -3700,6 +3736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_key_skew": _q_key_skew,
         "q_incremental_rollup": _q_incremental_rollup,
         "q_sketch_rollup": _q_sketch_rollup,
+        "q_cms_counts": _q_cms_counts,
         "t_repetition": _q_repetition,
         "s_media_source": _q_media_source,
         "q_unpivot": _q_unpivot,
@@ -6007,6 +6044,7 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value) / count(*), 6) AS avg_value "
             "FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')"
         ),
+        "q_cms_counts": _cms_oracle_sql(4, 1024, 20),
         "q_sketch_rollup": (
             "SELECT event_type, count(DISTINCT user_id) AS n_exact_users, "
             "TRUE AS rollup_ok FROM events GROUP BY event_type"

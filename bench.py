@@ -127,6 +127,7 @@ EXTRA_QUERIES = [
     "q_ols_trend",          # exact-sufficient-statistics OLS fit
     "t_distinctive_terms",  # rate-ratio per-source keyword extraction
     "d_containment",        # prefix-filtered asymmetric containment
+    "q_cms_counts",         # count-min sketch vs exact heavy hitters
 ]
 
 

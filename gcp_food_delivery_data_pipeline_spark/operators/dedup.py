@@ -1594,7 +1594,8 @@ def containment_join(
     quotient (exact-integer ratio — bit-identical across engines;
     rounding would re-introduce the .5-boundary class).
     """
-    sh = df.select(
+    src = ensure_min_partitions(df.select(id_col, text_col))
+    sh = src.select(
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), k).alias("_sh"),
     ).filter(F.size("_sh") > 0)

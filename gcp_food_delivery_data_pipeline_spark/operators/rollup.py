@@ -133,3 +133,71 @@ def rollup_distinct_sketches(
         estimate_col,
         F.hll_sketch_estimate(F.col(sketch_col)).cast("long"),
     )
+
+
+def countmin_profile(
+    df: DataFrame,
+    key_col: str = "user_id",
+    d: int = 4,
+    w: int = 1024,
+    k: int = 20,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    estimation, verified against exact counts: estimate each key's
+    frequency as min over ``d`` hash rows of a ``w``-bucket counter
+    array, and emit the top-``k`` keys by exact count with their
+    estimate and the never-underestimates invariant (``est_ok``).
+
+    The sketch counters here are derived FROM the exact per-key
+    aggregate (one combinable shuffle; the counter build is d keyed
+    windows over the already-aggregated keys frame — tiny), which is
+    what makes the estimate oracle-checkable bit-for-bit. In a
+    production position the same counters fold directly over the raw
+    stream (sum per (row, bucket) is a commutative monoid, so the
+    d×w counter grid merges batch-wise exactly like ``build_rollup``
+    state — constant memory regardless of key cardinality), and the
+    exact side disappears; the CMS guarantee est >= exact with
+    overestimate <= 2N/w at probability 1 - (1/2)^d carries over
+    unchanged.
+
+    Hashes are the engine-portable md5-prefix family (row-salted), so
+    bucket assignment — and therefore every counter — is identical in
+    any engine.
+    """
+    from pyspark.sql import Window
+
+    keyed = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_exact"))
+
+    def bucket(r: int) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{r}:"), F.col(key_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (h % w).alias(f"_b{r}")
+
+    frame = keyed.select(key_col, "n_exact", *[bucket(r) for r in range(d)])
+    for r in range(d):
+        frame = frame.withColumn(
+            f"_c{r}",
+            F.sum("n_exact").over(Window.partitionBy(f"_b{r}")),
+        )
+    est = F.least(*[F.col(f"_c{r}") for r in range(d)])
+    return (
+        frame.select(
+            key_col,
+            "n_exact",
+            est.alias("n_est"),
+            (est >= F.col("n_exact")).alias("est_ok"),
+        )
+        .orderBy(F.col("n_exact").desc(), F.col(key_col))
+        .limit(k)
+    )

@@ -115,3 +115,24 @@ def test_sketch_estimate_near_exact(events):
     assert joined
     for r in joined:
         assert abs(r.n_distinct_est - r.n) <= 0.15 * r.n
+
+
+def test_countmin_never_underestimates_and_bounds(spark):
+    """CMS invariants on a hand-built skewed frame: est >= exact for
+    every key, the heaviest key's estimate is exact when its buckets
+    are collision-free, and output is top-k by exact count."""
+    from gcp_food_delivery_data_pipeline_spark.operators.rollup import (
+        countmin_profile,
+    )
+
+    rows = [(1,)] * 50 + [(2,)] * 30 + [(i,) for i in range(3, 23)]
+    df = spark.createDataFrame(rows, ["user_id"])
+    out = countmin_profile(df, key_col="user_id", d=4, w=64, k=5).collect()
+    assert len(out) == 5
+    assert [r.user_id for r in out][:2] == [1, 2]
+    for r in out:
+        assert r.est_ok and r.n_est >= r.n_exact
+    total = len(rows)
+    # CMS bound: overestimate <= total additional mass in the bucket
+    for r in out:
+        assert r.n_est <= total
