@@ -212,3 +212,45 @@ def test_interpolate_on_empty(spark):
         "event_type string, value double, props string"
     )
     assert q_hourly_interpolate(ev).count() == 0
+
+
+def test_session_new_ops_on_empty(spark, empty_docs, empty_vecs):
+    """binary_topk / containment_join / distinctive_terms /
+    countmin_profile / q_ols_trend all return empty, never raise, on
+    zero-row inputs."""
+    from pyspark.sql.types import TimestampType
+
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        containment_join,
+    )
+    from gcp_food_delivery_data_pipeline_spark.operators.rollup import (
+        countmin_profile,
+    )
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        binary_topk,
+    )
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        distinctive_terms,
+    )
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_ols_trend,
+    )
+
+    assert binary_topk(empty_vecs, empty_vecs).count() == 0
+    assert containment_join(empty_docs).count() == 0
+    assert distinctive_terms(empty_docs).count() == 0
+    ev = spark.createDataFrame(
+        [], StructType([StructField("user_id", LongType())])
+    )
+    assert countmin_profile(ev).count() == 0
+    orders = spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("o_orderpriority", StringType()),
+                StructField("o_totalprice", DoubleType()),
+                StructField("o_orderdate", TimestampType()),
+            ]
+        ),
+    )
+    assert q_ols_trend(orders).count() == 0
