@@ -59,6 +59,20 @@ KEYS = {
         "span-partitioned window count + ONE per-doc rollup — two "
         "exchanges, no join, nothing all-pairs"
     ),
+    "v_bitq_topk": (
+        "binary quantization: sign packing is pure codegen (literal "
+        "bit weights), queries broadcast with their packed words, "
+        "two-phase hamming prune before the exact-cosine rerank"
+    ),
+    "d_containment": (
+        "containment prefix filter: candidate generation is an "
+        "equi-join on rare prefix shingles — ids only; the all-pairs "
+        "shape exists only in the oracle"
+    ),
+    "q_ols_trend": (
+        "OLS from sufficient statistics: ONE partial-aggregable "
+        "exchange; the fit is a per-group scalar projection"
+    ),
 }
 
 
