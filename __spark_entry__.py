@@ -5693,9 +5693,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(y * CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sxy "
             "FROM b GROUP BY o_orderpriority) "
             "SELECT o_orderpriority, n_orders, "
-            "(n_orders*sxy - sx*sy)/(n_orders*sxx - sx*sx) AS slope_per_day, "
+            "CASE WHEN (n_orders*sxx - sx*sx) <> 0 THEN "
+            "(n_orders*sxy - sx*sy)/(n_orders*sxx - sx*sx) END "
+            "AS slope_per_day, "
+            "CASE WHEN (n_orders*sxx - sx*sx) <> 0 THEN "
             "(sy - ((n_orders*sxy - sx*sy)/(n_orders*sxx - sx*sx))*sx)"
-            "/n_orders AS intercept FROM s"
+            "/n_orders END AS intercept FROM s"
         ),
         # list_reduce seeds with the first element and folds left —
         # the same recurrence order as the Spark aggregate(); (1.0 -

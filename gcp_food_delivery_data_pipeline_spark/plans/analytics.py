@@ -2512,10 +2512,15 @@ def q_ols_trend(orders: DataFrame) -> DataFrame:
     sxx = F.col("_sxx").cast("double")
     sy = F.col("_sy").cast("double")
     sxy = F.col("_sxy").cast("double")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # Zero x-variance (every order on one date) makes the fit
+    # undefined; emit NULL explicitly — engines disagree on double
+    # 0/0 (Spark NaN, DuckDB NULL), so the guard is also what keeps
+    # the result engine-portable on degenerate groups.
+    den = n * sxx - sx * sx
+    slope = F.when(den != 0.0, (n * sxy - sx * sy) / den)
     return agg.select(
         "o_orderpriority",
         "n_orders",
         slope.alias("slope_per_day"),
-        ((sy - slope * sx) / n).alias("intercept"),
+        F.when(den != 0.0, (sy - slope * sx) / n).alias("intercept"),
     )

@@ -829,3 +829,29 @@ def test_ols_trend_golden(spark):
     high = out["2-HIGH"]
     assert high.slope_per_day == 0.0
     assert high.intercept == 7.0
+
+
+def test_ols_trend_zero_variance_is_null(spark):
+    """All orders on one date: the fit is undefined — slope and
+    intercept must be NULL (not NaN; engines disagree on double 0/0)."""
+    import datetime
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_ols_trend,
+    )
+
+    base = datetime.datetime(1992, 3, 1)
+    rows = [
+        (1, 1, "O", 10.0, base, "1-URGENT"),
+        (2, 1, "O", 20.0, base, "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        [
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        ],
+    )
+    r = q_ols_trend(df).collect()[0]
+    assert r.n_orders == 2
+    assert r.slope_per_day is None and r.intercept is None
