@@ -1590,9 +1590,16 @@ def containment_join(
     Scale shape: shingle frequencies are one combinable shuffle; the
     candidate join is an equi-join on (rare) prefix shingles whose
     fan-out is bounded by rare-shingle posting lengths; every step is
-    a Column expression, no Python in the path. Emits the RAW double
-    quotient (exact-integer ratio — bit-identical across engines;
-    rounding would re-introduce the .5-boundary class).
+    a Column expression, no Python in the path. The frequency/prefix/
+    candidate stages all carry the 32-bit shingle HASH, not the
+    string — at corpus scale that is the difference between shuffling
+    8-byte and ~25-byte keys three times. Correct because (a) any
+    consistent total order works for prefix filtering, (count, hash)
+    included, and (b) hash collisions only ADD candidates (equal
+    strings always hash equal), which the exact string-set verify
+    removes. Emits the RAW double quotient (exact-integer ratio —
+    bit-identical across engines; rounding would re-introduce the
+    .5-boundary class).
     """
     src = ensure_min_partitions(df.select(id_col, text_col))
     sh = src.select(
@@ -1600,7 +1607,9 @@ def containment_join(
         shingles(F.col(text_col), k).alias("_sh"),
     ).filter(F.size("_sh") > 0)
 
-    rows = sh.select("_id", F.explode("_sh").alias("_s"))
+    rows = sh.select("_id", F.explode("_sh").alias("_str")).select(
+        "_id", _shingle_hash(F.col("_str")).alias("_s")
+    )
     freq = rows.groupBy("_s").agg(F.count(F.lit(1)).alias("_f"))
     ordered = (
         rows.join(freq, "_s")
