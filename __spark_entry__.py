@@ -5969,7 +5969,8 @@ def oracle_sql() -> dict[str, str]:
         "d_containment": (
             "WITH sh AS (SELECT doc_id, "
             f"{_SHINGLES} AS s "
-            f"FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)) "
+            f"FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents) "
+            "WHERE len(toks) > 0) "
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
             "/ len(a.s) AS containment "

@@ -1602,10 +1602,15 @@ def containment_join(
     .5-boundary class).
     """
     src = ensure_min_partitions(df.select(id_col, text_col))
-    sh = src.select(
+    # Token-less (blank/NULL-text) docs are EXCLUDED: shingles() gives
+    # them the single phantom shingle [""], whose containment in any
+    # other blank doc is trivially 1.0 — m blank rows would emit
+    # m·(m-1) pairs and hand the "" shingle a hot key the rarity
+    # ordering cannot park (it is the doc's only shingle).
+    sh = src.filter(F.size(tokens(F.col(text_col))) > 0).select(
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), k).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
+    )
 
     rows = sh.select("_id", F.explode("_sh").alias("_str")).select(
         "_id", _shingle_hash(F.col("_str")).alias("_s")

@@ -184,19 +184,28 @@ def countmin_profile(
         ).cast("long")
         return (h % w).alias(f"_b{r}")
 
-    frame = keyed.select(key_col, "n_exact", *[bucket(r) for r in range(d)])
-    for r in range(d):
-        frame = frame.withColumn(
-            f"_c{r}",
-            F.sum("n_exact").over(Window.partitionBy(f"_b{r}")),
-        )
-    est = F.least(*[F.col(f"_c{r}") for r in range(d)])
+    # ONE (row, bucket) grid instead of d sequential window passes:
+    # posexplode the d bucket assignments to rows, sum counter mass in
+    # a single keyed window, min back per key — 2 shuffles total
+    # regardless of d (a d-window chain re-sorts the keyed frame d
+    # times, which matters exactly in CMS's high-cardinality regime).
+    grid = keyed.select(
+        key_col,
+        "n_exact",
+        F.posexplode(F.array(*[bucket(r) for r in range(d)])).alias(
+            "_r", "_b"
+        ),
+    )
+    counted = grid.withColumn(
+        "_c", F.sum("n_exact").over(Window.partitionBy("_r", "_b"))
+    )
+    est = F.min("_c")
     return (
-        frame.select(
-            key_col,
-            "n_exact",
+        counted.groupBy(key_col)
+        .agg(
+            F.first("n_exact").alias("n_exact"),
             est.alias("n_est"),
-            (est >= F.col("n_exact")).alias("est_ok"),
+            (est >= F.first("n_exact")).alias("est_ok"),
         )
         .orderBy(F.col("n_exact").desc(), F.col(key_col))
         .limit(k)

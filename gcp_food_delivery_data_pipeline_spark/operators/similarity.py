@@ -832,23 +832,24 @@ def binary_topk(
     N·|Q| — and the two-phase window (per-partition, then global)
     keeps the global rank's shuffle to ~partitions·|Q|·rerank rows.
     """
-    cw = _sign_words(vec_col, dim)
+    words = _sign_words(vec_col, dim)
+    n_words = len(words)
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
-        cw[0].alias("_cb0"),
-        cw[1].alias("_cb1"),
+        *[w.alias(f"_cb{i}") for i, w in enumerate(words)],
     )
-    qw = _sign_words(vec_col, dim)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
-        qw[0].alias("_qb0"),
-        qw[1].alias("_qb1"),
+        *[w.alias(f"_qb{i}") for i, w in enumerate(words)],
     )
-    hamming = (
-        F.bit_count(F.col("_cb0").bitwiseXOR(F.col("_qb0")))
-        + F.bit_count(F.col("_cb1").bitwiseXOR(F.col("_qb1")))
+    hamming = sum(
+        (
+            F.bit_count(F.col(f"_cb{i}").bitwiseXOR(F.col(f"_qb{i}")))
+            for i in range(n_words)
+        ),
+        F.lit(0),
     ).cast("int")
     paired = (
         c.crossJoin(F.broadcast(q))

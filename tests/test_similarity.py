@@ -420,3 +420,20 @@ def test_binary_topk_recall_floor_and_hamming_sanity(embeddings):
     hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
     total = sum(len(v) for v in truth.values())
     assert hits / total >= 0.6, f"binary recall {hits}/{total}"
+
+
+def test_binary_topk_generalizes_over_dim(spark):
+    """dim != 64 must work: 32 dims -> one packed word; hamming over
+    a hand-built 32-dim pair is the exact bit-disagreement count."""
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        binary_topk,
+    )
+
+    a = [1.0] * 32
+    b = [1.0] * 28 + [-1.0] * 4  # disagrees on the last 4 sign bits
+    df = spark.createDataFrame([(0, a), (1, b)], ["vec_id", "embedding"])
+    out = binary_topk(
+        df, df.filter(F.col("vec_id") == 0), dim=32, k=1, rerank=2
+    ).collect()
+    assert len(out) == 1
+    assert out[0].neighbor_id == 1 and out[0].hamming == 4
