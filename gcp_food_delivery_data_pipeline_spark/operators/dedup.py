@@ -65,6 +65,36 @@ def _hash_params(n: int) -> list[tuple[int, int]]:
     return params
 
 
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles of a token-array column.
+
+    A doc with fewer than k tokens yields its whole token sequence as
+    one shingle so short docs still participate (an empty array gives
+    [""] — callers that must exclude blank docs filter on the TOKEN
+    count, not the shingle count).
+
+    Construction note (same rationale as ``ngrams_from_tokens``): the
+    grams come from ``arrays_zip`` of k shifted slices, with the
+    transform lambda touching only its element variable. An
+    index-based ``slice(toks, i, k)`` inside the lambda re-evaluates
+    the captured ``toks`` expression PER ELEMENT — when CollapseProject
+    inlines the tokenizer, that re-splits the whole document once per
+    shingle. As zip arguments the slices evaluate once per ROW.
+    """
+    m = F.size(toks) - (k - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(toks, j + 1, m).alias(f"_g{j}") for j in range(k)]
+    )
+    grams = F.transform(
+        zipped,
+        lambda s: F.concat_ws(" ", *[s[f"_g{j}"] for j in range(k)]),
+    )
+    full = F.when(F.size(toks) >= k, grams).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+    return F.array_distinct(full)
+
+
 def shingles(text_col: Column | str, k: int = 3) -> Column:
     """Distinct k-token shingles of a text column (array<string>).
 
@@ -72,13 +102,7 @@ def shingles(text_col: Column | str, k: int = 3) -> Column:
     one shingle so short docs still participate.
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = tokens(c)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
-    return F.array_distinct(grams)
+    return shingles_from_tokens(tokens(c), k)
 
 
 def _shingle_hash(s: Column) -> Column:
@@ -1602,14 +1626,19 @@ def containment_join(
     .5-boundary class).
     """
     src = ensure_min_partitions(df.select(id_col, text_col))
+    # Tokenize ONCE, then filter and shingle from the token array.
     # Token-less (blank/NULL-text) docs are EXCLUDED: shingles() gives
     # them the single phantom shingle [""], whose containment in any
     # other blank doc is trivially 1.0 — m blank rows would emit
     # m·(m-1) pairs and hand the "" shingle a hot key the rarity
     # ordering cannot park (it is the doc's only shingle).
-    sh = src.filter(F.size(tokens(F.col(text_col))) > 0).select(
-        F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), k).alias("_sh"),
+    sh = (
+        src.select(
+            F.col(id_col).alias("_id"),
+            tokens(F.col(text_col)).alias("_tk"),
+        )
+        .filter(F.size("_tk") > 0)
+        .select("_id", shingles_from_tokens(F.col("_tk"), k).alias("_sh"))
     )
 
     rows = sh.select("_id", F.explode("_sh").alias("_str")).select(
