@@ -574,8 +574,13 @@ def sparse_nn_tfidf(
     """
     from pyspark.sql import Window
 
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        ensure_min_partitions,
+    )
+
     n_docs = df.count()
-    toks = df.select(
+    src = ensure_min_partitions(df.select(id_col, text_col))
+    toks = src.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_tk")
     ).select(
         F.col(id_col),
@@ -598,6 +603,12 @@ def sparse_nn_tfidf(
             ).alias("_w"),
         )
     )
+    # Three consumers (both join sides + norms) read the postings;
+    # without this the explode+window lineage executes three times —
+    # the self-join's two sides do not share an exchange (different
+    # aliases) and norms re-partitions by _id. At warehouse scale the
+    # equivalent is materializing the postings to a table once.
+    posting = posting.localCheckpoint(eager=False)
     norms = posting.groupBy("_id").agg(
         F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_norm")
     )
