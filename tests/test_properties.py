@@ -332,3 +332,97 @@ def test_session_window_matches_gaps_model(spark_global, events):
             prev = t
         want[(user, str(start))] = (str(prev + gap), n)
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=0, max_size=12
+        ).map(lambda cs: " ".join(cs)),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.5, 0.8]),
+)
+def test_containment_join_matches_model(spark_global, docs, threshold):
+    """Exactness law: the prefix-filtered containment join must agree
+    with the Python all-ordered-pairs model (3-token shingle sets with
+    the whole-sequence short-doc fallback; token-less docs excluded)
+    on arbitrary corpora and thresholds."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        containment_join,
+    )
+
+    df = spark_global.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_join(df, threshold=threshold).collect()
+    }
+
+    def sh(text):
+        toks = text.split()
+        if not toks:
+            return None
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: sh(t) for i, t in enumerate(docs)}
+    want = {}
+    for i, sa in sets.items():
+        for j, sb in sets.items():
+            if i == j or sa is None or sb is None:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= threshold:
+                want[(i, j)] = c
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=60
+    )
+)
+def test_countmin_matches_python_model(spark_global, keys):
+    """The CMS estimate must equal the Python model of the identical
+    md5 counter grid (d=4, w=64) — and never underestimate."""
+    import hashlib
+    from collections import Counter
+
+    from gcp_food_delivery_data_pipeline_spark.operators.rollup import (
+        countmin_profile,
+    )
+
+    d, w, k = 4, 64, 10
+    df = spark_global.createDataFrame([(x,) for x in keys], ["user_id"])
+    got = {
+        r.user_id: (r.n_exact, r.n_est, r.est_ok)
+        for r in countmin_profile(df, d=d, w=w, k=k).collect()
+    }
+
+    exact = Counter(keys)
+
+    def bucket(r, key):
+        h = hashlib.md5(f"{r}:{key}".encode()).hexdigest()[:8]
+        return int(h, 16) % w
+
+    counters = {}
+    for key, n in exact.items():
+        for r in range(d):
+            b = bucket(r, key)
+            counters[(r, b)] = counters.get((r, b), 0) + n
+    want_full = {
+        key: (
+            n,
+            min(counters[(r, bucket(r, key))] for r in range(d)),
+        )
+        for key, n in exact.items()
+    }
+    top = sorted(want_full.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+    want = {key: (n, est, est >= n) for key, (n, est) in top}
+    assert got == want
