@@ -311,10 +311,20 @@ def ngram_contamination(
     # benchmark grams for coin-flip odds; the string-exact oracle gate
     # pins the result.
     def gram_hashes(col: Column) -> Column:
+        # arrays_zip of n shifted slices (the shingles_from_tokens
+        # construction): the tokenizer and the slices evaluate once
+        # per ROW; an index-based slice(toks, i, n) inside the lambda
+        # re-evaluates the captured toks expression per GRAM.
         toks = tokens(col)
+        m = F.size(toks) - (n - 1)
+        zipped = F.arrays_zip(
+            *[F.slice(toks, j + 1, m).alias(f"_g{j}") for j in range(n)]
+        )
         hs = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.xxhash64(F.slice(toks, i, n)),
+            zipped,
+            lambda s: F.xxhash64(
+                F.array(*[s[f"_g{j}"] for j in range(n)])
+            ),
         )
         return F.when(F.size(toks) >= n, F.array_distinct(hs)).otherwise(
             F.array().cast("array<bigint>")
