@@ -89,13 +89,16 @@ def pagerank(
                 + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
             ).alias("rank"),
         )
-        # Checkpoint every 2nd round (and the last): lineage stays
-        # bounded at <= 2 join+agg rounds, but the loop pays half the
-        # materializations of the original per-round eager checkpoint
-        # (round-5 profiling: 10x checkpoint cost dominated the wall
-        # time at small SF). Checkpoint frequency never changes the
-        # arithmetic — only where the plan is cut.
-        if it % 2 == 1 or it == iterations - 1:
+        # Checkpoint every 3rd round (and the last): lineage stays
+        # bounded at <= 3 join+agg rounds, but the loop pays a third
+        # of the materializations of the original per-round eager
+        # checkpoint (round-5 profiling: 10x checkpoint cost dominated
+        # the wall time at small SF; cadence sweep this round measured
+        # 2/3/5 within noise of each other and 10 — no checkpoints
+        # until the end — slower again from plan-depth analysis cost).
+        # Checkpoint frequency never changes the arithmetic — only
+        # where the plan is cut.
+        if it % 3 == 2 or it == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
