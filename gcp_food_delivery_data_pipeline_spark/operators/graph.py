@@ -191,7 +191,7 @@ def label_propagation(
     from pyspark.sql import Window
 
     prev = labels
-    for _ in range(iterations):
+    for it in range(iterations):
         counts = (
             e.join(labels, e["_s"] == labels["node"])
             .select(F.col("_d").alias("node"), "label")
@@ -210,13 +210,14 @@ def label_propagation(
         # the carry-over is a single left join against the round's
         # winners
         prev = labels
-        labels = (
-            labels.join(best, "node", "left")
-            .select(
-                "node", F.coalesce("_new", "label").alias("label")
-            )
-            .localCheckpoint(eager=True)
+        labels = labels.join(best, "node", "left").select(
+            "node", F.coalesce("_new", "label").alias("label")
         )
+        # Same cadence trade as ``pagerank``: cut the plan every 3rd
+        # round (and the last) instead of materializing every round —
+        # identical labels, fewer eager jobs.
+        if it % 3 == 2 or it == iterations - 1:
+            labels = labels.localCheckpoint(eager=True)
     if keep_prev:
         # Stability-probe shape: expose round N-1's label next to
         # round N's so `label <> prev_label` counts the nodes still
@@ -259,22 +260,23 @@ def kcore(
         raise ValueError("kcore: need at least one round")
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     e = e.localCheckpoint(eager=True)
-    for _ in range(rounds):
+    for rnd in range(rounds):
         keep = (
             e.groupBy("_s")
             .agg(F.count(F.lit(1)).alias("_deg"))
             .filter(F.col("_deg") >= k)
             .select(F.col("_s").alias("_keep"))
         )
-        e = (
-            e.join(keep, e["_s"] == keep["_keep"], "left_semi")
-            .join(
-                keep.select(F.col("_keep").alias("_keep2")),
-                F.col("_d") == F.col("_keep2"),
-                "left_semi",
-            )
-            .localCheckpoint(eager=True)
+        e = e.join(keep, e["_s"] == keep["_keep"], "left_semi").join(
+            keep.select(F.col("_keep").alias("_keep2")),
+            F.col("_d") == F.col("_keep2"),
+            "left_semi",
         )
+        # Same cadence trade as ``pagerank``: cut the plan every 3rd
+        # round (and the last) — identical survivors, a third of the
+        # eager materializations across the 12-round peel.
+        if rnd % 3 == 2 or rnd == rounds - 1:
+            e = e.localCheckpoint(eager=True)
     return (
         e.groupBy(F.col("_s").alias("node"))
         .agg(F.count(F.lit(1)).alias("degree"))
@@ -328,9 +330,11 @@ def bfs_distances(
         new_nodes = reached.join(
             settled.select("node"), "node", "left_anti"
         ).select("node", F.lit(hop).alias("dist"))
-        settled = settled.unionByName(new_nodes).localCheckpoint(
-            eager=True
-        )
+        settled = settled.unionByName(new_nodes)
+        # Same cadence trade as ``pagerank``: cut the plan every 3rd
+        # hop (and the last) — identical distances, fewer eager jobs.
+        if hop % 3 == 0 or hop == max_hops:
+            settled = settled.localCheckpoint(eager=True)
         frontier = settled.filter(F.col("dist") == hop).select("node")
     return settled
 
