@@ -191,7 +191,7 @@ def label_propagation(
     from pyspark.sql import Window
 
     prev = labels
-    for it in range(iterations):
+    for _ in range(iterations):
         counts = (
             e.join(labels, e["_s"] == labels["node"])
             .select(F.col("_d").alias("node"), "label")
@@ -210,14 +210,19 @@ def label_propagation(
         # the carry-over is a single left join against the round's
         # winners
         prev = labels
-        labels = labels.join(best, "node", "left").select(
-            "node", F.coalesce("_new", "label").alias("label")
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node", F.coalesce("_new", "label").alias("label")
+            )
+            # Unlike ``pagerank`` (whose rank state is read ONCE per
+            # round), labels is read twice per round — by the
+            # neighbor-count join AND the carry-over join — so the
+            # per-round checkpoint also deduplicates that double
+            # evaluation, not just trims lineage. An A/B cadence
+            # sweep measured every-3rd-round strictly slower here.
+            .localCheckpoint(eager=True)
         )
-        # Same cadence trade as ``pagerank``: cut the plan every 3rd
-        # round (and the last) instead of materializing every round —
-        # identical labels, fewer eager jobs.
-        if it % 3 == 2 or it == iterations - 1:
-            labels = labels.localCheckpoint(eager=True)
     if keep_prev:
         # Stability-probe shape: expose round N-1's label next to
         # round N's so `label <> prev_label` counts the nodes still
@@ -260,23 +265,27 @@ def kcore(
         raise ValueError("kcore: need at least one round")
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     e = e.localCheckpoint(eager=True)
-    for rnd in range(rounds):
+    for _ in range(rounds):
         keep = (
             e.groupBy("_s")
             .agg(F.count(F.lit(1)).alias("_deg"))
             .filter(F.col("_deg") >= k)
             .select(F.col("_s").alias("_keep"))
         )
-        e = e.join(keep, e["_s"] == keep["_keep"], "left_semi").join(
-            keep.select(F.col("_keep").alias("_keep2")),
-            F.col("_d") == F.col("_keep2"),
-            "left_semi",
+        e = (
+            e.join(keep, e["_s"] == keep["_keep"], "left_semi")
+            .join(
+                keep.select(F.col("_keep").alias("_keep2")),
+                F.col("_d") == F.col("_keep2"),
+                "left_semi",
+            )
+            # e is read twice per round (degree agg + the join), so
+            # the per-round checkpoint deduplicates that double
+            # evaluation as well as trimming lineage — the sparser
+            # cadence that pays off in ``pagerank`` (single-reader
+            # rank state) measured slower for this loop shape.
+            .localCheckpoint(eager=True)
         )
-        # Same cadence trade as ``pagerank``: cut the plan every 3rd
-        # round (and the last) — identical survivors, a third of the
-        # eager materializations across the 12-round peel.
-        if rnd % 3 == 2 or rnd == rounds - 1:
-            e = e.localCheckpoint(eager=True)
     return (
         e.groupBy(F.col("_s").alias("node"))
         .agg(F.count(F.lit(1)).alias("degree"))
@@ -330,11 +339,13 @@ def bfs_distances(
         new_nodes = reached.join(
             settled.select("node"), "node", "left_anti"
         ).select("node", F.lit(hop).alias("dist"))
-        settled = settled.unionByName(new_nodes)
-        # Same cadence trade as ``pagerank``: cut the plan every 3rd
-        # hop (and the last) — identical distances, fewer eager jobs.
-        if hop % 3 == 0 or hop == max_hops:
-            settled = settled.localCheckpoint(eager=True)
+        # settled is read three times per hop (anti-join, union,
+        # frontier filter), so the per-hop checkpoint deduplicates
+        # that triple evaluation as well as trimming lineage — see
+        # the cadence note in ``pagerank``/``label_propagation``.
+        settled = settled.unionByName(new_nodes).localCheckpoint(
+            eager=True
+        )
         frontier = settled.filter(F.col("dist") == hop).select("node")
     return settled
 
