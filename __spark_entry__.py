@@ -2896,6 +2896,145 @@ def _q_cms_counts(spark: SparkSession, sf: str) -> DataFrame:
     return countmin_profile(load_table(spark, sf, "events"))
 
 
+def _q_kmv_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV distinct sketches with SET OPERATIONS: pairwise
+    distinct-union and Jaccard-overlap estimates of per-event-type
+    user sets, computed from k=128-value sketches — never by joining
+    the raw sets pairwise. Exact values ride along from the same
+    hashed stream, so the sketch error is visible in-row; md5-prefix
+    hashing makes every estimate bit-identical in the oracle."""
+    from gcp_food_delivery_data_pipeline_spark.operators.rollup import (
+        kmv_overlap,
+    )
+
+    return kmv_overlap(
+        load_table(spark, sf, "events"), "event_type", "user_id", k=128
+    )
+
+
+def _kmv_oracle_sql(k: int = 128) -> str:
+    """DuckDB twin of _q_kmv_overlap: identical md5-prefix hashes,
+    identical per-group and per-pair top-k windows, identical
+    (k-1)*H/h_k estimator arithmetic (H = 16^15 = 2^60, exact in
+    double)."""
+    hs = repr(float(16**15))
+    return (
+        "WITH hashed AS (SELECT DISTINCT event_type AS g, "
+        "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) "
+        "AS BIGINT) AS h FROM events), "
+        "sk AS (SELECT g, h FROM (SELECT g, h, row_number() OVER "
+        "(PARTITION BY g ORDER BY h) AS rn FROM hashed) "
+        f"WHERE rn <= {k}), "
+        "gs AS (SELECT DISTINCT g FROM sk), "
+        "gp AS (SELECT a.g AS g_a, b.g AS g_b FROM gs a, gs b "
+        "WHERE a.g < b.g), "
+        "u AS (SELECT g_a, g_b, h, max(in_a) AS in_a, max(in_b) AS in_b "
+        "FROM (SELECT gp.g_a, gp.g_b, sk.h, 1 AS in_a, 0 AS in_b "
+        "FROM gp JOIN sk ON sk.g = gp.g_a "
+        "UNION ALL "
+        "SELECT gp.g_a, gp.g_b, sk.h, 0 AS in_a, 1 AS in_b "
+        "FROM gp JOIN sk ON sk.g = gp.g_b) "
+        "GROUP BY g_a, g_b, h), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY g_a, g_b "
+        "ORDER BY h) AS rn FROM u), "
+        "e AS (SELECT g_a, g_b, CAST(count(*) AS BIGINT) AS union_exact, "
+        "CAST(sum(in_a * in_b) AS BIGINT) AS inter_exact, "
+        f"max(CASE WHEN rn = {k} THEN h END) AS kth, "
+        f"sum(CASE WHEN rn <= {k} THEN 1 ELSE 0 END) AS n_cut, "
+        f"sum(CASE WHEN rn <= {k} THEN in_a * in_b ELSE 0 END) AS n_both "
+        "FROM r GROUP BY g_a, g_b) "
+        "SELECT g_a, g_b, union_exact, inter_exact, "
+        "round(inter_exact / union_exact, 6) AS jaccard_exact, "
+        f"CASE WHEN n_cut < {k} THEN union_exact ELSE "
+        f"CAST(round({k - 1}.0 * {hs} / CAST(kth AS DOUBLE)) AS BIGINT) "
+        "END AS union_est, "
+        "round(n_both / n_cut, 6) AS jaccard_kmv "
+        "FROM e ORDER BY g_a, g_b"
+    )
+
+
+def _q_bloom_semijoin(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter semi-join (the runtime-filter pattern): orders
+    probe a 4096-bit filter built over high-balance customers — the
+    membership test is plan-literal bit arithmetic, zero probe-side
+    shuffle — then the exact semi-join count rides along per order
+    status so the (deterministic) false-positive overshoot and the
+    never-miss invariant are both pinned."""
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        bloom_semijoin,
+    )
+
+    t = _tables(spark, sf, "customer", "orders")
+    build = t["customer"].filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey"
+    )
+    passed = bloom_semijoin(
+        t["orders"], build, "o_custkey", "c_custkey",
+        m_bits=4096, n_hashes=3,
+    )
+    exact = t["orders"].join(
+        build,
+        t["orders"]["o_custkey"] == build["c_custkey"],
+        "left_semi",
+    )
+    b = passed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_bloom")
+    )
+    e = exact.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return (
+        b.join(e, "o_orderstatus", "left")
+        .select(
+            "o_orderstatus",
+            "n_bloom",
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            (F.col("n_bloom") >= F.coalesce("n_exact", F.lit(0))).alias(
+                "superset_ok"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _bloom_oracle_sql(m: int = 4096, h: int = 3) -> str:
+    """DuckDB twin of _q_bloom_semijoin: a bit is set in the filter
+    iff SOME build key hashes to that position under SOME salt, so
+    the bitmap probe is equivalent to h IN-subquery membership tests
+    against the distinct build-position set."""
+
+    def pos(expr: str, r: int) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(concat('{r}:', "
+            f"CAST({expr} AS VARCHAR))), 1, 8)) AS BIGINT) % {m}"
+        )
+
+    bpos = " UNION ".join(
+        f"SELECT {pos('c_custkey', r)} AS pos FROM build"
+        for r in range(h)
+    )
+    conds = " AND ".join(
+        f"({pos('o_custkey', r)}) IN (SELECT pos FROM bpos)"
+        for r in range(h)
+    )
+    return (
+        "WITH build AS (SELECT DISTINCT c_custkey FROM customer "
+        "WHERE c_acctbal > 9000), "
+        f"bpos AS ({bpos}), "
+        f"bloomed AS (SELECT o_orderstatus FROM orders WHERE {conds}), "
+        "ex AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) "
+        "AS n_exact FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM build) GROUP BY o_orderstatus), "
+        "bl AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) "
+        "AS n_bloom FROM bloomed GROUP BY o_orderstatus) "
+        "SELECT bl.o_orderstatus, bl.n_bloom, "
+        "COALESCE(ex.n_exact, 0) AS n_exact, "
+        "bl.n_bloom >= COALESCE(ex.n_exact, 0) AS superset_ok "
+        "FROM bl LEFT JOIN ex ON bl.o_orderstatus = ex.o_orderstatus "
+        "ORDER BY bl.o_orderstatus"
+    )
+
+
 def _q_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Distinct-count rollup WITHOUT raw re-scan: per-(type, day) HLL
     sketches union up to per-type distinct-user estimates. Distinct is
@@ -3495,6 +3634,8 @@ _GRADE_FIRST = [
     "t_distinctive_terms",
     "d_containment",
     "q_cms_counts",
+    "q_kmv_overlap",
+    "q_bloom_semijoin",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -3737,6 +3878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_rollup": _q_incremental_rollup,
         "q_sketch_rollup": _q_sketch_rollup,
         "q_cms_counts": _q_cms_counts,
+        "q_kmv_overlap": _q_kmv_overlap,
+        "q_bloom_semijoin": _q_bloom_semijoin,
         "t_repetition": _q_repetition,
         "s_media_source": _q_media_source,
         "q_unpivot": _q_unpivot,
@@ -6049,6 +6192,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')"
         ),
         "q_cms_counts": _cms_oracle_sql(4, 1024, 20),
+        "q_kmv_overlap": _kmv_oracle_sql(128),
+        "q_bloom_semijoin": _bloom_oracle_sql(4096, 3),
         "q_sketch_rollup": (
             "SELECT event_type, count(DISTINCT user_id) AS n_exact_users, "
             "TRUE AS rollup_ok FROM events GROUP BY event_type"

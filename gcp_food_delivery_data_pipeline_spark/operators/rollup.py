@@ -210,3 +210,131 @@ def countmin_profile(
         .orderBy(F.col("n_exact").desc(), F.col(key_col))
         .limit(k)
     )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """K-Minimum-Values distinct sketches (Beyer et al., SIGMOD 2007)
+    with SET OPERATIONS on the sketches: for every pair of groups,
+    estimate the distinct-union size and the Jaccard overlap of their
+    item sets from k-sized sketches — never from the raw sets.
+
+    Per group the sketch is the ``k`` smallest values of a uniform
+    item hash; for a group with n >= k distinct items the classic
+    estimator is ``(k-1) * H / h_k`` (``H`` = hash-space size, ``h_k``
+    = the k-th smallest hash), and with n < k the sketch IS the set,
+    so the estimate is exact. For a PAIR, the k smallest of the merged
+    sketches form a valid sketch of the UNION, and the fraction of
+    those union-sketch members present in both sides estimates the
+    Jaccard coefficient — the resemblance estimator LSH schemes build
+    on, here exact-by-construction over the sketch.
+
+    Scale shape (100 TB): one combinable ``distinct`` shuffle over
+    (group, item), one per-group top-k window (state: k rows per
+    group), and every pairwise operation runs over sketch rows only —
+    G^2 * k rows for G groups, independent of corpus size. The raw
+    item sets are never joined pairwise. The hash is the
+    engine-portable md5-prefix (15 hex chars -> [0, 16^15)), so every
+    estimate is bit-identical in any engine — which is what lets the
+    SQL oracle check the ESTIMATES themselves, not a tolerance band.
+
+    Returns one row per unordered group pair (g_a < g_b):
+    ``(g_a, g_b, union_exact, inter_exact, jaccard_exact,
+    union_est, jaccard_kmv)`` — exact values computed from the same
+    hashed distinct stream (collision probability ~n^2/2^60), so the
+    sketch error is measurable in-row.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"kmv_overlap: k must be >= 2, got {k}")
+    hash_space = float(16**15)
+    h = F.conv(
+        F.substring(F.md5(F.col(item_col).cast("string")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    hashed = (
+        df.select(
+            F.col(group_col).alias("_g"), h.alias("_h")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("_g").orderBy("_h")
+    sk = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("_g", "_h")
+    )
+    groups = sk.select("_g").distinct()
+    gp = (
+        groups.select(F.col("_g").alias("g_a"))
+        .crossJoin(
+            F.broadcast(groups.select(F.col("_g").alias("g_b")))
+        )
+        .filter(F.col("g_a") < F.col("g_b"))
+    )
+    # Membership-flagged union of the two sketches per pair: sketch
+    # rows fan out only to the (few) pairs their group belongs to.
+    side_a = gp.join(
+        sk, sk["_g"] == gp["g_a"]
+    ).select(
+        "g_a", "g_b", "_h",
+        F.lit(1).alias("_in_a"), F.lit(0).alias("_in_b"),
+    )
+    side_b = gp.join(
+        sk, sk["_g"] == gp["g_b"]
+    ).select(
+        "g_a", "g_b", "_h",
+        F.lit(0).alias("_in_a"), F.lit(1).alias("_in_b"),
+    )
+    u = (
+        side_a.unionByName(side_b)
+        .groupBy("g_a", "g_b", "_h")
+        .agg(
+            F.max("_in_a").alias("_in_a"),
+            F.max("_in_b").alias("_in_b"),
+        )
+    )
+    wk = Window.partitionBy("g_a", "g_b").orderBy("_h")
+    ranked = u.withColumn("_rn", F.row_number().over(wk))
+    in_cut = F.col("_rn") <= k
+    kth = F.max(F.when(F.col("_rn") == k, F.col("_h")))
+    n_cut = F.sum(F.when(in_cut, 1).otherwise(0))
+    n_both_cut = F.sum(
+        F.when(in_cut, F.col("_in_a") * F.col("_in_b")).otherwise(0)
+    )
+    est = ranked.groupBy("g_a", "g_b").agg(
+        F.count(F.lit(1)).alias("union_exact"),
+        F.sum(F.col("_in_a") * F.col("_in_b")).alias("inter_exact"),
+        kth.alias("_kth"),
+        n_cut.alias("_n_cut"),
+        n_both_cut.alias("_n_both"),
+    )
+    return est.select(
+        "g_a",
+        "g_b",
+        "union_exact",
+        "inter_exact",
+        F.round(
+            F.col("inter_exact") / F.col("union_exact"), 6
+        ).alias("jaccard_exact"),
+        F.when(
+            F.col("_n_cut") < k, F.col("union_exact")
+        )
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1))
+                * F.lit(hash_space)
+                / F.col("_kth").cast("double")
+            ).cast("long")
+        )
+        .alias("union_est"),
+        F.round(F.col("_n_both") / F.col("_n_cut"), 6).alias(
+            "jaccard_kmv"
+        ),
+    ).orderBy("g_a", "g_b")

@@ -296,3 +296,113 @@ def hilbert_key(
         )
 
     return F.aggregate(levels, init, step)["d"]
+
+
+def bloom_bitmap(
+    build: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 3,
+) -> list[int]:
+    """Build a Bloom filter over the distinct keys of ``build`` and
+    return it as ``m_bits / 64`` little-endian long words — the
+    driver-sized artifact (8 KiB at the default m) that
+    ``bloom_semijoin`` embeds into the probe plan as literals.
+
+    This is the runtime-filter pattern Spark itself applies to
+    broadcast joins (InjectRuntimeFilter): reduce the build side to a
+    constant-size bitmap on the driver, then push the membership test
+    into the probe scan so non-matching rows die BEFORE any shuffle.
+    The collect here is bounded by m_bits regardless of build-side
+    row count — the build side is aggregated to distinct bit
+    positions (at most m_bits rows) before anything reaches the
+    driver.
+
+    Bit positions use the engine-portable row-salted md5-prefix
+    family (salt r in [0, n_hashes)), so any engine derives the
+    identical bitmap and the identical pass/fail per probe key.
+    """
+    if m_bits % 64:
+        raise ValueError(
+            f"bloom_bitmap: m_bits must be a multiple of 64, got {m_bits}"
+        )
+    if n_hashes < 1:
+        raise ValueError(
+            f"bloom_bitmap: need at least one hash, got {n_hashes}"
+        )
+    pos_cols = [
+        _bloom_pos(key_col, r, m_bits) for r in range(n_hashes)
+    ]
+    positions = (
+        build.select(
+            F.explode(F.array(*pos_cols)).alias("_pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for row in positions:
+        p = row["_pos"]
+        words[p // 64] |= 1 << (p % 64)
+    # fold into signed-64 range so the literals round-trip any engine
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def _bloom_pos(key_col: str, salt: int, m_bits: int) -> Column:
+    """Bit position of ``key_col`` under hash row ``salt`` — the same
+    md5-prefix family as ``countmin_profile``/``kmv_overlap``."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}:"), F.col(key_col).cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % m_bits).cast("int")
+
+
+def bloom_semijoin(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_col: str,
+    build_col: str,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Approximate semi-join: keep the probe rows whose key passes a
+    Bloom-filter membership test against the build side's key set —
+    a deterministic SUPERSET of the exact semi-join (false positives
+    possible at ~(1 - e^{-hn/m})^h, false negatives never).
+
+    The filter rides the plan as ``m_bits/64`` literal long words, so
+    the probe side needs ZERO shuffle and ZERO join: the membership
+    test is pure whole-stage-codegen bit arithmetic
+    (``word[pos / 64] >> (pos % 64)) & 1`` per hash row), exactly the
+    shape of an engine's pushed-down runtime filter. At 100 TB this
+    is the difference between shuffling the probe table into a join
+    and streaming it through a scan-local predicate; the exact join
+    (if required) then runs over the pre-filtered survivor stream.
+    """
+    words = bloom_bitmap(build, build_col, m_bits, n_hashes)
+    warr = F.array(*[F.lit(w) for w in words])
+    # single-bit masks as literals (shiftleft takes only a Python
+    # int for the distance, so the variable shift is a lookup)
+    masks = [1 << i for i in range(64)]
+    masks = [m - (1 << 64) if m >= (1 << 63) else m for m in masks]
+    marr = F.array(*[F.lit(m) for m in masks])
+    checks = []
+    for r in range(n_hashes):
+        pos = _bloom_pos(probe_col, r, m_bits)
+        word = F.element_at(warr, F.floor(pos / 64).cast("int") + 1)
+        mask = F.element_at(marr, (pos % 64) + 1)
+        checks.append(word.bitwiseAND(mask) != 0)
+    passed = checks[0]
+    for c in checks[1:]:
+        passed = passed & c
+    return probe.filter(passed)

@@ -136,3 +136,52 @@ def test_countmin_never_underestimates_and_bounds(spark):
     # CMS bound: overestimate <= total additional mass in the bucket
     for r in out:
         assert r.n_est <= total
+
+
+def test_kmv_overlap_exact_below_k_and_estimates(spark):
+    """With n < k the sketch IS the set: union_est == union_exact and
+    jaccard_kmv == jaccard_exact for every pair; with k clamped tiny
+    the estimator still lands within its ~1/sqrt(k) band on a
+    structured overlap."""
+    from gcp_food_delivery_data_pipeline_spark.operators.rollup import (
+        kmv_overlap,
+    )
+
+    rows = (
+        [("a", i) for i in range(40)]
+        + [("b", i) for i in range(20, 60)]   # |a ∩ b| = 20, |a ∪ b| = 60
+        + [("c", i) for i in range(100, 110)]  # disjoint from a and b
+    )
+    df = spark.createDataFrame(rows, ["grp", "item"])
+    out = {
+        (r.g_a, r.g_b): r
+        for r in kmv_overlap(df, "grp", "item", k=128).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert ab.union_exact == 60 and ab.inter_exact == 20
+    assert ab.union_est == 60  # n < k: sketch is exact
+    assert ab.jaccard_kmv == ab.jaccard_exact
+    ac = out[("a", "c")]
+    assert ac.inter_exact == 0 and ac.jaccard_kmv == 0.0
+    # k smaller than the sets: estimator path engages
+    small = {
+        (r.g_a, r.g_b): r
+        for r in kmv_overlap(df, "grp", "item", k=16).collect()
+    }
+    ab16 = small[("a", "b")]
+    assert 0 < ab16.jaccard_kmv < 1
+    # |union|=60, k=16 -> sigma ~ 60/4; allow 3 sigma
+    assert abs(ab16.union_est - 60) <= 45
+
+
+def test_kmv_overlap_rejects_tiny_k(spark):
+    import pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.rollup import (
+        kmv_overlap,
+    )
+
+    df = spark.createDataFrame([("a", 1)], ["grp", "item"])
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        kmv_overlap(df, "grp", "item", k=1)

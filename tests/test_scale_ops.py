@@ -288,3 +288,68 @@ def test_hilbert_key_validates_bits(spark):
         hilbert_key("a", "b", bits=0)
     with _pytest.raises(ValueError, match="bits"):
         hilbert_key("a", "b", bits=32)
+
+
+def test_bloom_semijoin_superset_never_misses(spark):
+    """Every true semi-join row survives the Bloom filter (no false
+    negatives), survivors are a subset of the probe, and shrinking the
+    filter only ever ADDS rows (false positives), never drops one."""
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        bloom_semijoin,
+    )
+
+    probe = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(500)], ["k", "payload"]
+    )
+    build = spark.createDataFrame(
+        [(i,) for i in range(0, 500, 7)], ["bk"]
+    )
+    exact = {
+        r.k
+        for r in probe.join(
+            build, probe["k"] == build["bk"], "left_semi"
+        ).collect()
+    }
+    got = {
+        r.k
+        for r in bloom_semijoin(
+            probe, build, "k", "bk", m_bits=4096, n_hashes=3
+        ).collect()
+    }
+    assert exact <= got  # no false negatives, ever
+    tiny = {
+        r.k
+        for r in bloom_semijoin(
+            probe, build, "k", "bk", m_bits=64, n_hashes=2
+        ).collect()
+    }
+    assert exact <= tiny and got <= tiny  # smaller filter => superset
+
+
+def test_bloom_semijoin_probe_plan_is_join_free(spark):
+    """The membership test rides the probe plan as literal bit
+    arithmetic: the physical plan must contain NO join operator —
+    that zero-shuffle shape is the entire point of the pattern."""
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        bloom_semijoin,
+    )
+
+    probe = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    build = spark.createDataFrame([(3,), (5,)], ["bk"])
+    out = bloom_semijoin(probe, build, "k", "bk", m_bits=512, n_hashes=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_bloom_bitmap_validates_args(spark):
+    import pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        bloom_bitmap,
+    )
+
+    df = spark.createDataFrame([(1,)], ["k"])
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_bitmap(df, "k", m_bits=100)
+    with pytest.raises(ValueError, match="at least one hash"):
+        bloom_bitmap(df, "k", n_hashes=0)
