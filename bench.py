@@ -128,6 +128,8 @@ EXTRA_QUERIES = [
     "t_distinctive_terms",  # rate-ratio per-source keyword extraction
     "d_containment",        # prefix-filtered asymmetric containment
     "q_cms_counts",         # count-min sketch vs exact heavy hitters
+    "q_kmv_overlap",        # KMV sketch set-ops (union/Jaccard estimates)
+    "q_bloom_semijoin",     # plan-literal Bloom runtime-filter semi-join
 ]
 
 
