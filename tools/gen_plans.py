@@ -73,6 +73,17 @@ KEYS = {
         "OLS from sufficient statistics: ONE partial-aggregable "
         "exchange; the fit is a per-group scalar projection"
     ),
+    "q_kmv_overlap": (
+        "KMV set ops: one combinable distinct over (group, item), "
+        "per-group top-k window, and every pairwise op runs on "
+        "sketch rows only — raw sets are never joined pairwise"
+    ),
+    "q_bloom_semijoin": (
+        "Bloom runtime filter: the probe branch is scan + literal "
+        "bit-arithmetic Filter — no join, no exchange before the "
+        "survivor aggregation; the exact branch exists only for the "
+        "FP-overshoot comparison"
+    ),
 }
 
 
