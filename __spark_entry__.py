@@ -2916,7 +2916,9 @@ def _kmv_oracle_sql(k: int = 128) -> str:
     """DuckDB twin of _q_kmv_overlap: identical md5-prefix hashes,
     identical per-group and per-pair top-k windows, identical
     (k-1)*H/h_k estimator arithmetic (H = 16^15 = 2^60, exact in
-    double)."""
+    double). The exact companions are TRUE set sizes: hash-keyed
+    co-occurrence counts + inclusion-exclusion, same as the Spark
+    operator."""
     hs = repr(float(16**15))
     return (
         "WITH hashed AS (SELECT DISTINCT event_type AS g, "
@@ -2928,6 +2930,10 @@ def _kmv_oracle_sql(k: int = 128) -> str:
         "gs AS (SELECT DISTINCT g FROM sk), "
         "gp AS (SELECT a.g AS g_a, b.g AS g_b FROM gs a, gs b "
         "WHERE a.g < b.g), "
+        "sizes AS (SELECT g, count(*) AS n FROM hashed GROUP BY g), "
+        "ix AS (SELECT x.g AS g_a, y.g AS g_b, count(*) AS c "
+        "FROM hashed x JOIN hashed y ON x.h = y.h AND x.g < y.g "
+        "GROUP BY x.g, y.g), "
         "u AS (SELECT g_a, g_b, h, max(in_a) AS in_a, max(in_b) AS in_b "
         "FROM (SELECT gp.g_a, gp.g_b, sk.h, 1 AS in_a, 0 AS in_b "
         "FROM gp JOIN sk ON sk.g = gp.g_a "
@@ -2937,19 +2943,25 @@ def _kmv_oracle_sql(k: int = 128) -> str:
         "GROUP BY g_a, g_b, h), "
         "r AS (SELECT *, row_number() OVER (PARTITION BY g_a, g_b "
         "ORDER BY h) AS rn FROM u), "
-        "e AS (SELECT g_a, g_b, CAST(count(*) AS BIGINT) AS union_exact, "
-        "CAST(sum(in_a * in_b) AS BIGINT) AS inter_exact, "
+        "e AS (SELECT g_a, g_b, "
         f"max(CASE WHEN rn = {k} THEN h END) AS kth, "
         f"sum(CASE WHEN rn <= {k} THEN 1 ELSE 0 END) AS n_cut, "
         f"sum(CASE WHEN rn <= {k} THEN in_a * in_b ELSE 0 END) AS n_both "
-        "FROM r GROUP BY g_a, g_b) "
-        "SELECT g_a, g_b, union_exact, inter_exact, "
+        "FROM r GROUP BY g_a, g_b), "
+        "xct AS (SELECT gp.g_a, gp.g_b, "
+        "CAST(coalesce(ix.c, 0) AS BIGINT) AS inter_exact, "
+        "CAST(na.n + nb.n - coalesce(ix.c, 0) AS BIGINT) AS union_exact "
+        "FROM gp JOIN sizes na ON na.g = gp.g_a "
+        "JOIN sizes nb ON nb.g = gp.g_b "
+        "LEFT JOIN ix ON ix.g_a = gp.g_a AND ix.g_b = gp.g_b) "
+        "SELECT xct.g_a, xct.g_b, union_exact, inter_exact, "
         "round(inter_exact / union_exact, 6) AS jaccard_exact, "
         f"CASE WHEN n_cut < {k} THEN union_exact ELSE "
         f"CAST(round({k - 1}.0 * {hs} / CAST(kth AS DOUBLE)) AS BIGINT) "
         "END AS union_est, "
         "round(n_both / n_cut, 6) AS jaccard_kmv "
-        "FROM e ORDER BY g_a, g_b"
+        "FROM xct JOIN e ON e.g_a = xct.g_a AND e.g_b = xct.g_b "
+        "ORDER BY xct.g_a, xct.g_b"
     )
 
 

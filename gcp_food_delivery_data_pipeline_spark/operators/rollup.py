@@ -235,18 +235,24 @@ def kmv_overlap(
 
     Scale shape (100 TB): one combinable ``distinct`` shuffle over
     (group, item), one per-group top-k window (state: k rows per
-    group), and every pairwise operation runs over sketch rows only —
-    G^2 * k rows for G groups, independent of corpus size. The raw
-    item sets are never joined pairwise. The hash is the
-    engine-portable md5-prefix (15 hex chars -> [0, 16^15)), so every
-    estimate is bit-identical in any engine — which is what lets the
-    SQL oracle check the ESTIMATES themselves, not a tolerance band.
+    group), and every ESTIMATE runs over sketch rows only — G^2 * k
+    rows for G groups, independent of corpus size. The raw item sets
+    are never joined pairwise: the exact companion columns come from a
+    hash-KEYED self equi-join (items group only with the groups that
+    contain them — co-occurrence counting) plus inclusion-exclusion
+    ``|A ∪ B| = |A| + |B| - |A ∩ B|``, so the heavy side is one
+    equi-join shuffle proportional to corpus distinct size, never a
+    cross product. The hash is the engine-portable md5-prefix (15 hex
+    chars -> [0, 16^15)), so every estimate is bit-identical in any
+    engine — which is what lets the SQL oracle check the ESTIMATES
+    themselves, not a tolerance band.
 
     Returns one row per unordered group pair (g_a < g_b):
     ``(g_a, g_b, union_exact, inter_exact, jaccard_exact,
-    union_est, jaccard_kmv)`` — exact values computed from the same
-    hashed distinct stream (collision probability ~n^2/2^60), so the
-    sketch error is measurable in-row.
+    union_est, jaccard_kmv)`` — the ``*_exact`` columns are TRUE set
+    sizes computed from the full hashed distinct stream (collision
+    probability ~n^2/2^60), so the sketch error is measurable in-row
+    even when groups are far larger than k.
     """
     from pyspark.sql import Window
 
@@ -309,13 +315,49 @@ def kmv_overlap(
         F.when(in_cut, F.col("_in_a") * F.col("_in_b")).otherwise(0)
     )
     est = ranked.groupBy("g_a", "g_b").agg(
-        F.count(F.lit(1)).alias("union_exact"),
-        F.sum(F.col("_in_a") * F.col("_in_b")).alias("inter_exact"),
         kth.alias("_kth"),
         n_cut.alias("_n_cut"),
         n_both_cut.alias("_n_both"),
     )
-    return est.select(
+    # TRUE exact companions, without a pairwise raw-set join: items
+    # meet only the groups that contain them (hash-keyed equi-join =
+    # co-occurrence counting), and unions come from inclusion-
+    # exclusion over per-group distinct counts.
+    sizes = hashed.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    inter = (
+        hashed.alias("x")
+        .join(
+            hashed.alias("y"),
+            (F.col("x._h") == F.col("y._h"))
+            & (F.col("x._g") < F.col("y._g")),
+        )
+        .groupBy(
+            F.col("x._g").alias("g_a"), F.col("y._g").alias("g_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_ix"))
+    )
+    exact = (
+        gp.join(
+            F.broadcast(sizes.withColumnRenamed("_g", "g_a")), "g_a"
+        )
+        .withColumnRenamed("_n", "_n_a")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("_g", "g_b")), "g_b"
+        )
+        .withColumnRenamed("_n", "_n_b")
+        .join(F.broadcast(inter), ["g_a", "g_b"], "left")
+        .select(
+            "g_a",
+            "g_b",
+            F.coalesce(F.col("_ix"), F.lit(0)).alias("inter_exact"),
+            (
+                F.col("_n_a")
+                + F.col("_n_b")
+                - F.coalesce(F.col("_ix"), F.lit(0))
+            ).alias("union_exact"),
+        )
+    )
+    return exact.join(est, ["g_a", "g_b"]).select(
         "g_a",
         "g_b",
         "union_exact",

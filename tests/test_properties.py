@@ -426,3 +426,79 @@ def test_countmin_matches_python_model(spark_global, keys):
     top = sorted(want_full.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
     want = {key: (n, est, est >= n) for key, (n, est) in top}
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    sets=st.lists(
+        st.sets(st.integers(min_value=0, max_value=400), min_size=1, max_size=60),
+        min_size=2,
+        max_size=4,
+    ),
+    k=st.sampled_from([4, 16, 128]),
+)
+def test_kmv_overlap_matches_python_model(spark_global, sets, k):
+    """Estimator law: kmv_overlap must agree with a pure-Python KMV
+    model (same md5-prefix hash, same top-k cuts, same (k-1)*H/h_k
+    arithmetic) on arbitrary group/item sets and any k — exact columns
+    included."""
+    import hashlib
+
+    from gcp_food_delivery_data_pipeline_spark.operators.rollup import (
+        kmv_overlap,
+    )
+
+    rows = [
+        (f"g{i}", item) for i, items in enumerate(sets) for item in items
+    ]
+    df = spark_global.createDataFrame(rows, ["grp", "item"])
+    got = {
+        (r.g_a, r.g_b): (
+            r.union_exact,
+            r.inter_exact,
+            r.jaccard_exact,
+            r.union_est,
+            r.jaccard_kmv,
+        )
+        for r in kmv_overlap(df, "grp", "item", k=k).collect()
+    }
+
+    def h(item: int) -> int:
+        return int(hashlib.md5(str(item).encode()).hexdigest()[:15], 16)
+
+    H = float(16**15)
+    sketches = {
+        f"g{i}": sorted({h(x) for x in items})[:k]
+        for i, items in enumerate(sets)
+    }
+    expected = {}
+    for a in sorted(sketches):
+        for b in sorted(sketches):
+            if a >= b:
+                continue
+            ha, hb = set(sketches[a]), set(sketches[b])
+            union_hashes = sorted(
+                {h(x) for x in sets[int(a[1:])]}
+                | {h(x) for x in sets[int(b[1:])]}
+            )
+            union_exact = len(union_hashes)
+            inter_exact = len(
+                {h(x) for x in sets[int(a[1:])]}
+                & {h(x) for x in sets[int(b[1:])]}
+            )
+            merged = sorted(ha | hb)
+            cut = merged[:k]
+            n_cut = len(cut)
+            n_both = sum(1 for x in cut if x in ha and x in hb)
+            if n_cut < k:
+                union_est = union_exact
+            else:
+                union_est = int(round((k - 1) * H / cut[-1]))
+            expected[(a, b)] = (
+                union_exact,
+                inter_exact,
+                round(inter_exact / union_exact, 6),
+                union_est,
+                round(n_both / n_cut, 6),
+            )
+    assert got == expected
