@@ -130,6 +130,10 @@ EXTRA_QUERIES = [
     "q_cms_counts",         # count-min sketch vs exact heavy hitters
     "q_kmv_overlap",        # KMV sketch set-ops (union/Jaccard estimates)
     "q_bloom_semijoin",     # plan-literal Bloom runtime-filter semi-join
+    "q_psi_drift",          # decile-bin PSI drift monitor, midpoint split
+    "q_ks_drift",           # two-sample KS via dual-lane two-phase rank
+    "q_cusum_changepoint",  # integer micro-unit CUSUM peak scan
+    "q_seasonal_naive",     # hour-index lag joins, MASE seasonality test
 ]
 
 

@@ -184,6 +184,7 @@ def _global_ordered_rank_and_prefix(
     df: DataFrame,
     order_cols: list,
     val: Column,
+    val2: Column | None = None,
 ) -> DataFrame:
     """Two-phase distributed global rank + exclusive prefix sum over a
     total order: range-repartition on the order key, rank/prefix-sum
@@ -193,12 +194,17 @@ def _global_ordered_rank_and_prefix(
     ONE task; this shape keeps the sort distributed, and the result is
     identical regardless of where the range boundaries land because
     offsets come from actual partition totals. Appends ``_grank``
-    (1-based) and ``_gbefore`` (exclusive running sum of ``val``)."""
+    (1-based) and ``_gbefore`` (exclusive running sum of ``val``);
+    with ``val2`` a second prefix ``_gbefore2`` rides the SAME
+    repartition/sort (two parallel CDFs — e.g. a KS test — cost one
+    distributed sort, not two)."""
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     r = df.repartitionByRange(n_parts, *order_cols).withColumn(
         "_part", F.spark_partition_id()
-    ).withColumn("_val", val)
+    ).withColumn("_val", val).withColumn(
+        "_val2", val2 if val2 is not None else F.lit(0)
+    )
     # PIN one materialized partitioning: `r` is consumed by TWO
     # subtrees (local ranks and partition totals), and
     # repartitionByRange SAMPLES its boundaries — if the exchange is
@@ -218,9 +224,19 @@ def _global_ordered_rank_and_prefix(
             ),
             F.lit(0),
         ),
+    ).withColumn(
+        "_lbefore2",
+        F.coalesce(
+            F.sum("_val2").over(
+                w_local.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
     )
     totals = r.groupBy("_part").agg(
-        F.count(F.lit(1)).alias("_cnt"), F.sum("_val").alias("_tot")
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum("_val").alias("_tot"),
+        F.sum("_val2").alias("_tot2"),
     )
     # Exclusive prefix sums over ~#partitions rows (one per partition,
     # never data-sized) via a triangle join rather than a global-order
@@ -231,6 +247,7 @@ def _global_ordered_rank_and_prefix(
         F.col("_part").alias("_p2"),
         F.col("_cnt").alias("_c2"),
         F.col("_tot").alias("_t2"),
+        F.col("_tot2").alias("_t22"),
     )
     offsets = (
         totals.join(prior, F.col("_p2") < F.col("_part"), "left")
@@ -238,13 +255,21 @@ def _global_ordered_rank_and_prefix(
         .agg(
             F.coalesce(F.sum("_c2"), F.lit(0)).alias("_rank_off"),
             F.coalesce(F.sum("_t2"), F.lit(0)).alias("_sum_off"),
+            F.coalesce(F.sum("_t22"), F.lit(0)).alias("_sum_off2"),
         )
     )
-    return (
+    out = (
         local.join(F.broadcast(offsets), "_part")
         .withColumn("_grank", F.col("_lrank") + F.col("_rank_off"))
         .withColumn("_gbefore", F.col("_lbefore") + F.col("_sum_off"))
-        .drop("_part", "_val", "_lrank", "_lbefore", "_rank_off", "_sum_off")
+    )
+    if val2 is not None:
+        out = out.withColumn(
+            "_gbefore2", F.col("_lbefore2") + F.col("_sum_off2")
+        )
+    return out.drop(
+        "_part", "_val", "_val2", "_lrank", "_lbefore", "_lbefore2",
+        "_rank_off", "_sum_off", "_sum_off2",
     )
 
 

@@ -2524,3 +2524,300 @@ def q_ols_trend(orders: DataFrame) -> DataFrame:
         slope.alias("slope_per_day"),
         F.when(den != 0.0, (sy - slope * sx) / n).alias("intercept"),
     )
+
+
+def q_psi_drift(events: DataFrame, bins: int = 10) -> DataFrame:
+    """Population Stability Index per event type: how far the late
+    half of the stream's ``value`` distribution drifted from the early
+    half — THE production drift monitor for feature pipelines (PSI
+    < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 retrain).
+
+    Timeline split: integer-microsecond midpoint ``min + (max-min)
+    div 2`` — pure integer arithmetic, so the reference/current
+    boundary is bit-identical in any engine (a float midpoint of
+    ~1e15-microsecond epochs is NOT exactly representable).
+
+    Bin edges are the reference half's deciles, located by explicit
+    integer ranks ``ceil(j*n/bins)`` over a per-type (value, event_id)
+    ordering — engine-exact order statistics, not an interpolating
+    percentile whose arithmetic differs per engine. Counts are
+    Laplace-smoothed (+1 per bin) so empty bins stay finite.
+
+    Reproducibility: every input to ``ln`` is a ratio of exact
+    integers (the q_entropy_profile contract), and the one rounding
+    step is the final 6-decimal PSI.
+
+    Scale shape: one scan; per-type keyed window for ranks (parallel
+    per-key sorts, no global funnel); the edge table is bins-1 rows
+    per type — broadcast; both count passes are partial-aggregable.
+    Adding types adds keys, never stages.
+    """
+    us = F.unix_micros(F.col("ts"))
+    span = events.agg(
+        F.min(us).alias("_mn"), F.max(us).alias("_mx")
+    ).select(
+        (F.col("_mn") + F.expr("(_mx - _mn) div 2")).alias("_mid")
+    )
+    tagged = events.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        "event_id",
+        "value",
+        (us <= F.col("_mid")).alias("_is_ref"),
+    )
+    ref = tagged.filter("_is_ref")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ref.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    # edge_j = reference value at rank ceil(j*n/bins), j = 1..bins-1
+    js = F.explode(F.sequence(F.lit(1), F.lit(bins - 1))).alias("_j")
+    edges = (
+        ranked.select("event_type", "_rn", "_n", "value")
+        .join(
+            ranked.sparkSession.range(1).select(js),
+            F.col("_rn")
+            == F.expr(f"(_j * _n + {bins} - 1) div {bins}"),
+        )
+        .select("event_type", "_j", F.col("value").alias("_edge"))
+    )
+    binned = (
+        tagged.join(F.broadcast(edges), "event_type", "left")
+        .groupBy("event_type", "event_id", "_is_ref", "value")
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(F.col("value") > F.col("_edge"), 1).otherwise(0)
+                )
+            ).alias("_bin")
+        )
+    )
+    counts = binned.groupBy("event_type", "_bin").agg(
+        F.sum(F.when(F.col("_is_ref"), 1).otherwise(0)).alias("_cr"),
+        F.sum(F.when(F.col("_is_ref"), 0).otherwise(1)).alias("_cc"),
+    )
+    # dense bin frame: empty bins still contribute to smoothed PSI
+    all_bins = (
+        counts.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(1), F.lit(bins))).alias("_bin"),
+        )
+    )
+    dense = all_bins.join(counts, ["event_type", "_bin"], "left").select(
+        "event_type",
+        "_bin",
+        F.coalesce("_cr", F.lit(0)).alias("_cr"),
+        F.coalesce("_cc", F.lit(0)).alias("_cc"),
+    )
+    tot = dense.groupBy("event_type").agg(
+        F.sum("_cr").alias("n_ref"), F.sum("_cc").alias("n_cur")
+    )
+    p = (F.col("_cr") + 1) / (F.col("n_ref") + bins)
+    q = (F.col("_cc") + 1) / (F.col("n_cur") + bins)
+    return (
+        dense.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+        )
+    )
+
+
+def q_ks_drift(
+    events: DataFrame,
+    type_a: str = "click",
+    type_b: str = "purchase",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the ``value``
+    distributions of two event types: D = max over x of
+    |F_a(x) - F_b(x)| plus the x where the gap peaks — the
+    distribution-shift alarm that needs no binning choices at all.
+
+    Reproducibility: both empirical CDFs are ratios of exact integer
+    cumulative counts over exact totals, and IEEE division/subtraction
+    of identical operands is bit-identical in any engine — so D and
+    its location are emitted RAW (per the exact-integer-ratio rule:
+    quotients like 1/128 terminate exactly on round()'s half boundary,
+    where engine rounding modes disagree — never round them).
+
+    Scale shape: one combinable groupBy collapses the stream to
+    distinct values with per-side counts; BOTH cumulative counts ride
+    one two-phase distributed rank (``val2`` lane — one range
+    repartition, parallel per-partition prefix sums, never a
+    single-task global window); the argmax is an ordinary aggregate.
+    """
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        _global_ordered_rank_and_prefix,
+    )
+
+    per_value = (
+        events.filter(F.col("event_type").isin(type_a, type_b))
+        .groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == type_a, 1).otherwise(0)
+            ).alias("_ca"),
+            F.sum(
+                F.when(F.col("event_type") == type_b, 1).otherwise(0)
+            ).alias("_cb"),
+        )
+    )
+    ranked = _global_ordered_rank_and_prefix(
+        per_value, ["value"], F.col("_ca"), val2=F.col("_cb")
+    )
+    totals = per_value.agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    cdf_a = (F.col("_gbefore") + F.col("_ca")) / F.col("_na")
+    cdf_b = (F.col("_gbefore2") + F.col("_cb")) / F.col("_nb")
+    gap = F.abs(cdf_a - cdf_b)
+    # argmax via struct-max: max D first, then (for equal D) the
+    # SMALLEST value — one aggregate, deterministic under ties
+    peak = F.max(
+        F.struct(gap.alias("d"), (-F.col("value")).alias("nv"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .groupBy()
+        .agg(
+            F.first("_na").alias("n_a"),
+            F.first("_nb").alias("n_b"),
+            peak.alias("_pk"),
+        )
+        .select(
+            F.lit(type_a).alias("type_a"),
+            F.lit(type_b).alias("type_b"),
+            "n_a",
+            "n_b",
+            F.col("_pk.d").alias("ks_stat"),
+            (-F.col("_pk.nv")).alias("ks_at_value"),
+        )
+    )
+
+
+def q_cusum_changepoint(events: DataFrame) -> DataFrame:
+    """CUSUM changepoint scan per event type: the running sum of
+    deviations from the type mean, S_t = Σ(value_i - mean), peaks
+    exactly where the level of the series shifts — the classic
+    single-pass changepoint locator (Page 1954). Emits each type's
+    peak |S_t|, where it happened, and how far through the stream.
+
+    Reproducibility: deviations are quantized to EXACT integer
+    micro-units — ``floor((value - round(mean, 6)) * 1e6)`` is the
+    same BIGINT in any engine (floor has no rounding-mode ambiguity),
+    and an integer cumulative sum is order-INSENSITIVE, so it is
+    immune to how the engine associates window additions (DuckDB's
+    segment-tree window sum folds doubles in a different order than
+    Spark's running accumulation — integers make that difference
+    unobservable). The peak and its position are exact-integer
+    ratios, emitted raw (the round()-half-boundary rule).
+
+    Scale shape: everything is keyed by event_type — the mean is a
+    whole-partition window aggregate, the cumulative sum a per-key
+    ordered window (parallel per-key sorts), the argmax a struct-max
+    aggregate. No global funnel, no second scan.
+    """
+    wt = Window.partitionBy("event_type")
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mean_r = F.round(F.avg("value").over(wt), 6)
+    dev_i = F.floor(
+        (F.col("value") - F.col("_mean")) * F.lit(1_000_000.0)
+    ).cast("long")
+    scored = (
+        events.select("event_type", "event_id", "ts", "value")
+        .withColumn("_mean", mean_r)
+        .withColumn("_s", F.sum(dev_i).over(wo))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("ts", "event_id")
+            ),
+        )
+    )
+    # struct-max argmax: peak |S| first, earliest (ts, event_id) on ties
+    peak = F.max(
+        F.struct(
+            F.abs(F.col("_s")).alias("s"),
+            (-F.col("_rn")).alias("nrn"),
+            F.col("ts").alias("ts"),
+        )
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            peak.alias("_pk"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("_pk.s").cast("double") / F.lit(1_000_000.0)).alias(
+                "cusum_peak"
+            ),
+            F.col("_pk.ts").alias("peak_ts"),
+            (
+                (-F.col("_pk.nrn")).cast("double")
+                / F.col("n_events")
+            ).alias("peak_frac"),
+        )
+    )
+
+
+def q_seasonal_naive(events: DataFrame, season_hours: int = 24) -> DataFrame:
+    """Seasonal-naive forecast accuracy per event type: score the
+    hour-of-day seasonal forecast (value at t - 24h) against the
+    one-step naive (value at the previous hour) on the hourly revenue
+    series, reporting both MAEs and their ratio — MASE, the
+    scale-free "is there real seasonality?" test (MASE < 1 = the
+    seasonal model beats naive; the standard go/no-go before fitting
+    anything fancier).
+
+    Hours are integer epoch indices, so lags are JOINS on hour_idx -
+    1 / hour_idx - 24 — gap-correct (a missing hour never silently
+    shifts the season the way a row-offset lag() would). Only hours
+    where BOTH references exist are scored, keeping the two MAEs
+    comparable on the identical support set.
+
+    Reproducibility: hourly sums round to 6 decimals first, so every
+    abs-error is a difference of engine-identical doubles; the MAEs
+    re-round after their mean, and MASE divides the two rounded MAEs.
+
+    Scale shape: one combinable hourly rollup, then two self-joins
+    co-partitioned on (event_type, hour) — broadcast-free, skew-free
+    (hour keys are uniform), one output row per type.
+    """
+    hourly = (
+        events.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("_h"),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("_v"))
+    )
+    cur = hourly.select("event_type", "_h", "_v")
+    prev = hourly.select(
+        "event_type", (F.col("_h") + 1).alias("_h"), F.col("_v").alias("_vp")
+    )
+    seas = hourly.select(
+        "event_type",
+        (F.col("_h") + season_hours).alias("_h"),
+        F.col("_v").alias("_vs"),
+    )
+    scored = cur.join(prev, ["event_type", "_h"]).join(
+        seas, ["event_type", "_h"]
+    )
+    mae_n = F.round(F.avg(F.abs(F.col("_v") - F.col("_vp"))), 6)
+    mae_s = F.round(F.avg(F.abs(F.col("_v") - F.col("_vs"))), 6)
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        mae_n.alias("mae_naive"),
+        mae_s.alias("mae_seasonal"),
+        (mae_s / mae_n).alias("mase"),
+    )

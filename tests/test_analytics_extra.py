@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
     q_approx_users,
     q_cube_events,
@@ -855,3 +857,138 @@ def test_ols_trend_zero_variance_is_null(spark):
     r = q_ols_trend(df).collect()[0]
     assert r.n_orders == 2
     assert r.slope_per_day is None and r.intercept is None
+
+
+def test_psi_drift_golden(spark):
+    """Hand-checkable PSI: a type whose value distribution is IDENTICAL
+    in both halves scores ~0; a type that jumps from low to high values
+    scores big. Timeline midpoint is the integer-microsecond midpoint."""
+    import math
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_psi_drift,
+    )
+
+    rows = []
+    # 'stable': values 1..20 in the early half AND late half
+    for i in range(20):
+        rows.append((i, "2024-01-01 00:00:%02d" % i, "stable", float(i + 1)))
+        rows.append(
+            (100 + i, "2024-01-02 00:00:%02d" % i, "stable", float(i + 1))
+        )
+    # 'shifted': low values early, high values late
+    for i in range(20):
+        rows.append((200 + i, "2024-01-01 00:00:%02d" % i, "shifted", 1.0 + i / 100.0))
+        rows.append((300 + i, "2024-01-02 00:00:%02d" % i, "shifted", 1000.0 + i))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts_s", "event_type", "value"]
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    out = {r.event_type: r for r in q_psi_drift(df).collect()}
+    assert out["stable"].n_ref == 20 and out["stable"].n_cur == 20
+    # identical halves: only smoothing noise, PSI ~ 0
+    assert abs(out["stable"].psi) < 1e-9
+    # full separation: every current value beyond edge 9 -> huge PSI
+    assert out["shifted"].psi > 1.0
+    # python model for the shifted type: ref bins get (2..2) + cur all in bin 10
+    n, b = 20, 10
+    cr = [2] * 10
+    cc = [0] * 9 + [20]
+    psi = sum(
+        ((r + 1) / (n + b) - (c + 1) / (n + b))
+        * math.log(((r + 1) / (n + b)) / ((c + 1) / (n + b)))
+        for r, c in zip(cr, cc)
+    )
+    assert abs(out["shifted"].psi - round(psi, 6)) < 1e-6
+
+
+def test_ks_drift_golden(spark):
+    """KS on two hand-built samples equals the textbook D computed by
+    scanning pooled values; location is the smallest value at max gap."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_ks_drift,
+    )
+
+    a = [1.0, 2.0, 3.0, 4.0]          # click
+    b = [3.0, 4.0, 5.0, 6.0]          # purchase
+    rows = [(i, "2024-01-01 00:00:00", "click", v) for i, v in enumerate(a)]
+    rows += [
+        (10 + i, "2024-01-01 00:00:00", "purchase", v)
+        for i, v in enumerate(b)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts_s", "event_type", "value"]
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    r = q_ks_drift(df).collect()[0]
+    # CDFs: at value 2 -> F_a=0.5, F_b=0 -> D=0.5 (first max)
+    assert r.n_a == 4 and r.n_b == 4
+    assert r.ks_stat == 0.5
+    assert r.ks_at_value == 2.0
+
+
+def test_cusum_changepoint_golden(spark):
+    """A level shift halfway through the series peaks the CUSUM exactly
+    at the last pre-shift point."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_cusum_changepoint,
+    )
+
+    # 10 points at 0.0 then 10 points at 10.0: mean 5, S_t walks down
+    # to -50e? : deviations -5 x10 then +5 x10 -> |S| peaks at t=10
+    rows = [
+        (i, "2024-01-01 00:%02d:00" % i, "lvl", 0.0 if i < 10 else 10.0)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts_s", "event_type", "value"]
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    r = q_cusum_changepoint(df).collect()[0]
+    assert r.n_events == 20
+    assert abs(r.cusum_peak - 50.0) < 1e-6
+    assert r.peak_frac == 0.5  # rank 10 of 20
+    assert str(r.peak_ts).startswith("2024-01-01 00:09")
+
+
+def test_seasonal_naive_mase(spark):
+    """A perfectly 24h-periodic hourly series scores mae_seasonal = 0
+    (MASE 0); the naive MAE equals the mean absolute hourly step."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_seasonal_naive,
+    )
+
+    # 72 hourly points of a sawtooth with period 24: v(h) = h % 24
+    rows = [
+        (i, "2024-01-0%d %02d:00:00" % (1 + h // 24, h % 24), "saw",
+         float(h % 24))
+        for i, h in enumerate(range(72))
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts_s", "event_type", "value"]
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    r = q_seasonal_naive(df).collect()[0]
+    # scored hours: those with both h-1 and h-24 present -> h = 24..71
+    assert r.n_scored == 48
+    assert r.mae_seasonal == 0.0
+    assert r.mase == 0.0
+    # naive: |v(h) - v(h-1)| = 1 except the two wrap hours (23 -> 0)
+    # h in {24, 48}: |0 - 23| = 23. MAE = (46*1 + 2*23) / 48
+    assert abs(r.mae_naive - round((46 + 46) / 48, 6)) < 1e-9
