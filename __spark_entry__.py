@@ -3597,6 +3597,66 @@ def _q_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return A.q_value_histogram(load_table(spark, sf, "events"))
 
 
+def _q_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs (customers) / authorities (parts) on the bipartite
+    buyer->part graph, 4 rounds, normalization once at the end so
+    every intermediate is an exact integer — emitted as raw
+    exact-integer-ratio scores; oracle unrolls the same 4 rounds."""
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        hits_bipartite,
+    )
+
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return hits_bipartite(edges, iterations=4)
+
+
+def _hits_oracle_sql(iterations: int = 4) -> str:
+    """Unrolled DuckDB twin of _q_hits: same distinct bipartite edge
+    set, same integer half-step sums (cast BIGINT — DuckDB sums to
+    HUGEINT), same single final L1 normalization."""
+    ctes = [
+        "WITH e AS (SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p "
+        "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)",
+        "h0 AS (SELECT u, CAST(1 AS BIGINT) AS s "
+        "FROM (SELECT DISTINCT u FROM e))",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"a{t} AS (SELECT e.p, CAST(sum(h{t - 1}.s) AS BIGINT) AS s "
+            f"FROM e JOIN h{t - 1} ON h{t - 1}.u = e.u GROUP BY e.p)"
+        )
+        ctes.append(
+            f"h{t} AS (SELECT e.u, CAST(sum(a{t}.s) AS BIGINT) AS s "
+            f"FROM e JOIN a{t} ON a{t}.p = e.p GROUP BY e.u)"
+        )
+    k = iterations
+    ctes.append(f"at AS (SELECT CAST(sum(s) AS BIGINT) AS t FROM a{k})")
+    ctes.append(f"ht AS (SELECT CAST(sum(s) AS BIGINT) AS t FROM h{k})")
+    return (
+        ", ".join(ctes)
+        + f" SELECT 'authority' AS role, p AS node, "
+        f"CAST(s AS DOUBLE) / t AS score FROM a{k}, at "
+        f"UNION ALL SELECT 'hub', u, CAST(s AS DOUBLE) / t FROM h{k}, ht"
+    )
+
+
+def _q_upsample(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature repeat-factor upsampling to exactly 3x corpus size
+    (alpha=0.5): every doc gets quota div n_s epochs, the first
+    quota mod n_s docs by md5 rank one more — exact quotas, max
+    repeat spread 1 within a source."""
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        upsample_epochs,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return upsample_epochs(d, total=3 * d.count(), alpha=0.5)
+
+
 def _q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Population Stability Index per event type between the early and
     late halves of the stream (integer-microsecond midpoint split,
@@ -3681,6 +3741,8 @@ _GRADE_FIRST = [
     "q_ks_drift",
     "q_cusum_changepoint",
     "q_seasonal_naive",
+    "g_hits",
+    "c_upsample",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -3895,6 +3957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ks_drift": _q_ks_drift,
         "q_cusum_changepoint": _q_cusum_changepoint,
         "q_seasonal_naive": _q_seasonal_naive,
+        "g_hits": _q_hits,
+        "c_upsample": _q_upsample,
         "c_split_leakage": _q_split_leakage,
         "d_minhash_estimate": _q_minhash_estimate,
         "q_dq_orders": _q_dq_orders,
@@ -5187,6 +5251,42 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(abs(v - vs)), 6) AS mae_seasonal, "
             "round(avg(abs(v - vs)), 6) / round(avg(abs(v - vp)), 6) "
             "AS mase FROM s GROUP BY event_type"
+        ),
+        # Unrolled 4-round HITS; every intermediate an exact integer.
+        "g_hits": _hits_oracle_sql(4),
+        # Same largest-remainder quotas (no n_s cap), same md5 rank,
+        # same div/mod repeat split, 3x corpus total computed in-query.
+        "c_upsample": (
+            "WITH nn AS (SELECT 3 * CAST(count(*) AS BIGINT) AS total "
+            "FROM documents), "
+            "cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS ns "
+            "FROM documents GROUP BY source), "
+            "sh AS (SELECT source, ns, sqrt(CAST(ns AS DOUBLE)) AS s "
+            "FROM cnt), "
+            "tot AS (SELECT list_reduce(list(s ORDER BY source), "
+            "(a, b) -> a + b) AS big_s FROM sh), "
+            "t AS (SELECT source, ns, "
+            "CAST(nn.total AS DOUBLE) * s / big_s AS tgt "
+            "FROM sh, tot, nn), "
+            "b AS (SELECT source, ns, CAST(floor(tgt) AS BIGINT) AS base, "
+            "tgt - floor(tgt) AS rem FROM t), "
+            "lo AS (SELECT nn.total - CAST(sum(base) AS BIGINT) AS lft "
+            "FROM b, nn GROUP BY nn.total), "
+            "r AS (SELECT source, ns, base, row_number() OVER ("
+            "ORDER BY rem DESC, source) AS rr FROM b), "
+            "q AS (SELECT source, ns, base + CASE WHEN "
+            "rr <= (SELECT lft FROM lo) THEN 1 ELSE 0 END AS quota "
+            "FROM r), "
+            "sel AS (SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), "
+            "doc_id) AS rk FROM documents), "
+            "reps AS (SELECT sel.doc_id, sel.source, "
+            "q.quota // q.ns + CASE WHEN sel.rk <= q.quota % q.ns "
+            "THEN 1 ELSE 0 END AS nrep FROM sel "
+            "JOIN q ON q.source = sel.source) "
+            "SELECT doc_id, source, CAST(unnest(generate_series(0, "
+            "CAST(nrep AS BIGINT) - 1)) AS INT) AS epoch "
+            "FROM reps WHERE nrep > 0"
         ),
         "q_mad_outliers": (
             "WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med "

@@ -134,6 +134,8 @@ EXTRA_QUERIES = [
     "q_ks_drift",           # two-sample KS via dual-lane two-phase rank
     "q_cusum_changepoint",  # integer micro-unit CUSUM peak scan
     "q_seasonal_naive",     # hour-index lag joins, MASE seasonality test
+    "g_hits",               # 4-round integer HITS on buyer->part graph
+    "c_upsample",           # repeat-factor temperature upsampling
 ]
 
 

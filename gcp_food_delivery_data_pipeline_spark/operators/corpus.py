@@ -877,3 +877,113 @@ def shard_assign_balanced(
         F.col(weight_col),
         shard.cast("int").alias("shard"),
     )
+
+
+def upsample_epochs(
+    df: DataFrame,
+    total: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature repeat-factor UPsampling: expand the corpus to
+    exactly ``total`` rows with per-source quotas proportional to
+    n_s^alpha — the training-mixture counterpart of
+    ``temperature_mix`` when low-resource sources must be repeated
+    (fractional epochs), not just kept. Every document in source s
+    appears ``quota_s div n_s`` times, and the first
+    ``quota_s mod n_s`` documents by the engine-stable (md5(id), id)
+    rank appear once more — so the output hits each quota EXACTLY
+    (never in expectation), deterministically, with max repeat spread
+    of 1 within a source (no doc repeats twice before every doc
+    repeats once: the round-robin epoch discipline training loaders
+    expect). Emits ``(id, source, epoch)`` with epoch 0-based.
+
+    Quota arithmetic is ``temperature_mix``'s largest-remainder
+    apportionment minus the n_s cap (upsampling's whole point is
+    quota > n_s), same sorted left-fold share normalizer, same
+    deterministic tie-breaks.
+
+    Scale shape: the per-source rank window is the only corpus-sized
+    work (parallel per-key sorts); quotas are a #sources-row frame
+    broadcast back; the repeat expansion is a per-row
+    ``explode(sequence(...))`` — no join, no shuffle, output rows ∝
+    ``total``.
+    """
+    if total < 1:
+        raise ValueError(f"upsample_epochs: total must be >= 1, got {total}")
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(
+            f"upsample_epochs: alpha must be in [0,1], got {alpha}"
+        )
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_ns")
+    )
+    share = (
+        F.sqrt(F.col("_ns").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("_ns").cast("double"), F.lit(alpha))
+    )
+    shared = counts.withColumn("_sh", share)
+    norm = shared.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(source_col), F.col("_sh")))
+                ),
+                lambda s: s["_sh"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_S")
+    )
+    targets = shared.crossJoin(F.broadcast(norm)).select(
+        source_col,
+        "_ns",
+        (F.lit(float(total)) * F.col("_sh") / F.col("_S")).alias("_tgt"),
+    )
+    based = targets.select(
+        source_col,
+        "_ns",
+        F.floor("_tgt").cast("long").alias("_base"),
+        (F.col("_tgt") - F.floor("_tgt")).alias("_rem"),
+    )
+    leftover = based.agg(
+        (F.lit(total) - F.sum("_base")).cast("long").alias("_left")
+    )
+    w_rem = Window.orderBy(F.col("_rem").desc(), F.col(source_col))
+    quotas = (
+        based.withColumn("_rr", F.row_number().over(w_rem))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            source_col,
+            "_ns",
+            (
+                F.col("_base")
+                + (F.col("_rr") <= F.col("_left")).cast("long")
+            ).alias("_quota"),
+        )
+    )
+    w_rank = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = (
+        df.select(id_col, source_col)
+        .withColumn("_rk", F.row_number().over(w_rank))
+        .join(F.broadcast(quotas), source_col)
+    )
+    n_rep = (
+        F.expr("_quota div _ns")
+        + (F.col("_rk") <= F.col("_quota") % F.col("_ns")).cast("long")
+    )
+    return (
+        ranked.withColumn("_reps", n_rep)
+        .filter(F.col("_reps") > 0)
+        .select(
+            id_col,
+            source_col,
+            F.explode(
+                F.sequence(F.lit(0), (F.col("_reps") - 1).cast("int"))
+            ).alias("epoch"),
+        )
+    )

@@ -388,3 +388,53 @@ def test_shard_assign_validates(spark):
     df = spark.createDataFrame([(1, 5)], ["doc_id", "n_chars"])
     with _pytest.raises(ValueError, match="n_shards"):
         shard_assign_balanced(df, n_shards=0)
+
+
+def test_upsample_epochs_exact_quotas_and_spread(spark):
+    """Quota contract: output size == total exactly; per-source rows
+    hit the largest-remainder quota; repeat spread within a source is
+    at most 1 (round-robin epochs)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        upsample_epochs,
+    )
+
+    rows = [(i, "big") for i in range(90)] + [
+        (100 + i, "small") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    total = 300
+    out = upsample_epochs(df, total=total, alpha=0.5).collect()
+    assert len(out) == total
+    # alpha=0.5 shares: sqrt(90)=9.4868, sqrt(10)=3.1623 -> targets
+    # 224.99 / 75.01 -> base 224/75, remainder 1 -> big (larger rem)
+    per_src = {}
+    per_doc = {}
+    for r in out:
+        per_src[r.source] = per_src.get(r.source, 0) + 1
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+    assert per_src == {"big": 225, "small": 75}
+    big_reps = [n for d, n in per_doc.items() if d < 100]
+    small_reps = [n for d, n in per_doc.items() if d >= 100]
+    # 225 over 90 docs: 2 or 3 each; 75 over 10 docs: 7 or 8 each
+    assert set(big_reps) == {2, 3} and sum(big_reps) == 225
+    assert set(small_reps) == {7, 8} and sum(small_reps) == 75
+    # epoch indices are 0..reps-1 per doc (round-robin discipline)
+    epochs = {}
+    for r in out:
+        epochs.setdefault(r.doc_id, []).append(r.epoch)
+    for d, es in epochs.items():
+        assert sorted(es) == list(range(len(es)))
+
+
+def test_upsample_epochs_validates(spark):
+    import pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        upsample_epochs,
+    )
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    with pytest.raises(ValueError):
+        upsample_epochs(df, total=0)
+    with pytest.raises(ValueError):
+        upsample_epochs(df, total=10, alpha=1.5)

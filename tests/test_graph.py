@@ -283,3 +283,50 @@ def test_link_prediction_excludes_existing_edges(spark):
         [(1, 2), (2, 3), (1, 3)], ["src", "dst"]
     )
     assert link_prediction_scores(edges).count() == 0
+
+
+def test_hits_bipartite_golden(spark):
+    """Hand-computable HITS: star bipartite graph where hub u1 buys
+    every part and u2 buys one. Integer half-steps checked exactly."""
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        hits_bipartite,
+    )
+
+    # u1 -> {p1, p2}, u2 -> {p1}
+    edges = spark.createDataFrame(
+        [(1, 101), (1, 102), (2, 101)], ["src", "dst"]
+    )
+    # h0 = (1, 1); a1 = (p1: 2, p2: 1); h1 = (u1: 3, u2: 2)
+    # a2 = (p1: 5, p2: 3); h2 = (u1: 8, u2: 5)
+    # a3 = (p1: 13, p2: 8); h3 = (u1: 21, u2: 13)
+    # a4 = (p1: 34, p2: 21); h4 = (u1: 55, u2: 34)  (Fibonacci!)
+    out = {
+        (r.role, r.node): r.score
+        for r in hits_bipartite(edges, iterations=4).collect()
+    }
+    assert out[("authority", 101)] == 34 / 55
+    assert out[("authority", 102)] == 21 / 55
+    assert out[("hub", 1)] == 55 / 89
+    assert out[("hub", 2)] == 34 / 89
+
+
+def test_hits_dedups_edges_and_validates(spark):
+    import pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        hits_bipartite,
+    )
+
+    dup = spark.createDataFrame(
+        [(1, 101), (1, 101), (2, 101)], ["src", "dst"]
+    )
+    clean = spark.createDataFrame([(1, 101), (2, 101)], ["src", "dst"])
+    got = {
+        (r.role, r.node): r.score for r in hits_bipartite(dup).collect()
+    }
+    want = {
+        (r.role, r.node): r.score for r in hits_bipartite(clean).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError):
+        hits_bipartite(clean, iterations=0)
