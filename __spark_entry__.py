@@ -3657,6 +3657,24 @@ def _q_upsample(spark: SparkSession, sf: str) -> DataFrame:
     return upsample_epochs(d, total=3 * d.count(), alpha=0.5)
 
 
+def _q_chi2_independence(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence audit of event type x integer-epoch
+    day-of-week over a dense contingency table — per-type
+    contributions to the global statistic."""
+    return A.q_chi2_independence(load_table(spark, sf, "events"))
+
+
+def _q_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budgeted temperature mixture (alpha=0.5, budget = half
+    the corpus tokens, computed in-plan): largest-remainder token
+    quotas per source, strict md5-order prefix fill."""
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        token_budget_mix,
+    )
+
+    return token_budget_mix(load_table(spark, sf, "documents"))
+
+
 def _q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Population Stability Index per event type between the early and
     late halves of the stream (integer-microsecond midpoint split,
@@ -3743,6 +3761,8 @@ _GRADE_FIRST = [
     "q_seasonal_naive",
     "g_hits",
     "c_upsample",
+    "q_chi2_independence",
+    "c_token_budget",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -3959,6 +3979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seasonal_naive": _q_seasonal_naive,
         "g_hits": _q_hits,
         "c_upsample": _q_upsample,
+        "q_chi2_independence": _q_chi2_independence,
+        "c_token_budget": _q_token_budget,
         "c_split_leakage": _q_split_leakage,
         "d_minhash_estimate": _q_minhash_estimate,
         "q_dq_orders": _q_dq_orders,
@@ -5254,6 +5276,63 @@ def oracle_sql() -> dict[str, str]:
         ),
         # Unrolled 4-round HITS; every intermediate an exact integer.
         "g_hits": _hits_oracle_sql(4),
+        # Same integer (epoch_days + 3) % 7 weekday, same dense R x 7
+        # table with zero cells, same exact-integer e_ij ratios.
+        "q_chi2_independence": (
+            "WITH cells AS (SELECT event_type, "
+            "CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS INT) AS dow, "
+            "count(*) AS n FROM events GROUP BY 1, 2), "
+            "dense AS (SELECT et.event_type, d.dow, coalesce(c.n, 0) AS n "
+            "FROM (SELECT DISTINCT event_type FROM cells) et "
+            "CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS dow) d "
+            "LEFT JOIN cells c ON c.event_type = et.event_type "
+            "AND c.dow = d.dow), "
+            "t AS (SELECT event_type, dow, n, "
+            "sum(n) OVER (PARTITION BY event_type) AS r, "
+            "sum(n) OVER (PARTITION BY dow) AS c, "
+            "sum(n) OVER () AS nn FROM dense) "
+            "SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events, "
+            "round(sum((n - CAST(r AS DOUBLE) * c / nn) * "
+            "(n - CAST(r AS DOUBLE) * c / nn) / "
+            "(CAST(r AS DOUBLE) * c / nn)), 6) AS chi2_contrib "
+            "FROM t GROUP BY event_type"
+        ),
+        # Same whitespace token counts, same sorted-fold share
+        # normalizer, same largest-remainder token quotas, same strict
+        # md5-order prefix fill; budget = corpus tokens div 2 in-query.
+        "c_token_budget": (
+            f"WITH tk AS (SELECT doc_id, source, CAST({_NTOK} AS BIGINT) "
+            "AS n_tokens FROM documents), "
+            "cnt AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS ns "
+            "FROM tk GROUP BY source), "
+            "bud AS (SELECT CAST(sum(ns) AS BIGINT) // 2 AS budget "
+            "FROM cnt), "
+            "sh AS (SELECT source, ns, sqrt(CAST(ns AS DOUBLE)) AS s "
+            "FROM cnt), "
+            "tot AS (SELECT list_reduce(list(s ORDER BY source), "
+            "(a, b) -> a + b) AS big_s FROM sh), "
+            "t AS (SELECT source, CAST(bud.budget AS DOUBLE) * s / big_s "
+            "AS tgt, bud.budget FROM sh, tot, bud), "
+            "b AS (SELECT source, budget, "
+            "CAST(floor(tgt) AS BIGINT) AS base, "
+            "tgt - floor(tgt) AS rem FROM t), "
+            "lo AS (SELECT any_value(budget) - CAST(sum(base) AS BIGINT) "
+            "AS lft FROM b), "
+            "r AS (SELECT source, base, row_number() OVER ("
+            "ORDER BY rem DESC, source) AS rr FROM b), "
+            "q AS (SELECT source, base + CASE WHEN "
+            "rr <= (SELECT lft FROM lo) THEN 1 ELSE 0 END AS quota "
+            "FROM r), "
+            "cum AS (SELECT doc_id, source, n_tokens, "
+            "sum(n_tokens) OVER (PARTITION BY source "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS cum_tokens FROM tk) "
+            "SELECT cum.doc_id, cum.source, cum.n_tokens, "
+            "CAST(cum.cum_tokens AS BIGINT) AS cum_tokens "
+            "FROM cum JOIN q ON q.source = cum.source "
+            "WHERE cum.cum_tokens <= q.quota"
+        ),
         # Same largest-remainder quotas (no n_s cap), same md5 rank,
         # same div/mod repeat split, 3x corpus total computed in-query.
         "c_upsample": (

@@ -136,6 +136,8 @@ EXTRA_QUERIES = [
     "q_seasonal_naive",     # hour-index lag joins, MASE seasonality test
     "g_hits",               # 4-round integer HITS on buyer->part graph
     "c_upsample",           # repeat-factor temperature upsampling
+    "q_chi2_independence",  # dense type x weekday chi-square audit
+    "c_token_budget",       # token-budget temperature mixture
 ]
 
 

@@ -987,3 +987,128 @@ def upsample_epochs(
             ).alias("epoch"),
         )
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    total_tokens: int | None = None,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled mixture by TOKEN budget: apportion a total
+    token budget across sources proportional to (source token
+    count)^alpha, then keep the longest prefix of each source's
+    engine-stable (md5(id), id) order whose cumulative token count
+    fits its quota. Doc-count quotas (``temperature_mix``) overweight
+    sources with long documents; training mixtures are specified in
+    tokens, so the quota must be too. ``total_tokens=None`` budgets
+    half the corpus (computed in-plan — no driver count).
+
+    The keep rule is the strict PREFIX rule: the first doc that
+    overflows the quota stops its source (no skip-ahead best-fit) —
+    deterministic, one keyed window, and order-stable when the
+    corpus grows.
+
+    Reproducibility: token counts, cumulative sums, quotas, and the
+    budget are all exact integers; the only doubles are the n^alpha
+    shares, folded in sorted-source order (the ``temperature_mix``
+    normalizer contract).
+
+    Scale shape: one token-count projection, one per-source window
+    cumsum (parallel per-key sorts), a #sources-row quota frame
+    broadcast back. No corpus-sized join or global window.
+    """
+    if total_tokens is not None and total_tokens < 1:
+        raise ValueError(
+            f"token_budget_mix: total_tokens must be >= 1, got {total_tokens}"
+        )
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(
+            f"token_budget_mix: alpha must be in [0,1], got {alpha}"
+        )
+    toks = df.select(
+        id_col,
+        source_col,
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    counts = toks.groupBy(source_col).agg(
+        F.sum("n_tokens").alias("_ns")
+    )
+    if total_tokens is None:
+        budget = counts.agg(
+            F.expr("sum(_ns) div 2").cast("long").alias("_budget")
+        )
+    else:
+        budget = counts.sparkSession.range(1).select(
+            F.lit(total_tokens).cast("long").alias("_budget")
+        )
+    share = (
+        F.sqrt(F.col("_ns").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("_ns").cast("double"), F.lit(alpha))
+    )
+    shared = counts.withColumn("_sh", share)
+    norm = shared.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(source_col), F.col("_sh")))
+                ),
+                lambda s: s["_sh"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_S")
+    )
+    targets = (
+        shared.crossJoin(F.broadcast(norm))
+        .crossJoin(F.broadcast(budget))
+        .select(
+            source_col,
+            "_budget",
+            (
+                F.col("_budget").cast("double")
+                * F.col("_sh")
+                / F.col("_S")
+            ).alias("_tgt"),
+        )
+    )
+    based = targets.select(
+        source_col,
+        "_budget",
+        F.floor("_tgt").cast("long").alias("_base"),
+        (F.col("_tgt") - F.floor("_tgt")).alias("_rem"),
+    )
+    leftover = based.agg(
+        (F.first("_budget") - F.sum("_base")).cast("long").alias("_left")
+    )
+    w_rem = Window.orderBy(F.col("_rem").desc(), F.col(source_col))
+    quotas = (
+        based.withColumn("_rr", F.row_number().over(w_rem))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            source_col,
+            (
+                F.col("_base")
+                + (F.col("_rr") <= F.col("_left")).cast("long")
+            ).alias("_quota"),
+        )
+    )
+    w_rank = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    cum = (
+        toks.withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(
+                w_rank.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        cum.join(F.broadcast(quotas), source_col)
+        .filter(F.col("cum_tokens") <= F.col("_quota"))
+        .select(id_col, source_col, "n_tokens", "cum_tokens")
+    )

@@ -2821,3 +2821,73 @@ def q_seasonal_naive(events: DataFrame, season_hours: int = 24) -> DataFrame:
         mae_s.alias("mae_seasonal"),
         (mae_s / mae_n).alias("mase"),
     )
+
+
+def q_chi2_independence(events: DataFrame) -> DataFrame:
+    """Chi-square independence audit of event type x day-of-week: each
+    type's contribution sum_j (n_ij - e_ij)^2 / e_ij against the
+    e_ij = row_i * col_j / N independence expectation — the standard
+    "is activity mix stable across the week?" data-quality test
+    (global chi2 = the sum of the per-type rows; dof = (R-1)(C-1)).
+
+    Day-of-week comes from pure integer epoch arithmetic
+    ``(epoch_days + 3) % 7`` (0 = Monday; 1970-01-01 was a Thursday
+    -> 3) — calendar functions number weekdays differently per engine,
+    integer math doesn't. The contingency table is DENSE (all 7 day
+    cells per type, zeros included — an absent cell still contributes
+    e_ij to the statistic). Every e_ij is a ratio of exact integers;
+    the one float-regrouping surface is the 7-term per-type sum,
+    absorbed by the final 6-decimal rounding.
+
+    Scale shape: ONE combinable count pass over the stream collapses
+    to an R x 7 table; everything after runs on that tiny frame
+    (window totals + projection). Adding rows changes nothing but the
+    first pass.
+    """
+    dow = (F.expr("unix_micros(ts) div 86400000000") + 3) % 7
+    cells = events.groupBy(
+        "event_type", dow.cast("int").alias("_dow")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    dense = (
+        cells.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(6))
+            ).alias("_dow"),
+        )
+        .join(cells, ["event_type", "_dow"], "left")
+        .select(
+            "event_type",
+            "_dow",
+            F.coalesce("_n", F.lit(0)).alias("_n"),
+        )
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("_dow")
+    t = dense.select(
+        "event_type",
+        "_dow",
+        "_n",
+        F.sum("_n").over(wr).alias("_r"),
+        F.sum("_n").over(wc).alias("_c"),
+    )
+    e = F.col("_r").cast("double") * F.col("_c") / F.sum("_n").over(
+        Window.partitionBy()
+    )
+    return (
+        t.withColumn("_e", e)
+        .groupBy("event_type")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.round(
+                F.sum(
+                    (F.col("_n") - F.col("_e"))
+                    * (F.col("_n") - F.col("_e"))
+                    / F.col("_e")
+                ),
+                6,
+            ).alias("chi2_contrib"),
+        )
+    )

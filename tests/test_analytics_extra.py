@@ -992,3 +992,50 @@ def test_seasonal_naive_mase(spark):
     # naive: |v(h) - v(h-1)| = 1 except the two wrap hours (23 -> 0)
     # h in {24, 48}: |0 - 23| = 23. MAE = (46*1 + 2*23) / 48
     assert abs(r.mae_naive - round((46 + 46) / 48, 6)) < 1e-9
+
+
+def test_chi2_independence_golden(spark):
+    """Perfectly independent table scores ~0; a type concentrated on
+    one weekday scores its textbook contribution."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_chi2_independence,
+    )
+
+    # 1970-01-05 was a Monday (epoch day 4 -> (4+3)%7 = 0)
+    rows = []
+    eid = 0
+    # 'flat': 2 events on each of 7 consecutive days
+    for d in range(7):
+        for _ in range(2):
+            rows.append((eid, "1970-01-%02d 12:00:00" % (5 + d), "flat", 1.0))
+            eid += 1
+    # 'spike': 14 events all on the Monday
+    for _ in range(14):
+        rows.append((eid, "1970-01-05 09:00:00", "spike", 1.0))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts_s", "event_type", "value"]
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    out = {r.event_type: r for r in q_chi2_independence(df).collect()}
+    assert out["flat"].n_events == 14 and out["spike"].n_events == 14
+    # python model over the dense 2x7 table
+    import itertools
+
+    n = {("flat", d): 2 for d in range(7)}
+    n.update({("spike", 0): 14})
+    for d in range(1, 7):
+        n[("spike", d)] = 0
+    N = 28
+    row = {"flat": 14, "spike": 14}
+    col = {d: sum(n[(t, d)] for t in row) for d in range(7)}
+    for t in row:
+        chi = sum(
+            (n[(t, d)] - row[t] * col[d] / N) ** 2 / (row[t] * col[d] / N)
+            for d in range(7)
+        )
+        assert abs(out[t].chi2_contrib - round(chi, 6)) < 1e-6

@@ -438,3 +438,49 @@ def test_upsample_epochs_validates(spark):
         upsample_epochs(df, total=0)
     with pytest.raises(ValueError):
         upsample_epochs(df, total=10, alpha=1.5)
+
+
+def test_token_budget_mix_prefix_rule_and_quotas(spark):
+    """Quota arithmetic by hand: two sources with 60/15 tokens, budget
+    half (37): shares sqrt(60)/sqrt(15) = 2:1 -> targets 24.67/12.33
+    -> base 24/12, leftover 1 -> 'a' (larger remainder .67). Prefix
+    rule: per-source cumulative tokens never exceed the quota, and the
+    FIRST overflowing doc stops the source."""
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        token_budget_mix,
+    )
+
+    rows = [(i, "a", "w " * 10) for i in range(6)] + [
+        (100 + i, "b", "w " * 5) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = token_budget_mix(df, alpha=0.5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # a: quota 25 -> two 10-token docs fit (cum 20), third would be 30
+    assert sum(r.n_tokens for r in by_src["a"]) == 20
+    # b: quota 12 -> two 5-token docs fit (cum 10)
+    assert sum(r.n_tokens for r in by_src["b"]) == 10
+    for src, rs in by_src.items():
+        rs = sorted(rs, key=lambda r: r.cum_tokens)
+        # cumulative column is the running sum of the kept prefix
+        running = 0
+        for r in rs:
+            running += r.n_tokens
+            assert r.cum_tokens == running
+        assert rs[-1].cum_tokens <= {"a": 25, "b": 12}[src]
+
+
+def test_token_budget_mix_validates(spark):
+    import pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        token_budget_mix,
+    )
+
+    df = spark.createDataFrame([(1, "a", "x")], ["doc_id", "source", "text"])
+    with pytest.raises(ValueError):
+        token_budget_mix(df, total_tokens=0)
+    with pytest.raises(ValueError):
+        token_budget_mix(df, alpha=2.0)
