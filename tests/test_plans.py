@@ -570,3 +570,43 @@ def test_containment_join_is_equi_join_no_cartesian(plans):
     p = plans("d_containment")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_hits_half_steps_are_keyed_joins(plans):
+    """HITS final plan: the loop body is checkpoint-materialized
+    (Scan ExistingRDD — per-round joins were keyed equi-joins, see
+    PLANS.md), and the only joins LEFT are the two 1-row L1-total
+    broadcasts; never a data-sized cartesian."""
+    p = plans("g_hits")
+    assert "CartesianProduct" not in p
+    assert "Scan ExistingRDD" in p  # checkpointed loop state
+    assert p.count("BroadcastNestedLoopJoin Cross") == 2  # 1-row totals
+
+
+def test_psi_edges_broadcast_back(plans):
+    """PSI: the bins-1-per-type edge table joins back as a broadcast;
+    counts aggregate partially before their exchange."""
+    p = plans("q_psi_drift")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "partial_" in p  # map-side combine on a count pass
+
+
+def test_ks_has_no_global_order_window(plans):
+    """KS: the only Window is partitioned by the range-repartition
+    part id — a bare global-order Window (single task) must not
+    appear."""
+    p = plans("q_ks_drift")
+    lines = p.splitlines()
+    # every Window's following Sort must sort by _part first
+    for i, ln in enumerate(lines):
+        if ln.strip().startswith("Arguments:") and "windowspecdefinition" in ln:
+            assert "_part" in ln, ln
+
+
+def test_token_budget_single_corpus_window(plans):
+    """Token-budget mixture: the corpus-sized work is ONE keyed window
+    (per-source cumsum); quotas broadcast back, no cartesian."""
+    p = plans("c_token_budget")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p

@@ -75,8 +75,31 @@ KEYS = {
     ),
     "q_kmv_overlap": (
         "KMV set ops: one combinable distinct over (group, item), "
-        "per-group top-k window, and every pairwise op runs on "
-        "sketch rows only — raw sets are never joined pairwise"
+        "per-group top-k window, every ESTIMATE on sketch rows only; "
+        "the exact companions are a hash-KEYED self equi-join "
+        "(co-occurrence counting) + inclusion-exclusion — raw sets "
+        "are never cross-joined"
+    ),
+    "q_ks_drift": (
+        "two-sample KS: per-value counts collapse the stream, BOTH "
+        "CDFs ride one two-phase distributed rank (range repartition "
+        "+ per-partition prefix sums, dual value lane) — no "
+        "single-task global window"
+    ),
+    "q_psi_drift": (
+        "PSI drift: per-type keyed rank window for decile edges, "
+        "9-row-per-type edge table broadcast back, both count passes "
+        "partial-aggregable"
+    ),
+    "g_hits": (
+        "HITS: each half-step is one keyed equi-join of the static "
+        "edge list with a one-row-per-node score frame + one "
+        "combinable sum; totals broadcast once at the end"
+    ),
+    "c_token_budget": (
+        "token-budget mixture: one keyed window cumsum is the only "
+        "corpus-sized work; quota frame (#sources rows) broadcast "
+        "back"
     ),
     "q_bloom_semijoin": (
         "Bloom runtime filter: the probe branch is scan + literal "
