@@ -3657,6 +3657,26 @@ def _q_upsample(spark: SparkSession, sf: str) -> DataFrame:
     return upsample_epochs(d, total=3 * d.count(), alpha=0.5)
 
 
+def _q_edit_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance-1 name pairs via the SymSpell deletion
+    neighborhood: candidates from a hash equi-join on deletion
+    variants (shared ONLY by true neighbors — q-grams degenerate to
+    all-pairs on the shared 'Customer#0000…' prefix), verified with
+    levenshtein <= 1. Top 50 by name pair for a bounded graded set;
+    the oracle is the naive all-pairs join — the quadratic shape
+    exists only there."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        edit_distance_join,
+    )
+
+    c = load_table(spark, sf, "customer")
+    return (
+        edit_distance_join(c, "c_name", "c_custkey")
+        .orderBy("val_a", "val_b", "id_a", "id_b")
+        .limit(50)
+    )
+
+
 def _q_chi2_independence(spark: SparkSession, sf: str) -> DataFrame:
     """Chi-square independence audit of event type x integer-epoch
     day-of-week over a dense contingency table — per-type
@@ -3763,6 +3783,7 @@ _GRADE_FIRST = [
     "c_upsample",
     "q_chi2_independence",
     "c_token_budget",
+    "d_edit_pairs",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -3981,6 +4002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_upsample": _q_upsample,
         "q_chi2_independence": _q_chi2_independence,
         "c_token_budget": _q_token_budget,
+        "d_edit_pairs": _q_edit_pairs,
         "c_split_leakage": _q_split_leakage,
         "d_minhash_estimate": _q_minhash_estimate,
         "q_dq_orders": _q_dq_orders,
@@ -5276,6 +5298,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         # Unrolled 4-round HITS; every intermediate an exact integer.
         "g_hits": _hits_oracle_sql(4),
+        # Naive all-pairs levenshtein join: the quadratic oracle twin
+        # of the deletion-neighborhood candidate join (exact for d=1).
+        "d_edit_pairs": (
+            "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "
+            "a.c_name AS val_a, b.c_name AS val_b, "
+            "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist "
+            "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+            "AND levenshtein(a.c_name, b.c_name) <= 1 "
+            "ORDER BY val_a, val_b, id_a, id_b LIMIT 50"
+        ),
         # Same integer (epoch_days + 3) % 7 weekday, same dense R x 7
         # table with zero cells, same exact-integer e_ij ratios.
         "q_chi2_independence": (

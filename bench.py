@@ -138,6 +138,7 @@ EXTRA_QUERIES = [
     "c_upsample",           # repeat-factor temperature upsampling
     "q_chi2_independence",  # dense type x weekday chi-square audit
     "c_token_budget",       # token-budget temperature mixture
+    "d_edit_pairs",         # SymSpell deletion-neighborhood edit join
 ]
 
 

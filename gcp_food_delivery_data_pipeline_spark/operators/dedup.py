@@ -1685,3 +1685,80 @@ def containment_join(
     return verified.select(
         "id_a", "id_b", containment.alias("containment")
     ).filter(F.col("containment") >= threshold)
+
+
+def edit_distance_join(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Edit-distance-1 similarity self-join via the SymSpell deletion
+    neighborhood (Garbe 2012): two strings are within Levenshtein
+    distance 1 iff they share a member of {s} ∪ {s minus one char} —
+    substitution at i means both sides delete i; an insert/delete pair
+    means the longer side's deletion IS the shorter string. Candidates
+    therefore come from a hash equi-join on deletion variants, and a
+    single ``levenshtein() <= 1`` pass verifies them (the variant
+    property is exact for d=1, so verification only removes the
+    hash-collision-free false positives the id inequality lets
+    through: none — it is kept as a stated invariant, and because the
+    join must emit the true distance anyway).
+
+    Why not q-grams: on corpora with a long shared prefix (ids,
+    URLs, "Customer#0000…"), every hot q-gram is shared by EVERY
+    string — the candidate join degenerates to all-pairs through the
+    hot key. A deletion variant is shared only by true neighbors, so
+    the candidate multiplicity IS the output size: shuffle ∝ n·L
+    variant rows, pairs ∝ answers, never n².
+
+    Returns one row per unordered pair: (id_a, id_b, val_a, val_b,
+    dist) with id_a < id_b and dist ∈ {0, 1} (0 = exact duplicates).
+
+    ``max_dist`` must be 1: the d=2 neighborhood is the O(L²)
+    two-deletion set — same join shape, quadratically more variant
+    rows; add it only with a length gate.
+    """
+    if max_dist != 1:
+        raise ValueError(
+            "edit_distance_join: only max_dist=1 is supported (the "
+            "d=2 deletion neighborhood is O(L^2) variants per string; "
+            "see docstring)"
+        )
+    v = F.col("_v")
+    # variant i=0 is the string itself; i>=1 deletes character i
+    variants = F.transform(
+        F.sequence(F.lit(0), F.length(v)),
+        lambda i: F.when(i == F.lit(0), v).otherwise(
+            F.concat(
+                v.substr(F.lit(1), (i - 1).cast("int")),
+                v.substr(
+                    (i + 1).cast("int"), (F.length(v) - i).cast("int")
+                ),
+            )
+        ),
+    )
+    rows = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.col(col).alias("_v"))
+        .select("_id", "_v", F.explode(variants).alias("_del"))
+    )
+    cands = (
+        rows.alias("a")
+        .join(
+            rows.alias("b"),
+            (F.col("a._del") == F.col("b._del"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._v").alias("val_a"),
+            F.col("b._v").alias("val_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = F.levenshtein("val_a", "val_b")
+    return cands.withColumn("dist", dist).filter(
+        F.col("dist") <= max_dist
+    )

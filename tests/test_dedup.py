@@ -558,3 +558,42 @@ def test_containment_join_matches_bruteforce(spark):
     )
     slow = {(r.id_a, r.id_b): r.containment for r in brute.collect()}
     assert fast == slow and len(fast) > 0
+
+
+def test_edit_distance_join_planted_typos(spark):
+    """Deletion-neighborhood candidates find exactly the planted
+    substitution / insertion / deletion neighbors — and nothing else."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        edit_distance_join,
+    )
+
+    rows = [
+        (1, "spark"),
+        (2, "spork"),    # substitution
+        (3, "sparks"),   # insertion
+        (4, "spak"),     # deletion (wrt spark)
+        (5, "duck"),     # unrelated
+        (6, "spark"),    # exact duplicate of 1
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_join(df, "name", "id").collect()
+    }
+    assert got == {
+        (1, 2): 1, (1, 3): 1, (1, 4): 1, (1, 6): 0,
+        (2, 6): 1, (3, 6): 1, (4, 6): 1,
+        # NOT (2,3)/(2,4)/(3,4): spork-sparks etc. are distance 2
+    }
+
+
+def test_edit_distance_join_rejects_d2(spark):
+    import pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        edit_distance_join,
+    )
+
+    df = spark.createDataFrame([(1, "a")], ["id", "name"])
+    with pytest.raises(ValueError):
+        edit_distance_join(df, "name", "id", max_dist=2)
