@@ -139,6 +139,7 @@ EXTRA_QUERIES = [
     "q_chi2_independence",  # dense type x weekday chi-square audit
     "c_token_budget",       # token-budget temperature mixture
     "d_edit_pairs",         # SymSpell deletion-neighborhood edit join
+    "g_ppr",                # seed-teleport personalized PageRank, 8 rounds
 ]
 
 

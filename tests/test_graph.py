@@ -330,3 +330,46 @@ def test_hits_dedups_edges_and_validates(spark):
     assert got == want
     with pytest.raises(ValueError):
         hits_bipartite(clean, iterations=0)
+
+
+def test_personalized_pagerank_concentrates_on_seed_component(spark):
+    """Two disconnected 2-cycles; seeding one leaves the other at
+    exactly 0 (dropped). Hand-unrolled: symmetric 2-cycle from a seed
+    keeps all mass in the component, split by the walk."""
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (10, 11), (11, 10)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    out = {
+        r.node: r.rank
+        for r in personalized_pagerank(
+            edges, seeds, iterations=8
+        ).collect()
+    }
+    # unreachable component dropped entirely
+    assert set(out) == {1, 2}
+    # hand-unroll: r(1)=a_t, r(2)=b_t; a_{t+1}=0.15 + 0.85*b_t,
+    # b_{t+1}=0.85*a_t, a_0=1, b_0=0
+    a, b = 1.0, 0.0
+    for _ in range(8):
+        a, b = 0.15 + 0.85 * b, 0.85 * a
+    assert abs(out[1] - a) < 1e-12 and abs(out[2] - b) < 1e-12
+    # total mass stays bounded by 1 (leaks only via teleport norm)
+    assert 0.0 < out[1] + out[2] <= 1.0 + 1e-9
+
+
+def test_personalized_pagerank_validates_seeds(spark):
+    import pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    no_seed = spark.createDataFrame([(99,)], ["node"])
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, no_seed)
