@@ -2013,6 +2013,28 @@ def _q_stream_enrich(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table("drv_stream_enrich")
 
 
+def _q_stream_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming per-hour heavy hitters, DRIVER-graded: append-mode
+    (window, user) counts finalize exactly once per cell (sentinel
+    flush pushes the watermark past every real window), then the batch
+    post-pass ranks the finalized cells top-3 per hour; the oracle is
+    the equivalent batch SQL — stream == batch on both the counts and
+    the ranking."""
+    from gcp_food_delivery_data_pipeline_spark.streaming.events import (
+        append_watermark_flush,
+        run_window_topk_stream,
+        window_topk,
+    )
+
+    in_dir, ckpt = _stage_events_stream_dir(sf, "stream_topk")
+    out_dir = os.path.join(os.path.dirname(ckpt), "out")
+    append_watermark_flush(spark, in_dir)
+    q = run_window_topk_stream(spark, in_dir, ckpt, out_dir)
+    q.awaitTermination()
+    cells = spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
+    return window_topk(cells, k=3)
+
+
 def _q_stream_hourly(spark: SparkSession, sf: str) -> DataFrame:
     """Structured Streaming parity, DRIVER-graded (not just pytest):
     replay the events table through the watermarked tumbling-window
@@ -3847,6 +3869,7 @@ _GRADE_FIRST = [
     "c_token_budget",
     "d_edit_pairs",
     "g_ppr",
+    "s_stream_topk",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -4067,6 +4090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_token_budget": _q_token_budget,
         "d_edit_pairs": _q_edit_pairs,
         "g_ppr": _q_ppr,
+        "s_stream_topk": _q_stream_topk,
         "c_split_leakage": _q_split_leakage,
         "d_minhash_estimate": _q_minhash_estimate,
         "q_dq_orders": _q_dq_orders,
@@ -5708,6 +5732,16 @@ def oracle_sql() -> dict[str, str]:
         "s_stream_user_totals": (
             "SELECT user_id, count(*) AS n_events, "
             "round(sum(value), 2) AS sum_value FROM events GROUP BY user_id"
+        ),
+        # Batch twin of the streaming (hour, user) cells + top-3 rank.
+        "s_stream_topk": (
+            "WITH c AS (SELECT date_trunc('hour', ts) AS hr, user_id, "
+            "count(*) AS n FROM events GROUP BY 1, 2), "
+            "r AS (SELECT hr, user_id, n, row_number() OVER ("
+            "PARTITION BY hr ORDER BY n DESC, user_id) AS rn FROM c) "
+            "SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour, user_id, "
+            "CAST(n AS BIGINT) AS n_events, CAST(rn AS INT) AS rn "
+            "FROM r WHERE rn <= 3"
         ),
         # The Spark side drains the events file delivered TWICE through
         # dropDuplicatesWithinWatermark; the oracle aggregates the

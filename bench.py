@@ -140,6 +140,7 @@ EXTRA_QUERIES = [
     "c_token_budget",       # token-budget temperature mixture
     "d_edit_pairs",         # SymSpell deletion-neighborhood edit join
     "g_ppr",                # seed-teleport personalized PageRank, 8 rounds
+    "s_stream_topk",        # append-mode finalized cells + batch rank
 ]
 
 

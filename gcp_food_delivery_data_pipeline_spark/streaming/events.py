@@ -684,3 +684,71 @@ def run_click_attribution_left_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_window_topk_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_path: str,
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Streaming heavy-hitter state: per-(hour window, user) event
+    counts in APPEND mode — each (window, user) cell emits exactly
+    once when the watermark passes the window close, so the parquet
+    sink accumulates only FINALIZED cells and file re-delivery is
+    checkpoint-idempotent. Ranking the top-k inside the stream would
+    need a window function over a streaming aggregate (unsupported,
+    and semantically premature: a window's top-k isn't knowable until
+    the window finalizes); the correct production shape is exactly
+    this split — stream finalizes cells, a trivial batch pass ranks
+    finalized windows (see ``window_topk``).
+
+    State is bounded by (active windows x users seen within the
+    watermark horizon), hash-partitioned across executors.
+    """
+    counts = (
+        read_events_stream(spark, input_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("hour"),
+            "user_id",
+            "n_events",
+        )
+    )
+    return (
+        counts.writeStream.format("parquet")
+        .option("path", output_path)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def window_topk(df: DataFrame, k: int = 3) -> DataFrame:
+    """Rank finalized (hour, user) count cells to the per-hour top-k
+    with a deterministic (count DESC, user ASC) tie-break — the batch
+    post-pass over ``run_window_topk_stream``'s sink. Keyed window
+    (partitioned by hour): parallel per-key sorts, and Spark plans
+    the rank-<=-k filter as WindowGroupLimit, so only per-partition
+    top-k rows cross the shuffle."""
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("hour").orderBy(
+            F.col("n_events").desc(), F.col("user_id")
+        )
+    )
+    return (
+        df.withColumn("rn", rn)
+        .filter(F.col("rn") <= k)
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "user_id",
+            "n_events",
+            "rn",
+        )
+    )

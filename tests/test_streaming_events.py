@@ -438,3 +438,61 @@ def test_stream_enrich_matches_batch_left_join(spark, events_dir, tmp_path):
     }
     assert got == expect
     assert any(seg == "unknown" for _, _, seg, _ in got)
+
+
+def test_stream_window_topk_matches_batch_and_is_replay_idempotent(
+    spark, tmp_path
+):
+    """Finalized (hour, user) cells + batch rank == pure batch top-3;
+    re-draining the SAME checkpoint adds no duplicate cells."""
+    import shutil
+
+    from gcp_food_delivery_data_pipeline_spark.streaming.events import (
+        append_watermark_flush,
+        run_window_topk_stream,
+        window_topk,
+    )
+
+    in_dir = str(tmp_path / "in")
+    (tmp_path / "in").mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", in_dir)
+    append_watermark_flush(spark, in_dir)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    q = run_window_topk_stream(spark, in_dir, ckpt, out)
+    assert q.awaitTermination(360), "topk stream did not drain"
+    cells = spark.read.parquet(out).filter(F.col("user_id") >= 0)
+    got = {
+        (r.hour, r.user_id): (r.n_events, r.rn)
+        for r in window_topk(cells, k=3).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    from pyspark.sql import Window as W
+
+    batch = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("hour").orderBy(
+                    F.col("n_events").desc(), F.col("user_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+    expect = {
+        (
+            r.hour.strftime("%Y-%m-%d %H:%M:%S"),
+            r.user_id,
+        ): (r.n_events, r.rn)
+        for r in batch.collect()
+    }
+    assert got == expect
+    # replay the drained checkpoint: no new cells may appear
+    n_before = spark.read.parquet(out).count()
+    q2 = run_window_topk_stream(spark, in_dir, ckpt, out)
+    assert q2.awaitTermination(360)
+    assert spark.read.parquet(out).count() == n_before
