@@ -3679,6 +3679,24 @@ def _q_upsample(spark: SparkSession, sf: str) -> DataFrame:
     return upsample_epochs(d, total=3 * d.count(), alpha=0.5)
 
 
+def _q_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Mann-Whitney AUC of the first embedding dimension as a
+    scorer of the odd-label class — exact rational via distinct-score
+    counts + the two-phase rank; never the quadratic P x N compare."""
+    e = load_table(spark, sf, "embeddings")
+    return A.q_auc_rank(
+        e,
+        score=F.element_at("embedding", 1).cast("double"),
+        label=(F.col("label") % 2),
+    )
+
+
+def _q_decile_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile gains table over customer spend: integer-cent spend,
+    two-phase rank, integer decile cuts, exact-ratio share/lift."""
+    return A.q_decile_lift(load_table(spark, sf, "orders"))
+
+
 def _q_ppr(spark: SparkSession, sf: str) -> DataFrame:
     """Personalized PageRank from the deterministic seed set
     p_partkey % 97 == 0 over the part co-occurrence graph: teleport
@@ -3870,6 +3888,8 @@ _GRADE_FIRST = [
     "d_edit_pairs",
     "g_ppr",
     "s_stream_topk",
+    "v_auc_rank",
+    "q_decile_lift",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -4091,6 +4111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_edit_pairs": _q_edit_pairs,
         "g_ppr": _q_ppr,
         "s_stream_topk": _q_stream_topk,
+        "v_auc_rank": _q_auc,
+        "q_decile_lift": _q_decile_lift,
         "c_split_leakage": _q_split_leakage,
         "d_minhash_estimate": _q_minhash_estimate,
         "q_dq_orders": _q_dq_orders,
@@ -5388,6 +5410,38 @@ def oracle_sql() -> dict[str, str]:
         "g_hits": _hits_oracle_sql(4),
         # Unrolled 8-round personalized PageRank, seed-only teleport.
         "g_ppr": _ppr_oracle_sql(8),
+        # Same distinct-score counts + cumulative-neg rank sum; every
+        # U term is a multiple of 0.5 so the sum is exact; AUC raw.
+        "v_auc_rank": (
+            "WITH s AS (SELECT CAST(embedding[1] AS DOUBLE) AS sc, "
+            "CAST(label % 2 AS INT) AS y FROM embeddings), "
+            "g AS (SELECT sc, CAST(sum(y) AS BIGINT) AS pos, "
+            "CAST(sum(1 - y) AS BIGINT) AS neg FROM s GROUP BY sc), "
+            "r AS (SELECT pos, neg, coalesce(sum(neg) OVER ("
+            "ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS below FROM g) "
+            "SELECT CAST(sum(pos) AS BIGINT) AS n_pos, "
+            "CAST(sum(neg) AS BIGINT) AS n_neg, "
+            "sum(pos * (below + 0.5 * neg)) / "
+            "(sum(pos) * sum(neg)) AS auc FROM r"
+        ),
+        # Same integer-cent spend, same (cents DESC, custkey) rank,
+        # same integer decile cuts; share/lift exact ratios, raw.
+        "q_decile_lift": (
+            "WITH sp AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice "
+            "AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents "
+            "FROM orders GROUP BY o_custkey), "
+            "t AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(cents) AS BIGINT) AS tot FROM sp), "
+            "r AS (SELECT cents, row_number() OVER ("
+            "ORDER BY cents DESC, o_custkey) AS rk FROM sp) "
+            "SELECT CAST(((rk - 1) * 10) // n AS INT) AS decile, "
+            "CAST(count(*) AS BIGINT) AS n_customers, "
+            "CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue, "
+            "CAST(sum(cents) AS DOUBLE) / tot AS rev_share, "
+            "CAST(sum(cents) AS DOUBLE) / tot * 10.0 AS lift "
+            "FROM r, t GROUP BY ((rk - 1) * 10) // n, tot"
+        ),
         # Naive all-pairs levenshtein join: the quadratic oracle twin
         # of the deletion-neighborhood candidate join (exact for d=1).
         "d_edit_pairs": (

@@ -2891,3 +2891,118 @@ def q_chi2_independence(events: DataFrame) -> DataFrame:
             ).alias("chi2_contrib"),
         )
     )
+
+
+def q_auc_rank(
+    df: DataFrame,
+    score: Column,
+    label: Column,
+) -> DataFrame:
+    """Exact ROC AUC by rank statistic (Mann-Whitney U): AUC =
+    [sum over distinct score values v of
+    pos(v) * (negatives_below(v) + 0.5 * neg(v))] / (P * N) — the
+    probability a random positive outscores a random negative, ties
+    counted half. THE offline metric for quality/dedup classifier
+    scores before a threshold is chosen.
+
+    Reproducibility: pos/neg counts per distinct score are exact
+    integers, the cumulative negative count rides the two-phase
+    distributed rank, and 0.5 * integer is exact in binary — so U and
+    AUC are exact rationals, emitted raw (never rounded: integer
+    ratios terminate on round()'s half boundary).
+
+    Scale shape: one combinable groupBy collapses the stream to
+    distinct scores; one two-phase rank (range repartition +
+    per-partition prefix sums) orders them; the final row is one
+    aggregate. No global-order window, no pairwise P x N expansion
+    (the textbook definition is quadratic; the rank form is the
+    linear-shuffle equivalent).
+    """
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        _global_ordered_rank_and_prefix,
+    )
+
+    per_score = (
+        df.select(score.alias("_s"), label.cast("int").alias("_y"))
+        .groupBy("_s")
+        .agg(
+            F.sum("_y").alias("_pos"),
+            F.sum(1 - F.col("_y")).alias("_neg"),
+        )
+    )
+    ranked = _global_ordered_rank_and_prefix(
+        per_score, ["_s"], F.col("_neg")
+    )
+    u_terms = F.col("_pos") * (
+        F.col("_gbefore") + 0.5 * F.col("_neg")
+    )
+    return ranked.agg(
+        F.sum("_pos").alias("n_pos"),
+        F.sum("_neg").alias("n_neg"),
+        F.sum(u_terms).alias("_u"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        (
+            F.col("_u") / (F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )
+
+
+def q_decile_lift(orders: DataFrame) -> DataFrame:
+    """Decile lift / gains table: customers ranked by total spend
+    (descending), cut into 10 equal-count deciles; each decile's
+    revenue share and lift over the uniform 1/10 — the targeting-model
+    evaluation classic ("the top decile carries 4.2x its weight").
+
+    Reproducibility: spend aggregates as integer cents (decimal sum),
+    the rank is the two-phase distributed rank with (cents DESC,
+    custkey) tie-break, decile cuts are pure integer arithmetic
+    ((rank-1) * 10 div n), and share/lift are exact-integer ratios
+    emitted raw.
+
+    Scale shape: one combinable per-customer rollup, one two-phase
+    rank, one 10-row aggregation; totals broadcast as a scalar row.
+    """
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        _global_ordered_rank_and_prefix,
+    )
+
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_amt")
+    ).select(
+        "o_custkey",
+        (F.col("_amt") * 100).cast("long").alias("_cents"),
+    )
+    ranked = _global_ordered_rank_and_prefix(
+        spend.select(
+            "o_custkey", "_cents", (-F.col("_cents")).alias("_neg")
+        ),
+        ["_neg", "o_custkey"],
+        F.lit(0),
+    )
+    totals = spend.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_cents").alias("_tot")
+    )
+    dec = ranked.crossJoin(F.broadcast(totals)).select(
+        F.expr("((_grank - 1) * 10) div _n").cast("int").alias("decile"),
+        "_cents",
+        "_tot",
+    )
+    share = F.sum("_cents") / F.first("_tot")
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("_cents").cast("double") / 100.0).alias("revenue"),
+            share.alias("rev_share"),
+            (share * 10.0).alias("lift"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            "revenue",
+            F.col("rev_share").cast("double").alias("rev_share"),
+            F.col("lift").cast("double").alias("lift"),
+        )
+    )

@@ -1039,3 +1039,57 @@ def test_chi2_independence_golden(spark):
             for d in range(7)
         )
         assert abs(out[t].chi2_contrib - round(chi, 6)) < 1e-6
+
+
+def test_auc_rank_golden(spark):
+    """Hand-computed AUC with a tie: pos scores {3, 2}, neg {2, 1}.
+    U = pairs(pos>neg) + 0.5*ties = (2 + 1) + 0.5*1 = 3.5; AUC = 3.5/4."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_auc_rank,
+    )
+
+    rows = [(3.0, 1), (2.0, 1), (2.0, 0), (1.0, 0)]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    r = q_auc_rank(df, score=F.col("s"), label=F.col("y")).collect()[0]
+    assert r.n_pos == 2 and r.n_neg == 2
+    assert r.auc == 3.5 / 4.0
+
+
+def test_auc_rank_perfect_and_random(spark):
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_auc_rank,
+    )
+
+    # perfectly separated -> AUC 1; identical scores -> AUC 0.5
+    sep = spark.createDataFrame(
+        [(float(i), 1 if i >= 50 else 0) for i in range(100)], ["s", "y"]
+    )
+    assert q_auc_rank(sep, F.col("s"), F.col("y")).collect()[0].auc == 1.0
+    flat = spark.createDataFrame(
+        [(1.0, i % 2) for i in range(100)], ["s", "y"]
+    )
+    assert q_auc_rank(flat, F.col("s"), F.col("y")).collect()[0].auc == 0.5
+
+
+def test_decile_lift_partitions_and_reconciles(spark):
+    """Deciles are equal-count (n=10k customers split 10 ways), shares
+    sum to 1, lift = share*10, decile 0 is the heaviest."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_decile_lift,
+    )
+    from gcp_food_delivery_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    rows = sorted(q_decile_lift(orders).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(10))
+    n = sum(r.n_customers for r in rows)
+    assert max(r.n_customers for r in rows) - min(
+        r.n_customers for r in rows
+    ) <= 1
+    assert abs(sum(r.rev_share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert abs(r.lift - r.rev_share * 10.0) < 1e-12
+    assert rows[0].revenue == max(r.revenue for r in rows)
