@@ -3679,6 +3679,13 @@ def _q_upsample(spark: SparkSession, sf: str) -> DataFrame:
     return upsample_epochs(d, total=3 * d.count(), alpha=0.5)
 
 
+def _q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic half-sampling bootstrap CI (B=32, md5 parity
+    membership) for each type's mean value — percentile interval from
+    the [2, B-1] order statistics of round-6 replicate means."""
+    return A.q_bootstrap_ci(load_table(spark, sf, "events"))
+
+
 def _q_auc(spark: SparkSession, sf: str) -> DataFrame:
     """Exact Mann-Whitney AUC of the first embedding dimension as a
     scorer of the odd-label class — exact rational via distinct-score
@@ -3890,6 +3897,7 @@ _GRADE_FIRST = [
     "s_stream_topk",
     "v_auc_rank",
     "q_decile_lift",
+    "q_bootstrap_ci",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -4113,6 +4121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_topk": _q_stream_topk,
         "v_auc_rank": _q_auc,
         "q_decile_lift": _q_decile_lift,
+        "q_bootstrap_ci": _q_bootstrap_ci,
         "c_split_leakage": _q_split_leakage,
         "d_minhash_estimate": _q_minhash_estimate,
         "q_dq_orders": _q_dq_orders,
@@ -5410,6 +5419,27 @@ def oracle_sql() -> dict[str, str]:
         "g_hits": _hits_oracle_sql(4),
         # Unrolled 8-round personalized PageRank, seed-only teleport.
         "g_ppr": _ppr_oracle_sql(8),
+        # Same md5-parity replicate membership, same round-6 replicate
+        # means, same [2, B-1] order statistics.
+        "q_bootstrap_ci": (
+            "WITH s AS (SELECT event_type, event_id, value, b FROM events "
+            "CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) "
+            "WHERE CAST(concat('0x', substr(md5(concat("
+            "CAST(event_id AS VARCHAR), ':', CAST(b AS VARCHAR))), 1, 8)) "
+            "AS BIGINT) % 2 = 0), "
+            "m AS (SELECT event_type, b, round(avg(value), 6) AS mn "
+            "FROM s GROUP BY 1, 2), "
+            "r AS (SELECT event_type, mn, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY mn, b) AS rn FROM m), "
+            "ci AS (SELECT event_type, "
+            "max(CASE WHEN rn = 2 THEN mn END) AS ci_lo, "
+            "max(CASE WHEN rn = 31 THEN mn END) AS ci_hi "
+            "FROM r GROUP BY event_type), "
+            "p AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "round(avg(value), 6) AS mean_value FROM events GROUP BY 1) "
+            "SELECT p.event_type, n_events, mean_value, ci_lo, ci_hi "
+            "FROM p JOIN ci ON ci.event_type = p.event_type"
+        ),
         # Same distinct-score counts + cumulative-neg rank sum; every
         # U term is a multiple of 0.5 so the sum is exact; AUC raw.
         "v_auc_rank": (

@@ -143,6 +143,7 @@ EXTRA_QUERIES = [
     "s_stream_topk",        # append-mode finalized cells + batch rank
     "v_auc_rank",           # exact Mann-Whitney AUC via two-phase rank
     "q_decile_lift",        # integer-cent decile gains table
+    "q_bootstrap_ci",       # md5-parity half-sampling bootstrap CI
 ]
 
 

@@ -3006,3 +3006,70 @@ def q_decile_lift(orders: DataFrame) -> DataFrame:
             F.col("lift").cast("double").alias("lift"),
         )
     )
+
+
+def q_bootstrap_ci(events: DataFrame, replicates: int = 32) -> DataFrame:
+    """Bootstrap confidence interval for the per-type mean value —
+    half-sampling (Bernoulli p=0.5) bootstrap with DETERMINISTIC
+    md5-derived membership: row r joins replicate b iff
+    md5(event_id:b) is even, so every replicate is reproducible
+    across engines, reruns, and partitionings (``rand(seed)`` is
+    none of those). The interval is the [2nd, B-1] order statistics
+    of the B replicate means — the percentile bootstrap at ~94%
+    coverage for B=32 — answering "how much would this mean move on
+    a different sample of this stream?" without any normality
+    assumption.
+
+    Reproducibility: membership is integer hash parity; replicate
+    means round to 6 decimals BEFORE the order-statistic selection,
+    so ranking compares engine-identical doubles (the only
+    float-regrouping surface is inside each replicate's avg,
+    absorbed by its rounding).
+
+    Scale shape: the explode multiplies the scan by B (the honest
+    cost of B resamples — but membership halves it), one combinable
+    (type, b) aggregation collapses to B rows per type, and the
+    order-statistic window runs on that B-row frame. B is a constant:
+    no state grows with the corpus.
+    """
+    if replicates < 4:
+        raise ValueError(
+            f"q_bootstrap_ci: need >= 4 replicates, got {replicates}"
+        )
+    b = F.explode(
+        F.sequence(F.lit(0), F.lit(replicates - 1))
+    ).alias("_b")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.col("event_id"), F.col("_b"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    sampled = (
+        events.select("event_type", "event_id", "value", b)
+        .withColumn("_h", h)
+        .filter(F.col("_h") % 2 == 0)
+    )
+    rep_means = sampled.groupBy("event_type", "_b").agg(
+        F.round(F.avg("value"), 6).alias("_m")
+    )
+    w = Window.partitionBy("event_type").orderBy("_m", "_b")
+    ranked = rep_means.withColumn("_rn", F.row_number().over(w))
+    ci = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("_rn") == 2, F.col("_m"))).alias("ci_lo"),
+        F.max(
+            F.when(F.col("_rn") == replicates - 1, F.col("_m"))
+        ).alias("ci_hi"),
+    )
+    point = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+    )
+    return point.join(ci, "event_type").select(
+        "event_type", "n_events", "mean_value", "ci_lo", "ci_hi"
+    )

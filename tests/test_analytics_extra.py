@@ -1093,3 +1093,41 @@ def test_decile_lift_partitions_and_reconciles(spark):
     for r in rows:
         assert abs(r.lift - r.rev_share * 10.0) < 1e-12
     assert rows[0].revenue == max(r.revenue for r in rows)
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    """The percentile interval brackets the point estimate on a
+    well-behaved sample, and a rerun returns identical values (the
+    membership hash is partition-independent)."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_bootstrap_ci,
+    )
+
+    rows = [
+        (i, "t", float((i * 37) % 100)) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    r1 = q_bootstrap_ci(df).collect()[0]
+    assert r1.n_events == 2000
+    assert r1.ci_lo <= r1.mean_value <= r1.ci_hi
+    # ~uniform[0,100): interval should be tight around 49.5-ish
+    assert abs(r1.mean_value - 49.5) < 2.0
+    assert r1.ci_hi - r1.ci_lo < 10.0
+    r2 = q_bootstrap_ci(df.repartition(7)).collect()[0]
+    assert (r1.ci_lo, r1.ci_hi, r1.mean_value) == (
+        r2.ci_lo, r2.ci_hi, r2.mean_value
+    )
+
+
+def test_bootstrap_ci_validates(spark):
+    import pytest
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_bootstrap_ci,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "t", 1.0)], ["event_id", "event_type", "value"]
+    )
+    with pytest.raises(ValueError):
+        q_bootstrap_ci(df, replicates=2)
