@@ -3679,6 +3679,13 @@ def _q_upsample(spark: SparkSession, sf: str) -> DataFrame:
     return upsample_epochs(d, total=3 * d.count(), alpha=0.5)
 
 
+def _q_survival_km(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier user-lifetime survival with right-censoring (users
+    active in the window's final 7 days censor, not churn) — exact
+    integer hazard ratios, exp(cumsum(ln)) product, round-6 curve."""
+    return A.q_survival_km(load_table(spark, sf, "events"))
+
+
 def _q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic half-sampling bootstrap CI (B=32, md5 parity
     membership) for each type's mean value — percentile interval from
@@ -3898,6 +3905,7 @@ _GRADE_FIRST = [
     "v_auc_rank",
     "q_decile_lift",
     "q_bootstrap_ci",
+    "q_survival_km",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -4122,6 +4130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_auc_rank": _q_auc,
         "q_decile_lift": _q_decile_lift,
         "q_bootstrap_ci": _q_bootstrap_ci,
+        "q_survival_km": _q_survival_km,
         "c_split_leakage": _q_split_leakage,
         "d_minhash_estimate": _q_minhash_estimate,
         "q_dq_orders": _q_dq_orders,
@@ -5419,6 +5428,36 @@ def oracle_sql() -> dict[str, str]:
         "g_hits": _hits_oracle_sql(4),
         # Unrolled 8-round personalized PageRank, seed-only teleport.
         "g_ppr": _ppr_oracle_sql(8),
+        # Same per-user spans, same censor rule, same suffix-sum
+        # at-risk counts, same exp(cumsum(ln)) product; terminal
+        # hazard (factor 0) zeroes the curve in both engines.
+        "q_survival_km": (
+            "WITH d AS (SELECT user_id, "
+            "CAST(min(date_trunc('day', ts)) AS DATE) AS d0, "
+            "CAST(max(date_trunc('day', ts)) AS DATE) AS d1 "
+            "FROM events GROUP BY user_id), "
+            "wend AS (SELECT CAST(max(date_trunc('day', ts)) AS DATE) "
+            "AS we FROM events), "
+            "pu AS (SELECT date_diff('day', d0, d1) AS t, "
+            "date_diff('day', d1, we) < 7 AS cens FROM d, wend), "
+            "tb AS (SELECT t, CAST(sum(CASE WHEN cens THEN 0 ELSE 1 END) "
+            "AS BIGINT) AS n_deaths, "
+            "CAST(sum(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_censored FROM pu GROUP BY t), "
+            "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pu), "
+            "rk AS (SELECT tb.*, tot.n - coalesce(sum(n_deaths + "
+            "n_censored) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING), 0) AS n_at_risk FROM tb, tot), "
+            "sv AS (SELECT *, CASE WHEN max(CASE WHEN 1.0 - "
+            "CAST(n_deaths AS DOUBLE) / n_at_risk <= 0.0 THEN 1 ELSE 0 "
+            "END) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) = 1 THEN 0.0 ELSE exp(sum(ln(1.0 - "
+            "CAST(n_deaths AS DOUBLE) / n_at_risk)) OVER (ORDER BY t "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END "
+            "AS s FROM rk) "
+            "SELECT t AS t_days, CAST(n_at_risk AS BIGINT) AS n_at_risk, "
+            "n_deaths, n_censored, round(s, 6) AS survival FROM sv"
+        ),
         # Same md5-parity replicate membership, same round-6 replicate
         # means, same [2, B-1] order statistics.
         "q_bootstrap_ci": (

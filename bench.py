@@ -144,6 +144,7 @@ EXTRA_QUERIES = [
     "v_auc_rank",           # exact Mann-Whitney AUC via two-phase rank
     "q_decile_lift",        # integer-cent decile gains table
     "q_bootstrap_ci",       # md5-parity half-sampling bootstrap CI
+    "q_survival_km",        # right-censored Kaplan-Meier lifetime curve
 ]
 
 

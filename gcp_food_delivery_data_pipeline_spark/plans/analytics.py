@@ -3073,3 +3073,72 @@ def q_bootstrap_ci(events: DataFrame, replicates: int = 32) -> DataFrame:
     return point.join(ci, "event_type").select(
         "event_type", "n_events", "mean_value", "ci_lo", "ci_hi"
     )
+
+
+def q_survival_km(
+    events: DataFrame, censor_horizon_days: int = 7
+) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (days between a
+    user's first and last activity), with right-censoring: users still
+    active within ``censor_horizon_days`` of the observation window's
+    end are CENSORED at their observed lifetime, not counted as
+    churned — dropping them (or counting them as deaths) is the
+    classic retention-curve bias KM exists to fix. Output: one row
+    per observed lifetime with the at-risk count, deaths, censored
+    exits, and S(t) = prod over t_i <= t of (1 - d_i / n_i).
+
+    Reproducibility: every hazard factor is an exact-integer ratio;
+    the cumulative product runs as exp(cumsum(ln(factor))) over the
+    ascending-lifetime order and the final survival rounds to 6
+    decimals (the q_entropy_profile transcendental contract). At-risk
+    counts are suffix sums of exact integers.
+
+    Scale shape: ONE combinable per-user min/max pass collapses the
+    stream to a row per user, then a row per distinct lifetime
+    (<= observation days); the cumulative window runs on that tiny
+    frame (documented single-partition window over <= #days rows —
+    the same tiny-frame exemption as the mixture quota ranks).
+    """
+    day = F.to_date("ts")
+    spans = events.groupBy("user_id").agg(
+        F.min(day).alias("_d0"), F.max(day).alias("_d1")
+    )
+    wend = events.agg(F.max(day).alias("_wend"))
+    per_user = spans.crossJoin(F.broadcast(wend)).select(
+        F.datediff("_d1", "_d0").cast("long").alias("_t"),
+        (
+            F.datediff("_wend", "_d1") < censor_horizon_days
+        ).alias("_cens"),
+    )
+    tbl = per_user.groupBy("_t").agg(
+        F.sum(F.when(F.col("_cens"), 0).otherwise(1)).alias("n_deaths"),
+        F.sum(F.when(F.col("_cens"), 1).otherwise(0)).alias("n_censored"),
+    )
+    w = Window.orderBy("_t")
+    before = F.coalesce(
+        F.sum(F.col("n_deaths") + F.col("n_censored")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    total = per_user.agg(F.count(F.lit(1)).alias("_n"))
+    risked = tbl.crossJoin(F.broadcast(total)).withColumn(
+        "n_at_risk", F.col("_n") - before
+    )
+    # hazard factor over exact integers; survival via exp(cumsum(ln)).
+    # A terminal hazard (every at-risk user dies: factor 0) zeroes the
+    # curve from there on — guarded explicitly because Spark's log(0)
+    # is NULL while DuckDB's is -inf.
+    factor = 1.0 - F.col("n_deaths") / F.col("n_at_risk")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    hit_zero = F.max((factor <= 0.0).cast("int")).over(cum) == 1
+    surv = F.when(hit_zero, F.lit(0.0)).otherwise(
+        F.exp(F.sum(F.log(factor)).over(cum))
+    )
+    return risked.select(
+        F.col("_t").alias("t_days"),
+        "n_at_risk",
+        "n_deaths",
+        "n_censored",
+        F.round(surv, 6).alias("survival"),
+    )

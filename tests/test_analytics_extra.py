@@ -1131,3 +1131,56 @@ def test_bootstrap_ci_validates(spark):
     )
     with pytest.raises(ValueError):
         q_bootstrap_ci(df, replicates=2)
+
+
+def test_survival_km_golden_with_censoring_and_terminal_zero(spark):
+    """Hand-computed KM: 10 users; window ends 2024-02-01 (censor
+    horizon 7 days -> last-active on/after Jan 26 censors).
+    Lifetimes: 4 die at t=0, 3 die at t=2, 1 censors at t=2,
+    2 die at t=5 (terminal: everyone at risk dies -> S=0)."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_survival_km,
+    )
+
+    rows = []
+    eid = 0
+
+    def add(uid, d0, d1):
+        nonlocal eid
+        rows.append((eid, "2024-01-%02d 10:00:00" % d0, uid, "view", 1.0))
+        eid += 1
+        if d1 != d0:
+            rows.append((eid, "2024-01-%02d 10:00:00" % d1, uid, "view", 1.0))
+            eid += 1
+
+    for u in range(4):
+        add(u, 2, 2)            # t=0, dies
+    for u in range(4, 7):
+        add(u, 3, 5)            # t=2, dies
+    add(7, 27, 29)              # t=2, censored (active Jan 29)
+    add(8, 10, 15)              # t=5, dies
+    add(9, 10, 15)              # t=5, dies
+    # window-end anchor so the horizon is fixed: one extra user active
+    # only on Feb 1 would shift durations; instead pin max day via an
+    # event for user 9 (already at Jan 15) -> max day is Jan 29.
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts_s", "user_id", "event_type", "value"]
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    out = {r.t_days: r for r in q_survival_km(df).collect()}
+    # window end = Jan 29; censor if last activity >= Jan 23
+    # t=0: deaths 4 (users 0-3), at risk 10 -> S = 6/10
+    assert out[0].n_at_risk == 10 and out[0].n_deaths == 4
+    assert out[0].survival == 0.6
+    # t=2: deaths 3, censored 1 (user 7, last active Jan 29), risk 6
+    assert out[2].n_at_risk == 6 and out[2].n_deaths == 3
+    assert out[2].n_censored == 1
+    assert abs(out[2].survival - 0.6 * (1 - 3 / 6)) < 1e-9
+    # t=5: deaths 2, at risk 2 -> terminal factor 0 -> S = 0
+    assert out[5].n_at_risk == 2 and out[5].n_deaths == 2
+    assert out[5].survival == 0.0
