@@ -2696,6 +2696,9 @@ def q_ks_drift(
             F.col("_pk.d").alias("ks_stat"),
             (-F.col("_pk.nv")).alias("ks_at_value"),
         )
+        # a groupBy() over zero rows still emits one all-NULL row;
+        # an empty stream must yield an empty result (oracle parity)
+        .filter(F.col("ks_stat").isNotNull())
     )
 
 

@@ -254,3 +254,49 @@ def test_session_new_ops_on_empty(spark, empty_docs, empty_vecs):
         ),
     )
     assert q_ols_trend(orders).count() == 0
+
+
+def test_round6_stats_ops_on_empty(spark):
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_bootstrap_ci,
+        q_chi2_independence,
+        q_cusum_changepoint,
+        q_ks_drift,
+        q_psi_drift,
+        q_seasonal_naive,
+        q_survival_km,
+    )
+
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    for fn in (
+        q_psi_drift,
+        q_ks_drift,
+        q_cusum_changepoint,
+        q_seasonal_naive,
+        q_chi2_independence,
+        q_bootstrap_ci,
+        q_survival_km,
+    ):
+        assert fn(ev).count() == 0, fn.__name__
+
+
+def test_round6_mixture_and_join_ops_on_empty(spark, empty_docs):
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        token_budget_mix,
+        upsample_epochs,
+    )
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        edit_distance_join,
+    )
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        hits_bipartite,
+    )
+
+    assert token_budget_mix(empty_docs).count() == 0
+    assert upsample_epochs(empty_docs, total=10).count() == 0
+    assert edit_distance_join(empty_docs, "text", "doc_id").count() == 0
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert hits_bipartite(edges).count() == 0
