@@ -502,3 +502,189 @@ def test_kmv_overlap_matches_python_model(spark_global, sets, k):
                 round(n_both / n_cut, 6),
             )
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    a=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+    ),
+    b=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+    ),
+)
+def test_ks_drift_matches_python_model(spark_global, a, b):
+    """Estimator law: q_ks_drift equals the textbook two-sample KS
+    computed by a pooled scan in pure Python — statistic AND location
+    (smallest value attaining the max gap), on arbitrary integer-valued
+    samples with ties within and across sides."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_ks_drift,
+    )
+
+    rows = [
+        (i, "2024-01-01 00:00:00", "click", float(v))
+        for i, v in enumerate(a)
+    ] + [
+        (1000 + i, "2024-01-01 00:00:00", "purchase", float(v))
+        for i, v in enumerate(b)
+    ]
+    df = spark_global.createDataFrame(
+        rows, ["event_id", "ts_s", "event_type", "value"]
+    ).select(
+        "event_id",
+        st_col_ts("ts_s"),
+        "event_type",
+        "value",
+    )
+    r = q_ks_drift(df).collect()[0]
+
+    vals = sorted(set(a) | set(b))
+    na, nb = len(a), len(b)
+    best, best_at = -1.0, None
+    for v in vals:
+        d = abs(
+            sum(1 for x in a if x <= v) / na
+            - sum(1 for x in b if x <= v) / nb
+        )
+        if d > best:
+            best, best_at = d, v
+    assert r.n_a == na and r.n_b == nb
+    assert r.ks_stat == best
+    assert r.ks_at_value == float(best_at)
+
+
+def st_col_ts(name):
+    from pyspark.sql import functions as F
+
+    return F.col(name).cast("timestamp").alias("ts")
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    counts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # per-dow-ish counts
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+)
+def test_chi2_matches_python_model(spark_global, counts):
+    """q_chi2_independence equals the dense-table textbook statistic on
+    arbitrary (weekday, multiplicity) event placements for one type vs
+    a fixed uniform reference type."""
+    import math
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_chi2_independence,
+    )
+
+    # 1970-01-05 is a Monday -> integer dow 0
+    rows = []
+    eid = 0
+    placed = {}
+    for n, d in counts:
+        for _ in range(n):
+            rows.append(
+                (eid, "1970-01-%02d 08:00:00" % (5 + d), "var", 1.0)
+            )
+            eid += 1
+        placed[d] = placed.get(d, 0) + n
+    if sum(placed.values()) == 0:
+        placed[0] = 1
+        rows.append((eid, "1970-01-05 08:00:00", "var", 1.0))
+        eid += 1
+    for d in range(7):
+        rows.append((eid, "1970-01-%02d 09:00:00" % (5 + d), "ref", 1.0))
+        eid += 1
+        placed.setdefault(d, 0)
+    df = spark_global.createDataFrame(
+        rows, ["event_id", "ts_s", "event_type", "value"]
+    ).select("event_id", st_col_ts("ts_s"), "event_type", "value")
+    out = {r.event_type: r for r in q_chi2_independence(df).collect()}
+
+    n = {("var", d): placed[d] for d in range(7)}
+    n.update({("ref", d): 1 for d in range(7)})
+    N = sum(n.values())
+    row = {"var": sum(placed.values()), "ref": 7}
+    col = {d: n[("var", d)] + n[("ref", d)] for d in range(7)}
+    for t in ("var", "ref"):
+        chi = sum(
+            (n[(t, d)] - row[t] * col[d] / N) ** 2 / (row[t] * col[d] / N)
+            for d in range(7)
+        )
+        assert out[t].n_events == row[t]
+        assert abs(out[t].chi2_contrib - round(chi, 6)) < 1e-6
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    spans=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=20),  # first day
+            st.integers(min_value=0, max_value=9),   # lifetime
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+)
+def test_survival_km_matches_python_model(spark_global, spans):
+    """q_survival_km equals the textbook KM estimator computed in pure
+    Python (suffix-sum at-risk, product of hazards) on arbitrary user
+    spans with the same 7-day censor rule."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_survival_km,
+    )
+
+    rows = []
+    eid = 0
+    for u, (d0, life) in enumerate(spans):
+        d1 = min(d0 + life, 28)
+        rows.append((eid, "2024-01-%02d 08:00:00" % d0, u, "view", 1.0))
+        eid += 1
+        rows.append((eid, "2024-01-%02d 09:00:00" % d1, u, "view", 1.0))
+        eid += 1
+    df = spark_global.createDataFrame(
+        rows, ["event_id", "ts_s", "user_id", "event_type", "value"]
+    ).select("event_id", st_col_ts("ts_s"), "user_id", "event_type", "value")
+    got = {
+        r.t_days: (r.n_at_risk, r.n_deaths, r.n_censored, r.survival)
+        for r in q_survival_km(df).collect()
+    }
+
+    # python model
+    wend = max(min(d0 + life, 28) for d0, life in spans)
+    per_user = [
+        (min(d0 + life, 28) - d0, (wend - min(d0 + life, 28)) < 7)
+        for d0, life in spans
+    ]
+    from collections import defaultdict
+
+    deaths, cens = defaultdict(int), defaultdict(int)
+    for t, c in per_user:
+        (cens if c else deaths)[t] += 1
+    ts = sorted(set(deaths) | set(cens))
+    n_total = len(per_user)
+    before, log_sum, hit_zero = 0, 0.0, False
+    import math
+
+    expect = {}
+    for t in ts:
+        at_risk = n_total - before
+        d = deaths.get(t, 0)
+        f = 1.0 - d / at_risk
+        if f <= 0.0:
+            hit_zero = True
+        else:
+            log_sum += math.log(f)
+        s = 0.0 if hit_zero else math.exp(log_sum)
+        expect[t] = (at_risk, d, cens.get(t, 0), round(s, 6))
+        before += d + cens.get(t, 0)
+    # survival arithmetic differs in fold shape (exp of sum of lns vs
+    # incremental) — compare at 1e-9, exact on counts
+    assert set(got) == set(expect)
+    for t in ts:
+        assert got[t][:3] == expect[t][:3], t
+        assert abs(got[t][3] - expect[t][3]) < 1e-9, t
