@@ -3679,6 +3679,17 @@ def _q_upsample(spark: SparkSession, sf: str) -> DataFrame:
     return upsample_epochs(d, total=3 * d.count(), alpha=0.5)
 
 
+def _q_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """RAKE keyword extraction: stopword-gap phrase islands, exact
+    integer degree/freq word stats, round-6 phrase scores, corpus
+    top-20 — the model-free 'what is this corpus about' extractor."""
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        rake_keywords,
+    )
+
+    return rake_keywords(load_table(spark, sf, "documents"), k=20)
+
+
 def _q_survival_km(spark: SparkSession, sf: str) -> DataFrame:
     """Kaplan-Meier user-lifetime survival with right-censoring (users
     active in the window's final 7 days censor, not churn) — exact
@@ -3906,6 +3917,7 @@ _GRADE_FIRST = [
     "q_decile_lift",
     "q_bootstrap_ci",
     "q_survival_km",
+    "t_rake_keywords",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -4131,6 +4143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decile_lift": _q_decile_lift,
         "q_bootstrap_ci": _q_bootstrap_ci,
         "q_survival_km": _q_survival_km,
+        "t_rake_keywords": _q_rake_keywords,
         "c_split_leakage": _q_split_leakage,
         "d_minhash_estimate": _q_minhash_estimate,
         "q_dq_orders": _q_dq_orders,
@@ -5428,6 +5441,31 @@ def oracle_sql() -> dict[str, str]:
         "g_hits": _hits_oracle_sql(4),
         # Unrolled 8-round personalized PageRank, seed-only teleport.
         "g_ppr": _ppr_oracle_sql(8),
+        # Same stopword islands (positions via generate_subscripts),
+        # same integer degree/freq, same round-6 phrase scores.
+        "t_rake_keywords": (
+            f"WITH tk AS (SELECT doc_id, unnest({_TOKENS}) AS w, "
+            f"generate_subscripts({_TOKENS}, 1) AS pos FROM documents), "
+            "ns AS (SELECT doc_id, w, pos FROM tk WHERE w NOT IN "
+            "('the','a','of','and','to','in','is','it','that','for')), "
+            "isl AS (SELECT doc_id, w, pos, pos - row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY pos) AS grp FROM ns), "
+            "ph AS (SELECT doc_id, grp, list(w ORDER BY pos) AS words, "
+            "string_agg(w, ' ' ORDER BY pos) AS phrase, "
+            "CAST(count(*) AS BIGINT) AS plen FROM isl "
+            "GROUP BY doc_id, grp), "
+            "phf AS (SELECT phrase, words, plen FROM ph WHERE plen <= 4), "
+            "occ AS (SELECT phrase, plen, unnest(words) AS w FROM phf), "
+            "ws AS (SELECT w, CAST(count(*) AS BIGINT) AS freq, "
+            "CAST(sum(plen) AS BIGINT) AS deg FROM occ GROUP BY w), "
+            "sc AS (SELECT phrase, plen, "
+            "CAST(count(*) // plen AS BIGINT) AS n_occurrences, "
+            "round(sum(CAST(deg AS DOUBLE) / freq) / "
+            "(count(*) / plen), 6) AS score "
+            "FROM occ JOIN ws USING (w) GROUP BY phrase, plen) "
+            "SELECT phrase, n_occurrences, score FROM sc "
+            "ORDER BY score DESC, phrase LIMIT 20"
+        ),
         # Same per-user spans, same censor rule, same suffix-sum
         # at-risk counts, same exp(cumsum(ln)) product; terminal
         # hazard (factor 0) zeroes the curve in both engines.

@@ -145,6 +145,7 @@ EXTRA_QUERIES = [
     "q_decile_lift",        # integer-cent decile gains table
     "q_bootstrap_ci",       # md5-parity half-sampling bootstrap CI
     "q_survival_km",        # right-censored Kaplan-Meier lifetime curve
+    "t_rake_keywords",      # stopword-island RAKE phrase extraction
 ]
 
 

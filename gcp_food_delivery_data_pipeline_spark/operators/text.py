@@ -18,7 +18,7 @@ the scan to the ``text`` column alone.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny embedded stopword lists — heuristic language ID without models.
@@ -785,4 +785,88 @@ def distinctive_terms(
         scored.withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= k)
         .select("source", "term_rank", "term", "n_in_source", "ratio")
+    )
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    max_phrase_len: int = 4,
+    lang: str = "en",
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (gaps-and-islands over token
+    positions); each word scores degree/frequency (degree = total
+    length of phrases it appears in, frequency = its occurrence
+    count), and a phrase scores the sum of its words' scores. Returns
+    the corpus-level top-``k`` phrases by (score DESC, phrase) with
+    their occurrence counts — the unsupervised "what is this corpus
+    about" extractor that needs no model artifacts.
+
+    Reproducibility: degree/freq are exact integers; the per-phrase
+    score sums <= ``max_phrase_len`` exact ratios and rounds to 6
+    decimals before the top-k rank, so ordering compares
+    engine-identical doubles with a phrase-text tie-break.
+
+    Scale shape: one posexplode pass (rows ∝ corpus tokens), islands
+    via a per-document keyed window (parallel per-key sorts), word
+    stats via one combinable aggregation broadcast back onto the
+    (distinct-word ∝ vocabulary) frame, and a TakeOrderedAndProject
+    top-k — no global sort, no all-pairs.
+    """
+    if lang not in STOPWORDS:
+        raise ValueError(f"rake_keywords: no stopword list for {lang!r}")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_w"),
+    ).filter(~F.array_contains(sw, F.col("_w")))
+    wd = Window.partitionBy("_id").orderBy("_pos")
+    islands = toks.withColumn(
+        "_grp", F.col("_pos") - F.row_number().over(wd)
+    )
+    phrases = (
+        islands.groupBy("_id", "_grp")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_w")))
+                ),
+                lambda s: s["_w"],
+            ).alias("_words")
+        )
+        .filter(F.size("_words") <= max_phrase_len)
+        .select(
+            F.array_join("_words", " ").alias("phrase"),
+            "_words",
+            F.size("_words").alias("_plen"),
+        )
+    )
+    occ = phrases.select(
+        "phrase", "_plen", F.explode("_words").alias("_w")
+    )
+    word_stats = occ.groupBy("_w").agg(
+        F.count(F.lit(1)).alias("_freq"),
+        F.sum("_plen").alias("_deg"),
+    )
+    scored = (
+        occ.join(F.broadcast(word_stats), "_w")
+        .groupBy("phrase", "_plen")
+        .agg(
+            (F.count(F.lit(1)) / F.col("_plen"))
+            .cast("long")
+            .alias("n_occurrences"),
+            F.round(
+                F.sum(F.col("_deg") / F.col("_freq"))
+                / (F.count(F.lit(1)) / F.col("_plen")),
+                6,
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.select("phrase", "n_occurrences", "score")
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(k)
     )

@@ -463,3 +463,46 @@ def test_distinctive_terms_golden(spark):
     b_top = sorted(by_src["B"], key=lambda r: r.term_rank)[0]
     assert b_top.term == "base"
     assert b_top.ratio == 156.0 / 84.0
+
+
+def test_rake_keywords_golden(spark):
+    """Hand-computed RAKE on two tiny docs: stopwords split phrases,
+    degree/freq arithmetic by hand, repeated phrase counts once per
+    occurrence."""
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        rake_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning of deep learning"),
+            (2, "deep systems"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.phrase: r for r in rake_keywords(docs, k=10).collect()}
+    # phrases: "deep learning" x2 (split on 'of'), "deep systems" x1
+    # freq: deep=3, learning=2, systems=1
+    # degree: deep = 2+2+2 = 6, learning = 2+2 = 4, systems = 2
+    # scores: deep=2.0, learning=2.0, systems=2.0
+    # phrase scores: deep learning = 4.0, deep systems = 4.0
+    assert out["deep learning"].n_occurrences == 2
+    assert out["deep learning"].score == 4.0
+    assert out["deep systems"].n_occurrences == 1
+    assert out["deep systems"].score == 4.0
+
+
+def test_rake_keywords_phrase_len_cap_and_lang_guard(spark):
+    import pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        rake_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    # one 6-token island, over the max_phrase_len=4 cap -> dropped
+    assert rake_keywords(docs, k=10).count() == 0
+    with pytest.raises(ValueError):
+        rake_keywords(docs, lang="xx")
