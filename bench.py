@@ -140,7 +140,6 @@ EXTRA_QUERIES = [
     "c_token_budget",       # token-budget temperature mixture
     "d_edit_pairs",         # SymSpell deletion-neighborhood edit join
     "g_ppr",                # seed-teleport personalized PageRank, 8 rounds
-    "s_stream_topk",        # append-mode finalized cells + batch rank
     "v_auc_rank",           # exact Mann-Whitney AUC via two-phase rank
     "q_decile_lift",        # integer-cent decile gains table
     "q_bootstrap_ci",       # md5-parity half-sampling bootstrap CI
