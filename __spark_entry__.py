@@ -3679,6 +3679,23 @@ def _q_upsample(spark: SparkSession, sf: str) -> DataFrame:
     return upsample_epochs(d, total=3 * d.count(), alpha=0.5)
 
 
+def _q_pmi_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """PMI collocations over adjacent token pairs (min count 5,
+    top-20) — exact integer marginals, ln of exact ratios, round-6
+    rank with (w1, w2) tie-break."""
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(load_table(spark, sf, "documents"), k=20)
+
+
+def _q_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly-series autocorrelation at lags 1 and 24 per event type —
+    gap-correct hour-index joins, round-6 centered sums."""
+    return A.q_autocorr(load_table(spark, sf, "events"), lags=(1, 24))
+
+
 def _q_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
     """RAKE keyword extraction: stopword-gap phrase islands, exact
     integer degree/freq word stats, round-6 phrase scores, corpus
@@ -3918,6 +3935,8 @@ _GRADE_FIRST = [
     "q_bootstrap_ci",
     "q_survival_km",
     "t_rake_keywords",
+    "t_pmi_pairs",
+    "q_autocorr",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -4144,6 +4163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bootstrap_ci": _q_bootstrap_ci,
         "q_survival_km": _q_survival_km,
         "t_rake_keywords": _q_rake_keywords,
+        "t_pmi_pairs": _q_pmi_pairs,
+        "q_autocorr": _q_autocorr,
         "c_split_leakage": _q_split_leakage,
         "d_minhash_estimate": _q_minhash_estimate,
         "q_dq_orders": _q_dq_orders,
@@ -5441,6 +5462,56 @@ def oracle_sql() -> dict[str, str]:
         "g_hits": _hits_oracle_sql(4),
         # Unrolled 8-round personalized PageRank, seed-only teleport.
         "g_ppr": _ppr_oracle_sql(8),
+        # Same lead-window bigrams, same exact-integer marginals,
+        # same ln(exact ratio) with round-6 + (w1, w2) tie-break.
+        "t_pmi_pairs": (
+            f"WITH tk AS (SELECT doc_id, unnest({_TOKENS}) AS w, "
+            f"generate_subscripts({_TOKENS}, 1) AS pos FROM documents), "
+            "bi AS (SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id "
+            "ORDER BY pos) AS w2 FROM tk), "
+            "b AS (SELECT w1, w2 FROM bi WHERE w2 IS NOT NULL), "
+            "pair AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair "
+            "FROM b GROUP BY w1, w2), "
+            "l AS (SELECT w1, CAST(count(*) AS BIGINT) AS nl FROM b "
+            "GROUP BY w1), "
+            "r AS (SELECT w2, CAST(count(*) AS BIGINT) AS nr FROM b "
+            "GROUP BY w2), "
+            "t AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM b) "
+            "SELECT pair.w1, pair.w2, n_pair, "
+            "round(ln(CAST(n_pair AS DOUBLE) * tt / "
+            "(CAST(nl AS DOUBLE) * nr)), 6) AS pmi "
+            "FROM pair JOIN l ON l.w1 = pair.w1 "
+            "JOIN r ON r.w2 = pair.w2 CROSS JOIN t "
+            "WHERE n_pair >= 5 "
+            "ORDER BY pmi DESC, pair.w1, pair.w2 LIMIT 20"
+        ),
+        # Same round-6 hourly sums and mean, same gap-correct lag
+        # joins, same centered-product sums with a final round.
+        "q_autocorr": (
+            "WITH h AS (SELECT event_type, "
+            "epoch_us(ts) // 3600000000 AS hr, "
+            "round(sum(value), 6) AS v FROM events GROUP BY 1, 2), "
+            "m AS (SELECT event_type, round(avg(v), 6) AS mu FROM h "
+            "GROUP BY 1), "
+            "c AS (SELECT h.event_type, hr, v - mu AS d FROM h "
+            "JOIN m ON m.event_type = h.event_type), "
+            "dn AS (SELECT event_type, sum(d * d) AS ss FROM c "
+            "GROUP BY 1), "
+            "lagged AS ("
+            "SELECT a.event_type, 1 AS lag_hours, "
+            "CAST(count(*) AS BIGINT) AS n_pairs, "
+            "sum(a.d * b.d) AS num FROM c a JOIN c b "
+            "ON b.event_type = a.event_type AND b.hr = a.hr - 1 "
+            "GROUP BY a.event_type "
+            "UNION ALL "
+            "SELECT a.event_type, 24, CAST(count(*) AS BIGINT), "
+            "sum(a.d * b.d) FROM c a JOIN c b "
+            "ON b.event_type = a.event_type AND b.hr = a.hr - 24 "
+            "GROUP BY a.event_type) "
+            "SELECT lagged.event_type, lag_hours, n_pairs, "
+            "round(num / ss, 6) AS autocorr "
+            "FROM lagged JOIN dn ON dn.event_type = lagged.event_type"
+        ),
         # Same stopword islands (positions via generate_subscripts),
         # same integer degree/freq, same round-6 phrase scores.
         "t_rake_keywords": (

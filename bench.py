@@ -145,6 +145,8 @@ EXTRA_QUERIES = [
     "q_bootstrap_ci",       # md5-parity half-sampling bootstrap CI
     "q_survival_km",        # right-censored Kaplan-Meier lifetime curve
     "t_rake_keywords",      # stopword-island RAKE phrase extraction
+    "t_pmi_pairs",          # lead-window bigram PMI collocations
+    "q_autocorr",           # hourly-series ACF at lags 1 and 24
 ]
 
 

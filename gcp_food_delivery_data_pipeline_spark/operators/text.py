@@ -870,3 +870,59 @@ def rake_keywords(
         .orderBy(F.col("score").desc(), "phrase")
         .limit(k)
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise-mutual-information collocations: adjacent token pairs
+    whose co-occurrence beats the independence expectation,
+    PMI = ln(c(w1,w2) * T / (c_left(w1) * c_right(w2))) over bigram
+    totals — the classic collocation extractor (Church & Hanks 1990).
+    ``min_count`` suppresses the tiny-count PMI explosion (a pair seen
+    once between two hapaxes maxes the score); top-``k`` by
+    (PMI DESC, w1, w2).
+
+    Reproducibility: all counts are exact integers, ln takes an
+    exact-integer ratio (the q_entropy_profile contract), and the
+    score rounds to 6 decimals before the deterministic rank.
+
+    Scale shape: bigrams come from one per-document lead window over
+    posexploded tokens (parallel per-key sorts, rows ∝ corpus
+    tokens); marginals are combinable aggregations joined back keyed
+    on the word (vocabulary-sized); top-k is TakeOrderedAndProject.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_w"),
+    )
+    wd = Window.partitionBy("_id").orderBy("_pos")
+    bi = toks.select(
+        F.col("_w").alias("w1"),
+        F.lead("_w").over(wd).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    pair = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    left = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("_nl"))
+    right = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("_nr"))
+    total = bi.agg(F.count(F.lit(1)).alias("_t"))
+    pmi = F.round(
+        F.log(
+            F.col("n_pair").cast("double")
+            * F.col("_t")
+            / (F.col("_nl").cast("double") * F.col("_nr"))
+        ),
+        6,
+    )
+    return (
+        pair.filter(F.col("n_pair") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+    )

@@ -3145,3 +3145,62 @@ def q_survival_km(
         "n_censored",
         F.round(surv, 6).alias("survival"),
     )
+
+
+def q_autocorr(events: DataFrame, lags: tuple = (1, 24)) -> DataFrame:
+    """Autocorrelation profile of the hourly revenue series per event
+    type at the given lags — the "does last hour / yesterday-same-hour
+    predict now?" diagnostic that decides between naive, seasonal, and
+    AR-style forecasts (the quantitative companion to
+    ``q_seasonal_naive``). r_k = sum((x_t - m)(x_{t-k} - m)) /
+    sum((x_t - m)^2) over hour pairs where BOTH ends exist (gap-
+    correct integer hour-index joins, never row-offset lag).
+
+    Reproducibility: hourly sums and the mean round to 6 decimals
+    first, so both engines fold identical doubles; products regroup
+    inside one combinable aggregation, absorbed by the final round.
+
+    Scale shape: one combinable hourly rollup; per lag, one
+    co-partitioned (type, hour) self-join plus one aggregation — a
+    constant number of keyed passes, nothing data-squared.
+    """
+    if not lags:
+        raise ValueError("q_autocorr: need at least one lag")
+    hourly = events.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("_h"),
+    ).agg(F.round(F.sum("value"), 6).alias("_v"))
+    mean = hourly.groupBy("event_type").agg(
+        F.round(F.avg("_v"), 6).alias("_m")
+    )
+    centered = hourly.join(F.broadcast(mean), "event_type").select(
+        "event_type", "_h", (F.col("_v") - F.col("_m")).alias("_d")
+    )
+    denom = centered.groupBy("event_type").agg(
+        F.sum(F.col("_d") * F.col("_d")).alias("_ss")
+    )
+    out = None
+    for lag in lags:
+        lagged = centered.select(
+            "event_type",
+            (F.col("_h") + lag).alias("_h"),
+            F.col("_d").alias("_dl"),
+        )
+        pairs = centered.join(lagged, ["event_type", "_h"])
+        num = pairs.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("_d") * F.col("_dl")).alias("_num"),
+        )
+        row = (
+            num.join(F.broadcast(denom), "event_type")
+            .select(
+                "event_type",
+                F.lit(int(lag)).alias("lag_hours"),
+                "n_pairs",
+                F.round(F.col("_num") / F.col("_ss"), 6).alias(
+                    "autocorr"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -506,3 +506,62 @@ def test_rake_keywords_phrase_len_cap_and_lang_guard(spark):
     assert rake_keywords(docs, k=10).count() == 0
     with pytest.raises(ValueError):
         rake_keywords(docs, lang="xx")
+
+
+def test_pmi_collocations_golden(spark):
+    """Hand-computed PMI: 'new york' always adjacent (strong
+    collocation); 'the cat' diluted across contexts scores lower."""
+    import math
+
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "new york " * 5) for i in range(2)]
+        + [(10 + i, "the cat the dog the bird") for i in range(3)],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.w1, r.w2): r for r in pmi_collocations(docs, min_count=3).collect()
+    }
+    # doc "new york new york ...": bigrams = [new york] x5 + [york new] x4
+    # over 2 docs: c(new,york)=10, c(york,new)=8
+    # "the cat the dog the bird" x3: (the,cat)x3,(cat,the)x3,(the,dog)x3,
+    # (dog,the)x3,(the,bird)x3 -> T = 18 + 15 = 33
+    ny = out[("new", "york")]
+    assert ny.n_pair == 10
+    # nl(new)=10, nr(york)=10 -> pmi = ln(10*33/(10*10)) = ln(3.3)
+    assert abs(ny.pmi - round(math.log(3.3), 6)) < 1e-9
+    tc = out[("the", "cat")]
+    # c=3, nl(the)=9, nr(cat)=3 -> ln(3*33/(9*3)) = ln(99/27)
+    assert abs(tc.pmi - round(math.log(99 / 27), 6)) < 1e-9
+    assert ny.pmi < tc.pmi  # repeated-run dilution: york<-new also common
+
+
+def test_autocorr_periodic_series(spark):
+    """A perfectly 2-hour-periodic series: lag-24 (even) autocorr is
+    +1, lag-1 (odd) is -1 — on a zero-gap hourly grid."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_autocorr,
+    )
+
+    rows = [
+        (h, "1970-01-%02d %02d:00:00" % (1 + h // 24, h % 24), "osc",
+         10.0 if h % 2 == 0 else 20.0)
+        for h in range(96)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts_s", "event_type", "value"]
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    out = {r.lag_hours: r for r in q_autocorr(df, lags=(1, 24)).collect()}
+    assert out[1].n_pairs == 95 and out[24].n_pairs == 72
+    # biased estimator: numerator has n-k pairs, denominator all n —
+    # a perfect +-5 oscillation gives exactly +-(n-k)/n
+    assert out[1].autocorr == round(-95 * 25 / (96 * 25), 6)
+    assert out[24].autocorr == 72 * 25 / (96 * 25)  # 0.75 exactly
