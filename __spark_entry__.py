@@ -3679,6 +3679,13 @@ def _q_upsample(spark: SparkSession, sf: str) -> DataFrame:
     return upsample_epochs(d, total=3 * d.count(), alpha=0.5)
 
 
+def _q_attribution_mt(spark: SparkSession, sf: str) -> DataFrame:
+    """Position-weighted (40/20/40) multi-touch attribution: every
+    purchase splits one credit unit over the user's view/click touches
+    in the prior 7 days; user-keyed join, conversion-keyed windows."""
+    return A.q_attribution_mt(load_table(spark, sf, "events"))
+
+
 def _q_pmi_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """PMI collocations over adjacent token pairs (min count 5,
     top-20) — exact integer marginals, ln of exact ratios, round-6
@@ -3937,6 +3944,7 @@ _GRADE_FIRST = [
     "t_rake_keywords",
     "t_pmi_pairs",
     "q_autocorr",
+    "q_attribution_mt",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -4165,6 +4173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_rake_keywords": _q_rake_keywords,
         "t_pmi_pairs": _q_pmi_pairs,
         "q_autocorr": _q_autocorr,
+        "q_attribution_mt": _q_attribution_mt,
         "c_split_leakage": _q_split_leakage,
         "d_minhash_estimate": _q_minhash_estimate,
         "q_dq_orders": _q_dq_orders,
@@ -5462,6 +5471,30 @@ def oracle_sql() -> dict[str, str]:
         "g_hits": _hits_oracle_sql(4),
         # Unrolled 8-round personalized PageRank, seed-only teleport.
         "g_ppr": _ppr_oracle_sql(8),
+        # Same user-keyed window join, same (ts, event_id) path order,
+        # same 40/20/40 position weights, round-6 credit sums.
+        "q_attribution_mt": (
+            "WITH conv AS (SELECT event_id AS cid, user_id AS cu, "
+            "ts AS cts FROM events WHERE event_type = 'purchase'), "
+            "touch AS (SELECT user_id AS tu, event_id AS tid, "
+            "event_type AS channel, ts AS tts FROM events "
+            "WHERE event_type IN ('view', 'click')), "
+            "paths AS (SELECT cid, channel, tts, tid FROM conv "
+            "JOIN touch ON tu = cu AND tts < cts "
+            "AND tts >= cts - INTERVAL 7 DAY), "
+            "rk AS (SELECT cid, channel, row_number() OVER ("
+            "PARTITION BY cid ORDER BY tts, tid) AS pos, "
+            "count(*) OVER (PARTITION BY cid) AS n FROM paths), "
+            "wt AS (SELECT cid, channel, CASE "
+            "WHEN n = 1 THEN CAST(1.0 AS DOUBLE) "
+            "WHEN n = 2 THEN CAST(0.5 AS DOUBLE) "
+            "WHEN pos = 1 THEN CAST(0.4 AS DOUBLE) "
+            "WHEN pos = n THEN CAST(0.4 AS DOUBLE) "
+            "ELSE CAST(0.2 AS DOUBLE) / (n - 2) END AS w FROM rk) "
+            "SELECT channel, CAST(count(*) AS BIGINT) AS n_touches, "
+            "CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions, "
+            "round(sum(w), 6) AS credit FROM wt GROUP BY channel"
+        ),
         # Same lead-window bigrams, same exact-integer marginals,
         # same ln(exact ratio) with round-6 + (w1, w2) tie-break.
         "t_pmi_pairs": (

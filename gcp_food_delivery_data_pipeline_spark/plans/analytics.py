@@ -3204,3 +3204,81 @@ def q_autocorr(events: DataFrame, lags: tuple = (1, 24)) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def q_attribution_mt(
+    events: DataFrame,
+    touch_types: tuple = ("view", "click"),
+    conversion_type: str = "purchase",
+    window_days: int = 7,
+) -> DataFrame:
+    """Position-weighted multi-touch attribution (the U/bathtub
+    model): every conversion distributes one unit of credit over the
+    user's touch events in the preceding ``window_days`` — 40% to the
+    first touch, 40% to the last, the middle 20% split evenly
+    (1.0 / 0.5+0.5 for one/two-touch paths) — rolled up per touch
+    channel. The standard upgrade over last-touch when the question
+    is "which channel OPENS journeys vs which CLOSES them".
+
+    Reproducibility: path positions are integer ranks with
+    (ts, event_id) tie-breaks; weights are fixed literals or
+    divisions of identical doubles; the per-channel credit sum rounds
+    to 6 decimals.
+
+    Scale shape: conversions join touches KEYED ON USER (the range
+    predicate rides the user-keyed equi-join — co-partitioned, never
+    a global theta join); per-conversion ordering is a window keyed
+    by the conversion id; the rollup is one combinable aggregation.
+    Blow-up is bounded by per-user conversions x touches inside the
+    window — the true path size.
+    """
+    conv = events.filter(
+        F.col("event_type") == conversion_type
+    ).select(
+        F.col("event_id").alias("_cid"),
+        F.col("user_id").alias("_cu"),
+        F.col("ts").alias("_cts"),
+    )
+    touch = events.filter(
+        F.col("event_type").isin(*touch_types)
+    ).select(
+        F.col("user_id").alias("_tu"),
+        F.col("event_id").alias("_tid"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("_tts"),
+    )
+    paths = conv.join(
+        touch,
+        (F.col("_cu") == F.col("_tu"))
+        & (F.col("_tts") < F.col("_cts"))
+        & (
+            F.col("_tts")
+            >= F.col("_cts") - F.expr(f"INTERVAL {window_days} DAYS")
+        ),
+    )
+    w = Window.partitionBy("_cid")
+    wo = w.orderBy("_tts", "_tid")
+    ranked = paths.select(
+        "_cid",
+        "channel",
+        F.row_number().over(wo).alias("_pos"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+    )
+    n = F.col("_n")
+    pos = F.col("_pos")
+    weight = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when(pos == 1, F.lit(0.4))
+        .when(pos == n, F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2))
+    )
+    return (
+        ranked.withColumn("_w", weight)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("_cid").alias("n_conversions"),
+            F.round(F.sum("_w"), 6).alias("credit"),
+        )
+    )

@@ -1184,3 +1184,42 @@ def test_survival_km_golden_with_censoring_and_terminal_zero(spark):
     # t=5: deaths 2, at risk 2 -> terminal factor 0 -> S = 0
     assert out[5].n_at_risk == 2 and out[5].n_deaths == 2
     assert out[5].survival == 0.0
+
+
+def test_attribution_mt_golden(spark):
+    """Hand-built journeys: 1-touch path -> full credit; 2-touch ->
+    half each; 4-touch -> 0.4/0.1/0.1/0.4; touches outside the 7-day
+    window (or after the purchase) earn nothing."""
+    from datetime import datetime
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_attribution_mt,
+    )
+
+    t = lambda d, h=10, m=0: datetime(2024, 1, d, h, m)
+    rows = [
+        # user 1: view -> purchase (single touch)
+        (1, 1, t(10), "view", 0.0), (2, 1, t(11), "purchase", 1.0),
+        # user 2: view, click -> purchase (0.5 each)
+        (3, 2, t(10), "view", 0.0), (4, 2, t(10, 12), "click", 0.0),
+        (5, 2, t(11), "purchase", 1.0),
+        # user 3: view, click, view, click -> purchase (0.4/.1/.1/.4)
+        (6, 3, t(8), "view", 0.0), (7, 3, t(9), "click", 0.0),
+        (8, 3, t(10), "view", 0.0), (9, 3, t(10, 12), "click", 0.0),
+        (10, 3, t(11), "purchase", 1.0),
+        # user 4: stale touch (9 days before) and post-purchase touch
+        (11, 4, t(1), "view", 0.0), (12, 4, t(10), "purchase", 1.0),
+        (13, 4, t(11), "click", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+    out = {r.channel: r for r in q_attribution_mt(ev).collect()}
+    # view credit: 1.0 (u1) + 0.5 (u2) + 0.4 + 0.1 (u3) = 2.0
+    # click credit: 0.5 (u2) + 0.1 + 0.4 (u3) = 1.0
+    assert out["view"].credit == 2.0 and out["view"].n_touches == 4
+    assert out["click"].credit == 1.0 and out["click"].n_touches == 3
+    # user 4's touches attributed nowhere: 3 converting journeys only
+    assert out["view"].n_conversions == 3
