@@ -3679,6 +3679,22 @@ def _q_upsample(spark: SparkSession, sf: str) -> DataFrame:
     return upsample_epochs(d, total=3 * d.count(), alpha=0.5)
 
 
+def _q_neyman_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Neyman-allocation stratified sample (500 rows): per-type quotas
+    proportional to N_h * sigma_h via the shared largest-remainder
+    apportioner, md5-rank row selection."""
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        neyman_sample,
+    )
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return neyman_sample(
+        ev, "event_type", "value", "event_id", total=500
+    ).select("event_id", "event_type")
+
+
 def _q_attribution_mt(spark: SparkSession, sf: str) -> DataFrame:
     """Position-weighted (40/20/40) multi-touch attribution: every
     purchase splits one credit unit over the user's view/click touches
@@ -3945,6 +3961,7 @@ _GRADE_FIRST = [
     "t_pmi_pairs",
     "q_autocorr",
     "q_attribution_mt",
+    "q_neyman_sample",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -4174,6 +4191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_pmi_pairs": _q_pmi_pairs,
         "q_autocorr": _q_autocorr,
         "q_attribution_mt": _q_attribution_mt,
+        "q_neyman_sample": _q_neyman_sample,
         "c_split_leakage": _q_split_leakage,
         "d_minhash_estimate": _q_minhash_estimate,
         "q_dq_orders": _q_dq_orders,
@@ -5471,6 +5489,37 @@ def oracle_sql() -> dict[str, str]:
         "g_hits": _hits_oracle_sql(4),
         # Unrolled 8-round personalized PageRank, seed-only teleport.
         "g_ppr": _ppr_oracle_sql(8),
+        # Same round-6 stddev_pop shares, same sorted-fold normalizer,
+        # same largest-remainder quotas capped at N_h, same md5 rank.
+        "q_neyman_sample": (
+            "WITH st AS (SELECT event_type, CAST(count(*) AS BIGINT) "
+            "AS nh, round(stddev_pop(value), 6) AS sd FROM events "
+            "GROUP BY 1), "
+            "sh AS (SELECT event_type, nh, nh * sd AS s FROM st), "
+            "nm AS (SELECT list_reduce(list(s ORDER BY event_type), "
+            "(a, b) -> a + b) AS big_s, CAST(sum(nh) AS BIGINT) AS nn "
+            "FROM sh), "
+            "t AS (SELECT event_type, nh, CASE WHEN big_s > 0 THEN "
+            "CAST(500 AS DOUBLE) * s / big_s ELSE "
+            "CAST(500 AS DOUBLE) * nh / nn END AS tgt FROM sh, nm), "
+            "b AS (SELECT event_type, nh, "
+            "CAST(floor(tgt) AS BIGINT) AS base, "
+            "tgt - floor(tgt) AS rem FROM t), "
+            "lo AS (SELECT 500 - CAST(sum(base) AS BIGINT) AS lft "
+            "FROM b), "
+            "r AS (SELECT event_type, nh, base, row_number() OVER ("
+            "ORDER BY rem DESC, event_type) AS rr FROM b), "
+            "q AS (SELECT event_type, least(base + CASE WHEN "
+            "rr <= (SELECT lft FROM lo) THEN 1 ELSE 0 END, nh) "
+            "AS quota FROM r), "
+            "sel AS (SELECT event_id, event_type, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY "
+            "md5(CAST(event_id AS VARCHAR)), event_id) AS rk "
+            "FROM events) "
+            "SELECT sel.event_id, sel.event_type FROM sel "
+            "JOIN q ON q.event_type = sel.event_type "
+            "WHERE sel.rk <= q.quota"
+        ),
         # Same user-keyed window join, same (ts, event_id) path order,
         # same 40/20/40 position weights, round-6 credit sums.
         "q_attribution_mt": (

@@ -148,6 +148,7 @@ EXTRA_QUERIES = [
     "t_pmi_pairs",          # lead-window bigram PMI collocations
     "q_autocorr",           # hourly-series ACF at lags 1 and 24
     "q_attribution_mt",     # 40/20/40 multi-touch attribution rollup
+    "q_neyman_sample",      # variance-optimal stratified allocation
 ]
 
 

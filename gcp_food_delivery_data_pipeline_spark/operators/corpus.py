@@ -705,6 +705,46 @@ def sample_negatives(
     )
 
 
+def _largest_remainder_quotas(
+    targets: DataFrame,
+    key_col: str,
+    tgt_col: str = "_tgt",
+    total_col: str = "_total",
+) -> DataFrame:
+    """Integer apportionment of a scalar total over fractional
+    per-key targets by largest remainder — deterministic tie-break
+    (remainder DESC, key ASC). ``targets`` carries one row per key
+    with the fractional target and the SAME total on every row; the
+    result keeps every other input column and appends ``_quota``.
+    Shared by the mixture family (``temperature_mix``,
+    ``upsample_epochs``, ``token_budget_mix``) and ``neyman_sample``;
+    each oracle unrolls this exact CTE shape."""
+    passthrough = [
+        c for c in targets.columns if c not in (tgt_col, total_col)
+    ]
+    based = targets.select(
+        *passthrough,
+        F.col(total_col),
+        F.floor(tgt_col).cast("long").alias("_base"),
+        (F.col(tgt_col) - F.floor(tgt_col)).alias("_rem"),
+    )
+    leftover = based.agg(
+        (F.first(total_col) - F.sum("_base")).cast("long").alias("_left")
+    )
+    w_rem = Window.orderBy(F.col("_rem").desc(), F.col(key_col))
+    return (
+        based.withColumn("_rr", F.row_number().over(w_rem))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            *passthrough,
+            (
+                F.col("_base")
+                + (F.col("_rr") <= F.col("_left")).cast("long")
+            ).alias("_quota"),
+        )
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     total: int,
@@ -764,29 +804,12 @@ def temperature_mix(
     targets = shared.crossJoin(F.broadcast(norm)).select(
         source_col,
         "_ns",
+        F.lit(total).cast("long").alias("_total"),
         (F.lit(float(total)) * F.col("_sh") / F.col("_S")).alias("_tgt"),
     )
-    based = targets.select(
+    quotas = _largest_remainder_quotas(targets, source_col).select(
         source_col,
-        "_ns",
-        F.floor("_tgt").cast("long").alias("_base"),
-        (F.col("_tgt") - F.floor("_tgt")).alias("_rem"),
-    )
-    leftover = based.agg(
-        (F.lit(total) - F.sum("_base")).cast("long").alias("_left")
-    )
-    w_rem = Window.orderBy(F.col("_rem").desc(), F.col(source_col))
-    quotas = (
-        based.withColumn("_rr", F.row_number().over(w_rem))
-        .crossJoin(F.broadcast(leftover))
-        .select(
-            source_col,
-            F.least(
-                F.col("_base")
-                + (F.col("_rr") <= F.col("_left")).cast("long"),
-                F.col("_ns"),
-            ).alias("_quota"),
-        )
+        F.least(F.col("_quota"), F.col("_ns")).alias("_quota"),
     )
     w_rank = Window.partitionBy(source_col).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
@@ -940,30 +963,10 @@ def upsample_epochs(
     targets = shared.crossJoin(F.broadcast(norm)).select(
         source_col,
         "_ns",
+        F.lit(total).cast("long").alias("_total"),
         (F.lit(float(total)) * F.col("_sh") / F.col("_S")).alias("_tgt"),
     )
-    based = targets.select(
-        source_col,
-        "_ns",
-        F.floor("_tgt").cast("long").alias("_base"),
-        (F.col("_tgt") - F.floor("_tgt")).alias("_rem"),
-    )
-    leftover = based.agg(
-        (F.lit(total) - F.sum("_base")).cast("long").alias("_left")
-    )
-    w_rem = Window.orderBy(F.col("_rem").desc(), F.col(source_col))
-    quotas = (
-        based.withColumn("_rr", F.row_number().over(w_rem))
-        .crossJoin(F.broadcast(leftover))
-        .select(
-            source_col,
-            "_ns",
-            (
-                F.col("_base")
-                + (F.col("_rr") <= F.col("_left")).cast("long")
-            ).alias("_quota"),
-        )
-    )
+    quotas = _largest_remainder_quotas(targets, source_col)
     w_rank = Window.partitionBy(source_col).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )
@@ -1075,26 +1078,8 @@ def token_budget_mix(
             ).alias("_tgt"),
         )
     )
-    based = targets.select(
-        source_col,
-        "_budget",
-        F.floor("_tgt").cast("long").alias("_base"),
-        (F.col("_tgt") - F.floor("_tgt")).alias("_rem"),
-    )
-    leftover = based.agg(
-        (F.first("_budget") - F.sum("_base")).cast("long").alias("_left")
-    )
-    w_rem = Window.orderBy(F.col("_rem").desc(), F.col(source_col))
-    quotas = (
-        based.withColumn("_rr", F.row_number().over(w_rem))
-        .crossJoin(F.broadcast(leftover))
-        .select(
-            source_col,
-            (
-                F.col("_base")
-                + (F.col("_rr") <= F.col("_left")).cast("long")
-            ).alias("_quota"),
-        )
+    quotas = _largest_remainder_quotas(
+        targets, source_col, total_col="_budget"
     )
     w_rank = Window.partitionBy(source_col).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
@@ -1111,4 +1096,82 @@ def token_budget_mix(
         cum.join(F.broadcast(quotas), source_col)
         .filter(F.col("cum_tokens") <= F.col("_quota"))
         .select(id_col, source_col, "n_tokens", "cum_tokens")
+    )
+
+
+def neyman_sample(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    id_col: str,
+    total: int,
+) -> DataFrame:
+    """Neyman-allocation stratified sampling: a ``total``-row sample
+    whose per-stratum quotas are proportional to N_h * sigma_h — the
+    variance-optimal allocation for estimating the population mean
+    (Neyman 1934): volatile strata earn more of the budget than their
+    raw share, constant strata almost none. Proportional sampling is
+    what you do without variance information; this is what you do
+    with it.
+
+    Quotas are integers via the shared largest-remainder apportioner
+    (capped at N_h); WHICH rows survive is the engine-stable
+    (md5(id), id) rank — the same determinism contract as the mixture
+    family. sigma_h is the population standard deviation rounded to 6
+    decimals BEFORE the share arithmetic, and the share normalizer is
+    the sorted left-fold, so the allocation is engine-reproducible.
+    All-zero-variance inputs fall back to proportional allocation
+    (share N_h) rather than dividing by zero.
+
+    Scale shape: one combinable per-stratum moment pass, a
+    #strata-row quota frame broadcast back, one per-stratum rank
+    window — the ``temperature_mix`` profile.
+    """
+    if total < 1:
+        raise ValueError(f"neyman_sample: total must be >= 1, got {total}")
+    stats = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("_nh"),
+        F.round(F.stddev_pop(value_col), 6).alias("_sd"),
+    )
+    share = F.col("_nh") * F.col("_sd")
+    shared = stats.withColumn("_sh", share)
+    norm = shared.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col(stratum_col), F.col("_sh"))
+                    )
+                ),
+                lambda s: s["_sh"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_S"),
+        F.sum("_nh").alias("_N"),
+    )
+    tgt = F.when(
+        F.col("_S") > 0.0,
+        F.lit(float(total)) * F.col("_sh") / F.col("_S"),
+    ).otherwise(
+        F.lit(float(total)) * F.col("_nh") / F.col("_N")
+    )
+    targets = shared.crossJoin(F.broadcast(norm)).select(
+        stratum_col,
+        "_nh",
+        F.lit(total).cast("long").alias("_total"),
+        tgt.alias("_tgt"),
+    )
+    quotas = _largest_remainder_quotas(targets, stratum_col).select(
+        stratum_col,
+        F.least(F.col("_quota"), F.col("_nh")).alias("_quota"),
+    )
+    w_rank = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w_rank))
+        .join(F.broadcast(quotas), stratum_col)
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .drop("_rk", "_quota")
     )

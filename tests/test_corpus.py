@@ -484,3 +484,49 @@ def test_token_budget_mix_validates(spark):
         token_budget_mix(df, total_tokens=0)
     with pytest.raises(ValueError):
         token_budget_mix(df, alpha=2.0)
+
+
+def test_neyman_sample_allocates_by_variance(spark):
+    """Two equal-size strata, one constant and one volatile: Neyman
+    pushes (almost) the whole budget to the volatile stratum, exact
+    total, quotas capped at stratum size."""
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        neyman_sample,
+    )
+
+    rows = [(i, "flat", 10.0) for i in range(100)] + [
+        (100 + i, "wild", float((i * 97) % 1000)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    out = neyman_sample(
+        df, "event_type", "value", "event_id", total=60
+    ).collect()
+    assert len(out) == 60
+    by = {}
+    for r in out:
+        by[r.event_type] = by.get(r.event_type, 0) + 1
+    # sigma(flat)=0 -> share 0 -> all 60 to 'wild'
+    assert by == {"wild": 60}
+    # all-constant input falls back to proportional, still exact total
+    flat = spark.createDataFrame(
+        [(i, "a", 1.0) for i in range(30)]
+        + [(100 + i, "b", 1.0) for i in range(10)],
+        ["event_id", "event_type", "value"],
+    )
+    out2 = neyman_sample(flat, "event_type", "value", "event_id", total=20)
+    by2 = {}
+    for r in out2.collect():
+        by2[r.event_type] = by2.get(r.event_type, 0) + 1
+    assert by2 == {"a": 15, "b": 5}
+
+
+def test_neyman_sample_validates(spark):
+    import pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        neyman_sample,
+    )
+
+    df = spark.createDataFrame([(1, "a", 1.0)], ["event_id", "event_type", "value"])
+    with pytest.raises(ValueError):
+        neyman_sample(df, "event_type", "value", "event_id", total=0)
