@@ -3679,6 +3679,21 @@ def _q_upsample(spark: SparkSession, sf: str) -> DataFrame:
     return upsample_epochs(d, total=3 * d.count(), alpha=0.5)
 
 
+def _q_cluster_purity(spark: SparkSession, sf: str) -> DataFrame:
+    """Clustering scorecard vs ground-truth labels: purity (exact
+    integer ratio, raw) + NMI (entropy closed forms, round-6) of the
+    fixed-seed-centroid assignment over the embeddings table."""
+    from gcp_food_delivery_data_pipeline_spark.operators.clustering import (
+        assign_clusters,
+        cluster_purity,
+        seed_centroids,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    assigned = assign_clusters(emb, seed_centroids(emb, 8))
+    return cluster_purity(assigned, emb.select("vec_id", "label"))
+
+
 def _q_neyman_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Neyman-allocation stratified sample (500 rows): per-type quotas
     proportional to N_h * sigma_h via the shared largest-remainder
@@ -3962,6 +3977,7 @@ _GRADE_FIRST = [
     "q_autocorr",
     "q_attribution_mt",
     "q_neyman_sample",
+    "v_cluster_purity",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -4192,6 +4208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_autocorr": _q_autocorr,
         "q_attribution_mt": _q_attribution_mt,
         "q_neyman_sample": _q_neyman_sample,
+        "v_cluster_purity": _q_cluster_purity,
         "c_split_leakage": _q_split_leakage,
         "d_minhash_estimate": _q_minhash_estimate,
         "q_dq_orders": _q_dq_orders,
@@ -5489,6 +5506,41 @@ def oracle_sql() -> dict[str, str]:
         "g_hits": _hits_oracle_sql(4),
         # Unrolled 8-round personalized PageRank, seed-only teleport.
         "g_ppr": _ppr_oracle_sql(8),
+        # Same fixed-centroid assignment (v_kmeans_assign CTE), same
+        # integer contingency cells, purity raw, NMI round-6.
+        "v_cluster_purity": (
+            "WITH c AS (SELECT vec_id AS cid, "
+            "CAST(embedding AS DOUBLE[]) AS cv FROM embeddings "
+            "WHERE vec_id < 8), "
+            "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev "
+            "FROM embeddings), "
+            "a AS (SELECT vec_id, cid FROM ("
+            "SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY list_cosine_similarity(ev, cv) DESC, cid) AS rk "
+            "FROM v, c) WHERE rk = 1), "
+            "j AS (SELECT a.cid AS cc, e.label AS ll FROM a "
+            "JOIN embeddings e ON e.vec_id = a.vec_id), "
+            "cells AS (SELECT cc, ll, CAST(count(*) AS BIGINT) AS n "
+            "FROM j GROUP BY cc, ll), "
+            "tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells), "
+            "t AS (SELECT cells.*, sum(n) OVER (PARTITION BY cc) AS nc, "
+            "sum(n) OVER (PARTITION BY ll) AS nl, "
+            "row_number() OVER (PARTITION BY cc ORDER BY n DESC, ll) "
+            "AS rkc, "
+            "row_number() OVER (PARTITION BY ll ORDER BY n DESC, cc) "
+            "AS rkl FROM cells) "
+            "SELECT CAST(nn AS BIGINT) AS n_vectors, "
+            "CAST(count(DISTINCT cc) AS BIGINT) AS n_clusters, "
+            "CAST(sum(CASE WHEN rkc = 1 THEN n ELSE 0 END) AS DOUBLE) "
+            "/ nn AS purity, "
+            "round(sum((n / CAST(nn AS DOUBLE)) * ln(n * "
+            "CAST(nn AS DOUBLE) / (CAST(nc AS DOUBLE) * nl))) / "
+            "sqrt(sum(CASE WHEN rkc = 1 THEN -(nc / CAST(nn AS DOUBLE)) "
+            "* ln(nc / CAST(nn AS DOUBLE)) ELSE 0 END) * "
+            "sum(CASE WHEN rkl = 1 THEN -(nl / CAST(nn AS DOUBLE)) "
+            "* ln(nl / CAST(nn AS DOUBLE)) ELSE 0 END)), 6) AS nmi "
+            "FROM t, tot GROUP BY nn"
+        ),
         # Same round-6 stddev_pop shares, same sorted-fold normalizer,
         # same largest-remainder quotas capped at N_h, same md5 rank.
         "q_neyman_sample": (

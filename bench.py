@@ -149,6 +149,7 @@ EXTRA_QUERIES = [
     "q_autocorr",           # hourly-series ACF at lags 1 and 24
     "q_attribution_mt",     # 40/20/40 multi-touch attribution rollup
     "q_neyman_sample",      # variance-optimal stratified allocation
+    "v_cluster_purity",     # purity + NMI clustering scorecard
 ]
 
 

@@ -40,7 +40,7 @@ from __future__ import annotations
 import math
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gcp_food_delivery_data_pipeline_spark.functions.vectors import (
@@ -335,4 +335,75 @@ def semantic_dedup_kmeans(
     )
     return semantic_dedup(
         vectors, cents, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+
+
+def cluster_purity(
+    assigned: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Clustering-quality scorecard against ground-truth labels: one
+    row with PURITY (each cluster votes its majority label;
+    sum(majority counts) / N — the "how clean are the clusters"
+    number) and NMI (mutual information I(C;L) normalized by
+    sqrt(H(C) * H(L)) — purity's inflation-resistant twin: purity
+    rewards shattering into singletons, NMI penalizes it). The
+    standard pair for judging a dedup/mixture clustering before
+    trusting it downstream.
+
+    Reproducibility: every count is an exact integer; purity is an
+    exact-integer ratio emitted RAW; the entropy/MI terms are ln over
+    exact-integer ratios (the q_entropy_profile contract) with one
+    final 6-decimal round.
+
+    Scale shape: one keyed join (id -> label), one combinable
+    (cluster, label) count — the contingency table is k x |labels|
+    rows, and everything after runs on that tiny frame.
+    """
+    joined = assigned.select(id_col, cluster_col).join(
+        labels.select(id_col, label_col), id_col
+    )
+    cells = joined.groupBy(
+        F.col(cluster_col).alias("_c"), F.col(label_col).alias("_l")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    wc = Window.partitionBy("_c")
+    wl = Window.partitionBy("_l")
+    wmaj = wc.orderBy(F.col("_n").desc(), F.col("_l"))
+    wlab = wl.orderBy(F.col("_n").desc(), F.col("_c"))
+    # the grand total is a bare global window over the k x |labels|
+    # contingency frame — the documented tiny-frame exemption (the
+    # corpus never rides this window, only its cell counts do)
+    t = (
+        cells.withColumn("_nc", F.sum("_n").over(wc))
+        .withColumn("_nl", F.sum("_n").over(wl))
+        .withColumn("_rkc", F.row_number().over(wmaj))
+        .withColumn("_rkl", F.row_number().over(wlab))
+        .withColumn("_tot", F.sum("_n").over(Window.partitionBy()))
+    )
+    # NOTE: Spark resolves column names case-insensitively by default,
+    # so the total must NOT be called "_N" — that silently REPLACES
+    # the per-cell "_n" count instead of adding a column.
+    nn = F.col("_tot").cast("double")
+    mi = (F.col("_n") / nn) * F.log(
+        F.col("_n") * nn / (F.col("_nc").cast("double") * F.col("_nl"))
+    )
+    hc = F.when(
+        F.col("_rkc") == 1,
+        -(F.col("_nc") / nn) * F.log(F.col("_nc") / nn),
+    ).otherwise(F.lit(0.0))
+    hl = F.when(
+        F.col("_rkl") == 1,
+        -(F.col("_nl") / nn) * F.log(F.col("_nl") / nn),
+    ).otherwise(F.lit(0.0))
+    maj = F.when(F.col("_rkc") == 1, F.col("_n")).otherwise(F.lit(0))
+    return t.agg(
+        F.first("_tot").alias("n_vectors"),
+        F.countDistinct("_c").alias("n_clusters"),
+        (F.sum(maj).cast("double") / F.first("_tot")).alias("purity"),
+        F.round(
+            F.sum(mi) / F.sqrt(F.sum(hc) * F.sum(hl)), 6
+        ).alias("nmi"),
     )

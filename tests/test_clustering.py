@@ -504,3 +504,31 @@ def test_weighted_sample_rejects_bad_k(spark):
     df = spark.createDataFrame([(0, 1.0)], ["doc_id", "w"])
     with pytest.raises(ValueError):
         weighted_sample(df, "w", k=0)
+
+
+def test_cluster_purity_golden(spark):
+    """Hand-computed purity/NMI: perfectly pure clusters -> purity 1,
+    NMI 1; assignments independent of labels -> purity = majority
+    share, NMI ~ 0."""
+    from gcp_food_delivery_data_pipeline_spark.operators.clustering import (
+        cluster_purity,
+    )
+
+    pure_a = spark.createDataFrame(
+        [(i, i % 2) for i in range(20)], ["vec_id", "cluster_id"]
+    )
+    labels = spark.createDataFrame(
+        [(i, 100 + i % 2) for i in range(20)], ["vec_id", "label"]
+    )
+    r = cluster_purity(pure_a, labels).collect()[0]
+    assert r.n_vectors == 20 and r.n_clusters == 2
+    assert r.purity == 1.0 and r.nmi == 1.0
+
+    # truly independent assignment: two block clusters, each holding
+    # an even label mix -> purity = majority share 0.5, MI exactly 0
+    indep = spark.createDataFrame(
+        [(i, i // 10) for i in range(20)], ["vec_id", "cluster_id"]
+    )
+    r2 = cluster_purity(indep, labels).collect()[0]
+    assert r2.purity == 0.5
+    assert r2.nmi == 0.0
