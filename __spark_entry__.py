@@ -3679,6 +3679,16 @@ def _q_upsample(spark: SparkSession, sf: str) -> DataFrame:
     return upsample_epochs(d, total=3 * d.count(), alpha=0.5)
 
 
+def _q_vocab_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source lexical diversity: tokens, types, hapaxes, TTR and
+    hapax share (exact integers + raw exact ratios)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        vocab_profile,
+    )
+
+    return vocab_profile(load_table(spark, sf, "documents"))
+
+
 def _q_cluster_purity(spark: SparkSession, sf: str) -> DataFrame:
     """Clustering scorecard vs ground-truth labels: purity (exact
     integer ratio, raw) + NMI (entropy closed forms, round-6) of the
@@ -3978,6 +3988,7 @@ _GRADE_FIRST = [
     "q_attribution_mt",
     "q_neyman_sample",
     "v_cluster_purity",
+    "t_vocab_profile",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -4209,6 +4220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_attribution_mt": _q_attribution_mt,
         "q_neyman_sample": _q_neyman_sample,
         "v_cluster_purity": _q_cluster_purity,
+        "t_vocab_profile": _q_vocab_profile,
         "c_split_leakage": _q_split_leakage,
         "d_minhash_estimate": _q_minhash_estimate,
         "q_dq_orders": _q_dq_orders,
@@ -5506,6 +5518,21 @@ def oracle_sql() -> dict[str, str]:
         "g_hits": _hits_oracle_sql(4),
         # Unrolled 8-round personalized PageRank, seed-only teleport.
         "g_ppr": _ppr_oracle_sql(8),
+        # Same (source, token) counts; integers + raw exact ratios.
+        "t_vocab_profile": (
+            f"WITH tk AS (SELECT source, unnest({_TOKENS}) AS w "
+            "FROM documents), "
+            "c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n "
+            "FROM tk GROUP BY source, w) "
+            "SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens, "
+            "CAST(count(*) AS BIGINT) AS n_types, "
+            "CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_hapax, "
+            "CAST(count(*) AS DOUBLE) / sum(n) AS type_token_ratio, "
+            "CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ count(*) AS hapax_share "
+            "FROM c GROUP BY source"
+        ),
         # Same fixed-centroid assignment (v_kmeans_assign CTE), same
         # integer contingency cells, purity raw, NMI round-6.
         "v_cluster_purity": (

@@ -150,6 +150,7 @@ EXTRA_QUERIES = [
     "q_attribution_mt",     # 40/20/40 multi-touch attribution rollup
     "q_neyman_sample",      # variance-optimal stratified allocation
     "v_cluster_purity",     # purity + NMI clustering scorecard
+    "t_vocab_profile",      # per-source TTR / hapax lexical profile
 ]
 
 

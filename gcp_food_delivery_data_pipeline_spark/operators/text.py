@@ -926,3 +926,53 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(k)
     )
+
+
+def vocab_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source lexical-diversity profile: token count, vocabulary
+    size (distinct types), hapax count (types seen exactly once),
+    type-token ratio, and hapax share — the quick corpus-quality
+    signals (near-zero TTR flags boilerplate/template floods; an
+    outlier hapax share flags OCR noise or junk tokenization). A
+    rising-TTR source mixed into a falling-TTR one is also the first
+    visible symptom of corpus contamination by generated text.
+
+    Reproducibility: every output is an exact integer or an
+    exact-integer ratio emitted RAW (never rounded — integer ratios
+    terminate on round()'s half boundary).
+
+    Scale shape: one explode pass, one combinable (source, token)
+    count, one per-source rollup — nothing wider than the vocabulary
+    crosses a shuffle twice.
+    """
+    toks = df.select(
+        F.col(source_col).alias("_src"),
+        F.explode(tokens(F.col(text_col))).alias("_w"),
+    )
+    counts = toks.groupBy("_src", "_w").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        counts.groupBy("_src")
+        .agg(
+            F.sum("_n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("_n") == 1, 1).otherwise(0)).alias(
+                "n_hapax"
+            ),
+        )
+        .select(
+            F.col("_src").alias("source"),
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            (F.col("n_types") / F.col("n_tokens")).alias(
+                "type_token_ratio"
+            ),
+            (F.col("n_hapax") / F.col("n_types")).alias("hapax_share"),
+        )
+    )

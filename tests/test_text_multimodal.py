@@ -565,3 +565,28 @@ def test_autocorr_periodic_series(spark):
     # a perfect +-5 oscillation gives exactly +-(n-k)/n
     assert out[1].autocorr == round(-95 * 25 / (96 * 25), 6)
     assert out[24].autocorr == 72 * 25 / (96 * 25)  # 0.75 exactly
+
+
+def test_vocab_profile_golden(spark):
+    """Hand-counted lexical profile: tokens/types/hapaxes and the raw
+    exact ratios."""
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        vocab_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b c", "s1"),     # tokens 4, types 3, hapax {b, c}
+            (2, "a d", "s1"),         # s1 total: tokens 6, types 4,
+            (3, "x x x", "s2"),       #   hapax {b, c, d} = 3
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {r.source: r for r in vocab_profile(docs).collect()}
+    s1 = out["s1"]
+    assert (s1.n_tokens, s1.n_types, s1.n_hapax) == (6, 4, 3)
+    assert s1.type_token_ratio == 4 / 6
+    assert s1.hapax_share == 3 / 4
+    s2 = out["s2"]
+    assert (s2.n_tokens, s2.n_types, s2.n_hapax) == (3, 1, 0)
+    assert s2.hapax_share == 0.0
