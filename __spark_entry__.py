@@ -3679,6 +3679,12 @@ def _q_upsample(spark: SparkSession, sf: str) -> DataFrame:
     return upsample_epochs(d, total=3 * d.count(), alpha=0.5)
 
 
+def _q_price_elasticity(spark: SparkSession, sf: str) -> DataFrame:
+    """Log-log demand elasticity per return flag from discount-driven
+    unit-price variation — regr_* sufficient statistics, round-6."""
+    return A.q_price_elasticity(load_table(spark, sf, "lineitem"))
+
+
 def _q_vocab_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source lexical diversity: tokens, types, hapaxes, TTR and
     hapax share (exact integers + raw exact ratios)."""
@@ -3989,6 +3995,7 @@ _GRADE_FIRST = [
     "q_neyman_sample",
     "v_cluster_purity",
     "t_vocab_profile",
+    "q_price_elasticity",
     # -- r2-era grades (stalest) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
@@ -4221,6 +4228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neyman_sample": _q_neyman_sample,
         "v_cluster_purity": _q_cluster_purity,
         "t_vocab_profile": _q_vocab_profile,
+        "q_price_elasticity": _q_price_elasticity,
         "c_split_leakage": _q_split_leakage,
         "d_minhash_estimate": _q_minhash_estimate,
         "q_dq_orders": _q_dq_orders,
@@ -5518,6 +5526,17 @@ def oracle_sql() -> dict[str, str]:
         "g_hits": _hits_oracle_sql(4),
         # Unrolled 8-round personalized PageRank, seed-only teleport.
         "g_ppr": _ppr_oracle_sql(8),
+        # Same per-row ln() inputs, same regr_* aggregates, round-6.
+        "q_price_elasticity": (
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines, "
+            "round(regr_slope(y, x), 6) AS elasticity, "
+            "round(regr_intercept(y, x), 6) AS intercept, "
+            "round(regr_r2(y, x), 6) AS r2 FROM ("
+            "SELECT l_returnflag, "
+            "ln(l_extendedprice * (1.0 - l_discount) / l_quantity) AS x, "
+            "ln(CAST(l_quantity AS DOUBLE)) AS y FROM lineitem) "
+            "GROUP BY l_returnflag"
+        ),
         # Same (source, token) counts; integers + raw exact ratios.
         "t_vocab_profile": (
             f"WITH tk AS (SELECT source, unnest({_TOKENS}) AS w "

@@ -151,6 +151,7 @@ EXTRA_QUERIES = [
     "q_neyman_sample",      # variance-optimal stratified allocation
     "v_cluster_purity",     # purity + NMI clustering scorecard
     "t_vocab_profile",      # per-source TTR / hapax lexical profile
+    "q_price_elasticity",   # log-log demand elasticity via regr_*
 ]
 
 

@@ -3282,3 +3282,40 @@ def q_attribution_mt(
             F.round(F.sum("_w"), 6).alias("credit"),
         )
     )
+
+
+def q_price_elasticity(lineitem: DataFrame) -> DataFrame:
+    """Log-log price elasticity of demand per return-flag segment:
+    the OLS slope of ln(quantity) on ln(effective unit price) —
+    elasticity < -1 = elastic demand (discounting pays for itself),
+    -1..0 = inelastic. Unit price varies per line through the
+    discount, which is what gives the regression its x-variation
+    (the classic within-product identification).
+
+    Reproducibility: both regression inputs are ln() of exact
+    per-row arithmetic (identical doubles in any engine — the
+    q_entropy_profile transcendental contract), the fit uses the
+    engine's regr_* sufficient-statistic aggregates, and slope /
+    intercept / r2 round to 6 decimals (absorbing the ~1e-15
+    accumulation-order differences — the q_revenue_trend precedent).
+
+    Scale shape: ONE partial-aggregable groupBy pass (every regr_*
+    statistic is a sum) over ~3 groups; nothing else touches the
+    fact table.
+    """
+    x = F.log(
+        F.col("l_extendedprice")
+        * (1.0 - F.col("l_discount"))
+        / F.col("l_quantity")
+    )
+    y = F.log(F.col("l_quantity").cast("double"))
+    return (
+        lineitem.select("l_returnflag", x.alias("_x"), y.alias("_y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.regr_slope("_y", "_x"), 6).alias("elasticity"),
+            F.round(F.regr_intercept("_y", "_x"), 6).alias("intercept"),
+            F.round(F.regr_r2("_y", "_x"), 6).alias("r2"),
+        )
+    )

@@ -1223,3 +1223,26 @@ def test_attribution_mt_golden(spark):
     assert out["click"].credit == 1.0 and out["click"].n_touches == 3
     # user 4's touches attributed nowhere: 3 converting journeys only
     assert out["view"].n_conversions == 3
+
+
+def test_price_elasticity_golden(spark):
+    """Planted constant-elasticity demand q = 100 * p^(-2): the
+    log-log slope recovers exactly -2 with r2 = 1."""
+    rows = []
+    for i, p in enumerate([1.0, 2.0, 4.0, 5.0, 10.0]):
+        q = 100.0 / (p * p)
+        # l_extendedprice = unit price * quantity, no discount
+        rows.append((i, "N", q, p * q, 0.0))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_returnflag string, l_quantity double, "
+        "l_extendedprice double, l_discount double",
+    )
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_price_elasticity,
+    )
+
+    r = q_price_elasticity(li).collect()[0]
+    assert r.n_lines == 5
+    assert r.elasticity == -2.0
+    assert r.r2 == 1.0
