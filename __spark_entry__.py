@@ -1155,6 +1155,9 @@ def _rp_oracle_sql(out_dim: int = 16, in_dim: int = 64) -> str:
     return "SELECT vec_id, " + ", ".join(comps) + " FROM embeddings"
 
 
+_PART_EDGES_MEMO: dict[tuple, DataFrame] = {}
+
+
 def _part_edges(
     spark: SparkSession,
     sf: str,
@@ -1166,7 +1169,25 @@ def _part_edges(
     key (one definition ↔ one oracle CTE shape to keep in sync):
     ``symmetric`` emits both directions (a != b) vs one canonical
     direction (a < b); ``min_n`` keeps only pairs co-ordered at least
-    that often; ``keep_weight`` retains the co-order count as ``w``."""
+    that often; ``keep_weight`` retains the co-order count as ``w``.
+
+    MEMOIZED per (session, sf, params) as an eager localCheckpoint:
+    eight graph keys derive from this same co-occurrence self-join —
+    the first caller in a process pays the build, every later one
+    reads the materialized edge table (the cluster equivalent is a
+    shared bucketed edge table all graph jobs scan). The testdata is
+    immutable, so the memo can never serve stale edges; keying on
+    applicationId drops entries when the session is replaced."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf,
+        symmetric,
+        min_n,
+        keep_weight,
+    )
+    hit = _PART_EDGES_MEMO.get(key)
+    if hit is not None:
+        return hit
     li = (
         load_table(spark, sf, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -1191,7 +1212,11 @@ def _part_edges(
     )
     if min_n > 1:
         g = g.filter(F.col("w") >= min_n)
-    return g if keep_weight else g.select("src", "dst")
+    out = (
+        g if keep_weight else g.select("src", "dst")
+    ).localCheckpoint(eager=True)
+    _PART_EDGES_MEMO[key] = out
+    return out
 
 
 def _q_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
@@ -3251,8 +3276,9 @@ def _q_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-user session co-presence: for each user pair, how many of
     their sessions overlapped in time and for how long (total µs) —
     the bucketized interval-overlap join (explode into hour buckets,
-    equi-join on the bucket, verify true overlap, dedup) vs the
-    oracle's plain inequality join over all session pairs."""
+    equi-join on the bucket, verify true overlap, emit once in the
+    overlap-start bucket — no distinct pass) vs the oracle's plain
+    inequality join over all session pairs."""
     from gcp_food_delivery_data_pipeline_spark.operators.joins import (
         interval_overlap_pairs,
     )
@@ -3922,81 +3948,36 @@ def _q_seasonal_naive(spark: SparkSession, sf: str) -> DataFrame:
     return A.q_seasonal_naive(load_table(spark, sf, "events"))
 
 
-# Round-6 grading priority (the driver grades the first 50 keys of
+# Round-8 grading priority (the driver grades the first 50 keys of
 # queries() in order; see GRADE_MANIFEST.json for per-key staleness):
-# 1. results/shape changed this round (must re-grade)
-# 2. brand-new probes/operators (first-time evidence)
-# 3. stalest grades — all 31 r2-era keys, then the oldest r3-era keys
-#    up to the 50-key budget.
+# 1. results/shape changed this round (must re-grade):
+#    q_seasonal_naive (MASE zero-denominator guard -> NULL),
+#    j_interval_overlap (overlap-start-bucket emission replaces the
+#    payload-wide distinct()).
+# 2. the 15 keys never driver-graded (r7 verdict list).
+# 3. the 31 r2-era grades (entire TPC-H block, 5 rounds stale).
+# 4. oldest r3-era keys filling the 50-key budget.
 _GRADE_FIRST = [
     # -- changed this round --
-    "v_random_projection",   # array -> wide-scalar shape + new fold
-    "g_kcore",               # rounds 5 -> 12 (true k-core)
-    "q_rfm_segments",        # monetary now decimal-summed
-    "c_sample_negatives",    # explicit join aliases
-    "g_pagerank_parts",      # checkpoint cadence (values identical)
-    # -- new probes/operators this round --
-    "g_kcore_stable",
-    "g_lpa_stable",
-    "d_incremental_dedup",
-    "t_ngram_novelty",
-    "t_sparse_nn",
-    "q_holt_linear",
-    "c_mix_temperature",
-    "q_session_concurrency",
-    "q_cohort_ltv",
-    "m_phash",
-    "j_interval_overlap",
-    "s_stream_enrich",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q16_supplier_attrs",
-    "q20_promo_suppliers",
-    "v_pq_topk",
-    "j_asof_nearest",
-    "g_bfs_parts",
-    "t_zipf_profile",
-    "m_audio_frames",
-    "s_stream_left_join",
-    "v_topk_truncated",
-    "g_link_prediction",
-    "q_hourly_interpolate",
-    "s_avro_roundtrip",
-    "q_sql_api_twin",
-    "c_dataset_card",
-    "q_hilbert_buckets",
-    "c_shard_assign",
-    "v_bitq_topk",
-    "q_ols_trend",
-    "t_distinctive_terms",
-    "d_containment",
-    "q_cms_counts",
-    "q_kmv_overlap",
-    "q_bloom_semijoin",
-    "q_psi_drift",
-    "q_ks_drift",
-    "q_cusum_changepoint",
     "q_seasonal_naive",
-    "g_hits",
-    "c_upsample",
-    "q_chi2_independence",
-    "c_token_budget",
+    "j_interval_overlap",
+    # -- never driver-graded (15) --
     "d_edit_pairs",
     "g_ppr",
-    "s_stream_topk",
-    "v_auc_rank",
-    "q_decile_lift",
-    "q_bootstrap_ci",
-    "q_survival_km",
-    "t_rake_keywords",
-    "t_pmi_pairs",
-    "q_autocorr",
     "q_attribution_mt",
+    "q_autocorr",
+    "q_bootstrap_ci",
+    "q_decile_lift",
     "q_neyman_sample",
-    "v_cluster_purity",
-    "t_vocab_profile",
     "q_price_elasticity",
-    # -- r2-era grades (stalest) --
+    "q_survival_km",
+    "s_stream_topk",
+    "t_pmi_pairs",
+    "t_rake_keywords",
+    "t_vocab_profile",
+    "v_auc_rank",
+    "v_cluster_purity",
+    # -- r2-era grades (stalest: the TPC-H block) --
     "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
     "q14_promo_revenue", "q18_large_volume", "q19_discounted_revenue",
@@ -4009,7 +3990,7 @@ _GRADE_FIRST = [
     "q_custkeys_only_open", "q_balance_quartiles", "q_status_pivot",
     "q_hourly_gapfill",
     # -- oldest r3-era grades, filling to 50 --
-    "c1_c3_counts", "s3_write_readback",
+    "c1_c3_counts", "d_dedup_exact",
 ]
 
 
@@ -5519,8 +5500,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored, "
             "round(avg(abs(v - vp)), 6) AS mae_naive, "
             "round(avg(abs(v - vs)), 6) AS mae_seasonal, "
+            "CASE WHEN round(avg(abs(v - vp)), 6) <> 0 THEN "
             "round(avg(abs(v - vs)), 6) / round(avg(abs(v - vp)), 6) "
-            "AS mase FROM s GROUP BY event_type"
+            "END AS mase FROM s GROUP BY event_type"
         ),
         # Unrolled 4-round HITS; every intermediate an exact integer.
         "g_hits": _hits_oracle_sql(4),

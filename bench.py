@@ -357,13 +357,39 @@ def main() -> None:
     line = compact_line(r2(timings), r2(extra))
     budget = 1900  # driver tail buffer is 2000 chars
     if len(line) > budget:
+        # Stalest-first ROTATION (not slowest-first): the compact line
+        # only fits ~48 extras, so which ones are driver-visible must
+        # cycle — prior BENCH_r*.json artifacts tell us each key's
+        # last visible round; keys unseen longest (or never) win the
+        # slots. With ~90 extras and ~48 slots every key gets a
+        # driver-visible timing at least every 2 rounds; the FULL
+        # timing set is always in bench_result.json.
+        last_seen: dict[str, int] = {}
+        here = os.path.dirname(os.path.abspath(__file__))
+        for p in sorted(os.listdir(here)):
+            m = re.match(r"BENCH_r(\d+)\.json$", p)
+            if not m:
+                continue
+            try:
+                art = json.load(open(os.path.join(here, p)))
+            except Exception:  # noqa: BLE001 — truncated artifact
+                continue
+            parsed = art.get("parsed") or art
+            for k in (parsed.get("extra_queries") or {}):
+                last_seen[k] = max(last_seen.get(k, 0), int(m.group(1)))
+        # stalest first; .popitem() drops from the END, i.e. the
+        # most-recently-visible keys spill
         keep = dict(
-            sorted(extra.items(), key=lambda kv: -kv[1])
+            sorted(
+                extra.items(),
+                key=lambda kv: (last_seen.get(kv[0], 0), kv[0]),
+            )
         )
         while len(line) > budget and keep:
             keep.popitem()
             x = r2(keep)
             x["_spilled"] = len(extra) - len(keep)
+            x["_rotation"] = "stalest-first"
             line = compact_line(r2(timings), x)
     print(line)
 

@@ -1698,12 +1698,13 @@ def edit_distance_join(
     distance 1 iff they share a member of {s} ∪ {s minus one char} —
     substitution at i means both sides delete i; an insert/delete pair
     means the longer side's deletion IS the shorter string. Candidates
-    therefore come from a hash equi-join on deletion variants, and a
-    single ``levenshtein() <= 1`` pass verifies them (the variant
-    property is exact for d=1, so verification only removes the
-    hash-collision-free false positives the id inequality lets
-    through: none — it is kept as a stated invariant, and because the
-    join must emit the true distance anyway).
+    come from a hash equi-join on deletion variants — a SUPERSET
+    generator: sharing a deletion variant does NOT imply distance ≤ 1
+    (equal-length strings can share a variant at distance 2, e.g.
+    ``ab``/``ba`` both delete to ``b``). The trailing
+    ``levenshtein() <= 1`` filter is therefore LOAD-BEARING — it
+    removes real false candidates, not hypothetical hash collisions —
+    and must never be dropped in a refactor.
 
     Why not q-grams: on corpora with a long shared prefix (ids,
     URLs, "Customer#0000…"), every hot q-gram is shared by EVERY

@@ -220,12 +220,16 @@ def interval_overlap_pairs(
     the skew knob: buckets much narrower than typical spans multiply
     the explode; much wider ones admit non-overlapping candidates —
     size it near the median span. A pair spanning several shared
-    buckets is deduplicated AFTER the cheap bucket join and BEFORE
-    any payload attachment (ids-only shuffle discipline, same as the
-    LSH band join). Intervals longer than ~1000 buckets should be
-    split-and-merged or handled on a dedicated long-interval side
-    (the classic two-tier range-join refinement); this testdata's
-    sessions span ≤ 2 buckets.
+    buckets is emitted EXACTLY ONCE via the overlap-start-bucket
+    rule: the pair is kept only in the bucket containing
+    ``greatest(start_a, start_b)`` — both intervals necessarily cover
+    that instant, so the pair appears there and nowhere else. No
+    ``distinct()`` pass at all: no payload-wide dedup shuffle, and
+    two genuinely identical interval rows stay distinct (bag
+    semantics, same as a plain SQL inequality join). Intervals longer
+    than ~1000 buckets should be split-and-merged or handled on a
+    dedicated long-interval side (the classic two-tier range-join
+    refinement); this testdata's sessions span ≤ 2 buckets.
     """
     if bucket_us < 1:
         raise ValueError("interval_overlap_pairs: bucket_us must be >= 1")
@@ -242,19 +246,22 @@ def interval_overlap_pairs(
         ),
     )
     a, b = e.alias("a"), e.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a._bk") == F.col("b._bk"))
-            & (F.col(f"a.{entity_col}") < F.col(f"b.{entity_col}"))
-            & (F.col(f"a.{start_col}") <= F.col(f"b.{end_col}"))
-            & (F.col(f"b.{start_col}") <= F.col(f"a.{end_col}")),
-        )
-        .select(
-            *[F.col(f"a.{c}").alias(f"{c}_a") for c in cols],
-            *[F.col(f"b.{c}").alias(f"{c}_b") for c in cols],
-        )
-        .distinct()
+    # Overlap-start-bucket rule: keep the pair only in the bucket
+    # containing greatest(start_a, start_b) — one emission per pair,
+    # no distinct() needed.
+    first_shared = F.expr(
+        f"greatest(a.{start_col}, b.{start_col}) div {bucket_us}"
+    )
+    pairs = a.join(
+        b,
+        (F.col("a._bk") == F.col("b._bk"))
+        & (F.col(f"a.{entity_col}") < F.col(f"b.{entity_col}"))
+        & (F.col(f"a.{start_col}") <= F.col(f"b.{end_col}"))
+        & (F.col(f"b.{start_col}") <= F.col(f"a.{end_col}"))
+        & (F.col("a._bk") == first_shared),
+    ).select(
+        *[F.col(f"a.{c}").alias(f"{c}_a") for c in cols],
+        *[F.col(f"b.{c}").alias(f"{c}_b") for c in cols],
     )
     overlap = F.least(
         F.col(f"{end_col}_a"), F.col(f"{end_col}_b")

@@ -83,22 +83,42 @@ def write_bucketed(
     loc_path = loc.toUri().getPath()
     # Never delete a directory some OTHER cataloged table still points
     # at (this table's own entry is already dropped above): a stray
-    # external table registered over <warehouse>/<name> must survive.
-    for t in spark.catalog.listTables():
-        qual = f"{t.database}.{t.name}" if t.database else t.name
-        try:
-            rows = spark.sql(f"DESCRIBE TABLE EXTENDED {qual}").collect()
-        except Exception:  # noqa: BLE001 — concurrent drop; skip
-            continue
-        t_loc = next(
-            (str(r.data_type) for r in rows if r.col_name == "Location"),
-            "",
-        )
-        if t_loc and t_loc.rstrip("/").endswith(loc_path.rstrip("/")):
-            raise ValueError(
-                f"write_bucketed: refusing to overwrite {loc_path}: it "
-                f"is the location of cataloged table {qual}"
+    # external table registered over <warehouse>/<name> must survive —
+    # wherever it is cataloged, so scan EVERY database, and compare
+    # normalized absolute URI paths (exact equality, not endswith: a
+    # suffix match would both miss scheme-differing duplicates and
+    # spuriously refuse unrelated paths like .../other_<name>).
+    target = loc_path.rstrip("/")
+    for db in spark.catalog.listDatabases():
+        for t in spark.catalog.listTables(db.name):
+            qual = f"`{t.database or db.name}`.`{t.name}`"
+            try:
+                rows = spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {qual}"
+                ).collect()
+            except Exception:  # noqa: BLE001 — concurrent drop; skip
+                continue
+            t_loc = next(
+                (
+                    str(r.data_type)
+                    for r in rows
+                    if r.col_name == "Location"
+                ),
+                "",
             )
+            if not t_loc:
+                continue
+            t_path = (
+                jvm.org.apache.hadoop.fs.Path(t_loc)
+                .toUri()
+                .getPath()
+                .rstrip("/")
+            )
+            if t_path == target:
+                raise ValueError(
+                    f"write_bucketed: refusing to overwrite {loc_path}:"
+                    f" it is the location of cataloged table {qual}"
+                )
     fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     if fs.exists(loc):
         fs.delete(loc, True)

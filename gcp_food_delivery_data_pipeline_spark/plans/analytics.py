@@ -2792,6 +2792,9 @@ def q_seasonal_naive(events: DataFrame, season_hours: int = 24) -> DataFrame:
     Reproducibility: hourly sums round to 6 decimals first, so every
     abs-error is a difference of engine-identical doubles; the MAEs
     re-round after their mean, and MASE divides the two rounded MAEs.
+    A constant series makes mae_naive 0 — MASE is NULL there (guarded
+    division; Spark would otherwise emit Infinity/NaN where ANSI SQL
+    engines emit NULL — the q_ols_trend zero-denominator rule).
 
     Scale shape: one combinable hourly rollup, then two self-joins
     co-partitioned on (event_type, hour) — broadcast-free, skew-free
@@ -2822,7 +2825,7 @@ def q_seasonal_naive(events: DataFrame, season_hours: int = 24) -> DataFrame:
         F.count(F.lit(1)).alias("n_scored"),
         mae_n.alias("mae_naive"),
         mae_s.alias("mae_seasonal"),
-        (mae_s / mae_n).alias("mase"),
+        F.when(mae_n != F.lit(0.0), mae_s / mae_n).alias("mase"),
     )
 
 

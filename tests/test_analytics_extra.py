@@ -994,6 +994,33 @@ def test_seasonal_naive_mase(spark):
     assert abs(r.mae_naive - round((46 + 46) / 48, 6)) < 1e-9
 
 
+def test_seasonal_naive_constant_series_null_mase(spark):
+    """A constant hourly series makes mae_naive = 0; MASE must be
+    NULL (guarded division), never Infinity/NaN — matching the ANSI
+    NULL the DuckDB oracle's CASE emits for a zero denominator."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_seasonal_naive,
+    )
+
+    rows = [
+        (i, "2024-01-0%d %02d:00:00" % (1 + h // 24, h % 24), "flat", 5.0)
+        for i, h in enumerate(range(48))
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts_s", "event_type", "value"]
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    r = q_seasonal_naive(df).collect()[0]
+    assert r.n_scored == 24  # hours 24..47 have both references
+    assert r.mae_naive == 0.0
+    assert r.mae_seasonal == 0.0
+    assert r.mase is None
+
+
 def test_chi2_independence_golden(spark):
     """Perfectly independent table scores ~0; a type concentrated on
     one weekday scores its textbook contribution."""

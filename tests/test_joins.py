@@ -230,6 +230,29 @@ def test_interval_overlap_same_entity_excluded(spark):
     assert interval_overlap_pairs(iv, entity_col="ent").count() == 0
 
 
+def test_interval_overlap_identical_rows_stay_distinct(spark):
+    """Bag semantics: two byte-identical interval rows (same entity,
+    bounds, payload) are DISTINCT intervals — each pairs with the
+    partner, yielding two rows, exactly like a plain SQL inequality
+    join. The old distinct()-based dedup collapsed them to one."""
+    from gcp_food_delivery_data_pipeline_spark.operators.joins import (
+        interval_overlap_pairs,
+    )
+
+    iv = spark.createDataFrame(
+        [("A", 0, 10, "p"), ("A", 0, 10, "p"), ("B", 5, 15, "q")],
+        "ent string, start_us long, end_us long, tag string",
+    )
+    rows = interval_overlap_pairs(
+        iv, entity_col="ent", bucket_us=3, payload_cols=["tag"]
+    ).collect()
+    assert len(rows) == 2
+    assert all((r.ent_a, r.ent_b, r.overlap_us) == ("A", "B", 5) for r in rows)
+    # multi-bucket shared span (buckets 1..5 shared) still emits each
+    # copy exactly once — the overlap-start-bucket rule, not distinct.
+    assert all(r.tag_a == "p" and r.tag_b == "q" for r in rows)
+
+
 def test_interval_overlap_bucket_width_is_result_invariant(spark):
     """Bucketing is an execution strategy: any width gives the same
     pair set as the inequality-join definition."""

@@ -55,6 +55,65 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables, no_broadcast):
     assert joined.count() == expected > 0
 
 
+def test_write_bucketed_spares_external_table_in_other_db(spark, tmp_path):
+    """Destructive-path safety: an EXTERNAL table registered in a
+    DIFFERENT database over <warehouse>/<name> must make
+    write_bucketed refuse — the guard scans every database, not just
+    the current one, and matches normalized URIs exactly."""
+    df = spark.range(10).withColumnRenamed("id", "k")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark.sparkContext._jvm
+    loc = jvm.org.apache.hadoop.fs.Path(wh, "b_guarded")
+    uri = loc.toUri().toString()
+    spark.sql("CREATE DATABASE IF NOT EXISTS guard_db")
+    # external table in ANOTHER database squatting on the target path
+    df.write.mode("overwrite").parquet(uri)
+    spark.sql(
+        f"CREATE TABLE guard_db.squatter (k BIGINT) USING parquet "
+        f"LOCATION '{uri}'"
+    )
+    try:
+        with pytest.raises(ValueError, match="refusing to overwrite"):
+            write_bucketed(df, "b_guarded", "k", num_buckets=4)
+        # the squatter's data survived the refusal
+        assert spark.table("guard_db.squatter").count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS guard_db.squatter")
+        spark.sql("DROP DATABASE IF EXISTS guard_db")
+        fs = loc.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        if fs.exists(loc):
+            fs.delete(loc, True)
+
+
+def test_write_bucketed_ignores_suffix_sibling(spark):
+    """A table whose path merely ENDS WITH the target's relative path
+    (…/other_b_sib vs …/b_sib) must NOT trigger a spurious refusal —
+    the old endswith match did."""
+    df = spark.range(6).withColumnRenamed("id", "k")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark.sparkContext._jvm
+    sib = jvm.org.apache.hadoop.fs.Path(wh, "other_b_sib")
+    sib_uri = sib.toUri().toString()
+    df.write.mode("overwrite").parquet(sib_uri)
+    spark.sql(
+        f"CREATE TABLE sib_ext (k BIGINT) USING parquet "
+        f"LOCATION '{sib_uri}'"
+    )
+    try:
+        write_bucketed(df, "b_sib", "k", num_buckets=4)
+        assert spark.table("b_sib").count() == 6
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_sib")
+        spark.sql("DROP TABLE IF EXISTS sib_ext")
+        fs = sib.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        if fs.exists(sib):
+            fs.delete(sib, True)
+
+
 def test_unbucketed_join_does_shuffle(spark, no_broadcast):
     """Control: the same join over raw parquet needs an Exchange —
     proving the bucketed assertion above is meaningful."""
