@@ -1763,3 +1763,55 @@ def edit_distance_join(
     return cands.withColumn("dist", dist).filter(
         F.col("dist") <= max_dist
     )
+
+
+def blocked_linkage(
+    reference: DataFrame,
+    records: DataFrame,
+    block_cols: list[str],
+    id_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Record linkage with blocking: match each incoming record to its
+    best reference entry by Levenshtein distance, comparing ONLY
+    within the record's block — the standard entity-resolution shape
+    (census/master-data dedup), here as two DataFrames sharing block
+    and value columns.
+
+    Returns one row per record: ``(rec_id, matched_id, dist)`` with
+    the reference candidate minimizing ``(dist, matched_id)`` — a
+    deterministic 1-NN argmin via one row_number window. Records
+    whose block has no reference entry are dropped (an outer variant
+    is a left join away).
+
+    Scale shape: candidate pairs are Σ_blocks |ref_b|·|rec_b| — the
+    blocking key bounds the quadratic, never all-pairs across the
+    dataset (the linkage twin of the LSH band join). Skewed blocks
+    are the known hazard: a block holding 1% of 100 TB is still
+    quadratic inside, so production blocks compose several weak keys
+    (here: every block col equi-joined at once); the argmin window
+    shuffles only (block, id, dist)-thin rows.
+    """
+    ref = reference.select(
+        *block_cols,
+        F.col(id_col).alias("_ref_id"),
+        F.col(val_col).alias("_ref_val"),
+    )
+    rec = records.select(
+        *block_cols,
+        F.col(id_col).alias("rec_id"),
+        F.col(val_col).alias("_rec_val"),
+    )
+    cand = rec.join(ref, block_cols).select(
+        "rec_id",
+        F.col("_ref_id").alias("matched_id"),
+        F.levenshtein("_rec_val", "_ref_val").alias("dist"),
+    )
+    w = Window.partitionBy("rec_id").orderBy(
+        F.col("dist"), F.col("matched_id")
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

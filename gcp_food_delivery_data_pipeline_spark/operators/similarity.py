@@ -889,3 +889,91 @@ def binary_topk(
             F.round(F.col("_sim"), 6).alias("cosine_sim"),
         )
     )
+
+
+def ndcg_at_k(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Retrieval-quality scorecard: NDCG@k of exact cosine top-k with
+    BINARY relevance (neighbor label == query label). Per query:
+    DCG = Σ_r rel_r / log2(r+1) over the returned ranks, IDCG = the
+    same sum over the first min(k, n_rel) ranks all-relevant, and
+    their ratio — the metric that grades an ANN tier's usefulness
+    (not just its recall vs exact) on a labeled corpus.
+
+    ``n_rel`` counts same-label candidates excluding the query itself
+    when it appears in the candidate set (self-matches are never
+    retrievable — ``topk_exact`` drops them).
+
+    Engine-exactness: both DCG and IDCG are fixed-order folds in rank
+    order (a sorted-array ``aggregate``, never an unordered SUM of
+    doubles), so the only cross-engine noise is a possible last-ulp
+    log2 difference — absorbed by round(6). NDCG is NULL when the
+    query's label has no other members (IDCG = 0).
+
+    Scale shape: rides ``topk_exact_scalable``'s two-phase rank (the
+    wide shuffle carries only partition winners), then label joins —
+    query labels broadcast, per-label counts broadcast (≤ |labels|
+    rows) — and one k-row-per-query fold. Nothing quadratic past the
+    scored candidates.
+    """
+    top = topk_exact_scalable(candidates, queries, k, id_col, vec_col)
+    q_lab = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("_qlab")
+    )
+    c_lab = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_clab")
+    )
+    lab_n = candidates.groupBy(
+        F.col(label_col).alias("_qlab")
+    ).agg(F.count(F.lit(1)).alias("_nlab"))
+    self_lab = candidates.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("_slab")
+    )
+    j = (
+        top.join(F.broadcast(q_lab), "query_id")
+        .join(c_lab, "neighbor_id")
+        .withColumn(
+            "_rel",
+            (F.col("_clab") == F.col("_qlab")).cast("int"),
+        )
+    )
+    per_q = (
+        j.groupBy("query_id", "_qlab")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("rank", "_rel"))
+            ).alias("_rr")
+        )
+        .join(F.broadcast(lab_n), "_qlab")
+        .join(F.broadcast(self_lab), "query_id", "left")
+        .withColumn(
+            "_n_rel",
+            F.col("_nlab")
+            - F.when(F.col("_slab") == F.col("_qlab"), 1).otherwise(0),
+        )
+    )
+    dcg = F.expr(
+        "aggregate(_rr, 0D, (acc, x) -> "
+        "acc + CAST(x._rel AS DOUBLE) / log2(x.rank + 1))"
+    )
+    idcg = F.when(
+        F.col("_n_rel") > 0,
+        F.expr(
+            f"aggregate(sequence(1, least({int(k)}, _n_rel)), 0D, "
+            "(acc, r) -> acc + 1.0D / log2(r + 1))"
+        ),
+    ).otherwise(F.lit(0.0))
+    return per_q.select(
+        "query_id",
+        F.col("_qlab").alias("label"),
+        F.col("_n_rel").cast("bigint").alias("n_rel"),
+        F.round(dcg, 6).alias("dcg"),
+        F.round(idcg, 6).alias("idcg"),
+        F.when(idcg > 0, F.round(dcg / idcg, 6)).alias("ndcg"),
+    )

@@ -168,6 +168,41 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", pred)
 
 
+def lang_confusion(
+    df: DataFrame, gold_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Language-ID confusion matrix against a gold-label column: one
+    row per (gold, predicted) cell with the doc count and the
+    row-normalized share — the classifier scorecard that turns
+    ``language_id`` from a feature into a measurable component
+    (diagonal cells are recall; 'und' columns show coverage gaps).
+
+    ``gold_frac`` is the raw quotient of two exact integers (cell
+    count over gold-row total) — bit-identical across engines, so no
+    rounding (the g_link_prediction rule for exact-integer ratios).
+
+    Scale shape: one projection computing the argmax-of-stopword-hits
+    prediction (pure column expressions, codegen) + one (gold, pred)
+    aggregation — cardinality ≤ |langs|² regardless of corpus size;
+    the row-total is a window over that tiny aggregate, not the data.
+    """
+    pred = language_id(df, text_col)
+    cells = pred.groupBy(
+        F.col(gold_col).alias("lang_gold"),
+        F.col("lang_pred"),
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("lang_gold")
+    return cells.select(
+        "lang_gold",
+        "lang_pred",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double")
+        ).alias("gold_frac"),
+    )
+
+
 def tf_idf_top_terms(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 1
 ) -> DataFrame:

@@ -597,3 +597,53 @@ def test_edit_distance_join_rejects_d2(spark):
     df = spark.createDataFrame([(1, "a")], ["id", "name"])
     with pytest.raises(ValueError):
         edit_distance_join(df, "name", "id", max_dist=2)
+
+
+def test_blocked_linkage_matches_within_block_only(spark):
+    """1-NN linkage: each dirty record matches its best reference by
+    (levenshtein, id) WITHIN its block; cross-block lookalikes are
+    never candidates, and block-less records drop out."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        blocked_linkage,
+    )
+
+    ref = spark.createDataFrame(
+        [
+            ("b1", 1, "alpha"),
+            ("b1", 2, "gamma"),
+            ("b2", 3, "alpha"),   # identical value, different block
+        ],
+        ["blk", "id", "name"],
+    )
+    rec = spark.createDataFrame(
+        [
+            ("b1", 10, "alphax"),  # 1 edit from alpha (id 1)
+            ("b1", 11, "gamm"),    # 1 edit from gamma (id 2)
+            ("b2", 12, "alpha"),   # exact, but only id 3 is in b2
+            ("b9", 13, "alpha"),   # no reference block -> dropped
+        ],
+        ["blk", "id", "name"],
+    )
+    got = {
+        r.rec_id: (r.matched_id, r.dist)
+        for r in blocked_linkage(
+            ref, rec, block_cols=["blk"], id_col="id", val_col="name"
+        ).collect()
+    }
+    assert got == {10: (1, 1), 11: (2, 1), 12: (3, 0)}
+
+
+def test_blocked_linkage_tiebreak_is_lowest_id(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        blocked_linkage,
+    )
+
+    ref = spark.createDataFrame(
+        [("b", 5, "aaa"), ("b", 2, "aab")], ["blk", "id", "name"]
+    )
+    rec = spark.createDataFrame([("b", 9, "aac")], ["blk", "id", "name"])
+    r = blocked_linkage(
+        ref, rec, block_cols=["blk"], id_col="id", val_col="name"
+    ).collect()[0]
+    # both refs are distance 1; the lower reference id wins
+    assert (r.matched_id, r.dist) == (2, 1)

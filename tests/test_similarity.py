@@ -437,3 +437,59 @@ def test_binary_topk_generalizes_over_dim(spark):
     ).collect()
     assert len(out) == 1
     assert out[0].neighbor_id == 1 and out[0].hamming == 4
+
+
+def test_ndcg_at_k_golden(spark):
+    """Hand-checkable NDCG: 2D unit-ish vectors where query 0's true
+    neighbors by cosine are known, binary relevance = label match."""
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        ndcg_at_k,
+    )
+
+    # query 0 (label 1) at angle 0; candidates at increasing angles.
+    # labels: id1 -> 1 (rank 1, rel), id2 -> 0 (rank 2), id3 -> 1
+    # (rank 3, rel), id4 -> 0 (rank 4).
+    import math as m
+
+    def vec(deg):
+        r = m.radians(deg)
+        return [float(m.cos(r)), float(m.sin(r))]
+
+    rows = [
+        (0, vec(0), 1),
+        (1, vec(10), 1),
+        (2, vec(20), 0),
+        (3, vec(30), 1),
+        (4, vec(40), 0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = ndcg_at_k(df, df.filter(F.col("vec_id") == 0), k=3)
+    r = out.collect()[0]
+    assert r.query_id == 0 and r.label == 1
+    # relevant pool: ids 1 and 3 (query itself excluded)
+    assert r.n_rel == 2
+    dcg = 1.0 / m.log2(2) + 0.0 + 1.0 / m.log2(4)
+    idcg = 1.0 / m.log2(2) + 1.0 / m.log2(3)
+    assert abs(r.dcg - round(dcg, 6)) < 1e-9
+    assert abs(r.idcg - round(idcg, 6)) < 1e-9
+    assert abs(r.ndcg - round(dcg / idcg, 6)) < 1e-9
+
+
+def test_ndcg_no_relevant_pool_is_null(spark):
+    """A query whose label appears nowhere else: n_rel = 0, IDCG = 0,
+    NDCG = NULL (guarded division, engine-portable)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        ndcg_at_k,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 7),
+        (1, [0.9, 0.1], 1),
+        (2, [0.8, 0.2], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    r = ndcg_at_k(df, df.filter(F.col("vec_id") == 0), k=2).collect()[0]
+    assert r.n_rel == 0
+    assert r.dcg == 0.0
+    assert r.idcg == 0.0
+    assert r.ndcg is None

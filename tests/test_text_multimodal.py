@@ -590,3 +590,27 @@ def test_vocab_profile_golden(spark):
     s2 = out["s2"]
     assert (s2.n_tokens, s2.n_types, s2.n_hapax) == (3, 1, 0)
     assert s2.hapax_share == 0.0
+
+
+def test_lang_confusion_matrix(spark):
+    """Confusion cells count docs per (gold, predicted); gold_frac
+    row-normalizes exactly (raw integer quotient)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        lang_confusion,
+    )
+
+    rows = [
+        (1, "the cat and the dog in the house", "en"),
+        (2, "the mouse is in it for the win", "en"),
+        (3, "le chat et la souris de la maison", "fr"),
+        (4, "xyzzy plugh", "fr"),       # no stopword hits -> 'und'
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        (r.lang_gold, r.lang_pred): (r.n_docs, r.gold_frac)
+        for r in lang_confusion(df).collect()
+    }
+    assert got[("en", "en")] == (2, 1.0)
+    assert got[("fr", "fr")] == (1, 0.5)
+    assert got[("fr", "und")] == (1, 0.5)
+    assert len(got) == 3
