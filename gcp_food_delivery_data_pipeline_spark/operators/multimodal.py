@@ -745,6 +745,134 @@ def decode_gif_stats(
     return src.mapInPandas(process, GIF_STATS_SCHEMA)
 
 
+def attach_gif_scene_payload(
+    documents: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize animated GIFs with SCENE STRUCTURE: ``n_frames =
+    id % 6 + 2`` grayscale frames of ``(id % 10 + 1) × (id % 7 + 1)``;
+    frame f's pixel(x, y) = ``base_f + x + y`` where ``base_0 =
+    id % 40`` and each transition adds 25 (a cut) when
+    ``(id + f) % 3 == 0``, else 2 (intra-scene drift). Max pixel
+    40 + 6·25 + 9 + 6 = 205 — no wrap. Same closed-form-construction
+    contract as ``attach_gif_payload``: the bytes are real GIF89a,
+    and the cut schedule is pure doc_id arithmetic the oracle
+    replays."""
+    from gcp_food_delivery_data_pipeline_spark.functions.gif import (
+        encode_gif_gray,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("n_frames", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, nfs, ws, hs = [], [], [], [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                nf, w, h = i % 6 + 2, i % 10 + 1, i % 7 + 1
+                base = i % 40
+                frames = []
+                for f in range(nf):
+                    if f > 0:
+                        base += 25 if (i + f) % 3 == 0 else 2
+                    frames.append(
+                        bytes(
+                            base + x + y
+                            for y in range(h)
+                            for x in range(w)
+                        )
+                    )
+                ids.append(i)
+                payloads.append(encode_gif_gray(w, h, frames))
+                nfs.append(nf)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "n_frames": nfs,
+                    "width": ws,
+                    "height": hs,
+                }
+            )
+
+    return ensure_min_partitions(documents.select(id_col)).mapInPandas(
+        gen, out_schema
+    )
+
+
+SCENE_CUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_cuts", IntegerType()),
+        StructField("max_jump", LongType()),
+    ]
+)
+
+
+def gif_scene_cuts(
+    df: DataFrame,
+    threshold_px: int = 20,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Scene-cut detection over REAL decoded GIF payloads: LZW-decode
+    every frame, take each frame's EXACT integer pixel sum, and call
+    a transition a cut when the per-pixel jump exceeds
+    ``threshold_px`` — compared ALL-INTEGER as
+    ``|S_f − S_{f−1}| > threshold_px · w · h``, so no float mean ever
+    enters the decision (the pHash rule). Emits ``(doc_id, n_frames,
+    n_cuts, max_jump)`` with ``max_jump`` the largest per-pixel jump
+    (exact: sum deltas here are integer multiples of w·h).
+
+    This is the video-pipeline sampling primitive: shot boundaries
+    pick the frames worth featurizing. Arrow-batched ``mapInPandas``;
+    payloads stay inside their partition — only the 4-column stats
+    frame ever shuffles.
+    """
+    from gcp_food_delivery_data_pipeline_spark.functions.gif import (
+        decode_gif_gray,
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfs, cuts, jumps = [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                w, h, frames = decode_gif_gray(bytes(p))
+                sums = [sum(f) for f in frames]
+                deltas = [
+                    abs(b - a) for a, b in zip(sums, sums[1:])
+                ]
+                ids.append(doc_id)
+                nfs.append(len(frames))
+                cuts.append(
+                    sum(1 for d in deltas if d > threshold_px * w * h)
+                )
+                jumps.append(
+                    max(deltas) // (w * h) if deltas else 0
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": nfs,
+                    "n_cuts": cuts,
+                    "max_jump": jumps,
+                }
+            )
+
+    src = ensure_min_partitions(df.select(id_col, payload_col))
+    return src.mapInPandas(process, SCENE_CUT_SCHEMA)
+
+
 PHASH_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

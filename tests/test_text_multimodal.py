@@ -614,3 +614,32 @@ def test_lang_confusion_matrix(spark):
     assert got[("fr", "fr")] == (1, 0.5)
     assert got[("fr", "und")] == (1, 0.5)
     assert len(got) == 3
+
+
+def test_gif_scene_cuts_golden(spark):
+    """doc_id 1: nf=3, transitions f=1 ((1+1)%3!=0 -> drift +2) and
+    f=2 ((1+2)%3==0 -> cut +25): exactly 1 cut, max_jump 25.
+    doc_id 3: nf=5, f=1..4, cuts at f=3 ((3+3)%3==0) and ... (3+f)%3==0
+    iff f%3==0 -> f=3 only: 1 cut. doc_id 7: nf=3, f=1,2: (7+f)%3==0
+    iff f=2: 1 cut. All decoded through the real LZW codec; the cut
+    decision is integer pixel-sum arithmetic."""
+    from gcp_food_delivery_data_pipeline_spark.operators.multimodal import (
+        attach_gif_scene_payload,
+        gif_scene_cuts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1,), (3,), (7,), (6,)], ["doc_id"]
+    )
+    out = {
+        r.doc_id: (r.n_frames, r.n_cuts, r.max_jump)
+        for r in gif_scene_cuts(
+            attach_gif_scene_payload(docs), threshold_px=20
+        ).collect()
+    }
+    assert out[1] == (3, 1, 25)
+    assert out[3] == (5, 1, 25)
+    assert out[7] == (3, 1, 25)
+    # doc 6: nf=2, single transition f=1, (6+1)%3 != 0 -> no cut,
+    # max_jump is the drift step
+    assert out[6] == (2, 0, 2)
