@@ -3948,6 +3948,26 @@ def _q_seasonal_naive(spark: SparkSession, sf: str) -> DataFrame:
     return A.q_seasonal_naive(load_table(spark, sf, "events"))
 
 
+def _q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney U between click and purchase value distributions
+    (average ranks for ties — exact half-integers), with rank-biserial
+    effect size; the rank prefix rides the q_ks_drift two-phase rank."""
+    return A.q_mann_whitney(load_table(spark, sf, "events"))
+
+
+def _q_centroid_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroid drift between the vec_id-parity
+    cohorts: cosine of the two 6-decimal-rounded centroids — ~1.0
+    when a label's embedding mass is stable (the embedding-space twin
+    of q_psi_drift)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.clustering import (
+        centroid_drift,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    return centroid_drift(e, F.col("vec_id") % 2)
+
+
 def _q_scene_cuts(spark: SparkSession, sf: str) -> DataFrame:
     """Video scene-cut detection end-to-end: synthesize animated GIFs
     whose frame sequence jumps +25 px at doc_id-scheduled cuts (+2
@@ -4052,6 +4072,8 @@ _GRADE_FIRST = [
     "d_blocked_linkage",
     "v_ndcg_topk",
     "m_scene_cuts",
+    "q_mann_whitney",
+    "v_centroid_drift",
     # -- never driver-graded (15) --
     "d_edit_pairs",
     "g_ppr",
@@ -4078,7 +4100,6 @@ _GRADE_FIRST = [
     "q_top3_per_segment", "q_running_spend", "q_events_hourly",
     "q_distinct_users", "q_props_extract", "q_rollup_revenue",
     "q_cube_events", "q_top_words", "q_custkeys_both",
-    "q_custkeys_only_open", "q_balance_quartiles",
 ]
 
 
@@ -4344,6 +4365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_blocked_linkage": _q_blocked_linkage,
         "v_ndcg_topk": _q_ndcg_topk,
         "m_scene_cuts": _q_scene_cuts,
+        "q_mann_whitney": _q_mann_whitney,
+        "v_centroid_drift": _q_centroid_drift,
     }
     # The driver grades the FIRST 50 keys each round; _GRADE_FIRST
     # (below) is this round's priority list — keys with changed
@@ -5285,6 +5308,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings) "
             "GROUP BY label, dim"
         ),
+        # Per-cohort centroids round to 6 BEFORE the cosine (the
+        # v_label_centroids float-sum rule), so both engines fold the
+        # cosine over identical inputs in identical dim order.
+        "v_centroid_drift": (
+            "WITH pd AS (SELECT label, CAST(vec_id % 2 AS INT) AS half, "
+            "generate_subscripts(embedding, 1) - 1 AS dim, "
+            "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), "
+            "c AS (SELECT label, half, dim, round(avg(v), 6) AS cv, "
+            "CAST(count(*) AS BIGINT) AS n FROM pd "
+            "GROUP BY label, half, dim), "
+            "ce AS (SELECT label, half, max(n) AS n, "
+            "list(cv ORDER BY dim) AS cvs FROM c GROUP BY label, half) "
+            "SELECT a.label, a.n AS n_a, b.n AS n_b, "
+            "round(list_cosine_similarity(a.cvs, b.cvs), 6) "
+            "AS drift_cosine FROM ce a JOIN ce b ON a.label = b.label "
+            "AND a.half = 0 AND b.half = 1"
+        ),
         "v_embedding_pairs": (
             "SELECT id_a, id_b, cosine_sim FROM ("
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
@@ -5590,6 +5630,29 @@ def oracle_sql() -> dict[str, str]:
             "abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb) "
             "AS ks_stat, value AS ks_at_value "
             "FROM c, t ORDER BY ks_stat DESC, value ASC LIMIT 1"
+        ),
+        # Average-rank = (strictly below) + (ties+1)/2 — exact
+        # half-integers, so the rank sum is an exact double at any
+        # aggregation order; U and r emitted raw (exact-ratio rule).
+        "q_mann_whitney": (
+            "WITH pv AS (SELECT value, "
+            "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca, "
+            "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb "
+            "FROM events WHERE event_type IN ('click', 'purchase') "
+            "GROUP BY value), "
+            "r AS (SELECT value, ca, cb, "
+            "coalesce(sum(ca + cb) OVER (ORDER BY value "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS below FROM pv), "
+            "s AS (SELECT CAST(sum(ca) AS BIGINT) AS na, "
+            "CAST(sum(cb) AS BIGINT) AS nb, "
+            "sum(ca * (below + (ca + cb + 1) / 2.0)) AS ra FROM r) "
+            "SELECT 'click' AS type_a, 'purchase' AS type_b, "
+            "na AS n_a, nb AS n_b, "
+            "CAST(ra - na * (na + 1) / 2.0 AS DOUBLE) AS u_a, "
+            "CAST(na * nb - (ra - na * (na + 1) / 2.0) AS DOUBLE) AS u_b, "
+            "1.0 - 2.0 * (ra - na * (na + 1) / 2.0) / (na * nb) "
+            "AS r_rank_biserial FROM s WHERE na > 0 AND nb > 0"
         ),
         # Same floor((value - round(mean,6)) * 1e6) integer deviations
         # (order-insensitive cumsum: segment-tree vs running-fold

@@ -44,6 +44,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gcp_food_delivery_data_pipeline_spark.functions.vectors import (
+    cosine_similarity,
     dot_product,
 )
 
@@ -406,4 +407,75 @@ def cluster_purity(
         F.round(
             F.sum(mi) / F.sqrt(F.sum(hc) * F.sum(hl)), 6
         ).alias("nmi"),
+    )
+
+
+def centroid_drift(
+    embeddings: DataFrame,
+    split_col: Column | str,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-distribution drift scorecard: split the corpus into
+    two cohorts (``split_col`` → 0/1 — train/holdout, old/new ingest
+    batch, A/B arm), compute each label's per-cohort centroid, and
+    report the cosine between the two centroids per label — near 1.0
+    when the label's embedding mass is stable, dropping when a class
+    shifts (the embedding-space twin of q_psi_drift).
+
+    Engine-exactness: per-dimension means are ROUNDED to 6 decimals
+    FIRST (the v_label_centroids rule — float-sum order across
+    engines differs in last ulps), so both engines then fold the
+    cosine over identical inputs in identical dim order; the cosine
+    re-rounds to 6.
+
+    Scale shape: ``posexplode → groupBy(label, cohort, dim) → avg``
+    partial-aggregates map-side (shuffle ≤ partitions·labels·2·d
+    rows); rebuilding the centroid array is a sort_array over ≤ d
+    structs per group; the final join pairs |labels| rows. The
+    vectors themselves never shuffle.
+    """
+    s = F.col(split_col) if isinstance(split_col, str) else split_col
+    per_dim = (
+        embeddings.select(
+            F.col(label_col).alias("label"),
+            s.cast("int").alias("_half"),
+            F.posexplode(vec_col).alias("dim", "v"),
+        )
+        .groupBy("label", "_half", "dim")
+        .agg(
+            F.round(F.avg("v"), 6).alias("_c"),
+            # one exploded row per (vector, dim): the per-dim row
+            # count IS the cohort's vector count
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    cent = per_dim.groupBy("label", "_half").agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "_c"))
+        ).alias("_dc"),
+        F.max("_n").alias("_n"),
+    ).select(
+        "label",
+        "_half",
+        "_n",
+        F.transform(F.col("_dc"), lambda x: x["_c"]).alias("_cv"),
+    )
+    a = cent.filter(F.col("_half") == 0).select(
+        "label",
+        F.col("_n").alias("n_a"),
+        F.col("_cv").alias("_ca"),
+    )
+    b = cent.filter(F.col("_half") == 1).select(
+        "label",
+        F.col("_n").alias("n_b"),
+        F.col("_cv").alias("_cb"),
+    )
+    return a.join(b, "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        F.round(cosine_similarity("_ca", "_cb"), 6).alias(
+            "drift_cosine"
+        ),
     )

@@ -2702,6 +2702,80 @@ def q_ks_drift(
     )
 
 
+def q_mann_whitney(
+    events: DataFrame,
+    type_a: str = "click",
+    type_b: str = "purchase",
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two event types' value
+    distributions: U statistics for both sides plus the rank-biserial
+    effect size r = 1 − 2U_a/(n_a·n_b) — the nonparametric
+    "did the distribution move?" test that (unlike the KS D) measures
+    stochastic dominance, not just the largest CDF gap.
+
+    Reproducibility: tied values get the textbook AVERAGE rank,
+    computed as (count strictly below) + (ties + 1)/2 — every term an
+    exact integer or half-integer, so rank sums are EXACT doubles at
+    any aggregation order (all partials < 2^52; a corpus where
+    n_a·n_b crosses 2^53 must upgrade the rank sum to DECIMAL). U and
+    r are emitted raw (exact-integer-ratio rule — never round a
+    terminating quotient).
+
+    Scale shape: one combinable groupBy collapses the stream to
+    distinct values with per-side counts; the cumulative
+    count-strictly-below rides the same two-phase distributed rank as
+    q_ks_drift (range repartition + per-partition prefix, no global
+    window); everything after is one aggregate over distinct values.
+    """
+    from gcp_food_delivery_data_pipeline_spark.operators.corpus import (
+        _global_ordered_rank_and_prefix,
+    )
+
+    per_value = (
+        events.filter(F.col("event_type").isin(type_a, type_b))
+        .groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == type_a, 1).otherwise(0)
+            ).alias("_ca"),
+            F.sum(
+                F.when(F.col("event_type") == type_b, 1).otherwise(0)
+            ).alias("_cb"),
+        )
+    )
+    ranked = _global_ordered_rank_and_prefix(
+        per_value, ["value"], F.col("_ca"), val2=F.col("_cb")
+    )
+    avg_rank = (
+        F.col("_gbefore")
+        + F.col("_gbefore2")
+        + (F.col("_ca") + F.col("_cb") + 1) / 2.0
+    )
+    agg = ranked.agg(
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+        F.sum(F.col("_ca") * avg_rank).alias("_ra"),
+    )
+    u_a = F.col("_ra") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    return (
+        agg.select(
+            F.lit(type_a).alias("type_a"),
+            F.lit(type_b).alias("type_b"),
+            "n_a",
+            "n_b",
+            u_a.alias("u_a"),
+            (F.col("n_a") * F.col("n_b") - u_a).alias("u_b"),
+            (
+                F.lit(1.0)
+                - 2.0 * u_a / (F.col("n_a") * F.col("n_b"))
+            ).alias("r_rank_biserial"),
+        )
+        # empty input: the agg still emits one all-NULL row — an
+        # empty stream must yield an empty result (oracle parity)
+        .filter(F.col("n_a").isNotNull() & (F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )
+
+
 def q_cusum_changepoint(events: DataFrame) -> DataFrame:
     """CUSUM changepoint scan per event type: the running sum of
     deviations from the type mean, S_t = Σ(value_i - mean), peaks

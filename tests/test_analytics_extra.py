@@ -1273,3 +1273,35 @@ def test_price_elasticity_golden(spark):
     assert r.n_lines == 5
     assert r.elasticity == -2.0
     assert r.r2 == 1.0
+
+
+def test_mann_whitney_golden(spark):
+    """Textbook U: a = [1, 2, 3], b = [2, 4]. Ranks (avg ties):
+    1->1, 2,2 -> 2.5 each, 3->4, 4->5. R_a = 1 + 2.5 + 4 = 7.5,
+    U_a = 7.5 - 6 = 1.5, U_b = 6 - 1.5 = 4.5, r = 1 - 2*1.5/6 = 0.5."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_mann_whitney,
+    )
+
+    rows = [
+        (1, "click", 1.0), (2, "click", 2.0), (3, "click", 3.0),
+        (4, "purchase", 2.0), (5, "purchase", 4.0),
+        (6, "view", 99.0),  # other types excluded
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    r = q_mann_whitney(df).collect()[0]
+    assert (r.n_a, r.n_b) == (3, 2)
+    assert r.u_a == 1.5
+    assert r.u_b == 4.5
+    assert r.r_rank_biserial == 0.5
+
+
+def test_mann_whitney_empty_is_empty(spark):
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_mann_whitney,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "view", 1.0)], ["event_id", "event_type", "value"]
+    )
+    assert q_mann_whitney(df).count() == 0

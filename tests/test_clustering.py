@@ -532,3 +532,28 @@ def test_cluster_purity_golden(spark):
     r2 = cluster_purity(indep, labels).collect()[0]
     assert r2.purity == 0.5
     assert r2.nmi == 0.0
+
+
+def test_centroid_drift_golden(spark):
+    """Two labels: label 1's cohorts share the centroid direction
+    (drift 1.0); label 2's cohorts are orthogonal (drift 0.0)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.clustering import (
+        centroid_drift,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        # label 1: even cohort [1,0], odd cohort [2,0] -> cosine 1
+        (0, [1.0, 0.0], 1), (2, [1.0, 0.0], 1), (1, [2.0, 0.0], 1),
+        # label 2: even [1,0] vs odd [0,3] -> cosine 0
+        (4, [1.0, 0.0], 2), (5, [0.0, 3.0], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r.label: (r.n_a, r.n_b, r.drift_cosine)
+        for r in centroid_drift(df, F.col("vec_id") % 2).collect()
+    }
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (1, 1, 0.0)
