@@ -610,3 +610,48 @@ def test_token_budget_single_corpus_window(plans):
     p = plans("c_token_budget")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_blocked_linkage_is_block_equi_join(plans):
+    """Record linkage: candidates come ONLY from the blocking-key
+    equi-join — no cartesian / nested-loop across the dataset — and
+    the 1-NN argmin never sorts globally (row_number is partitioned
+    by record)."""
+    p = plans("d_blocked_linkage")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partitionBy=[rec_id]" in p or "rec_id" in p
+
+
+def test_ndcg_broadcasts_labels_and_queries(plans):
+    """NDCG rides the two-phase exact top-k (queries broadcast, only
+    partition winners reach the global rank); the label-count and
+    query-label side tables broadcast too — no shuffle scales with
+    the candidate set beyond the top-k machinery itself."""
+    p = plans("v_ndcg_topk")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastExchange") >= 3
+    assert "BatchEvalPython" not in p  # folds are JVM-side
+
+
+def test_lang_confusion_aggregates_before_window(plans):
+    """The row-normalizing window runs over the <= |langs|^2 cell
+    aggregate, never the corpus: two exchanges only (cell groupBy +
+    window repartition on the tiny frame — the formatted plan names
+    each once in the tree and once in the detail section)."""
+    p = plans("t_lang_confusion")
+    assert "BatchEvalPython" not in p
+    tree_exchanges = sum(
+        1 for ln in p.splitlines() if ln.lstrip(" +-:").startswith("Exchange")
+    )
+    assert tree_exchanges <= 2, p
+
+
+def test_mann_whitney_no_global_order_window(plans):
+    """The rank prefix rides the two-phase distributed rank: every
+    Window sorts by the range-repartition part id first (the KS
+    rule), never a bare global order."""
+    p = plans("q_mann_whitney")
+    for ln in p.splitlines():
+        if ln.strip().startswith("Arguments:") and "windowspecdefinition" in ln:
+            assert "_part" in ln, ln
