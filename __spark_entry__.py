@@ -4058,6 +4058,11 @@ def _q_ndcg_topk(spark: SparkSession, sf: str) -> DataFrame:
 #    q_seasonal_naive (MASE zero-denominator guard -> NULL),
 #    j_interval_overlap (overlap-start-bucket emission replaces the
 #    payload-wide distinct()).
+#    (q_ks_drift / q_chi2_independence / q_autocorr also gained
+#    degenerate-input zero-denominator guards this round; their
+#    results are VALUE-IDENTICAL on every tested SF — re-verified
+#    against the oracle locally — so they do not displace stale keys
+#    from the 50-slot budget. q_autocorr is graded below anyway.)
 # 2. brand-new operators (first-time evidence): t_lang_confusion,
 #    d_blocked_linkage, v_ndcg_topk.
 # 3. the 15 keys never driver-graded (r7 verdict list).
@@ -5629,7 +5634,8 @@ def oracle_sql() -> dict[str, str]:
             "t.na AS n_a, t.nb AS n_b, "
             "abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb) "
             "AS ks_stat, value AS ks_at_value "
-            "FROM c, t ORDER BY ks_stat DESC, value ASC LIMIT 1"
+            "FROM c, t WHERE na > 0 AND nb > 0 "
+            "ORDER BY ks_stat DESC, value ASC LIMIT 1"
         ),
         # Average-rank = (strictly below) + (ties+1)/2 — exact
         # half-integers, so the rank sum is an exact double at any

@@ -2672,8 +2672,17 @@ def q_ks_drift(
     totals = per_value.agg(
         F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
     )
-    cdf_a = (F.col("_gbefore") + F.col("_ca")) / F.col("_na")
-    cdf_b = (F.col("_gbefore2") + F.col("_cb")) / F.col("_nb")
+    # guarded: a one-sided degenerate input (one type absent) makes a
+    # total 0, and ANSI-mode LONG/LONG division by zero THROWS — the
+    # guard turns the whole gap NULL and the final filter drops it
+    cdf_a = F.when(
+        F.col("_na") > 0,
+        (F.col("_gbefore") + F.col("_ca")) / F.col("_na"),
+    )
+    cdf_b = F.when(
+        F.col("_nb") > 0,
+        (F.col("_gbefore2") + F.col("_cb")) / F.col("_nb"),
+    )
     gap = F.abs(cdf_a - cdf_b)
     # argmax via struct-max: max D first, then (for equal D) the
     # SMALLEST value — one aggregate, deterministic under ties
@@ -2697,8 +2706,16 @@ def q_ks_drift(
             (-F.col("_pk.nv")).alias("ks_at_value"),
         )
         # a groupBy() over zero rows still emits one all-NULL row;
-        # an empty stream must yield an empty result (oracle parity)
-        .filter(F.col("ks_stat").isNotNull())
+        # an empty stream must yield an empty result (oracle parity).
+        # Requiring BOTH samples non-empty also kills the one-sided
+        # degenerate case, where Spark's IEEE x/0 CDF would emit an
+        # Inf/NaN row DuckDB nulls out (two-sample KS is undefined
+        # with an empty side).
+        .filter(
+            F.col("ks_stat").isNotNull()
+            & (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+        )
     )
 
 
@@ -2961,11 +2978,18 @@ def q_chi2_independence(events: DataFrame) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.sum("_n").alias("n_events"),
+            # a structurally-empty day column gives e_ij = 0 for its
+            # dense zero cells: guard to NULL so Spark's SUM skips the
+            # cell exactly like DuckDB's NULL-skipping sum does
+            # (IEEE 0/0 would otherwise poison the sum with NaN)
             F.round(
                 F.sum(
-                    (F.col("_n") - F.col("_e"))
-                    * (F.col("_n") - F.col("_e"))
-                    / F.col("_e")
+                    F.when(
+                        F.col("_e") > 0.0,
+                        (F.col("_n") - F.col("_e"))
+                        * (F.col("_n") - F.col("_e"))
+                        / F.col("_e"),
+                    )
                 ),
                 6,
             ).alias("chi2_contrib"),
@@ -3274,9 +3298,16 @@ def q_autocorr(events: DataFrame, lags: tuple = (1, 24)) -> DataFrame:
                 "event_type",
                 F.lit(int(lag)).alias("lag_hours"),
                 "n_pairs",
-                F.round(F.col("_num") / F.col("_ss"), 6).alias(
-                    "autocorr"
-                ),
+                # constant series: _ss = 0 -> NULL, not NaN (Spark
+                # doubles follow IEEE on /0, DuckDB yields NULL — the
+                # q_seasonal_naive zero-denominator rule)
+                F.round(
+                    F.when(
+                        F.col("_ss") != 0.0,
+                        F.col("_num") / F.col("_ss"),
+                    ),
+                    6,
+                ).alias("autocorr"),
             )
         )
         out = row if out is None else out.unionByName(row)

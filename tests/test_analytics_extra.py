@@ -1305,3 +1305,68 @@ def test_mann_whitney_empty_is_empty(spark):
         [(1, "view", 1.0)], ["event_id", "event_type", "value"]
     )
     assert q_mann_whitney(df).count() == 0
+
+
+def test_autocorr_constant_series_is_null(spark):
+    """A constant hourly series has zero variance: autocorr must be
+    NULL (guarded), never NaN — the IEEE-vs-NULL engine divergence."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_autocorr,
+    )
+
+    rows = [
+        (i, "2024-01-0%d %02d:00:00" % (1 + h // 24, h % 24), "flat", 3.0)
+        for i, h in enumerate(range(30))
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts_s", "event_type", "value"]
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    for r in q_autocorr(df).collect():
+        assert r.autocorr is None, r
+
+
+def test_chi2_single_weekday_stays_finite(spark):
+    """All events on ONE weekday: the six structurally-empty day
+    columns give e_ij = 0 dense cells — guarded to NULL, so the
+    contribution stays finite (DuckDB's NULL-skip sum semantics),
+    never NaN."""
+    import math
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_chi2_independence,
+    )
+
+    rows = [
+        (i, "2024-01-01 %02d:00:00" % (i % 24), "a" if i % 2 else "b", 1.0)
+        for i in range(40)
+    ]  # 2024-01-01 is a Monday; every event lands on dow 0
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts_s", "event_type", "value"]
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    for r in q_chi2_independence(df).collect():
+        assert r.chi2_contrib is not None
+        assert not math.isnan(r.chi2_contrib)
+        # perfectly proportional single-day table: contribution 0
+        assert r.chi2_contrib == 0.0
+
+
+def test_ks_one_sided_sample_is_empty(spark):
+    """Only clicks, zero purchases: two-sample KS is undefined — the
+    result must be EMPTY, not an Inf/NaN row."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_ks_drift,
+    )
+
+    rows = [(i, "click", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    assert q_ks_drift(df).count() == 0
