@@ -400,12 +400,16 @@ def cluster_purity(
         -(F.col("_nl") / nn) * F.log(F.col("_nl") / nn),
     ).otherwise(F.lit(0.0))
     maj = F.when(F.col("_rkc") == 1, F.col("_n")).otherwise(F.lit(0))
+    # degenerate single-cluster or single-label input: an entropy is
+    # 0, NMI is undefined -> NULL (guarded; IEEE 0/0 would emit NaN
+    # where a SQL oracle emits NULL — the zero-denominator rule)
+    nmi_den = F.sqrt(F.sum(hc) * F.sum(hl))
     return t.agg(
         F.first("_tot").alias("n_vectors"),
         F.countDistinct("_c").alias("n_clusters"),
         (F.sum(maj).cast("double") / F.first("_tot")).alias("purity"),
         F.round(
-            F.sum(mi) / F.sqrt(F.sum(hc) * F.sum(hl)), 6
+            F.when(nmi_den > 0.0, F.sum(mi) / nmi_den), 6
         ).alias("nmi"),
     )
 

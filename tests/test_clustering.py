@@ -557,3 +557,21 @@ def test_centroid_drift_golden(spark):
     }
     assert got[1] == (2, 1, 1.0)
     assert got[2] == (1, 1, 0.0)
+
+
+def test_cluster_purity_single_cluster_nmi_null(spark):
+    """One cluster + one label: both entropies are 0, NMI is
+    undefined -> NULL (guarded), never NaN; purity stays 1.0."""
+    from gcp_food_delivery_data_pipeline_spark.operators.clustering import (
+        cluster_purity,
+    )
+
+    assigned = spark.createDataFrame(
+        [(i, 0) for i in range(5)], "vec_id long, cluster_id int"
+    )
+    labels = spark.createDataFrame(
+        [(i, 1) for i in range(5)], "vec_id long, label int"
+    )
+    r = cluster_purity(assigned, labels).collect()[0]
+    assert r.purity == 1.0
+    assert r.nmi is None
