@@ -152,6 +152,13 @@ EXTRA_QUERIES = [
     "v_cluster_purity",     # purity + NMI clustering scorecard
     "t_vocab_profile",      # per-source TTR / hapax lexical profile
     "q_price_elasticity",   # log-log demand elasticity via regr_*
+    # -- round 8 --
+    "t_lang_confusion",     # language-ID confusion scorecard
+    "d_blocked_linkage",    # blocked 1-NN record linkage
+    "v_ndcg_topk",          # NDCG@10 retrieval-quality scorecard
+    "m_scene_cuts",         # GIF shot-boundary detection (real decode)
+    "q_mann_whitney",       # rank-sum U + rank-biserial effect size
+    "v_centroid_drift",     # per-label cohort centroid cosine
 ]
 
 
