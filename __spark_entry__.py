@@ -1878,6 +1878,44 @@ def _q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ composite ANN (FAISS `IVF16,PQ8x16` shape) graded by
+    RECALL vs the in-plan exact top-k: probe 8 of 16 cells, ADC-prune
+    to 250, exact re-rank. recall_ok pins mean recall@10 >= 0.6
+    (measured, deterministic per SF: 0.94 at sf0.01, 0.74 at sf0.1 —
+    cells + codes compound the near-uniform-embedding hard case)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 5)
+    ann = (
+        ivf_pq_topk(e, queries_df, n_probe=8, k=10, rerank=250)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    exact = (
+        topk_exact(e, queries_df, k=10)
+        .select("query_id", F.col("neighbor_id").alias("_exact_nb"))
+        .localCheckpoint()
+    )
+    hits = ann.join(
+        exact,
+        (ann["query_id"] == exact["query_id"])
+        & (ann["neighbor_id"] == exact["_exact_nb"]),
+    )
+    per_q = exact.groupBy(exact["query_id"]).count().agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("count").alias("_n_exact"),
+    )
+    n_hits = hits.agg(F.count(F.lit(1)).alias("_n_hits"))
+    return per_q.crossJoin(n_hits).select(
+        "n_queries",
+        (F.col("_n_hits") / F.col("_n_exact") >= 0.6).alias("recall_ok"),
+    )
+
+
 def _q_topk_truncated(spark: SparkSession, sf: str) -> DataFrame:
     """Matryoshka truncated retrieval: exact cosine top-k over the
     first 16 of 64 dims — the cheap first stage of adaptive retrieval.
@@ -3948,6 +3986,14 @@ def _q_seasonal_naive(spark: SparkSession, sf: str) -> DataFrame:
     return A.q_seasonal_naive(load_table(spark, sf, "events"))
 
 
+def _q_did_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences: even-user treatment x mid-month
+    cutover, four conditional-sum cells in ONE aggregation pass, cell
+    means rounded before differencing — the quasi-experimental
+    member of the causal family."""
+    return A.q_did_estimate(load_table(spark, sf, "events"))
+
+
 def _q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     """Mann-Whitney U between click and purchase value distributions
     (average ranks for ties — exact half-integers), with rank-biserial
@@ -4372,6 +4418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_scene_cuts": _q_scene_cuts,
         "q_mann_whitney": _q_mann_whitney,
         "v_centroid_drift": _q_centroid_drift,
+        "q_did_estimate": _q_did_estimate,
+        "v_ivfpq_topk": _q_ivfpq_topk,
     }
     # The driver grades the FIRST 50 keys each round; _GRADE_FIRST
     # (below) is this round's priority list — keys with changed
@@ -5637,6 +5685,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM c, t WHERE na > 0 AND nb > 0 "
             "ORDER BY ks_stat DESC, value ASC LIMIT 1"
         ),
+        # Four conditional-sum cells in one pass; means rounded to 6
+        # BEFORE differencing (differences of rounded means are exact).
+        "q_did_estimate": (
+            "WITH c AS (SELECT "
+            "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treat, "
+            "CASE WHEN epoch_us(ts) // 86400000000 >= 19738 "
+            "THEN 1 ELSE 0 END AS post, value FROM events), "
+            "a AS (SELECT "
+            "CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat_pre, "
+            "round(sum(CASE WHEN treat = 1 AND post = 0 THEN value END) / "
+            "sum(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END), 6) AS mean_treat_pre, "
+            "CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat_post, "
+            "round(sum(CASE WHEN treat = 1 AND post = 1 THEN value END) / "
+            "sum(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END), 6) AS mean_treat_post, "
+            "CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_pre, "
+            "round(sum(CASE WHEN treat = 0 AND post = 0 THEN value END) / "
+            "sum(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END), 6) AS mean_ctrl_pre, "
+            "CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_post, "
+            "round(sum(CASE WHEN treat = 0 AND post = 1 THEN value END) / "
+            "sum(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END), 6) AS mean_ctrl_post "
+            "FROM c) "
+            "SELECT *, round((mean_treat_post - mean_treat_pre) - "
+            "(mean_ctrl_post - mean_ctrl_pre), 6) AS did FROM a "
+            "WHERE n_treat_pre > 0"
+        ),
         # Average-rank = (strictly below) + (ties+1)/2 — exact
         # half-integers, so the rank sum is an exact double at any
         # aggregation order; U and r emitted raw (exact-ratio rule).
@@ -6683,6 +6756,11 @@ def oracle_sql() -> dict[str, str]:
         # v_pq_topk: approximate (PQ+ADC+rerank) — graded like
         # v_topk_ann by a recall bound the query computes itself.
         "v_pq_topk": (
+            "SELECT count(*) AS n_queries, TRUE AS recall_ok "
+            "FROM embeddings WHERE vec_id < 5"
+        ),
+        # Composite IVF-PQ: same recall-bound grading contract.
+        "v_ivfpq_topk": (
             "SELECT count(*) AS n_queries, TRUE AS recall_ok "
             "FROM embeddings WHERE vec_id < 5"
         ),

@@ -977,3 +977,155 @@ def ndcg_at_k(
         F.round(idcg, 6).alias("idcg"),
         F.when(idcg > 0, F.round(dcg / idcg, 6)).alias("ndcg"),
     )
+
+
+def ivf_pq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    k: int = 10,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ composite ANN (the FAISS `IVFx,PQy` architecture): an
+    inverted-file KMeans index bounds WHICH candidates each query
+    sees (n_probe nearest cells), and product-quantization ADC bounds
+    the COST per candidate (code-table lookups instead of full-vector
+    math); only the ``rerank`` ADC survivors per query touch full
+    vectors for the exact cosine re-rank. Same output contract as
+    ``topk_exact``.
+
+    This is the tier that survives 100 TB where either trick alone
+    stalls: IVF without PQ still reads full vectors for ~n_probe/
+    n_clusters of the corpus; PQ without IVF still scans every code.
+    Composed: scan cost ∝ corpus·(n_probe/n_clusters) code lookups,
+    full-vector cost ∝ rerank·|Q|.
+
+    All index state is plan literals (centroids + codebooks, a few
+    KiB) — candidate cell-assignment and encoding are zero-shuffle
+    maps; the probe is a (cell) equi-join against broadcast queries;
+    the rerank cut rides the same two-phase window as
+    ``topk_exact_scalable``. Deterministic end to end (seeded KMeans,
+    md5-sampled codebooks, (dist, id) tie-breaks).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cand_vec = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "_features"
+        ),
+    )
+    km = KMeans(
+        k=n_clusters,
+        seed=seed,
+        featuresCol="_features",
+        predictionCol="_cell",
+    )
+    model = km.fit(cand_vec)
+    books = train_pq_codebooks(
+        candidates, n_subspaces, n_codes, vec_col, id_col
+    )
+    sub_d = len(books[0][0])
+    coded = with_pq_codes(
+        model.transform(cand_vec).select("neighbor_id", "_cvec", "_cell"),
+        books,
+        "_cvec",
+    )
+
+    centroids = [
+        (i, [float(x) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(x) for x in vec]).alias("cvec"),
+            )
+            for i, vec in centroids
+        ]
+    )
+    probe_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    cent_arr,
+                    lambda c: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                c["cvec"],
+                                F.col("_qvec"),
+                                lambda a, b: (a - b.cast("double"))
+                                * (a - b.cast("double")),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        ).alias("dist"),
+                        c["cell"].alias("cell"),
+                    ),
+                )
+            ),
+            lambda s: s["cell"],
+        ),
+        1,
+        n_probe,
+    )
+    dtab = F.array(
+        *[
+            _pq_book_dists(_pq_sub("_qvec", s, sub_d), books[s])
+            for s in range(len(books))
+        ]
+    )
+    probed = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        )
+        .withColumn("_dtab", dtab)
+        .withColumn("_cells", probe_cells)
+        .select(
+            "query_id", "_qvec", "_dtab", F.explode("_cells").alias("_cell")
+        )
+    )
+    approx = (
+        coded.join(F.broadcast(probed), "_cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "_adist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_dtab"),
+                    F.col("pq_code"),
+                    lambda tab, code: F.element_at(tab, code + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w_local = Window.partitionBy("query_id", "_part").orderBy(
+        F.col("_adist"), F.col("neighbor_id")
+    )
+    w_glob = Window.partitionBy("query_id").orderBy(
+        F.col("_adist"), F.col("neighbor_id")
+    )
+    survivors = (
+        approx.withColumn("_part", F.spark_partition_id())
+        .withColumn("_lrn", F.row_number().over(w_local))
+        .filter(F.col("_lrn") <= rerank)
+        .withColumn("_grn", F.row_number().over(w_glob))
+        .filter(F.col("_grn") <= rerank)
+    )
+    scored = survivors.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity("_qvec", "_cvec").alias("_sim"),
+    )
+    return _rank_topk(scored, k)

@@ -2719,6 +2719,51 @@ def q_ks_drift(
     )
 
 
+def q_did_estimate(
+    events: DataFrame,
+    post_epoch_day: int = 19738,
+) -> DataFrame:
+    """Difference-in-differences estimate over the event stream:
+    treatment = even user ids (a deterministic stand-in for an
+    assignment column), post = events on/after ``post_epoch_day``
+    (integer epoch-day arithmetic — identical in any engine), outcome
+    = mean event value. DiD = (treat_post − treat_pre) −
+    (ctrl_post − ctrl_pre) — the workhorse quasi-experimental
+    estimator, joining the attribution/lift/elasticity causal family.
+
+    Reproducibility: the four cell means are double sums rounded to 6
+    BEFORE the differencing (float-sum order differs across engines
+    in last ulps; the differences of rounded means are then exact).
+
+    Scale shape: ONE combinable aggregation pass with conditional
+    sums — four cells regardless of stream size; no join, no window.
+    """
+    day = F.expr("unix_micros(ts) div 86400000000")
+    post = (day >= F.lit(int(post_epoch_day))).cast("int")
+    treat = (F.col("user_id") % 2 == 0).cast("int")
+    cell = lambda t, p: (treat == t) & (post == p)  # noqa: E731
+    n = lambda t, p: F.sum(cell(t, p).cast("long"))  # noqa: E731
+    m = lambda t, p: F.round(  # noqa: E731
+        F.sum(F.when(cell(t, p), F.col("value"))) / n(t, p), 6
+    )
+    agg = events.agg(
+        n(1, 0).alias("n_treat_pre"),
+        m(1, 0).alias("mean_treat_pre"),
+        n(1, 1).alias("n_treat_post"),
+        m(1, 1).alias("mean_treat_post"),
+        n(0, 0).alias("n_ctrl_pre"),
+        m(0, 0).alias("mean_ctrl_pre"),
+        n(0, 1).alias("n_ctrl_post"),
+        m(0, 1).alias("mean_ctrl_post"),
+    )
+    did = (
+        F.col("mean_treat_post") - F.col("mean_treat_pre")
+    ) - (F.col("mean_ctrl_post") - F.col("mean_ctrl_pre"))
+    return agg.select("*", F.round(did, 6).alias("did")).filter(
+        F.col("n_treat_pre").isNotNull() & (F.col("n_treat_pre") > 0)
+    )
+
+
 def q_mann_whitney(
     events: DataFrame,
     type_a: str = "click",

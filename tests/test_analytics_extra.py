@@ -1370,3 +1370,39 @@ def test_ks_one_sided_sample_is_empty(spark):
     rows = [(i, "click", float(i)) for i in range(10)]
     df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
     assert q_ks_drift(df).count() == 0
+
+
+def test_did_estimate_golden(spark):
+    """Hand-built 2x2: treat pre mean 10, post 14 (+4); ctrl pre 10,
+    post 11 (+1) -> DiD = +3. Even user ids are treatment; the post
+    cutover day is parameterized to the fixture's second day."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_did_estimate,
+    )
+
+    rows = [
+        # (event_id, user_id, day 1 or 2, value)
+        (1, 2, 1, 10.0), (2, 2, 2, 14.0),     # treat (even)
+        (3, 4, 1, 10.0), (4, 4, 2, 14.0),     # treat
+        (5, 1, 1, 10.0), (6, 1, 2, 11.0),     # ctrl (odd)
+        (7, 3, 1, 10.0), (8, 3, 2, 11.0),     # ctrl
+    ]
+    df = spark.createDataFrame(
+        [
+            (i, u, "2024-01-0%d 12:00:00" % d, v)
+            for i, u, d, v in rows
+        ],
+        ["event_id", "user_id", "ts_s", "value"],
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "value",
+    )
+    r = q_did_estimate(df, post_epoch_day=19724).collect()[0]  # 2024-01-02
+    assert (r.n_treat_pre, r.n_treat_post, r.n_ctrl_pre, r.n_ctrl_post) == (
+        2, 2, 2, 2,
+    )
+    assert r.mean_treat_pre == 10.0 and r.mean_treat_post == 14.0
+    assert r.mean_ctrl_pre == 10.0 and r.mean_ctrl_post == 11.0
+    assert r.did == 3.0

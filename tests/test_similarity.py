@@ -493,3 +493,45 @@ def test_ndcg_no_relevant_pool_is_null(spark):
     assert r.dcg == 0.0
     assert r.idcg == 0.0
     assert r.ndcg is None
+
+
+def test_ivf_pq_recall_floor_and_shape(embeddings):
+    """Composite IVF-PQ: recall@10 vs exact must clear the graded
+    bound at full probe depth, and the output keeps the topk_exact
+    contract (rank 1..k per query, self excluded)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    q = embeddings.filter(F.col("vec_id") < 5)
+    ann = ivf_pq_topk(embeddings, q, n_probe=8, k=10, rerank=250)
+    rows = ann.collect()
+    by_q = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    exact = topk_exact(embeddings, q, k=10)
+    e_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a_pairs = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(a_pairs & e_pairs) / len(e_pairs)
+    assert recall >= 0.6, recall
+
+
+def test_ivf_pq_full_probe_full_rerank_is_exact(embeddings):
+    """n_probe == n_clusters and rerank >= corpus: the composite
+    degrades to exact search — neighbor sets must equal topk_exact."""
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    q = embeddings.filter(F.col("vec_id") < 3)
+    n = embeddings.count()
+    ann = ivf_pq_topk(
+        embeddings, q, n_clusters=4, n_probe=4, k=5, rerank=n
+    )
+    exact = topk_exact(embeddings, q, k=5)
+    a = {(r.query_id, r.rank, r.neighbor_id) for r in ann.collect()}
+    e = {(r.query_id, r.rank, r.neighbor_id) for r in exact.collect()}
+    assert a == e
