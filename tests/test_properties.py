@@ -688,3 +688,124 @@ def test_survival_km_matches_python_model(spark_global, spans):
     for t in ts:
         assert got[t][:3] == expect[t][:3], t
         assert abs(got[t][3] - expect[t][3]) < 1e-9, t
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["click", "purchase"]),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=2,
+        max_size=40,
+    ).filter(
+        lambda v: any(t == "click" for t, _ in v)
+        and any(t == "purchase" for t, _ in v)
+    )
+)
+def test_mann_whitney_u_sum_invariant(spark_global, vals):
+    """Textbook identity on ANY two samples with ties:
+    U_a + U_b == n_a * n_b, and the rank-biserial stays in [-1, 1]."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_mann_whitney,
+    )
+
+    rows = [(i, t, float(v)) for i, (t, v) in enumerate(vals)]
+    df = spark_global.createDataFrame(
+        rows, ["event_id", "event_type", "value"]
+    )
+    r = q_mann_whitney(df).collect()[0]
+    assert r.u_a + r.u_b == r.n_a * r.n_b
+    assert -1.0 - 1e-12 <= r.r_rank_biserial <= 1.0 + 1e-12
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    intervals=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C"]),
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    width=st.sampled_from([1, 3, 7, 100]),
+)
+def test_interval_overlap_matches_naive_model(spark_global, intervals, width):
+    """Bucketized interval join == the O(n^2) Python model (bag
+    semantics: duplicate interval rows pair independently) at ANY
+    bucket width."""
+    from gcp_food_delivery_data_pipeline_spark.operators.joins import (
+        interval_overlap_pairs,
+    )
+
+    rows = [(e, s, s + d) for e, s, d in intervals]
+    df = spark_global.createDataFrame(
+        rows, "ent string, start_us long, end_us long"
+    )
+    got = sorted(
+        (r.ent_a, r.start_us_a, r.ent_b, r.start_us_b, r.overlap_us)
+        for r in interval_overlap_pairs(
+            df, entity_col="ent", bucket_us=width
+        ).collect()
+    )
+    model = sorted(
+        (ea, sa, eb, sb, min(xa, xb) - max(sa, sb))
+        for (ea, sa, xa) in rows
+        for (eb, sb, xb) in rows
+        if ea < eb and sa <= xb and sb <= xa
+    )
+    assert got == model
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    recs=st.lists(
+        st.tuples(
+            st.sampled_from(["b1", "b2"]),
+            st.text(alphabet="abc", min_size=1, max_size=5),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_blocked_linkage_matches_naive_argmin(spark_global, recs):
+    """Blocked 1-NN == per-record argmin of (levenshtein, id) over
+    its block, for ANY block contents."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        blocked_linkage,
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    ref_rows = [(blk, i, v) for i, (blk, v) in enumerate(recs)]
+    rec_rows = [
+        (blk, 100 + i, v[::-1]) for i, (blk, v) in enumerate(recs)
+    ]
+    ref = spark_global.createDataFrame(
+        ref_rows, "blk string, id long, name string"
+    )
+    rec = spark_global.createDataFrame(
+        rec_rows, "blk string, id long, name string"
+    )
+    got = {
+        r.rec_id: (r.matched_id, r.dist)
+        for r in blocked_linkage(
+            ref, rec, block_cols=["blk"], id_col="id", val_col="name"
+        ).collect()
+    }
+    for blk, rid, val in rec_rows:
+        cands = [
+            (lev(val, rv), ri) for (rb, ri, rv) in ref_rows if rb == blk
+        ]
+        assert got[rid] == (min(cands)[1], min(cands)[0])
