@@ -3986,6 +3986,25 @@ def _q_seasonal_naive(spark: SparkSession, sf: str) -> DataFrame:
     return A.q_seasonal_naive(load_table(spark, sf, "events"))
 
 
+def _q_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch reading ease per document: exact integer word/sentence/
+    vowel-group-syllable counts, raw exact-ratio quotients, one
+    projection pass — the classic corpus-quality readability gate."""
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        readability,
+    )
+
+    return readability(load_table(spark, sf, "documents")).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        "words_per_sentence",
+        "syllables_per_word",
+        "flesch",
+    )
+
+
 def _q_did_estimate(spark: SparkSession, sf: str) -> DataFrame:
     """Difference-in-differences: even-user treatment x mid-month
     cutover, four conditional-sum cells in ONE aggregation pass, cell
@@ -4420,6 +4439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_centroid_drift": _q_centroid_drift,
         "q_did_estimate": _q_did_estimate,
         "v_ivfpq_topk": _q_ivfpq_topk,
+        "t_readability": _q_readability,
     }
     # The driver grades the FIRST 50 keys each round; _GRADE_FIRST
     # (below) is this round's priority list — keys with changed
@@ -5250,6 +5270,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT rec_id, matched_id, CAST(dist AS BIGINT) AS dist, "
             "CAST(CASE WHEN matched_id = rec_id THEN 1 ELSE 0 END "
             "AS INT) AS is_correct FROM cand WHERE rn = 1"
+        ),
+        # Same vowel-group syllable heuristic; ratios are raw
+        # exact-integer quotients, the linear combination applies the
+        # same literals in the same order — bit-identical, unrounded.
+        "t_readability": (
+            "WITH b AS (SELECT doc_id, "
+            f"CAST({_NTOK} AS BIGINT) AS n_words, "
+            "CAST(len(list_filter(list_transform("
+            "string_split(text, '.'), p -> trim(p)), x -> x <> '')) "
+            "AS BIGINT) AS n_sentences, "
+            f"CAST(list_sum(list_prepend(0, list_transform({_TOKENS}, "
+            "t -> greatest(1, len(regexp_extract_all(lower(t), "
+            "'[aeiouy]+')))))) AS BIGINT) AS n_syllables "
+            "FROM documents) "
+            "SELECT doc_id, n_words, n_sentences, n_syllables, "
+            "CASE WHEN n_sentences > 0 THEN "
+            "CAST(n_words AS DOUBLE) / n_sentences END "
+            "AS words_per_sentence, "
+            "CASE WHEN n_words > 0 THEN "
+            "CAST(n_syllables AS DOUBLE) / n_words END "
+            "AS syllables_per_word, "
+            "206.835 - 1.015 * (CASE WHEN n_sentences > 0 THEN "
+            "CAST(n_words AS DOUBLE) / n_sentences END) "
+            "- 84.6 * (CASE WHEN n_words > 0 THEN "
+            "CAST(n_syllables AS DOUBLE) / n_words END) AS flesch "
+            "FROM b"
         ),
         "t_fingerprint": (
             "SELECT doc_id, md5(text) AS fp_md5, "

@@ -351,6 +351,62 @@ def sentences(col: Column | str) -> Column:
     )
 
 
+def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    feature corpus-quality filters threshold on (higher = simpler
+    prose): 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word).
+    Syllables are the standard vowel-group heuristic: runs of
+    ``[aeiouy]+`` per lowercased token, min 1 per word.
+
+    Engine-exactness: all three counts are exact integers; the two
+    ratios are raw IEEE quotients of exact integers (bit-identical —
+    the exact-integer-ratio rule), and the final linear combination
+    applies the same literal coefficients in the same expression
+    order in both engines — emitted raw, never rounded. Documents
+    with no words or no sentences yield NULL (guarded; ANSI-mode
+    integer division by zero throws).
+
+    Scale shape: one projection — token array built once, integer
+    folds over it, no explode, no shuffle; Catalyst prunes the scan
+    to the text column.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    syll = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.greatest(
+                F.lit(1),
+                F.size(F.regexp_extract_all(F.lower(t), F.lit("[aeiouy]+"), 0)),
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    out = df.select(
+        "*",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.size(sentences(c)).cast("bigint").alias("n_sentences"),
+        syll.cast("bigint").alias("n_syllables"),
+    )
+    wps = F.when(
+        F.col("n_sentences") > 0,
+        F.col("n_words") / F.col("n_sentences"),
+    )
+    spw = F.when(
+        F.col("n_words") > 0,
+        F.col("n_syllables") / F.col("n_words"),
+    )
+    return out.select(
+        "*",
+        wps.alias("words_per_sentence"),
+        spw.alias("syllables_per_word"),
+        (
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+        ).alias("flesch"),
+    )
+
+
 def ngrams_from_tokens(toks: Column, n: int = 2) -> Column:
     """ALL space-joined n-grams of a token-array column, duplicates
     kept ([] for arrays shorter than n). The single n-gram

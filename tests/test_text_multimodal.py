@@ -643,3 +643,26 @@ def test_gif_scene_cuts_golden(spark):
     # doc 6: nf=2, single transition f=1, (6+1)%3 != 0 -> no cut,
     # max_jump is the drift step
     assert out[6] == (2, 0, 2)
+
+
+def test_readability_golden(spark):
+    """'The cat sat. The dog ran.' -> 6 words, 2 sentences, 6
+    syllables (every word one vowel group): wps 3, spw 1, flesch =
+    206.835 - 1.015*3 - 84.6 = 119.19. Empty doc -> NULLs."""
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        readability,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran."), (2, ""), (3, "beautiful.")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in readability(df).collect()}
+    r = got[1]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (6, 2, 6)
+    assert r.words_per_sentence == 3.0
+    assert r.syllables_per_word == 1.0
+    assert abs(r.flesch - (206.835 - 1.015 * 3 - 84.6)) < 1e-12
+    assert got[2].n_words == 0 and got[2].flesch is None
+    # beautiful -> eau + i + u ... vowel groups: 'eau', 'i', 'u' = 3
+    assert got[3].n_syllables == 3
