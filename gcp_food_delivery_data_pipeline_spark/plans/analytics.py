@@ -2764,6 +2764,93 @@ def q_did_estimate(
     )
 
 
+def q_cuped_adjustment(
+    events: DataFrame,
+    post_epoch_day: int = 19738,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) for the even-user
+    experiment: per user, X = pre-period value sum (the covariate),
+    Y = post-period value sum (the metric); θ = cov(X,Y)/var(X);
+    Y_adj = Y − θ·(X − mean(X)). Reports the raw and CUPED-adjusted
+    treatment/control mean difference plus the achieved variance
+    reduction — the standard way to shrink A/B confidence intervals
+    with pre-experiment data, completing the causal family
+    (attribution → lift → elasticity → DiD → CUPED).
+
+    Reproducibility (staged rounding): per-user X/Y sums round to 6
+    (absorbing float-sum order), the θ and mean(X) SCALARS round to 6
+    before broadcasting back, so every per-user adjustment is
+    arithmetic over identical rounded inputs; group means and
+    variances re-round at the end; ratios of rounded values are raw.
+
+    Scale shape: one per-user conditional aggregation, one scalar
+    moment row broadcast back, one final group aggregation — no
+    window, no join wider than the 1-row broadcast.
+    """
+    day = F.expr("unix_micros(ts) div 86400000000")
+    post = day >= F.lit(int(post_epoch_day))
+    per_user = events.groupBy("user_id").agg(
+        F.coalesce(
+            F.round(F.sum(F.when(~post, F.col("value"))), 6), F.lit(0.0)
+        ).alias("_x"),
+        F.coalesce(
+            F.round(F.sum(F.when(post, F.col("value"))), 6), F.lit(0.0)
+        ).alias("_y"),
+    )
+    scalars = per_user.agg(
+        F.round(F.covar_samp("_x", "_y"), 6).alias("_cov"),
+        F.round(F.var_samp("_x"), 6).alias("_varx"),
+        F.round(F.avg("_x"), 6).alias("_mx"),
+    ).select(
+        F.when(
+            F.col("_varx") > 0.0,
+            F.round(F.col("_cov") / F.col("_varx"), 6),
+        ).alias("_theta"),
+        "_mx",
+    )
+    adj = per_user.crossJoin(F.broadcast(scalars)).select(
+        (F.col("user_id") % 2 == 0).cast("int").alias("_treat"),
+        "_y",
+        (
+            F.col("_y")
+            - F.col("_theta") * (F.col("_x") - F.col("_mx"))
+        ).alias("_yadj"),
+        "_theta",
+    )
+    g = adj.groupBy().agg(
+        F.sum(F.col("_treat").cast("long")).alias("n_treat"),
+        F.sum((1 - F.col("_treat")).cast("long")).alias("n_ctrl"),
+        F.first("_theta").alias("theta"),
+        F.round(F.avg(F.when(F.col("_treat") == 1, F.col("_y"))), 6).alias(
+            "_mt_raw"
+        ),
+        F.round(F.avg(F.when(F.col("_treat") == 0, F.col("_y"))), 6).alias(
+            "_mc_raw"
+        ),
+        F.round(
+            F.avg(F.when(F.col("_treat") == 1, F.col("_yadj"))), 6
+        ).alias("_mt_adj"),
+        F.round(
+            F.avg(F.when(F.col("_treat") == 0, F.col("_yadj"))), 6
+        ).alias("_mc_adj"),
+        F.round(F.var_samp("_y"), 6).alias("var_y"),
+        F.round(F.var_samp("_yadj"), 6).alias("var_adj"),
+    )
+    return g.select(
+        "n_treat",
+        "n_ctrl",
+        "theta",
+        (F.col("_mt_raw") - F.col("_mc_raw")).alias("diff_raw"),
+        (F.col("_mt_adj") - F.col("_mc_adj")).alias("diff_cuped"),
+        "var_y",
+        "var_adj",
+        F.when(
+            F.col("var_y") > 0.0,
+            F.lit(1.0) - F.col("var_adj") / F.col("var_y"),
+        ).alias("var_reduction"),
+    ).filter(F.col("n_treat").isNotNull())
+
+
 def q_mann_whitney(
     events: DataFrame,
     type_a: str = "click",

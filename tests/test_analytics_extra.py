@@ -1406,3 +1406,63 @@ def test_did_estimate_golden(spark):
     assert r.mean_treat_pre == 10.0 and r.mean_treat_post == 14.0
     assert r.mean_ctrl_pre == 10.0 and r.mean_ctrl_post == 11.0
     assert r.did == 3.0
+
+
+def test_cuped_perfect_covariate_kills_variance(spark):
+    """Y = X exactly (post repeats pre): theta = 1, every adjusted
+    value collapses to the global mean -> var_adj 0, var_reduction 1,
+    and diff_cuped = 0 — the raw group gap was entirely pre-existing
+    covariate imbalance, which is precisely what CUPED removes."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_cuped_adjustment,
+    )
+
+    rows = []
+    eid = 0
+    for u in range(1, 9):
+        v = float(u * 2)
+        for d, day in ((1, "01"), (2, "20")):  # pre day 1, post day 20
+            eid += 1
+            rows.append((eid, u, "2024-01-%s 12:00:00" % day, v))
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts_s", "value"]
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "value",
+    )
+    r = q_cuped_adjustment(df).collect()[0]
+    assert (r.n_treat, r.n_ctrl) == (4, 4)
+    assert r.theta == 1.0
+    assert r.var_adj == 0.0
+    assert r.var_reduction == 1.0
+    assert r.diff_raw == 2.0  # evens average 2 higher pre AND post
+    assert r.diff_cuped == 0.0  # ... all of it pre-existing
+
+
+def test_cuped_constant_covariate_theta_null(spark):
+    """Zero-variance covariate: theta undefined -> NULL (guarded)."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_cuped_adjustment,
+    )
+
+    rows = []
+    eid = 0
+    for u in range(1, 5):
+        eid += 1
+        rows.append((eid, u, "2024-01-01 12:00:00", 5.0))  # pre const
+        eid += 1
+        rows.append((eid, u, "2024-01-20 12:00:00", float(u)))
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts_s", "value"]
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "value",
+    )
+    r = q_cuped_adjustment(df).collect()[0]
+    assert r.theta is None
+    assert r.diff_cuped is None
+    assert r.diff_raw is not None
