@@ -107,6 +107,32 @@ KEYS = {
         "survivor aggregation; the exact branch exists only for the "
         "FP-overshoot comparison"
     ),
+    "d_blocked_linkage": (
+        "record linkage: candidates only from the blocking-key "
+        "equi-join (no cartesian); 1-NN argmin is a rec_id-keyed "
+        "window, never a global sort"
+    ),
+    "v_ndcg_topk": (
+        "NDCG rides the two-phase exact top-k (queries broadcast, "
+        "partition winners only); label counts + query labels "
+        "broadcast; DCG/IDCG are JVM-side rank-ordered folds"
+    ),
+    "q_mann_whitney": (
+        "rank prefix on the two-phase distributed rank (every "
+        "Window keyed by the range-repartition part id); one final "
+        "1-row aggregate"
+    ),
+    "t_lang_confusion": (
+        "argmax-of-stopword-hits as a pure projection over the "
+        "scan; the row-normalizing window runs on the <= |langs|^2 "
+        "cell aggregate, never the corpus"
+    ),
+    "v_ivfpq_topk": (
+        "IVF-PQ composite: cell assignment + PQ encoding are "
+        "zero-shuffle maps over plan-literal centroids/codebooks; "
+        "probe is a cell equi-join against broadcast queries; only "
+        "rerank survivors touch full vectors"
+    ),
 }
 
 
