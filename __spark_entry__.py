@@ -3986,6 +3986,13 @@ def _q_seasonal_naive(spark: SparkSession, sf: str) -> DataFrame:
     return A.q_seasonal_naive(load_table(spark, sf, "events"))
 
 
+def _q_welch_t(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch's unequal-variance t between click and purchase values:
+    one conditional-moment pass, per-side mean/variance rounded
+    before the fixed-order t / Welch-Satterthwaite df arithmetic."""
+    return A.q_welch_t(load_table(spark, sf, "events"))
+
+
 def _q_cuped(spark: SparkSession, sf: str) -> DataFrame:
     """CUPED variance reduction for the even-user experiment:
     pre-period covariate, theta = cov/var scalar broadcast back,
@@ -4449,6 +4456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_ivfpq_topk": _q_ivfpq_topk,
         "t_readability": _q_readability,
         "q_cuped": _q_cuped,
+        "q_welch_t": _q_welch_t,
     }
     # The driver grades the FIRST 50 keys each round; _GRADE_FIRST
     # (below) is this round's priority list — keys with changed
@@ -5764,6 +5772,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, round((mean_treat_post - mean_treat_pre) - "
             "(mean_ctrl_post - mean_ctrl_pre), 6) AS did FROM a "
             "WHERE n_treat_pre > 0"
+        ),
+        # One conditional-moment pass; mean/var rounded to 6 first, t
+        # and df fixed-order arithmetic over the rounded stats (raw).
+        "q_welch_t": (
+            "WITH a AS (SELECT "
+            "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_a, "
+            "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_b, "
+            "round(avg(CASE WHEN event_type = 'click' THEN value END), 6) "
+            "AS mean_a, "
+            "round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) "
+            "AS mean_b, "
+            "round(var_samp(CASE WHEN event_type = 'click' THEN value END), 6) "
+            "AS var_a, "
+            "round(var_samp(CASE WHEN event_type = 'purchase' THEN value END), 6) "
+            "AS var_b "
+            "FROM events WHERE event_type IN ('click', 'purchase')) "
+            "SELECT 'click' AS type_a, 'purchase' AS type_b, "
+            "n_a, n_b, mean_a, mean_b, var_a, var_b, "
+            "CASE WHEN var_a / n_a + var_b / n_b > 0 THEN "
+            "(mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) END "
+            "AS t_stat, "
+            "CASE WHEN n_a > 1 AND n_b > 1 "
+            "AND var_a / n_a + var_b / n_b > 0 THEN "
+            "((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)) / "
+            "((var_a / n_a) * (var_a / n_a) / (n_a - 1) + "
+            "(var_b / n_b) * (var_b / n_b) / (n_b - 1)) END AS df_welch "
+            "FROM a WHERE n_a > 1 AND n_b > 1"
         ),
         # Staged rounding mirrors the Spark side exactly: per-user
         # sums -> 6dp, covar/var/mean scalars -> 6dp, theta -> 6dp,

@@ -2764,6 +2764,66 @@ def q_did_estimate(
     )
 
 
+def q_welch_t(
+    events: DataFrame,
+    type_a: str = "click",
+    type_b: str = "purchase",
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two event types' value
+    distributions: t = (m_a − m_b) / sqrt(s²_a/n_a + s²_b/n_b) with
+    the Welch–Satterthwaite degrees of freedom — the parametric
+    member of the two-sample trio (KS = shape, Mann-Whitney = rank
+    dominance, Welch = means).
+
+    Reproducibility: per-side mean and sample variance round to 6
+    first (float-sum order differs across engines in last ulps); t
+    and df are then fixed-order arithmetic over identical rounded
+    inputs, emitted raw. Sides with fewer than 2 values make the
+    variance (hence t, df) NULL — guarded, ANSI-safe.
+
+    Scale shape: ONE combinable aggregation pass with conditional
+    moments — no join, no window, two cells regardless of stream
+    size.
+    """
+    a = F.col("event_type") == type_a
+    b = F.col("event_type") == type_b
+    agg = events.filter(a | b).agg(
+        F.sum(a.cast("long")).alias("n_a"),
+        F.sum(b.cast("long")).alias("n_b"),
+        F.round(F.avg(F.when(a, F.col("value"))), 6).alias("mean_a"),
+        F.round(F.avg(F.when(b, F.col("value"))), 6).alias("mean_b"),
+        F.round(F.var_samp(F.when(a, F.col("value"))), 6).alias("var_a"),
+        F.round(F.var_samp(F.when(b, F.col("value"))), 6).alias("var_b"),
+    )
+    va_n = F.col("var_a") / F.col("n_a")
+    vb_n = F.col("var_b") / F.col("n_b")
+    se2 = va_n + vb_n
+    t = F.when(
+        se2 > 0.0,
+        (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2),
+    )
+    df_ws = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0.0),
+        (se2 * se2)
+        / (
+            va_n * va_n / (F.col("n_a") - 1)
+            + vb_n * vb_n / (F.col("n_b") - 1)
+        ),
+    )
+    return agg.select(
+        F.lit(type_a).alias("type_a"),
+        F.lit(type_b).alias("type_b"),
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        "var_a",
+        "var_b",
+        t.alias("t_stat"),
+        df_ws.alias("df_welch"),
+    ).filter((F.col("n_a") > 1) & (F.col("n_b") > 1))
+
+
 def q_cuped_adjustment(
     events: DataFrame,
     post_epoch_day: int = 19738,

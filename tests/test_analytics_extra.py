@@ -1466,3 +1466,42 @@ def test_cuped_constant_covariate_theta_null(spark):
     assert r.theta is None
     assert r.diff_cuped is None
     assert r.diff_raw is not None
+
+
+def test_welch_t_golden(spark):
+    """a = [1,2,3] (mean 2, var 1), b = [2,4,6] (mean 4, var 4):
+    se2 = 1/3 + 4/3 = 5/3, t = -2/sqrt(5/3), df = (5/3)^2 /
+    ((1/9)/2 + (16/9)/2) = 50/17."""
+    import math
+
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_welch_t,
+    )
+
+    rows = [
+        (1, "click", 1.0), (2, "click", 2.0), (3, "click", 3.0),
+        (4, "purchase", 2.0), (5, "purchase", 4.0), (6, "purchase", 6.0),
+        (7, "view", 50.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    r = q_welch_t(df).collect()[0]
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert (r.mean_a, r.mean_b, r.var_a, r.var_b) == (2.0, 4.0, 1.0, 4.0)
+    assert abs(r.t_stat - (-2.0 / math.sqrt(5.0 / 3.0))) < 1e-9
+    assert abs(r.df_welch - 50.0 / 17.0) < 1e-9
+
+
+def test_welch_t_constant_sides_null(spark):
+    """Both sides constant: zero pooled variance -> t and df NULL
+    (guarded), never Inf."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_welch_t,
+    )
+
+    rows = [
+        (1, "click", 5.0), (2, "click", 5.0),
+        (3, "purchase", 7.0), (4, "purchase", 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    r = q_welch_t(df).collect()[0]
+    assert r.t_stat is None and r.df_welch is None
