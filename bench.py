@@ -159,6 +159,11 @@ EXTRA_QUERIES = [
     "m_scene_cuts",         # GIF shot-boundary detection (real decode)
     "q_mann_whitney",       # rank-sum U + rank-biserial effect size
     "v_centroid_drift",     # per-label cohort centroid cosine
+    "q_did_estimate",       # difference-in-differences 2x2 cells
+    "v_ivfpq_topk",         # IVF-PQ composite ANN, recall-graded
+    "t_readability",        # Flesch reading ease, integer counts
+    "q_cuped",              # CUPED variance-reduction estimator
+    "q_welch_t",            # unequal-variance t + Welch df
 ]
 
 
