@@ -3986,6 +3986,13 @@ def _q_seasonal_naive(spark: SparkSession, sf: str) -> DataFrame:
     return A.q_seasonal_naive(load_table(spark, sf, "events"))
 
 
+def _q_srm_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample-ratio-mismatch health check: user-level arm counts vs
+    the designed 50/50 split + one-degree chi-square and the 3.84
+    critical flag — the gate DiD/CUPED readouts depend on."""
+    return A.q_srm_check(load_table(spark, sf, "events"))
+
+
 def _q_welch_t(spark: SparkSession, sf: str) -> DataFrame:
     """Welch's unequal-variance t between click and purchase values:
     one conditional-moment pass, per-side mean/variance rounded
@@ -4457,6 +4464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_readability": _q_readability,
         "q_cuped": _q_cuped,
         "q_welch_t": _q_welch_t,
+        "q_srm_check": _q_srm_check,
     }
     # The driver grades the FIRST 50 keys each round; _GRADE_FIRST
     # (below) is this round's priority list — keys with changed
@@ -5772,6 +5780,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, round((mean_treat_post - mean_treat_pre) - "
             "(mean_ctrl_post - mean_ctrl_pre), 6) AS did FROM a "
             "WHERE n_treat_pre > 0"
+        ),
+        # Exact-integer arm counts; e and chi2 fixed-order arithmetic
+        # over exact integers, raw; same 3.84 one-degree critical.
+        "q_srm_check": (
+            "WITH u AS (SELECT DISTINCT user_id FROM events), "
+            "a AS (SELECT "
+            "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_treat, "
+            "CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_ctrl FROM u) "
+            "SELECT n_treat, n_ctrl, "
+            "(n_treat - (n_treat + n_ctrl) / 2.0) * "
+            "(n_treat - (n_treat + n_ctrl) / 2.0) / "
+            "((n_treat + n_ctrl) / 2.0) + "
+            "(n_ctrl - (n_treat + n_ctrl) / 2.0) * "
+            "(n_ctrl - (n_treat + n_ctrl) / 2.0) / "
+            "((n_treat + n_ctrl) / 2.0) AS chi2, "
+            "(n_treat - (n_treat + n_ctrl) / 2.0) * "
+            "(n_treat - (n_treat + n_ctrl) / 2.0) / "
+            "((n_treat + n_ctrl) / 2.0) + "
+            "(n_ctrl - (n_treat + n_ctrl) / 2.0) * "
+            "(n_ctrl - (n_treat + n_ctrl) / 2.0) / "
+            "((n_treat + n_ctrl) / 2.0) > 3.841458820694124 AS srm_flag "
+            "FROM a WHERE n_treat + n_ctrl > 0"
         ),
         # One conditional-moment pass; mean/var rounded to 6 first, t
         # and df fixed-order arithmetic over the rounded stats (raw).

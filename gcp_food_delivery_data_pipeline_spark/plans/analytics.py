@@ -2764,6 +2764,49 @@ def q_did_estimate(
     )
 
 
+def q_srm_check(events: DataFrame) -> DataFrame:
+    """Sample-ratio-mismatch health check for the even-user
+    experiment: USER-level counts per arm vs the designed 50/50
+    split, with the one-degree chi-square statistic
+    (n_t − e)²/e + (n_c − e)²/e and the crossed-the-3.84-critical
+    -value flag — the first thing a trustworthy A/B readout checks
+    (a mismatched split invalidates DiD/CUPED downstream).
+
+    Engine-exactness: counts are exact integers; e = (n_t + n_c)/2.0
+    and the chi-square are fixed-order arithmetic over exact
+    integers — emitted raw. Empty input yields an empty result.
+
+    Scale shape: one distinct-user aggregation (map-side combinable)
+    then scalar arithmetic on a 1-row frame.
+    """
+    arms = (
+        events.select("user_id").distinct()
+        .agg(
+            F.sum((F.col("user_id") % 2 == 0).cast("long")).alias(
+                "n_treat"
+            ),
+            F.sum((F.col("user_id") % 2 != 0).cast("long")).alias(
+                "n_ctrl"
+            ),
+        )
+    )
+    e = (F.col("n_treat") + F.col("n_ctrl")) / F.lit(2.0)
+    chi2 = F.when(
+        F.col("n_treat") + F.col("n_ctrl") > 0,
+        (F.col("n_treat") - e) * (F.col("n_treat") - e) / e
+        + (F.col("n_ctrl") - e) * (F.col("n_ctrl") - e) / e,
+    )
+    return (
+        arms.select(
+            "n_treat",
+            "n_ctrl",
+            chi2.alias("chi2"),
+            (chi2 > 3.841458820694124).alias("srm_flag"),
+        )
+        .filter(F.col("n_treat").isNotNull() & (F.col("n_treat") + F.col("n_ctrl") > 0))
+    )
+
+
 def q_welch_t(
     events: DataFrame,
     type_a: str = "click",

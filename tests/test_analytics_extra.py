@@ -1505,3 +1505,28 @@ def test_welch_t_constant_sides_null(spark):
     df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
     r = q_welch_t(df).collect()[0]
     assert r.t_stat is None and r.df_welch is None
+
+
+def test_srm_check_golden(spark):
+    """6 even users vs 2 odd: e = 4, chi2 = (2^2)/4 * 2 = 2.0 — under
+    the 3.84 critical (no flag); 14 vs 2: chi2 = 9.0 -> flagged."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_srm_check,
+    )
+
+    def mk(evens, odds):
+        rows = [(i, 2 * (i + 1), "x", 0.0) for i in range(evens)]
+        rows += [
+            (100 + i, 2 * i + 1, "x", 0.0) for i in range(odds)
+        ]
+        return spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "value"]
+        )
+
+    r = q_srm_check(mk(6, 2)).collect()[0]
+    assert (r.n_treat, r.n_ctrl) == (6, 2)
+    assert r.chi2 == 2.0
+    assert r.srm_flag is False
+    r2 = q_srm_check(mk(14, 2)).collect()[0]
+    assert r2.chi2 == 9.0
+    assert r2.srm_flag is True
