@@ -300,3 +300,60 @@ def test_round6_mixture_and_join_ops_on_empty(spark, empty_docs):
     assert edit_distance_join(empty_docs, "text", "doc_id").count() == 0
     edges = spark.createDataFrame([], "src long, dst long")
     assert hits_bipartite(edges).count() == 0
+
+
+def test_round8_stats_ops_on_empty(spark):
+    """Every round-8 stats/causal op returns EMPTY (never a NULL/NaN
+    row, never an ANSI divide throw) on a zero-row event stream."""
+    from gcp_food_delivery_data_pipeline_spark.plans.analytics import (
+        q_cuped_adjustment,
+        q_did_estimate,
+        q_mann_whitney,
+        q_srm_check,
+        q_welch_t,
+    )
+
+    ev = spark.createDataFrame(
+        [],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+    for fn in (
+        q_mann_whitney,
+        q_welch_t,
+        q_srm_check,
+        q_did_estimate,
+        q_cuped_adjustment,
+    ):
+        assert fn(ev).count() == 0, fn.__name__
+
+
+def test_round8_text_similarity_ops_on_empty(spark, empty_docs):
+    from gcp_food_delivery_data_pipeline_spark.operators.clustering import (
+        centroid_drift,
+    )
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        blocked_linkage,
+    )
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        ndcg_at_k,
+    )
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        lang_confusion,
+        readability,
+    )
+
+    docs = empty_docs.withColumn("lang", F.lit("en")).filter(
+        F.lit(False)
+    )
+    assert lang_confusion(docs).count() == 0
+    assert readability(empty_docs).count() == 0
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert ndcg_at_k(emb, emb, k=5).count() == 0
+    assert centroid_drift(emb, F.col("vec_id") % 2).count() == 0
+    blk = spark.createDataFrame([], "blk string, id long, name string")
+    assert blocked_linkage(
+        blk, blk, block_cols=["blk"], id_col="id", val_col="name"
+    ).count() == 0
