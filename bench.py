@@ -281,11 +281,11 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — hygiene is best-effort
             pass
 
-    def timed_best(name: str) -> float | None:
+    def timed_best(name: str, runs: int = 2) -> float | None:
         positions[name] = pos_counter[0]
         pos_counter[0] += 1
         best = None
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.time()
             try:
                 df = queries[name](spark, sf_dir)
@@ -313,9 +313,21 @@ def main() -> None:
         if el is not None:
             timings[name] = el
 
+    # Extras are ADAPTIVE (headline keeps unconditional min-of-2): at
+    # 100 extras the doubled builds pushed the whole suite past a
+    # 10-minute budget. One shot decides: fast keys (<= 2 s) keep the
+    # single measurement — for them min-of-2 differed only by noise —
+    # while slow keys re-run and take the min, because that heavy
+    # tail (iterative graph, PQ training) is exactly where first-run
+    # JIT/GC outliers distorted cross-round deltas. The method field
+    # records the split so cross-round readers don't misread it.
     extra: dict[str, float] = {}
     for name in EXTRA_QUERIES:
-        el = timed_best(name)
+        el = timed_best(name, runs=1)
+        if el is not None and el > 2.0:
+            el2 = timed_best(name, runs=1)
+            if el2 is not None:
+                el = min(el, el2)
         if el is not None:
             extra[name] = el
 
@@ -341,7 +353,7 @@ def main() -> None:
         # Since r5 an explicit JVM GC runs between units and each
         # query's session position is recorded in the detail file, so
         # late-session inflation is both mitigated and diagnosable.
-        "method": "min_of_2_gc_between",
+        "method": "headline_min_of_2_extras_adaptive_min2_over_2s",
         "positions": positions,
     }
     if errors:
