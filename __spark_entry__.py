@@ -4139,59 +4139,49 @@ def _q_ndcg_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ndcg_at_k(emb, emb.filter(F.col("vec_id") < 50), k=10)
 
 
-# Round-8 grading priority (the driver grades the first 50 keys of
+# Round-9 grading priority (the driver grades the first 50 keys of
 # queries() in order; see GRADE_MANIFEST.json for per-key staleness):
-# 1. results/shape changed this round (must re-grade):
-#    q_seasonal_naive (MASE zero-denominator guard -> NULL),
-#    j_interval_overlap (overlap-start-bucket emission replaces the
-#    payload-wide distinct()).
-#    (q_ks_drift / q_chi2_independence / q_autocorr also gained
-#    degenerate-input zero-denominator guards this round; their
-#    results are VALUE-IDENTICAL on every tested SF — re-verified
-#    against the oracle locally — so they do not displace stale keys
-#    from the 50-slot budget. q_autocorr is graded below anyway.)
-# 2. brand-new operators (first-time evidence): t_lang_confusion,
-#    d_blocked_linkage, v_ndcg_topk.
-# 3. the 15 keys never driver-graded (r7 verdict list).
-# 4. the r2-era grades (TPC-H block, 5 rounds stale) filling the
-#    50-key budget — q_hourly_gapfill rotates to round 9.
+# 1. plan/results changed this round (must re-grade): v_ndcg_topk —
+#    the self-label side table is now semi-restricted to the query-id
+#    set before its broadcast (the r8-verdict scale wart) and the
+#    label-count join is a left join (disjoint-label queries surface
+#    with n_rel=0 instead of dropping); values identical on the probe
+#    (queries ⊂ candidates), re-verified vs the oracle locally.
+# 2. the 6 round-8 wave-2 keys with no driver grade yet.
+# 3. the 4 r2-era grades (the TPC-H-block rotation tail).
+# 4. 39 of the 41 r3-era grades, alphabetical. o6_conf and s5_ddl
+#    rotate to round 10: both are byte-exact pytest-pinned (conf
+#    loader strings / DDL round-trip), the strongest non-driver
+#    evidence in the r3 block.
 _GRADE_FIRST = [
-    # -- changed this round --
-    "q_seasonal_naive",
-    "j_interval_overlap",
-    # -- new operators this round --
-    "t_lang_confusion",
-    "d_blocked_linkage",
+    # -- plan changed this round --
     "v_ndcg_topk",
-    "m_scene_cuts",
-    "q_mann_whitney",
-    "v_centroid_drift",
-    # -- never driver-graded (15) --
-    "d_edit_pairs",
-    "g_ppr",
-    "q_attribution_mt",
-    "q_autocorr",
-    "q_bootstrap_ci",
-    "q_decile_lift",
-    "q_neyman_sample",
-    "q_price_elasticity",
-    "q_survival_km",
-    "s_stream_topk",
-    "t_pmi_pairs",
-    "t_rake_keywords",
-    "t_vocab_profile",
-    "v_auc_rank",
-    "v_cluster_purity",
-    # -- r2-era grades (stalest: the TPC-H block) --
-    "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
-    "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
-    "q14_promo_revenue", "q18_large_volume", "q19_discounted_revenue",
-    "q7_nation_trade", "q13_order_counts", "q15_top_supplier",
-    "q17_small_qty_revenue", "q22_idle_rich", "q8_market_share",
-    "q9_product_profit", "q12_ship_priority", "q_customers_no_orders",
-    "q_top3_per_segment", "q_running_spend", "q_events_hourly",
-    "q_distinct_users", "q_props_extract", "q_rollup_revenue",
-    "q_cube_events", "q_top_words", "q_custkeys_both",
+    # -- never driver-graded (round-8 wave 2) --
+    "q_cuped",
+    "q_did_estimate",
+    "q_srm_check",
+    "q_welch_t",
+    "t_readability",
+    "v_ivfpq_topk",
+    # -- r2-era grades --
+    "q_balance_quartiles",
+    "q_custkeys_only_open",
+    "q_hourly_gapfill",
+    "q_status_pivot",
+    # -- r3-era grades (39 of 41) --
+    "c1_c3_counts", "d_dedup_exact", "d_dedup_groups",
+    "d_dup_components", "d_embedding_dedup", "d_fuzzy_pairs",
+    "d_near_dup_pairs", "d_simhash", "j_asof_click_purchase",
+    "j_asof_forward", "j_range_click_purchase", "m_features",
+    "m_meta_filter", "q_events_sliding", "q_grouping_sets",
+    "q_hash_sample", "q_stats_profile", "q_value_moving_1h",
+    "s3_write_readback", "s_json_roundtrip", "s_merge_upsert",
+    "s_orc_roundtrip", "s_schema_evolution", "t_bpe_tokens",
+    "t_corpus_stats", "t_fingerprint", "t_lang_id", "t_quality",
+    "t_rolling_fp", "t_sentences", "t_tfidf_top_term",
+    "t_token_count", "v_embedding_dims", "v_embedding_pairs",
+    "v_label_centroids", "v_topk_ann", "v_topk_exact",
+    "v_topk_ivf", "v_topk_scalable",
 ]
 
 

@@ -41,9 +41,21 @@ def _materialize(df: DataFrame) -> DataFrame:
     in which case every downstream branch re-reads the existing
     blocks and a second copy buys nothing. Conservative: any operator
     outside the narrow set (joins, aggregates, distinct, repartition)
-    falls through to a real checkpoint."""
+    falls through to a real checkpoint.
+
+    "Materialized" is VERIFIED, not inferred from the node type: a
+    ``LogicalRDD`` also appears for ``spark.createDataFrame(rdd)`` /
+    ``df.rdd`` round-trips whose RDD is plain lineage — skipping the
+    checkpoint there would re-execute that lineage once per consuming
+    branch (and let a nondeterministic source show different branches
+    different edge snapshots). So every LogicalRDD leaf must report
+    its RDD as checkpointed or persisted (local checkpoints set
+    MEMORY_AND_DISK, so either signal means downstream branches read
+    blocks, not lineage); any leaf that can't prove it falls through
+    to a real checkpoint."""
     try:
-        plan = df._jdf.queryExecution().analyzed().toString()
+        analyzed = df._jdf.queryExecution().analyzed()
+        plan = analyzed.toString()
     except Exception:  # noqa: BLE001 — connect-mode etc.: checkpoint
         return df.localCheckpoint(eager=True)
     if "LogicalRDD" not in plan:
@@ -52,6 +64,22 @@ def _materialize(df: DataFrame) -> DataFrame:
         op = ln.lstrip(" +-:")
         if op and not op.startswith(_NARROW_OPS):
             return df.localCheckpoint(eager=True)
+    try:
+        leaves = analyzed.collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() != "LogicalRDD":
+                return df.localCheckpoint(eager=True)
+            rdd = leaf.rdd()
+            lvl = rdd.getStorageLevel()
+            if not (
+                rdd.isCheckpointed()
+                or lvl.useMemory()
+                or lvl.useDisk()
+            ):
+                return df.localCheckpoint(eager=True)
+    except Exception:  # noqa: BLE001 — unknown plan shape: checkpoint
+        return df.localCheckpoint(eager=True)
     return df
 
 

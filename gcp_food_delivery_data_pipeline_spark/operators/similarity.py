@@ -919,8 +919,13 @@ def ndcg_at_k(
     Scale shape: rides ``topk_exact_scalable``'s two-phase rank (the
     wide shuffle carries only partition winners), then label joins —
     query labels broadcast, per-label counts broadcast (≤ |labels|
-    rows) — and one k-row-per-query fold. Nothing quadratic past the
-    scored candidates.
+    rows), and the self-label lookup SEMI-RESTRICTED to the query-id
+    set before it is broadcast, so every broadcast side is bounded by
+    |queries| or |labels|, never by the corpus — and one
+    k-row-per-query fold. Nothing quadratic past the scored
+    candidates. A query whose label has no members in the candidate
+    corpus still surfaces (n_rel = 0, NULL ndcg) via the left join on
+    the label counts.
     """
     top = topk_exact_scalable(candidates, queries, k, id_col, vec_col)
     q_lab = queries.select(
@@ -932,8 +937,18 @@ def ndcg_at_k(
     lab_n = candidates.groupBy(
         F.col(label_col).alias("_qlab")
     ).agg(F.count(F.lit(1)).alias("_nlab"))
+    # Self-label lookup, restricted to the query ids BEFORE it is
+    # broadcast: the raw (id, label) projection of candidates is one
+    # row per corpus document — broadcasting that would OOM at 100×
+    # scale — while this semi-joined slice is ≤ |queries| rows (the
+    # semi join broadcasts the query-id set, also |queries|-bounded,
+    # against the corpus).
     self_lab = candidates.select(
         F.col(id_col).alias("query_id"), F.col(label_col).alias("_slab")
+    ).join(
+        F.broadcast(queries.select(F.col(id_col).alias("query_id"))),
+        "query_id",
+        "semi",
     )
     j = (
         top.join(F.broadcast(q_lab), "query_id")
@@ -950,11 +965,14 @@ def ndcg_at_k(
                 F.collect_list(F.struct("rank", "_rel"))
             ).alias("_rr")
         )
-        .join(F.broadcast(lab_n), "_qlab")
+        .join(F.broadcast(lab_n), "_qlab", "left")
         .join(F.broadcast(self_lab), "query_id", "left")
         .withColumn(
             "_n_rel",
-            F.col("_nlab")
+            # left join + coalesce: a query label absent from the
+            # candidate corpus yields n_rel = 0 / NULL ndcg instead
+            # of silently dropping the query row.
+            F.coalesce(F.col("_nlab"), F.lit(0).cast("bigint"))
             - F.when(F.col("_slab") == F.col("_qlab"), 1).otherwise(0),
         )
     )

@@ -373,3 +373,32 @@ def test_personalized_pagerank_validates_seeds(spark):
     no_seed = spark.createDataFrame([(99,)], ["node"])
     with pytest.raises(ValueError):
         personalized_pagerank(edges, no_seed)
+
+
+def test_materialize_verifies_rdd_state_not_node_type(spark):
+    """A LogicalRDD leaf alone must NOT skip the checkpoint: frames
+    built via spark.createDataFrame / df.rdd round-trips analyze to
+    LogicalRDD while remaining pure lineage, and skipping there would
+    re-execute that lineage once per consuming branch. Only a leaf
+    whose RDD is verifiably checkpointed/persisted may be reused."""
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        _materialize,
+    )
+
+    # unmaterialized LogicalRDD (python-list createDataFrame)
+    df = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    assert "LogicalRDD" in df._jdf.queryExecution().analyzed().toString()
+    assert _materialize(df) is not df
+
+    # rdd round-trip: also LogicalRDD, also unmaterialized
+    rt = spark.createDataFrame(df.rdd, df.schema)
+    assert _materialize(rt) is not rt
+
+    # genuinely checkpointed frame + narrow view: reuse, no copy
+    base = df.localCheckpoint(eager=True)
+    view = base.select("src", "dst")
+    assert _materialize(view) is view
+
+    # anything wide over the checkpoint still re-materializes
+    agg = base.groupBy("src").count()
+    assert _materialize(agg) is not agg

@@ -632,6 +632,12 @@ def test_ndcg_broadcasts_labels_and_queries(plans):
     assert "CartesianProduct" not in p
     assert p.count("BroadcastExchange") >= 3
     assert "BatchEvalPython" not in p  # folds are JVM-side
+    # EVERY broadcast side is |queries|- or |labels|-bounded: the
+    # corpus-sized (id, label) self-label projection must be
+    # semi-restricted to the query-id set BEFORE its broadcast — the
+    # LeftSemi join is that restriction. Without it the plan
+    # broadcasts one row per candidate document (OOM at 100x).
+    assert "LeftSemi" in p, p
 
 
 def test_lang_confusion_aggregates_before_window(plans):

@@ -495,6 +495,28 @@ def test_ndcg_no_relevant_pool_is_null(spark):
     assert r.ndcg is None
 
 
+def test_ndcg_disjoint_query_corpus_surfaces_query(spark):
+    """A query frame DISJOINT from the candidate corpus — its label
+    never appears among the candidates: the query must still surface
+    with n_rel = 0 / NULL ndcg (left join on the label counts), not
+    silently vanish from the scorecard."""
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        ndcg_at_k,
+    )
+
+    schema = "vec_id long, embedding array<float>, label int"
+    cands = spark.createDataFrame(
+        [(1, [0.9, 0.1], 1), (2, [0.8, 0.2], 1), (3, [0.1, 0.9], 2)],
+        schema,
+    )
+    qs = spark.createDataFrame([(100, [1.0, 0.0], 99)], schema)
+    out = ndcg_at_k(cands, qs, k=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.query_id == 100 and r.label == 99
+    assert r.n_rel == 0 and r.idcg == 0.0 and r.ndcg is None
+
+
 def test_ivf_pq_recall_floor_and_shape(embeddings):
     """Composite IVF-PQ: recall@10 vs exact must clear the graded
     bound at full probe depth, and the output keeps the topk_exact
