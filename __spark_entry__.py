@@ -1188,6 +1188,14 @@ def _part_edges(
     hit = _PART_EDGES_MEMO.get(key)
     if hit is not None:
         return hit
+    # Evict entries keyed by replaced sessions before inserting: a
+    # long-lived process cycling Spark sessions would otherwise
+    # accumulate dead DataFrame references (and their localCheckpoint
+    # block pins) forever — the dead session's blocks are gone, the
+    # frames unusable.
+    app_id = key[0]
+    for stale in [k for k in _PART_EDGES_MEMO if k[0] != app_id]:
+        del _PART_EDGES_MEMO[stale]
     li = (
         load_table(spark, sf, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -4126,6 +4134,54 @@ def _q_blocked_linkage(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_blocked_linkage_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """The same corrupted-customer linkage as d_blocked_linkage, run
+    through the PER-BLOCK ADAPTIVE SALTING variant with a deliberately
+    tiny pairs-per-task budget (4) so the hot-block machinery — count
+    both sides, broadcast the block->nsalt map, split records by
+    xxhash64(rec_id) % nsalt, replicate only hot blocks' reference
+    rows — is genuinely exercised at every graded SF. Results are
+    IDENTICAL to the unsalted operator by construction (each
+    record/reference pair meets exactly once), so the same SQL oracle
+    grades both; what this key adds is driver evidence that the skew
+    mitigation preserves the answer."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        blocked_linkage_salted,
+    )
+
+    cust = load_table(spark, sf, "customer")
+    dirty = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_custkey"),
+        F.concat(
+            F.expr(
+                "substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT))"
+            ),
+            F.expr(
+                "substr(c_name, CAST(c_custkey % length(c_name) AS INT) + 2)"
+            ),
+        ).alias("c_name"),
+    )
+    out = blocked_linkage_salted(
+        cust,
+        dirty,
+        block_cols=["c_nationkey", "c_mktsegment"],
+        id_col="c_custkey",
+        val_col="c_name",
+        pairs_per_task=4,
+        max_salt=8,
+    )
+    return out.select(
+        "rec_id",
+        "matched_id",
+        F.col("dist").cast("bigint").alias("dist"),
+        (F.col("matched_id") == F.col("rec_id")).cast("int").alias(
+            "is_correct"
+        ),
+    )
+
+
 def _q_ndcg_topk(spark: SparkSession, sf: str) -> DataFrame:
     """NDCG@10 of exact cosine retrieval with binary label relevance
     over the embeddings table (queries = vec_id < 50) — the
@@ -4148,14 +4204,17 @@ def _q_ndcg_topk(spark: SparkSession, sf: str) -> DataFrame:
 #    with n_rel=0 instead of dropping); values identical on the probe
 #    (queries ⊂ candidates), re-verified vs the oracle locally.
 # 2. the 6 round-8 wave-2 keys with no driver grade yet.
-# 3. the 4 r2-era grades (the TPC-H-block rotation tail).
-# 4. 39 of the 41 r3-era grades, alphabetical. o6_conf and s5_ddl
-#    rotate to round 10: both are byte-exact pytest-pinned (conf
-#    loader strings / DDL round-trip), the strongest non-driver
-#    evidence in the r3 block.
+# 3. the brand-new round-9 operator (first-time evidence).
+# 4. the 4 r2-era grades (the TPC-H-block rotation tail).
+# 5. 38 of the 41 r3-era grades, alphabetical. o6_conf, s5_ddl and
+#    s3_write_readback rotate to round 10: all three are byte-exact
+#    pytest-pinned (conf loader strings / DDL + writer round-trips),
+#    the strongest non-driver evidence in the r3 block.
 _GRADE_FIRST = [
     # -- plan changed this round --
     "v_ndcg_topk",
+    # -- new operator this round --
+    "d_blocked_linkage_salted",
     # -- never driver-graded (round-8 wave 2) --
     "q_cuped",
     "q_did_estimate",
@@ -4175,7 +4234,7 @@ _GRADE_FIRST = [
     "j_asof_forward", "j_range_click_purchase", "m_features",
     "m_meta_filter", "q_events_sliding", "q_grouping_sets",
     "q_hash_sample", "q_stats_profile", "q_value_moving_1h",
-    "s3_write_readback", "s_json_roundtrip", "s_merge_upsert",
+    "s_json_roundtrip", "s_merge_upsert",
     "s_orc_roundtrip", "s_schema_evolution", "t_bpe_tokens",
     "t_corpus_stats", "t_fingerprint", "t_lang_id", "t_quality",
     "t_rolling_fp", "t_sentences", "t_tfidf_top_term",
@@ -4445,6 +4504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 8 --
         "t_lang_confusion": _q_lang_confusion,
         "d_blocked_linkage": _q_blocked_linkage,
+        "d_blocked_linkage_salted": _q_blocked_linkage_salted,
         "v_ndcg_topk": _q_ndcg_topk,
         "m_scene_cuts": _q_scene_cuts,
         "q_mann_whitney": _q_mann_whitney,
@@ -4563,7 +4623,7 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ELSE 'und' END"
     )
-    return {
+    sql = {
         "s1_scan_count": "SELECT count(*) AS n_rows FROM lineitem",
         "p1_strip_colon": (
             "SELECT doc_id, regexp_replace(source || ':', ':$', '') AS items_one, "
@@ -7616,3 +7676,9 @@ def oracle_sql() -> dict[str, str]:
             "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
     }
+    # Adaptive salting is a pure execution-shape change: the salted
+    # linkage's answer is defined to be IDENTICAL to the unsalted
+    # operator's, so both keys share one oracle — divergence between
+    # them is exactly what the grade would catch.
+    sql["d_blocked_linkage_salted"] = sql["d_blocked_linkage"]
+    return sql

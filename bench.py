@@ -164,6 +164,8 @@ EXTRA_QUERIES = [
     "t_readability",        # Flesch reading ease, integer counts
     "q_cuped",              # CUPED variance-reduction estimator
     "q_welch_t",            # unequal-variance t + Welch df
+    # -- round 9 --
+    "d_blocked_linkage_salted",  # skew-salted blocked 1-NN linkage
 ]
 
 
@@ -281,9 +283,17 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — hygiene is best-effort
             pass
 
-    def timed_best(name: str, runs: int = 2) -> float | None:
-        positions[name] = pos_counter[0]
-        pos_counter[0] += 1
+    def timed_best(
+        name: str, runs: int = 2, rerun: bool = False
+    ) -> float | None:
+        # A rerun (the adaptive slow-key second shot) is the SAME
+        # session position re-measured: recording it again would both
+        # burn a position slot and overwrite the key's first-seen
+        # position, skewing the late-session-inflation diagnostic for
+        # every key after it.
+        if not rerun:
+            positions[name] = pos_counter[0]
+            pos_counter[0] += 1
         best = None
         for _ in range(runs):
             t0 = time.time()
@@ -325,7 +335,7 @@ def main() -> None:
     for name in EXTRA_QUERIES:
         el = timed_best(name, runs=1)
         if el is not None and el > 2.0:
-            el2 = timed_best(name, runs=1)
+            el2 = timed_best(name, runs=1, rerun=True)
             if el2 is not None:
                 el = min(el, el2)
         if el is not None:

@@ -90,7 +90,11 @@ def write_bucketed(
     # spuriously refuse unrelated paths like .../other_<name>).
     target = loc_path.rstrip("/")
     for db in spark.catalog.listDatabases():
-        for t in spark.catalog.listTables(db.name):
+        try:
+            db_tables = spark.catalog.listTables(db.name)
+        except Exception:  # noqa: BLE001 — db dropped concurrently
+            continue
+        for t in db_tables:
             qual = f"`{t.database or db.name}`.`{t.name}`"
             try:
                 rows = spark.sql(

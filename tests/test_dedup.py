@@ -647,3 +647,70 @@ def test_blocked_linkage_tiebreak_is_lowest_id(spark):
     ).collect()[0]
     # both refs are distance 1; the lower reference id wins
     assert (r.matched_id, r.dist) == (2, 1)
+
+
+def test_blocked_linkage_salted_identical_to_base_on_skew(spark):
+    """Adaptive salting is a pure execution-shape change: on a
+    fixture with one hot block (every pair product over the budget)
+    and several cold ones, the salted operator's rows must be
+    IDENTICAL to the base operator's — each (record, in-block
+    reference) pair meets exactly once because the record carries one
+    salt value and the reference carries all of them."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        blocked_linkage,
+        blocked_linkage_salted,
+    )
+
+    rows_ref, rows_rec, rid = [], [], 0
+    for b in range(4):
+        n = 40 if b == 0 else 5
+        for i in range(n):
+            rows_ref.append((b, rid, f"name_{b}_{i:04d}"))
+            rows_rec.append((b, 1000 + rid, f"name_{b}_{i:04d}"[:-1]))
+            rid += 1
+    ref = spark.createDataFrame(rows_ref, "blk int, id long, val string")
+    rec = spark.createDataFrame(rows_rec, "blk int, id long, val string")
+    base = sorted(
+        map(
+            tuple,
+            blocked_linkage(
+                ref, rec, ["blk"], "id", "val"
+            ).collect(),
+        )
+    )
+    hot = sorted(
+        map(
+            tuple,
+            blocked_linkage_salted(
+                ref, rec, ["blk"], "id", "val",
+                pairs_per_task=50, max_salt=8,
+            ).collect(),
+        )
+    )
+    assert hot == base and len(base) == len(rows_rec)
+    # unskewed path (budget never exceeded): hot map empty, same rows
+    cold = sorted(
+        map(
+            tuple,
+            blocked_linkage_salted(
+                ref, rec, ["blk"], "id", "val"
+            ).collect(),
+        )
+    )
+    assert cold == base
+
+
+def test_blocked_linkage_salted_validates_params(spark):
+    import pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        blocked_linkage_salted,
+    )
+
+    df = spark.createDataFrame([("b", 1, "x")], ["blk", "id", "val"])
+    with pytest.raises(ValueError):
+        blocked_linkage_salted(
+            df, df, ["blk"], "id", "val", pairs_per_task=0
+        )
+    with pytest.raises(ValueError):
+        blocked_linkage_salted(df, df, ["blk"], "id", "val", max_salt=0)

@@ -357,3 +357,14 @@ def test_round8_text_similarity_ops_on_empty(spark, empty_docs):
     assert blocked_linkage(
         blk, blk, block_cols=["blk"], id_col="id", val_col="name"
     ).count() == 0
+
+
+def test_blocked_linkage_salted_on_empty(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        blocked_linkage_salted,
+    )
+
+    blk = spark.createDataFrame([], "blk string, id long, name string")
+    assert blocked_linkage_salted(
+        blk, blk, block_cols=["blk"], id_col="id", val_col="name"
+    ).count() == 0

@@ -623,6 +623,19 @@ def test_blocked_linkage_is_block_equi_join(plans):
     assert "partitionBy=[rec_id]" in p or "rec_id" in p
 
 
+def test_blocked_linkage_salted_plan(plans):
+    """Skew-salted linkage: candidates still come ONLY from an
+    equi-join — now keyed (block, salt) — with the block->nsalt hot
+    map BROADCAST to both sides; no cartesian/nested-loop anywhere,
+    and the per-record argmin never sorts globally."""
+    p = plans("d_blocked_linkage_salted")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "_salt" in p  # the salt is part of the candidate join key
+    assert "BroadcastExchange" in p  # hot map rides a broadcast
+    assert "partitionBy=[rec_id]" in p or "rec_id" in p
+
+
 def test_ndcg_broadcasts_labels_and_queries(plans):
     """NDCG rides the two-phase exact top-k (queries broadcast, only
     partition winners reach the global rank); the label-count and
