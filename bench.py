@@ -166,6 +166,7 @@ EXTRA_QUERIES = [
     "q_welch_t",            # unequal-variance t + Welch df
     # -- round 9 --
     "d_blocked_linkage_salted",  # skew-salted blocked 1-NN linkage
+    "t_scrub_pii",          # regex PII redaction + hit counts
 ]
 
 

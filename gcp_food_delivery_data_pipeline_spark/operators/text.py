@@ -336,6 +336,62 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns shared by scrub_pii and its oracle. Deliberately
+# restricted to the regex intersection BOTH engines (Java regex /
+# RE2) evaluate identically: character classes, bounded quantifiers,
+# non-capturing groups, \b — no lookaround, no backreferences, and no
+# optional-prefix ambiguity that leftmost-first (Java) vs
+# leftmost-longest-leaning (RE2) matching could resolve differently.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}\b"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII scrub: redact emails, IPv4 addresses, and
+    phone-shaped numbers to ``<EMAIL>`` / ``<IP>`` / ``<PHONE>``
+    tokens, and emit per-document hit counts — the compliance pass
+    every LLM corpus pipeline runs before tokenization (The Pile /
+    RefinedWeb / FineWeb all ship a regex-PII stage of exactly this
+    shape).
+
+    Returns the input columns plus ``text_scrubbed``, ``n_emails``,
+    ``n_ipv4``, ``n_phones``. Counts are measured on the RAW text per
+    pattern (a span matching two patterns counts in both); redaction
+    is sequential email → ipv4 → phone, so each span is rewritten
+    exactly once, earlier redactions shielding their spans from later
+    patterns (an email's host can never be re-hit as an IP).
+
+    Scale shape: a zero-shuffle whole-stage-codegen projection — four
+    regexp passes per row, no Python, no join, no aggregation;
+    filters above or below it still push to the scan. At 100 TB this
+    is the map stage it looks like: embarrassingly parallel,
+    throughput-bound on regex evaluation only.
+    """
+    c = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return (
+        df.withColumn(
+            "n_emails", F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), F.lit(0)))
+        )
+        .withColumn(
+            "n_ipv4", F.size(F.regexp_extract_all(c, F.lit(PII_IPV4), F.lit(0)))
+        )
+        .withColumn(
+            "n_phones", F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), F.lit(0)))
+        )
+        .withColumn("text_scrubbed", scrubbed)
+    )
+
+
 def sentences(col: Column | str) -> Column:
     """Array of trimmed, non-empty '.'-delimited sentences.
 
