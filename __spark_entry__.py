@@ -4235,17 +4235,21 @@ def _q_ndcg_topk(spark: SparkSession, sf: str) -> DataFrame:
 #    label-count join is a left join (disjoint-label queries surface
 #    with n_rel=0 instead of dropping); values identical on the probe
 #    (queries ⊂ candidates), re-verified vs the oracle locally.
+#    d_blocked_linkage — the 1-NN argmin moved from a row_number
+#    window to a map-side-combinable min(struct) aggregation (values
+#    identical, re-verified vs the oracle at 3 SFs locally).
 # 2. the 6 round-8 wave-2 keys with no driver grade yet.
 # 3. the brand-new round-9 operators (first-time evidence).
 # 4. the 4 r2-era grades (the TPC-H-block rotation tail).
-# 5. 37 of the 41 r3-era grades, alphabetical. o6_conf, s5_ddl,
-#    s3_write_readback and s_json_roundtrip rotate to round 10: all
-#    four are byte-exact pytest-pinned (conf loader strings / DDL +
-#    writer + JSON round-trips), the strongest non-driver evidence in
-#    the r3 block.
+# 5. 36 of the 41 r3-era grades, alphabetical. o6_conf, s5_ddl,
+#    s3_write_readback, s_json_roundtrip and s_orc_roundtrip rotate
+#    to round 10: all five are byte-exact pytest-pinned (conf loader
+#    strings / DDL + writer + JSON + ORC round-trips), the strongest
+#    non-driver evidence in the r3 block.
 _GRADE_FIRST = [
     # -- plan changed this round --
     "v_ndcg_topk",
+    "d_blocked_linkage",
     # -- new operators this round --
     "d_blocked_linkage_salted",
     "t_scrub_pii",
@@ -4269,7 +4273,7 @@ _GRADE_FIRST = [
     "m_meta_filter", "q_events_sliding", "q_grouping_sets",
     "q_hash_sample", "q_stats_profile", "q_value_moving_1h",
     "s_merge_upsert",
-    "s_orc_roundtrip", "s_schema_evolution", "t_bpe_tokens",
+    "s_schema_evolution", "t_bpe_tokens",
     "t_corpus_stats", "t_fingerprint", "t_lang_id", "t_quality",
     "t_rolling_fp", "t_sentences", "t_tfidf_top_term",
     "t_token_count", "v_embedding_dims", "v_embedding_pairs",

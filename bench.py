@@ -420,11 +420,25 @@ def main() -> None:
                 key=lambda kv: (last_seen.get(kv[0], 0), kv[0]),
             )
         )
+        this_round = 1 + max(last_seen.values(), default=0)
         while len(line) > budget and keep:
             keep.popitem()
             x = r2(keep)
             x["_spilled"] = len(extra) - len(keep)
             x["_rotation"] = "stalest-first"
+            # Age histogram of the SPILLED keys' driver-visible
+            # timings (rounds since each was last in a committed
+            # bench line; "never" = no artifact has it). The
+            # stalest-first rotation should keep every age <= 2 —
+            # this makes that property auditable from the line alone.
+            hist: dict[str, int] = {}
+            for k in extra:
+                if k in keep:
+                    continue
+                seen = last_seen.get(k, 0)
+                age = str(this_round - seen) if seen else "never"
+                hist[age] = hist.get(age, 0) + 1
+            x["_spill_age_hist"] = hist
             line = compact_line(r2(timings), x)
     print(line)
 

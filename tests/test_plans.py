@@ -615,12 +615,14 @@ def test_token_budget_single_corpus_window(plans):
 def test_blocked_linkage_is_block_equi_join(plans):
     """Record linkage: candidates come ONLY from the blocking-key
     equi-join — no cartesian / nested-loop across the dataset — and
-    the 1-NN argmin never sorts globally (row_number is partitioned
-    by record)."""
+    the 1-NN argmin is a min(struct) AGGREGATION (partial combine
+    before the shuffle), never a window that sorts and exchanges the
+    full candidate set."""
     p = plans("d_blocked_linkage")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    assert "partitionBy=[rec_id]" in p or "rec_id" in p
+    assert "Window" not in p  # argmin must not ride a window sort
+    assert "partial_min" in p  # map-side combine of the argmin
 
 
 def test_blocked_linkage_salted_plan(plans):
@@ -633,7 +635,8 @@ def test_blocked_linkage_salted_plan(plans):
     assert "BroadcastNestedLoopJoin" not in p
     assert "_salt" in p  # the salt is part of the candidate join key
     assert "BroadcastExchange" in p  # hot map rides a broadcast
-    assert "partitionBy=[rec_id]" in p or "rec_id" in p
+    assert "Window" not in p  # argmin must not ride a window sort
+    assert "partial_min" in p  # map-side combine of the argmin
 
 
 def test_ndcg_broadcasts_labels_and_queries(plans):

@@ -809,3 +809,53 @@ def test_blocked_linkage_matches_naive_argmin(spark_global, recs):
             (lev(val, rv), ri) for (rb, ri, rv) in ref_rows if rb == blk
         ]
         assert got[rid] == (min(cands)[1], min(cands)[0])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    recs=st.lists(
+        st.tuples(
+            st.sampled_from(["b1", "b2"]),
+            st.text(alphabet="abc", min_size=1, max_size=5),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_blocked_linkage_salted_matches_base(spark_global, recs):
+    """For ANY block contents, the adaptively-salted linkage returns
+    byte-identical rows to the base operator — under a budget small
+    enough that every multi-pair block salts."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        blocked_linkage,
+        blocked_linkage_salted,
+    )
+
+    ref_rows = [(blk, i, v) for i, (blk, v) in enumerate(recs)]
+    rec_rows = [
+        (blk, 100 + i, v[::-1]) for i, (blk, v) in enumerate(recs)
+    ]
+    ref = spark_global.createDataFrame(
+        ref_rows, "blk string, id long, name string"
+    )
+    rec = spark_global.createDataFrame(
+        rec_rows, "blk string, id long, name string"
+    )
+    base = sorted(
+        map(
+            tuple,
+            blocked_linkage(
+                ref, rec, block_cols=["blk"], id_col="id", val_col="name"
+            ).collect(),
+        )
+    )
+    salted = sorted(
+        map(
+            tuple,
+            blocked_linkage_salted(
+                ref, rec, block_cols=["blk"], id_col="id",
+                val_col="name", pairs_per_task=2, max_salt=4,
+            ).collect(),
+        )
+    )
+    assert salted == base
