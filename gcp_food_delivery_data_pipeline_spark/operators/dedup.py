@@ -1771,6 +1771,7 @@ def blocked_linkage(
     block_cols: list[str],
     id_col: str,
     val_col: str,
+    keep_unmatched: bool = False,
 ) -> DataFrame:
     """Record linkage with blocking: match each incoming record to its
     best reference entry by Levenshtein distance, comparing ONLY
@@ -1782,8 +1783,10 @@ def blocked_linkage(
     the reference candidate minimizing ``(dist, matched_id)`` — a
     deterministic 1-NN argmin via a map-side-combinable
     ``min(struct)`` aggregation (see ``_linkage_argmin``). Records
-    whose block has no reference entry are dropped (an outer variant
-    is a left join away).
+    whose block has no reference entry are dropped by default;
+    ``keep_unmatched=True`` surfaces them with NULL
+    ``matched_id``/``dist`` via a left join of the record-id spine
+    (thin rows; the argmin side is already ≤ one row per record).
 
     Scale shape: candidate pairs are Σ_blocks |ref_b|·|rec_b| — the
     blocking key bounds the quadratic, never all-pairs across the
@@ -1812,7 +1815,10 @@ def blocked_linkage(
         F.col("_ref_id").alias("matched_id"),
         F.levenshtein("_rec_val", "_ref_val").alias("dist"),
     )
-    return _linkage_argmin(cand)
+    best = _linkage_argmin(cand)
+    if keep_unmatched:
+        best = rec.select("rec_id").join(best, "rec_id", "left")
+    return best
 
 
 def _parallelize_records(df: DataFrame) -> DataFrame:
@@ -1872,6 +1878,7 @@ def blocked_linkage_salted(
     val_col: str,
     pairs_per_task: int = 1_000_000,
     max_salt: int = 64,
+    keep_unmatched: bool = False,
 ) -> DataFrame:
     """``blocked_linkage`` with PER-BLOCK ADAPTIVE SALTING — the
     mitigation for the hot-block hazard the base operator documents:
@@ -1964,4 +1971,7 @@ def blocked_linkage_salted(
         F.col("_ref_id").alias("matched_id"),
         F.levenshtein("_rec_val", "_ref_val").alias("dist"),
     )
-    return _linkage_argmin(cand)
+    best = _linkage_argmin(cand)
+    if keep_unmatched:
+        best = rec.select("rec_id").join(best, "rec_id", "left")
+    return best

@@ -714,3 +714,47 @@ def test_blocked_linkage_salted_validates_params(spark):
         )
     with pytest.raises(ValueError):
         blocked_linkage_salted(df, df, ["blk"], "id", "val", max_salt=0)
+
+
+def test_parallelize_records_is_conditional(spark):
+    """The under-split guard repartitions ONLY when the frame has
+    fewer partitions than the cluster's default parallelism — an
+    already-parallel frame must pass through untouched (at scale the
+    record table's natural splits make this a no-op, and an
+    unconditional repartition would be a full-table shuffle)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        _parallelize_records,
+    )
+
+    p = spark.sparkContext.defaultParallelism
+    few = spark.range(10).repartition(1)
+    out = _parallelize_records(few)
+    assert out.rdd.getNumPartitions() == p
+    many = spark.range(10).repartition(p + 4)
+    assert _parallelize_records(many) is many
+
+
+def test_blocked_linkage_keep_unmatched(spark):
+    """keep_unmatched=True surfaces block-less records with NULL
+    matched_id/dist instead of dropping them — both twins."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        blocked_linkage,
+        blocked_linkage_salted,
+    )
+
+    ref = spark.createDataFrame(
+        [("b1", 1, "alpha")], ["blk", "id", "name"]
+    )
+    rec = spark.createDataFrame(
+        [("b1", 10, "alphax"), ("b9", 11, "orphan")],
+        ["blk", "id", "name"],
+    )
+    for fn in (blocked_linkage, blocked_linkage_salted):
+        got = {
+            r.rec_id: (r.matched_id, r.dist)
+            for r in fn(
+                ref, rec, block_cols=["blk"], id_col="id",
+                val_col="name", keep_unmatched=True,
+            ).collect()
+        }
+        assert got == {10: (1, 1), 11: (None, None)}, fn.__name__
