@@ -625,6 +625,18 @@ def test_blocked_linkage_is_block_equi_join(plans):
     assert "partial_min" in p  # map-side combine of the argmin
 
 
+def test_scrub_pii_prunes_scan_and_stays_jvm(plans):
+    """The graded PII scrub reads ONLY (doc_id, text) from the
+    documents scan and keeps every regex in codegen — no Python, no
+    exchange anywhere in the plan (a pure map query)."""
+    p = plans("t_scrub_pii")
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read and "text" in read
+    assert "source" not in read and "lang" not in read
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_blocked_linkage_salted_plan(plans):
     """Skew-salted linkage: candidates still come ONLY from an
     equi-join — now keyed (block, salt) — with the block->nsalt hot
