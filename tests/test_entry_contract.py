@@ -25,3 +25,21 @@ def test_every_query_has_an_oracle():
     # Even the approximate ops (HLL sketch, LSH ANN) are graded via
     # self-computed accuracy bounds — nothing may be rows-only.
     assert rows_only == set(), f"lost oracles: {sorted(rows_only)}"
+
+
+def test_part_edges_memo_evicts_replaced_sessions(spark):
+    """The shared-edge-table memo drops entries keyed by a replaced
+    Spark session's applicationId when a new session inserts: a
+    long-lived process cycling sessions must not accumulate dead
+    DataFrame references (their localCheckpoint blocks died with the
+    session)."""
+    entry._PART_EDGES_MEMO.clear()
+    dead_key = ("app-DEAD", "/tmp/nowhere", True, 2, False)
+    entry._PART_EDGES_MEMO[dead_key] = spark.range(1)
+    entry._part_edges(spark, "/root/testdata/sf0.001")
+    assert dead_key not in entry._PART_EDGES_MEMO
+    live = [k for k in entry._PART_EDGES_MEMO]
+    assert live and all(
+        k[0] == spark.sparkContext.applicationId for k in live
+    )
+    entry._PART_EDGES_MEMO.clear()
