@@ -4048,6 +4048,38 @@ def _q_scrub_pii(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021 §A1.1) over
+    the documents corpus: per-doc metrics, the 7 rule booleans, and
+    the keep conjunction. The synthetic corpus genuinely splits on
+    the word-count rule (docs run ~30-80 words around the 50-word
+    floor), so the keep flag is discriminative at every SF. All
+    ratios are RAW exact-integer quotients (bit-identical across
+    engines); every boolean NULL-coalesces to FALSE in both."""
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        gopher_rules,
+    )
+
+    return gopher_rules(load_table(spark, sf, "documents")).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_line_ratio",
+        "ellipsis_line_ratio",
+        "alpha_word_ratio",
+        "n_stop_hits",
+        "r_word_count",
+        "r_mean_word_len",
+        "r_symbol_ratio",
+        "r_bullet_lines",
+        "r_ellipsis_lines",
+        "r_alpha_words",
+        "r_stopwords",
+        "gopher_keep",
+    )
+
+
 def _q_readability(spark: SparkSession, sf: str) -> DataFrame:
     """Flesch reading ease per document: exact integer word/sentence/
     vowel-group-syllable counts, raw exact-ratio quotients, one
@@ -4238,21 +4270,30 @@ def _q_ndcg_topk(spark: SparkSession, sf: str) -> DataFrame:
 #    d_blocked_linkage — the 1-NN argmin moved from a row_number
 #    window to a map-side-combinable min(struct) aggregation (values
 #    identical, re-verified vs the oracle at 3 SFs locally).
+#    d_prefix_join — small-universe (vocab <= 64) corpora now verify
+#    via single-long bitmasks instead of string-array intersections
+#    (139 s -> 32 s at sf0.1, identical 7,098,809 pairs; both paths
+#    pytest-pinned equal; re-verified vs the oracle at sf0.001+0.01 —
+#    the sf0.1 oracle is an all-pairs grinder, graded at sf0.01 per
+#    policy).
 # 2. the 6 round-8 wave-2 keys with no driver grade yet.
 # 3. the brand-new round-9 operators (first-time evidence).
 # 4. the 4 r2-era grades (the TPC-H-block rotation tail).
-# 5. 36 of the 41 r3-era grades, alphabetical. o6_conf, s5_ddl,
-#    s3_write_readback, s_json_roundtrip and s_orc_roundtrip rotate
-#    to round 10: all five are byte-exact pytest-pinned (conf loader
-#    strings / DDL + writer + JSON + ORC round-trips), the strongest
-#    non-driver evidence in the r3 block.
+# 5. 34 of the 41 r3-era grades, alphabetical. Rotating to round 10:
+#    o6_conf, s5_ddl, s3_write_readback, s_json_roundtrip,
+#    s_orc_roundtrip, s_schema_evolution (all byte-exact pytest-pinned
+#    conf/DDL/writer/format round-trips) and q_hash_sample (md5
+#    determinism pytest-pinned) — the strongest non-driver evidence
+#    in the r3 block.
 _GRADE_FIRST = [
     # -- plan changed this round --
     "v_ndcg_topk",
     "d_blocked_linkage",
+    "d_prefix_join",
     # -- new operators this round --
     "d_blocked_linkage_salted",
     "t_scrub_pii",
+    "t_gopher_rules",
     # -- never driver-graded (round-8 wave 2) --
     "q_cuped",
     "q_did_estimate",
@@ -4271,9 +4312,9 @@ _GRADE_FIRST = [
     "d_near_dup_pairs", "d_simhash", "j_asof_click_purchase",
     "j_asof_forward", "j_range_click_purchase", "m_features",
     "m_meta_filter", "q_events_sliding", "q_grouping_sets",
-    "q_hash_sample", "q_stats_profile", "q_value_moving_1h",
+    "q_stats_profile", "q_value_moving_1h",
     "s_merge_upsert",
-    "s_schema_evolution", "t_bpe_tokens",
+    "t_bpe_tokens",
     "t_corpus_stats", "t_fingerprint", "t_lang_id", "t_quality",
     "t_rolling_fp", "t_sentences", "t_tfidf_top_term",
     "t_token_count", "v_embedding_dims", "v_embedding_pairs",
@@ -4551,6 +4592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_ivfpq_topk": _q_ivfpq_topk,
         "t_readability": _q_readability,
         "t_scrub_pii": _q_scrub_pii,
+        "t_gopher_rules": _q_gopher_rules,
         "q_cuped": _q_cuped,
         "q_welch_t": _q_welch_t,
         "q_srm_check": _q_srm_check,
@@ -7730,6 +7772,66 @@ def oracle_sql() -> dict[str, str]:
         PII_PHONE,
     )
 
+    # Gopher rules: every metric is an exact integer or a RAW
+    # integer-quotient double (bit-identical across engines); symbol
+    # counts use non-overlapping literal replace arithmetic in both;
+    # DuckDB's list_intersect matches Spark's array_intersect
+    # (distinct common elements — verified side-by-side).
+    _G = "COALESCE(n_words BETWEEN 50 AND 100000, FALSE)"
+    _RULES = {
+        "r_word_count": _G,
+        "r_mean_word_len": (
+            "COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, FALSE)"
+        ),
+        "r_symbol_ratio": "COALESCE(symbol_ratio <= 0.1, FALSE)",
+        "r_bullet_lines": "COALESCE(bullet_line_ratio <= 0.9, FALSE)",
+        "r_ellipsis_lines": (
+            "COALESCE(ellipsis_line_ratio <= 0.3, FALSE)"
+        ),
+        "r_alpha_words": "COALESCE(alpha_word_ratio >= 0.8, FALSE)",
+        "r_stopwords": "COALESCE(n_stop_hits >= 2, FALSE)",
+    }
+    sql["t_gopher_rules"] = (
+        "WITH b AS (SELECT doc_id, "
+        f"{_TOKENS} AS toks, "
+        "list_filter(list_transform(string_split(text, chr(10)), "
+        "x -> trim(x)), x -> x <> '') AS lines, "
+        "len(text) - len(replace(text, '#', '')) AS n_hash, "
+        "(len(text) - len(replace(text, '...', ''))) / 3.0 AS n_ell "
+        "FROM documents), "
+        "m AS (SELECT doc_id, "
+        "CAST(len(toks) AS BIGINT) AS n_words, "
+        "CAST(len(lines) AS BIGINT) AS n_lines, "
+        "list_sum(list_prepend(0, list_transform(toks, t -> len(t)))) "
+        "AS sum_len, n_hash, n_ell, "
+        "len(list_filter(lines, l -> starts_with(l, '•') OR "
+        "starts_with(l, '- ') OR starts_with(l, '* '))) AS n_bul, "
+        "len(list_filter(lines, l -> ends_with(l, '...'))) "
+        "AS n_ell_lines, "
+        "len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) "
+        "AS n_alpha, "
+        "CAST(len(list_intersect(list_transform(toks, t -> lower(t)), "
+        "['the','be','to','of','and','that','have','with'])) AS BIGINT) "
+        "AS n_stop FROM b), "
+        "r AS (SELECT doc_id, n_words, "
+        "CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE)/n_words END "
+        "AS mean_word_len, "
+        "CASE WHEN n_words > 0 THEN (CAST(n_hash AS DOUBLE)+n_ell)"
+        "/n_words END AS symbol_ratio, "
+        "CASE WHEN n_lines > 0 THEN CAST(n_bul AS DOUBLE)/n_lines END "
+        "AS bullet_line_ratio, "
+        "CASE WHEN n_lines > 0 THEN CAST(n_ell_lines AS DOUBLE)/n_lines "
+        "END AS ellipsis_line_ratio, "
+        "CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE)/n_words END "
+        "AS alpha_word_ratio, n_stop AS n_stop_hits FROM m) "
+        "SELECT doc_id, n_words, mean_word_len, symbol_ratio, "
+        "bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio, "
+        "n_stop_hits, "
+        + ", ".join(f"{e} AS {n}" for n, e in _RULES.items())
+        + ", "
+        + " AND ".join(_RULES.values())
+        + " AS gopher_keep FROM r"
+    )
     sql["t_scrub_pii"] = (
         "WITH p AS (SELECT doc_id, text || ' contact user' || doc_id "
         "|| '@example.com from 10.0.' || (doc_id % 256) "

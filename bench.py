@@ -167,6 +167,7 @@ EXTRA_QUERIES = [
     # -- round 9 --
     "d_blocked_linkage_salted",  # skew-salted blocked 1-NN linkage
     "t_scrub_pii",          # regex PII redaction + hit counts
+    "t_gopher_rules",       # Gopher quality-rule battery
 ]
 
 

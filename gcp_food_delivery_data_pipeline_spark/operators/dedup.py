@@ -1118,6 +1118,7 @@ def prefix_similarity_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    small_universe_max_vocab: int = 64,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering — the
     deterministic complement to MinHash-LSH (``lsh_candidate_pairs``):
@@ -1140,6 +1141,19 @@ def prefix_similarity_join(
     join on arbitrary tokens would hit. Every step is a Column
     expression; no Python in the path.
 
+    SMALL-UNIVERSE fast path: when the GLOBAL vocabulary fits in one
+    machine word (≤ ``small_universe_max_vocab`` ≤ 64 distinct tokens
+    — categorical attribute/tag sets, or a synthetic benchmark
+    corpus), each document's token set becomes a single 64-bit mask
+    (bit position = the same global rarity rank) and the verify step
+    is ``bit_count(a & b) / bit_count(a | b)`` over two longs instead
+    of hash-set intersections over string arrays — identical exact
+    Jaccard, measured 139 s → ~45 s at sf0.1 where 57% of all pairs
+    verify. Natural-language corpora exceed 64 tokens and take the
+    general array path; the probe is one bounded ``limit(65).count()``
+    job. Pass ``small_universe_max_vocab=0`` to force the general
+    path (the equality of both paths is pytest-pinned).
+
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
     to 6, only pairs >= ``threshold``; blank docs drop out.
     """
@@ -1150,6 +1164,11 @@ def prefix_similarity_join(
 
     tok_rows = toks.select("_id", F.explode("_toks").alias("_tok"))
     freq = tok_rows.groupBy("_tok").agg(F.count(F.lit(1)).alias("_tf"))
+    small_universe = (
+        small_universe_max_vocab > 0
+        and freq.limit(small_universe_max_vocab + 1).count()
+        <= small_universe_max_vocab
+    )
     ordered = (
         tok_rows.join(freq, "_tok")
         .groupBy("_id")
@@ -1166,6 +1185,56 @@ def prefix_similarity_join(
         F.explode(F.slice("_ord", F.lit(1), plen)).alias("_ps"),
     ).select("_id", F.col("_ps._tok").alias("_tok"))
 
+    if small_universe:
+        # bit position = the same (rarity, token) total order the
+        # prefixes use; the window runs over <= 64 rows. bit_or (not
+        # sum) composes the per-token powers: immune to the signed-
+        # overflow ANSI trap at bit 63, and idempotent by definition.
+        rank_w = Window.orderBy("_tf", "_tok")
+        ranked = freq.select(
+            "_tok", (F.row_number().over(rank_w) - 1).alias("_bit")
+        )
+        masks = (
+            tok_rows.join(F.broadcast(ranked), "_tok")
+            .groupBy("_id")
+            .agg(
+                F.bit_or(F.expr("shiftleft(1L, _bit)")).alias("_mask")
+            )
+        )
+        # Dedup the candidate pairs FIRST (narrow 2-int rows), then
+        # verify the survivors against the 8-byte masks: measured
+        # faster than verifying inline in the candidate join, whose
+        # pre-dedup output is ~7x wider than the deduped pair set
+        # (the dedup shuffle dominates, so keep its rows minimal).
+        cands_s = (
+            prefixes.alias("a")
+            .join(
+                prefixes.alias("b"),
+                (F.col("a._tok") == F.col("b._tok"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(
+                F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        verified = cands_s.join(
+            masks.select(
+                F.col("_id").alias("id_a"), F.col("_mask").alias("_ma")
+            ),
+            "id_a",
+        ).join(
+            masks.select(
+                F.col("_id").alias("id_b"), F.col("_mask").alias("_mb")
+            ),
+            "id_b",
+        )
+        jaccard = F.bit_count(
+            F.col("_ma").bitwiseAND(F.col("_mb"))
+        ) / F.bit_count(F.col("_ma").bitwiseOR(F.col("_mb")))
+        return verified.select(
+            "id_a", "id_b", F.round(jaccard, 6).alias("jaccard")
+        ).filter(F.col("jaccard") >= threshold)
     cands = (
         prefixes.alias("a")
         .join(

@@ -392,6 +392,112 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Gopher rule thresholds (Rae et al. 2021, §A1.1) shared with tests.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_LINE_RATIO = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_RATIO = 0.3
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, §A1.1) —
+    the published heuristic battery most LLM corpus pipelines start
+    from (reused by MassiveText, RefinedWeb, FineWeb, Dolma): word
+    count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    ratio (# and ``...``) ≤ 0.1, ≤90% of lines starting with a
+    bullet, ≤30% of lines ending in an ellipsis, ≥80% of words with
+    at least one alphabetic character, and ≥2 hits from the 8-word
+    stopword list. Emits the per-document metrics, each rule's
+    boolean, and the conjunction ``gopher_keep``.
+
+    Engine-exactness: every metric is either an exact integer or a
+    RAW quotient of exact integers (bit-identical across engines —
+    the round()-boundary rule for small-integer ratios), and symbol
+    counts use non-overlapping literal ``replace`` arithmetic, not
+    regex. Empty docs (0 tokens, 0 lines) fail the word-count rule
+    and emit NULL ratios rather than dividing by zero.
+
+    Scale shape: one zero-shuffle whole-stage-codegen projection —
+    token/line arrays are built once per row, every rule folds over
+    them JVM-side, nothing joins, nothing aggregates.
+    """
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, r"\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
+    n_words = F.size(toks)
+    n_lines = F.size(lines)
+    sum_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.startswith("•")
+            | ln.startswith("- ")
+            | ln.startswith("* "),
+        )
+    )
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: ln.endswith("..."))
+    )
+    n_alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    )
+    n_stop_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    div = lambda a, b: F.when(b > 0, a.cast("double") / b)  # noqa: E731
+    out = (
+        df.withColumn("n_words", n_words.cast("bigint"))
+        .withColumn("mean_word_len", div(sum_len, n_words))
+        .withColumn(
+            "symbol_ratio", div(n_hash.cast("double") + n_ellipsis, n_words)
+        )
+        .withColumn("bullet_line_ratio", div(n_bullet_lines, n_lines))
+        .withColumn("ellipsis_line_ratio", div(n_ellipsis_lines, n_lines))
+        .withColumn("alpha_word_ratio", div(n_alpha_words, n_words))
+        .withColumn("n_stop_hits", n_stop_hits.cast("bigint"))
+    )
+    rules = {
+        "r_word_count": F.col("n_words").between(
+            GOPHER_MIN_WORDS, GOPHER_MAX_WORDS
+        ),
+        "r_mean_word_len": F.col("mean_word_len").between(
+            GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+        ),
+        "r_symbol_ratio": F.col("symbol_ratio")
+        <= GOPHER_MAX_SYMBOL_RATIO,
+        "r_bullet_lines": F.col("bullet_line_ratio")
+        <= GOPHER_MAX_BULLET_LINE_RATIO,
+        "r_ellipsis_lines": F.col("ellipsis_line_ratio")
+        <= GOPHER_MAX_ELLIPSIS_LINE_RATIO,
+        "r_alpha_words": F.col("alpha_word_ratio")
+        >= GOPHER_MIN_ALPHA_WORD_RATIO,
+        "r_stopwords": F.col("n_stop_hits") >= GOPHER_MIN_STOPWORD_HITS,
+    }
+    keep = F.lit(True)
+    for name, expr in rules.items():
+        out = out.withColumn(name, F.coalesce(expr, F.lit(False)))
+        keep = keep & F.col(name)
+    return out.withColumn("gopher_keep", keep)
+
+
 def sentences(col: Column | str) -> Column:
     """Array of trimmed, non-empty '.'-delimited sentences.
 

@@ -758,3 +758,64 @@ def test_blocked_linkage_keep_unmatched(spark):
             ).collect()
         }
         assert got == {10: (1, 1), 11: (None, None)}, fn.__name__
+
+
+def test_prefix_join_bitmask_path_equals_general_path(spark):
+    """The small-universe bitmask verify (global vocab <= 64 -> one
+    64-bit mask per doc, bit_count Jaccard) must return byte-identical
+    rows to the general array path on the same corpus — including a
+    vocabulary of exactly 64 tokens using bit 63 (the sign bit)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        prefix_similarity_join,
+    )
+
+    vocab = [f"w{i:02d}" for i in range(64)]
+    rows = []
+    for d in range(40):
+        toks = [vocab[(d * 7 + k) % 64] for k in range(24)]
+        rows.append((d, " ".join(toks)))
+    rows.append((100, " ".join(vocab)))  # uses every bit incl. 63
+    rows.append((101, " ".join(vocab)))  # exact dup of the full set
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.8):
+        fast = sorted(
+            map(
+                tuple,
+                prefix_similarity_join(df, threshold=t).collect(),
+            )
+        )
+        general = sorted(
+            map(
+                tuple,
+                prefix_similarity_join(
+                    df, threshold=t, small_universe_max_vocab=0
+                ).collect(),
+            )
+        )
+        assert fast == general, t
+    # the full-vocab twins are an exact pair at any threshold
+    assert any(
+        a == 100 and b == 101 and j == 1.0 for a, b, j in general
+    )
+
+
+def test_prefix_join_large_vocab_takes_general_path(spark):
+    """A corpus whose global vocabulary exceeds the 64-token universe
+    must produce correct exact results through the general path (the
+    probe is a bounded limit(65).count() — no full vocab scan)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        prefix_similarity_join,
+    )
+
+    vocab = [f"tok{i:03d}" for i in range(80)]
+    rows = [
+        (0, " ".join(vocab[0:20])),
+        (1, " ".join(vocab[0:18] + vocab[70:72])),  # J = 18/22
+        (2, " ".join(vocab[40:60])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_similarity_join(df, threshold=0.7).collect()
+    }
+    assert got == {(0, 1): round(18 / 22, 6)}

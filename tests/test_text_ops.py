@@ -54,3 +54,58 @@ def test_scrub_pii_empty(spark):
 
     df = spark.createDataFrame([], "doc_id int, text string")
     assert scrub_pii(df).count() == 0
+
+
+def test_gopher_rules_golden(spark):
+    """Each Gopher rule fires on the document built to trip it; the
+    keep flag is the conjunction; empty docs fail word count with
+    NULL ratios (no division by zero)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        gopher_rules,
+    )
+
+    rows = [
+        (1, " ".join(["the quick brown fox of and that have with"] * 8)),
+        (2, "short doc"),
+        (3, " ".join(["####"] * 60)),
+        (4, "\n".join(["- b the of and that have with more words"] * 60)),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: r
+        for r in gopher_rules(df).collect()
+    }
+    assert got[1].gopher_keep is True and got[1].n_words == 72
+    assert got[2].r_word_count is False and got[2].gopher_keep is False
+    # all-symbol doc: symbol ratio 4.0, zero alpha words, no stopwords
+    assert got[3].symbol_ratio == 4.0
+    assert got[3].r_symbol_ratio is False
+    assert got[3].r_alpha_words is False and got[3].r_stopwords is False
+    # every line is a bullet -> ratio 1.0 > 0.9
+    assert got[4].bullet_line_ratio == 1.0
+    assert got[4].r_bullet_lines is False
+    assert got[5].n_words == 0 and got[5].mean_word_len is None
+    assert got[5].gopher_keep is False
+
+
+def test_gopher_rules_plan_is_zero_shuffle(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        gopher_rules,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    p = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        gopher_rules(df)._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_gopher_rules_empty(spark):
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        gopher_rules,
+    )
+
+    df = spark.createDataFrame([], "doc_id int, text string")
+    assert gopher_rules(df).count() == 0
