@@ -4306,7 +4306,7 @@ _GRADE_FIRST = [
     "q_custkeys_only_open",
     "q_hourly_gapfill",
     "q_status_pivot",
-    # -- r3-era grades (39 of 41) --
+    # -- r3-era grades (34 of 41) --
     "c1_c3_counts", "d_dedup_exact", "d_dedup_groups",
     "d_dup_components", "d_embedding_dedup", "d_fuzzy_pairs",
     "d_near_dup_pairs", "d_simhash", "j_asof_click_purchase",

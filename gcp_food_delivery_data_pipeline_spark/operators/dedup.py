@@ -1157,6 +1157,14 @@ def prefix_similarity_join(
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
     to 6, only pairs >= ``threshold``; blank docs drop out.
     """
+    if small_universe_max_vocab > 64:
+        # shiftleft wraps its shift amount mod 64: bit ranks >= 64
+        # would silently alias onto bits 0..n and inflate every
+        # Jaccard. Fail loudly instead.
+        raise ValueError(
+            "prefix_similarity_join: small_universe_max_vocab must be "
+            f"<= 64 (one machine word), got {small_universe_max_vocab}"
+        )
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(tokens(F.col(text_col))).alias("_toks"),
@@ -1164,11 +1172,19 @@ def prefix_similarity_join(
 
     tok_rows = toks.select("_id", F.explode("_toks").alias("_tok"))
     freq = tok_rows.groupBy("_tok").agg(F.count(F.lit(1)).alias("_tf"))
-    small_universe = (
-        small_universe_max_vocab > 0
-        and freq.limit(small_universe_max_vocab + 1).count()
-        <= small_universe_max_vocab
-    )
+    small_universe = False
+    if small_universe_max_vocab > 0:
+        # The probe bounds the COLLECT, not the scan — the frequency
+        # aggregate's map side runs in full. That aggregate is needed
+        # by the main query anyway (the global rarity order), so
+        # persist it: the probe materializes the vocab-sized frame
+        # once and the main plan reads the cache instead of
+        # recomputing the tokenize+aggregate.
+        freq = freq.persist()
+        small_universe = (
+            freq.limit(small_universe_max_vocab + 1).count()
+            <= small_universe_max_vocab
+        )
     ordered = (
         tok_rows.join(freq, "_tok")
         .groupBy("_id")
@@ -1185,6 +1201,21 @@ def prefix_similarity_join(
         F.explode(F.slice("_ord", F.lit(1), plen)).alias("_ps"),
     ).select("_id", F.col("_ps._tok").alias("_tok"))
 
+    # Dedup the candidate pairs FIRST (narrow 2-int rows), then verify
+    # the survivors: measured faster than verifying inline in the
+    # candidate join, whose pre-dedup output is ~7x wider than the
+    # deduped pair set (the dedup shuffle dominates, so keep its rows
+    # minimal). Shared by both verify paths.
+    cands = (
+        prefixes.alias("a")
+        .join(
+            prefixes.alias("b"),
+            (F.col("a._tok") == F.col("b._tok"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     if small_universe:
         # bit position = the same (rarity, token) total order the
         # prefixes use; the window runs over <= 64 rows. bit_or (not
@@ -1201,24 +1232,7 @@ def prefix_similarity_join(
                 F.bit_or(F.expr("shiftleft(1L, _bit)")).alias("_mask")
             )
         )
-        # Dedup the candidate pairs FIRST (narrow 2-int rows), then
-        # verify the survivors against the 8-byte masks: measured
-        # faster than verifying inline in the candidate join, whose
-        # pre-dedup output is ~7x wider than the deduped pair set
-        # (the dedup shuffle dominates, so keep its rows minimal).
-        cands_s = (
-            prefixes.alias("a")
-            .join(
-                prefixes.alias("b"),
-                (F.col("a._tok") == F.col("b._tok"))
-                & (F.col("a._id") < F.col("b._id")),
-            )
-            .select(
-                F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
-            )
-            .dropDuplicates(["id_a", "id_b"])
-        )
-        verified = cands_s.join(
+        verified = cands.join(
             masks.select(
                 F.col("_id").alias("id_a"), F.col("_mask").alias("_ma")
             ),
@@ -1232,29 +1246,21 @@ def prefix_similarity_join(
         jaccard = F.bit_count(
             F.col("_ma").bitwiseAND(F.col("_mb"))
         ) / F.bit_count(F.col("_ma").bitwiseOR(F.col("_mb")))
-        return verified.select(
-            "id_a", "id_b", F.round(jaccard, 6).alias("jaccard")
-        ).filter(F.col("jaccard") >= threshold)
-    cands = (
-        prefixes.alias("a")
-        .join(
-            prefixes.alias("b"),
-            (F.col("a._tok") == F.col("b._tok"))
-            & (F.col("a._id") < F.col("b._id")),
+    else:
+        verified = cands.join(
+            toks.select(
+                F.col("_id").alias("id_a"), F.col("_toks").alias("_ta")
+            ),
+            "id_a",
+        ).join(
+            toks.select(
+                F.col("_id").alias("id_b"), F.col("_toks").alias("_tb")
+            ),
+            "id_b",
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    verified = cands.join(
-        toks.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta")),
-        "id_a",
-    ).join(
-        toks.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb")),
-        "id_b",
-    )
-    jaccard = F.size(F.array_intersect("_ta", "_tb")) / F.size(
-        F.array_union("_ta", "_tb")
-    )
+        jaccard = F.size(F.array_intersect("_ta", "_tb")) / F.size(
+            F.array_union("_ta", "_tb")
+        )
     return (
         verified.select(
             "id_a", "id_b", F.round(jaccard, 6).alias("jaccard")

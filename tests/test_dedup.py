@@ -819,3 +819,17 @@ def test_prefix_join_large_vocab_takes_general_path(spark):
         for r in prefix_similarity_join(df, threshold=0.7).collect()
     }
     assert got == {(0, 1): round(18 / 22, 6)}
+
+
+def test_prefix_join_rejects_oversized_universe(spark):
+    """small_universe_max_vocab > 64 would silently alias bit ranks
+    through shiftleft's mod-64 wrap — the operator must refuse it."""
+    import pytest
+
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        prefix_similarity_join,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        prefix_similarity_join(df, small_universe_max_vocab=100)
