@@ -859,3 +859,48 @@ def test_blocked_linkage_salted_matches_base(spark_global, recs):
         )
     )
     assert salted == base
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet="abc01.@-# \n",
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_scrub_pii_matches_python_re(spark_global, docs):
+    """Engine-independent reference: Python's re module applying the
+    SAME shared patterns in the SAME email -> ipv4 -> phone sequence
+    must reproduce Spark's counts and scrubbed text for ANY ascii
+    input — pinning the operator to a third regex engine beyond the
+    DuckDB oracle."""
+    import re
+
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+        scrub_pii,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark_global.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_emails, r.n_ipv4, r.n_phones, r.text_scrubbed)
+        for r in scrub_pii(df).collect()
+    }
+    for i, t in rows:
+        want_counts = (
+            len(re.findall(PII_EMAIL, t)),
+            len(re.findall(PII_IPV4, t)),
+            len(re.findall(PII_PHONE, t)),
+        )
+        scrubbed = re.sub(PII_EMAIL, "<EMAIL>", t)
+        scrubbed = re.sub(PII_IPV4, "<IP>", scrubbed)
+        scrubbed = re.sub(PII_PHONE, "<PHONE>", scrubbed)
+        assert got[i] == (*want_counts, scrubbed), repr(t)
