@@ -646,11 +646,25 @@ def personalized_pagerank(
         )
     base = (1.0 - damping) / n_seeds
     seed_base = seed_nodes.select("node", F.lit(base).alias("_base"))
-    ranks = nodes.join(seed_nodes.select("node", F.lit(1.0 / n_seeds).alias(
-        "_r"
-    )), "node", "left").select(
-        "node", F.coalesce("_r", F.lit(0.0)).alias("rank")
+    # Fold the (static) per-node teleport base into the checkpointed
+    # node table ONCE instead of broadcast-joining seed_base in every
+    # round: the loop's rank update becomes the same single keyed
+    # left join as plain pagerank's, and the folded table keeps the
+    # node hash-partitioning. Arithmetic identical — the round still
+    # computes coalesced_base + damping * coalesced_in.
+    nodes_b = (
+        nodes.join(F.broadcast(seed_base), "node", "left")
+        .select(
+            "node", F.coalesce("_base", F.lit(0.0)).alias("_base")
+        )
+        .repartition("node")
+        .localCheckpoint(eager=True)
     )
+    ranks = nodes_b.join(
+        seed_nodes.select("node", F.lit(1.0 / n_seeds).alias("_r")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("_r", F.lit(0.0)).alias("rank"))
     for it in range(iterations):
         contribs = (
             frac.join(ranks, frac["_src"] == ranks["node"])
@@ -661,16 +675,12 @@ def personalized_pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_in"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .join(F.broadcast(seed_base), "node", "left")
-            .select(
-                "node",
-                (
-                    F.coalesce("_base", F.lit(0.0))
-                    + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
-                ).alias("rank"),
-            )
+        ranks = nodes_b.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.col("_base")
+                + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
+            ).alias("rank"),
         )
         if it % 3 == 2 or it == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
