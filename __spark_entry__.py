@@ -1176,8 +1176,9 @@ def _part_edges(
     the first caller in a process pays the build, every later one
     reads the materialized edge table (the cluster equivalent is a
     shared bucketed edge table all graph jobs scan). The testdata is
-    immutable, so the memo can never serve stale edges; keying on
-    applicationId drops entries when the session is replaced."""
+    immutable, so the memo can never serve stale edges; entries of
+    OTHER app ids are evicted only once their owning session has
+    actually stopped (concurrently-live sessions keep theirs)."""
     key = (
         spark.sparkContext.applicationId,
         sf,
@@ -1188,13 +1189,28 @@ def _part_edges(
     hit = _PART_EDGES_MEMO.get(key)
     if hit is not None:
         return hit
-    # Evict entries keyed by replaced sessions before inserting: a
-    # long-lived process cycling Spark sessions would otherwise
-    # accumulate dead DataFrame references (and their localCheckpoint
-    # block pins) forever — the dead session's blocks are gone, the
-    # frames unusable.
+    # Evict entries whose owning session has actually STOPPED before
+    # inserting: a long-lived process cycling Spark sessions would
+    # otherwise accumulate dead DataFrame references (and their
+    # localCheckpoint block pins) forever. Liveness is checked on the
+    # memoized frame's own context — two concurrently-live sessions
+    # (distinct app ids) alternating calls must NOT evict each
+    # other's entries, or the memo thrashes and both sessions
+    # accumulate fresh checkpoint blocks every cycle.
     app_id = key[0]
-    for stale in [k for k in _PART_EDGES_MEMO if k[0] != app_id]:
+
+    def _dead(df: DataFrame) -> bool:
+        try:
+            jsc = df.sparkSession.sparkContext._jsc
+            return jsc is None or jsc.sc().isStopped()
+        except Exception:
+            return True
+
+    for stale in [
+        k
+        for k, v in _PART_EDGES_MEMO.items()
+        if k[0] != app_id and _dead(v)
+    ]:
         del _PART_EDGES_MEMO[stale]
     li = (
         load_table(spark, sf, "lineitem")
@@ -3236,6 +3252,24 @@ def _q_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
     return prefix_similarity_join(d, threshold=0.6)
 
 
+def _q_prefix_join_slice(spark: SparkSession, sf: str) -> DataFrame:
+    """``d_prefix_join`` at bench-trackable scope: the same EXACT
+    prefix-filtered set-similarity self-join over the deterministic
+    quarter of the corpus (``doc_id % 4 == 0`` — ~1/16 of the pair
+    work). The FULL-corpus key is the repo's most expensive operator
+    (139 s → 32 s at sf0.1 after the r9 bitmask verify, measured
+    out-of-band) and would blow the bench's 10-minute budget; this
+    slice gives the operator a driver-visible round-over-round trend
+    at a few seconds per run while exercising the identical plan
+    (probe → bitmask/general verify) — see BASELINE.md."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        prefix_similarity_join,
+    )
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") % 4 == 0)
+    return prefix_similarity_join(d, threshold=0.6)
+
+
 def _q_containment(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT asymmetric containment join (quote/subset detector):
     prefix-filtered candidates against full postings, zero false
@@ -4551,6 +4585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_sessions": _q_stream_sessions,
         "s_compact_roundtrip": _q_compact_roundtrip,
         "d_prefix_join": _q_prefix_join,
+        "d_prefix_join_slice": _q_prefix_join_slice,
         "d_containment": _q_containment,
         "q_corr_stats": _q_corr_stats,
         "d_fuzzy_decontam": _q_fuzzy_decontam,
@@ -7568,6 +7603,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, round(j, 6) AS jaccard "
             "FROM p WHERE round(j, 6) >= 0.6"
         ),
+        "d_prefix_join_slice": (
+            f"WITH s AS (SELECT doc_id, list_distinct({_TOKENS}) AS toks "
+            "FROM documents WHERE doc_id % 4 = 0 AND "
+            f"len(list_distinct({_TOKENS})) > 0), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.toks, b.toks))::DOUBLE / "
+            "(len(a.toks) + len(b.toks) "
+            "- len(list_intersect(a.toks, b.toks))) AS j "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, round(j, 6) AS jaccard "
+            "FROM p WHERE round(j, 6) >= 0.6"
+        ),
         # Asymmetric containment (|A∩B|/|A|): raw double quotient of
         # exact ints — no rounding (the g_link_prediction convention).
         "d_containment": (
@@ -7832,22 +7879,27 @@ def oracle_sql() -> dict[str, str]:
         + " AND ".join(_RULES.values())
         + " AS gopher_keep FROM r"
     )
+    # Counts follow scrub_pii's sequential-intermediate semantics:
+    # emails on raw, ipv4 on the email-redacted text, phones on the
+    # email+ipv4-redacted text — count == replacements performed.
     sql["t_scrub_pii"] = (
         "WITH p AS (SELECT doc_id, text || ' contact user' || doc_id "
         "|| '@example.com from 10.0.' || (doc_id % 256) "
         "|| '.7 call 555-123-' || (1000 + doc_id % 9000) AS t "
-        "FROM documents) "
+        "FROM documents), "
+        "s AS (SELECT doc_id, t, "
+        f"regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1 FROM p), "
+        "s2 AS (SELECT doc_id, t, t1, "
+        f"regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2 FROM s) "
         "SELECT doc_id, "
         f"CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) "
         "AS n_emails, "
-        f"CAST(len(regexp_extract_all(t, '{PII_IPV4}')) AS BIGINT) "
+        f"CAST(len(regexp_extract_all(t1, '{PII_IPV4}')) AS BIGINT) "
         "AS n_ipv4, "
-        f"CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT) "
+        f"CAST(len(regexp_extract_all(t2, '{PII_PHONE}')) AS BIGINT) "
         "AS n_phones, "
-        "md5(regexp_replace(regexp_replace(regexp_replace(t, "
-        f"'{PII_EMAIL}', '<EMAIL>', 'g'), "
-        f"'{PII_IPV4}', '<IP>', 'g'), "
-        f"'{PII_PHONE}', '<PHONE>', 'g')) AS scrub_md5 "
-        "FROM p"
+        f"md5(regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g')) "
+        "AS scrub_md5 "
+        "FROM s2"
     )
     return sql

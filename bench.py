@@ -168,6 +168,10 @@ EXTRA_QUERIES = [
     "d_blocked_linkage_salted",  # skew-salted blocked 1-NN linkage
     "t_scrub_pii",          # regex PII redaction + hit counts
     "t_gopher_rules",       # Gopher quality-rule battery
+    # -- round 10 --
+    "d_prefix_join_slice",  # exact PPJoin trend proxy (1/4 corpus; the
+                            # full-corpus key is ~32 s at sf0.1 — see
+                            # BASELINE.md for its out-of-band history)
 ]
 
 

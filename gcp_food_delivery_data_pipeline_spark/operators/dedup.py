@@ -1150,9 +1150,10 @@ def prefix_similarity_join(
     of hash-set intersections over string arrays — identical exact
     Jaccard, measured 139 s → ~45 s at sf0.1 where 57% of all pairs
     verify. Natural-language corpora exceed 64 tokens and take the
-    general array path; the probe is one bounded ``limit(65).count()``
-    job. Pass ``small_universe_max_vocab=0`` to force the general
-    path (the equality of both paths is pytest-pinned).
+    general array path; the probe is one bounded ``limit(65)``
+    collect whose rows double as the literal frequency table on the
+    small path. Pass ``small_universe_max_vocab=0`` to force the
+    general path (the equality of both paths is pytest-pinned).
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
     to 6, only pairs >= ``threshold``; blank docs drop out.
@@ -1175,16 +1176,20 @@ def prefix_similarity_join(
     small_universe = False
     if small_universe_max_vocab > 0:
         # The probe bounds the COLLECT, not the scan — the frequency
-        # aggregate's map side runs in full. That aggregate is needed
-        # by the main query anyway (the global rarity order), so
-        # persist it: the probe materializes the vocab-sized frame
-        # once and the main plan reads the cache instead of
-        # recomputing the tokenize+aggregate.
-        freq = freq.persist()
-        small_universe = (
-            freq.limit(small_universe_max_vocab + 1).count()
-            <= small_universe_max_vocab
-        )
+        # aggregate's map side runs in full. When the vocab fits, the
+        # probe rows ARE the whole frequency table (<= 64 rows), so
+        # rebuild freq as a literal local frame: both downstream uses
+        # (the rarity join and the bit ranking) read driver literals
+        # and the main plan never recomputes the aggregate — no
+        # session-lifetime persist() to leak. On the general path the
+        # probe's aggregate is recomputed once by the main plan; that
+        # one combinable pass is the price of a leak-free probe.
+        probe_rows = freq.limit(small_universe_max_vocab + 1).collect()
+        small_universe = len(probe_rows) <= small_universe_max_vocab
+        if small_universe:
+            freq = df.sparkSession.createDataFrame(
+                probe_rows, schema=freq.schema
+            )
     ordered = (
         tok_rows.join(freq, "_tok")
         .groupBy("_id")
@@ -1860,8 +1865,19 @@ def blocked_linkage(
     ``min(struct)`` aggregation (see ``_linkage_argmin``). Records
     whose block has no reference entry are dropped by default;
     ``keep_unmatched=True`` surfaces them with NULL
-    ``matched_id``/``dist`` via a left join of the record-id spine
-    (thin rows; the argmin side is already ≤ one row per record).
+    ``matched_id``/``dist`` via a left join of the DISTINCT record-id
+    spine (thin rows; the argmin side is already ≤ one row per
+    record, and deduping the spine keeps that contract when the
+    records frame itself carries duplicate ids).
+
+    NULL-distance semantics (changed in the argmin re-plan): a
+    candidate whose value column is NULL yields a NULL Levenshtein
+    distance and is EXCLUDED from the argmin — a record whose every
+    in-block candidate is NULL produces no row (or a NULL-matched
+    spine row under ``keep_unmatched``). The earlier window-based
+    implementation ordered NULLs first and would return a
+    NULL-dist match row instead; callers relying on that should
+    filter/coalesce the value column explicitly.
 
     Scale shape: candidate pairs are Σ_blocks |ref_b|·|rec_b| — the
     blocking key bounds the quadratic, never all-pairs across the
@@ -1892,7 +1908,7 @@ def blocked_linkage(
     )
     best = _linkage_argmin(cand)
     if keep_unmatched:
-        best = rec.select("rec_id").join(best, "rec_id", "left")
+        best = rec.select("rec_id").distinct().join(best, "rec_id", "left")
     return best
 
 
@@ -2038,5 +2054,5 @@ def blocked_linkage_salted(
     )
     best = _linkage_argmin(cand)
     if keep_unmatched:
-        best = rec.select("rec_id").join(best, "rec_id", "left")
+        best = rec.select("rec_id").distinct().join(best, "rec_id", "left")
     return best

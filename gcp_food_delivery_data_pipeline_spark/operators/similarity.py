@@ -168,10 +168,11 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     sample_cap: int = 2048,
     iters: int = 10,
+    seed: int = 42,
 ) -> list[list[float]]:
     """Train the IVF coarse quantizer the way ``train_pq_codebooks``
     trains its codebooks: a deterministic euclidean Lloyd k-means over
-    a bounded id-ordered sample, in numpy on the driver. This is the
+    a bounded hash-sampled draw, in numpy on the driver. This is the
     FAISS architecture verbatim — the coarse quantizer is ALWAYS fit
     on a fixed-size training sample (never the corpus), so the
     driver-side pull is bounded BY CONSTRUCTION at any corpus scale;
@@ -181,17 +182,29 @@ def train_ivf_centroids(
     here, same recall floor), and whose kmeans|| init depended on
     partition layout — this trainer is a pure function of the sample.
 
-    Seeds are the sample's first ``n_clusters`` vectors (padded by
-    repetition on tiny samples), ``iters`` fixed rounds, lowest-index
-    tie-break, empty cells keep their previous centroid — every choice
-    deterministic. Returns plain-float centroids destined to become
-    plan literals.
+    The sample is the ``sample_cap`` rows with the smallest
+    ``md5(seed || id)`` — a seeded uniform draw over the whole corpus
+    (never the id-ordered prefix, which under-covers corpora whose id
+    order correlates with content, e.g. ingestion-time or
+    category-ordered embeddings), still deterministic, and still a
+    bounded TakeOrderedAndProject (per-partition top-k + merge, no
+    global sort) at any scale. ``seed`` keys the hash, so distinct
+    seeds draw distinct-but-reproducible samples.
+
+    Lloyd seeds are the sample's first ``n_clusters`` vectors (padded
+    by repetition on tiny samples), ``iters`` fixed rounds,
+    lowest-index tie-break, empty cells keep their previous centroid —
+    every choice deterministic. Returns plain-float centroids destined
+    to become plan literals.
     """
     import numpy as np
 
+    sample_key = F.md5(
+        F.concat(F.lit(f"ivf:{seed}:"), F.col(id_col).cast("string"))
+    )
     sample = (
         candidates.select(id_col, vec_col)
-        .orderBy(id_col)
+        .orderBy(sample_key, F.col(id_col))
         .limit(sample_cap)
         .collect()
     )
@@ -279,11 +292,11 @@ def ivf_topk(
     IVF index. Probe: queries broadcast with their n_probe cell ids;
     the (cell) equi-join bounds scored pairs to ~n_probe/n_clusters of
     the corpus. Recall grows with n_probe (n_probe == n_clusters is
-    exact search). ``seed`` is kept for API stability; training is a
-    pure function of the id-ordered sample and ignores it.
+    exact search). ``seed`` keys the quantizer's hash-sampled training
+    draw (``train_ivf_centroids``) — same seed, same index.
     """
     cents = train_ivf_centroids(
-        candidates, n_clusters, vec_col=vec_col, id_col=id_col
+        candidates, n_clusters, vec_col=vec_col, id_col=id_col, seed=seed
     )
     cent_arr = _centroid_struct_arr(cents)
     indexed = candidates.select(
@@ -1086,11 +1099,11 @@ def ivf_pq_topk(
     the rerank cut rides the same two-phase window as
     ``topk_exact_scalable``. Deterministic end to end (bounded-sample
     Lloyd coarse quantizer — ``train_ivf_centroids``, a pure function
-    of the id-ordered sample, ``seed`` kept only for API stability —
-    md5-sampled codebooks, (dist, id) tie-breaks).
+    of the seed-keyed hash-sampled draw — md5-sampled codebooks,
+    (dist, id) tie-breaks).
     """
     cents = train_ivf_centroids(
-        candidates, n_clusters, vec_col=vec_col, id_col=id_col
+        candidates, n_clusters, vec_col=vec_col, id_col=id_col, seed=seed
     )
     cent_arr = _centroid_struct_arr(cents)
     books = train_pq_codebooks(

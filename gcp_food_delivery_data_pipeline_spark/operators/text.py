@@ -347,38 +347,9 @@ PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 PII_PHONE = r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}\b"
 
 
-def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Training-data PII scrub: redact emails, IPv4 addresses, and
-    phone-shaped numbers to ``<EMAIL>`` / ``<IP>`` / ``<PHONE>``
-    tokens, and emit per-document hit counts — the compliance pass
-    every LLM corpus pipeline runs before tokenization (The Pile /
-    RefinedWeb / FineWeb all ship a regex-PII stage of exactly this
-    shape).
-
-    Returns the input columns plus ``text_scrubbed``, ``n_emails``,
-    ``n_ipv4``, ``n_phones``. Counts are measured on the RAW text per
-    pattern (a span matching two patterns counts in both); redaction
-    is sequential email → ipv4 → phone, so each span is rewritten
-    exactly once, earlier redactions shielding their spans from later
-    patterns (an email's host can never be re-hit as an IP).
-
-    Single-pass by design: adversarially ADJACENT spans can re-expose
-    token-shaped text after one replacement (``a@b.coc@d.ee`` redacts
-    the first email and leaves ``<EMAIL>@d.ee``, whose tail re-matches
-    because the redaction token's letters are valid local-part
-    characters). Redaction-token hygiene, not correctness: wrap the
-    call in an iterate-to-fixpoint loop if the threat model includes
-    crafted adjacency; the deterministic single pass is what the
-    oracle (and most corpus pipelines) specify.
-
-    Scale shape: a zero-shuffle whole-stage-codegen projection — four
-    regexp passes per row, no Python, no join, no aggregation;
-    filters above or below it still push to the scan. At 100 TB this
-    is the map stage it looks like: embarrassingly parallel,
-    throughput-bound on regex evaluation only.
-    """
-    c = F.col(text_col)
-    scrubbed = F.regexp_replace(
+def _pii_chain(c):
+    """One sequential email → ipv4 → phone redaction round."""
+    return F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(c, PII_EMAIL, "<EMAIL>"),
             PII_IPV4,
@@ -387,15 +358,77 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         PII_PHONE,
         "<PHONE>",
     )
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    until_stable: bool = False,
+    max_rounds: int = 3,
+) -> DataFrame:
+    """Training-data PII scrub: redact emails, IPv4 addresses, and
+    phone-shaped numbers to ``<EMAIL>`` / ``<IP>`` / ``<PHONE>``
+    tokens, and emit per-document hit counts — the compliance pass
+    every LLM corpus pipeline runs before tokenization (The Pile /
+    RefinedWeb / FineWeb all ship a regex-PII stage of exactly this
+    shape).
+
+    Returns the input columns plus ``text_scrubbed``, ``n_emails``,
+    ``n_ipv4``, ``n_phones``. Counts are measured on the SEQUENTIAL
+    INTERMEDIATES — emails on the raw text, IPv4 on the
+    email-redacted text, phones on the email+IPv4-redacted text — so
+    each count is exactly the number of replacements the first
+    redaction round actually performed (an IPv4 inside an email host
+    is shielded by ``<EMAIL>`` and is NOT counted in ``n_ipv4``;
+    earlier implementations counted every pattern on the raw text,
+    which could over-report shielded spans).
+
+    The default is single-pass, and for the shipped redaction tokens
+    one pass IS a fixed point: ``<`` and ``>`` appear in no
+    pattern's character class, so no match can cross a token
+    boundary, no pattern matches inside a token, and the sequential
+    scan already finds every same-side residual span (adversarial
+    adjacency like ``a@b.coc@d.ee`` leaves ``<EMAIL>@d.ee``, whose
+    tail does NOT re-match — the ``>`` shields the ``@``; verified
+    by a 200k-input fuzz on Python ``re`` (the engine twin the
+    property suite pins Spark against) and pytest-pinned Spark-side
+    as ``scrub(scrub(x)) == scrub(x)``). Overlap-consumed fragments
+    (the ``@d.ee`` tail) are redaction RESIDUE, not re-matchable
+    PII. ``until_stable=True`` re-applies the full chain up to
+    ``max_rounds`` times (statically unrolled — still one codegen
+    projection, no data-dependent loop): a no-op today, it is the
+    safety net for forks that change the token strings (a token
+    whose characters re-enter a pattern's class breaks the shielding
+    argument) or add patterns whose replacement can compose with
+    neighbors. Counts always describe round one — later rounds could
+    only ever redact redaction artifacts, not source PII.
+
+    Scale shape: a zero-shuffle whole-stage-codegen projection — a
+    handful of regexp passes per row, no Python, no join, no
+    aggregation; filters above or below it still push to the scan.
+    At 100 TB this is the map stage it looks like: embarrassingly
+    parallel, throughput-bound on regex evaluation only.
+    """
+    if until_stable and max_rounds < 1:
+        raise ValueError("scrub_pii: max_rounds must be >= 1")
+    c = F.col(text_col)
+    after_email = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    scrubbed = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
+    if until_stable:
+        for _ in range(max_rounds - 1):
+            scrubbed = _pii_chain(scrubbed)
     return (
         df.withColumn(
             "n_emails", F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), F.lit(0)))
         )
         .withColumn(
-            "n_ipv4", F.size(F.regexp_extract_all(c, F.lit(PII_IPV4), F.lit(0)))
+            "n_ipv4",
+            F.size(F.regexp_extract_all(after_email, F.lit(PII_IPV4), F.lit(0))),
         )
         .withColumn(
-            "n_phones", F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), F.lit(0)))
+            "n_phones",
+            F.size(F.regexp_extract_all(after_ip, F.lit(PII_PHONE), F.lit(0))),
         )
         .withColumn("text_scrubbed", scrubbed)
     )

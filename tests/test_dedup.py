@@ -760,6 +760,70 @@ def test_blocked_linkage_keep_unmatched(spark):
         assert got == {10: (1, 1), 11: (None, None)}, fn.__name__
 
 
+def test_blocked_linkage_keep_unmatched_distinct_spine(spark):
+    """Duplicate rec_ids in the records frame must not yield
+    duplicate spine rows under keep_unmatched — the argmin side is
+    <= one row per rec_id, and the left-join spine is deduped to
+    keep that contract (both twins)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        blocked_linkage,
+        blocked_linkage_salted,
+    )
+
+    ref = spark.createDataFrame(
+        [("b1", 1, "alpha")], ["blk", "id", "name"]
+    )
+    rec = spark.createDataFrame(
+        [
+            ("b1", 10, "alphax"),
+            ("b1", 10, "alphax"),   # exact duplicate record row
+            ("b9", 11, "orphan"),
+            ("b9", 11, "orphan2"),  # same id, different value, no block
+        ],
+        ["blk", "id", "name"],
+    )
+    for fn in (blocked_linkage, blocked_linkage_salted):
+        rows = fn(
+            ref, rec, block_cols=["blk"], id_col="id",
+            val_col="name", keep_unmatched=True,
+        ).collect()
+        assert len(rows) == 2, (fn.__name__, rows)
+        got = {r.rec_id: (r.matched_id, r.dist) for r in rows}
+        assert got == {10: (1, 1), 11: (None, None)}, fn.__name__
+
+
+def test_blocked_linkage_null_value_candidates_excluded(spark):
+    """The documented NULL-dist contract: a record whose every
+    in-block candidate has a NULL value column yields NO match row
+    (or a NULL-matched spine row under keep_unmatched) — never a
+    NULL-dist match."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        blocked_linkage,
+    )
+
+    ref = spark.createDataFrame(
+        [("b1", 1, None), ("b2", 2, "beta")],
+        "blk string, id int, name string",
+    )
+    rec = spark.createDataFrame(
+        [("b1", 10, "x"), ("b2", 11, "betaz")],
+        "blk string, id int, name string",
+    )
+    assert {
+        r.rec_id: (r.matched_id, r.dist)
+        for r in blocked_linkage(
+            ref, rec, block_cols=["blk"], id_col="id", val_col="name"
+        ).collect()
+    } == {11: (2, 1)}
+    assert {
+        r.rec_id: (r.matched_id, r.dist)
+        for r in blocked_linkage(
+            ref, rec, block_cols=["blk"], id_col="id", val_col="name",
+            keep_unmatched=True,
+        ).collect()
+    } == {10: (None, None), 11: (2, 1)}
+
+
 def test_prefix_join_bitmask_path_equals_general_path(spark):
     """The small-universe bitmask verify (global vocab <= 64 -> one
     64-bit mask per doc, bit_count Jaccard) must return byte-identical
@@ -799,10 +863,28 @@ def test_prefix_join_bitmask_path_equals_general_path(spark):
     )
 
 
+def test_prefix_join_leaves_no_persisted_frames(spark):
+    """The small-universe probe must not leak a session-lifetime
+    cache: after building AND materializing the plan, the persistent
+    RDD census is back to its pre-call value on both paths."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        prefix_similarity_join,
+    )
+
+    rows = [(d, f"w{d % 5} w{(d + 1) % 5} w{(d + 2) % 5}") for d in range(20)]
+    big = [(100 + d, " ".join(f"u{d}_{k}" for k in range(10))) for d in range(12)]
+    jsc = spark.sparkContext._jsc
+    for data in (rows, rows + big):  # small-universe path, general path
+        df = spark.createDataFrame(data, "doc_id long, text string")
+        before = jsc.sc().getPersistentRDDs().size()
+        prefix_similarity_join(df, threshold=0.5).count()
+        assert jsc.sc().getPersistentRDDs().size() == before
+
+
 def test_prefix_join_large_vocab_takes_general_path(spark):
     """A corpus whose global vocabulary exceeds the 64-token universe
     must produce correct exact results through the general path (the
-    probe is a bounded limit(65).count() — no full vocab scan)."""
+    probe is a bounded limit(65) collect — no full vocab scan)."""
     from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
         prefix_similarity_join,
     )

@@ -878,7 +878,9 @@ def test_scrub_pii_matches_python_re(spark_global, docs):
     SAME shared patterns in the SAME email -> ipv4 -> phone sequence
     must reproduce Spark's counts and scrubbed text for ANY ascii
     input — pinning the operator to a third regex engine beyond the
-    DuckDB oracle."""
+    DuckDB oracle. Counts follow the sequential-intermediate
+    semantics: each pattern is counted on the text the corresponding
+    replacement actually ran against."""
     import re
 
     from gcp_food_delivery_data_pipeline_spark.operators.text import (
@@ -895,12 +897,12 @@ def test_scrub_pii_matches_python_re(spark_global, docs):
         for r in scrub_pii(df).collect()
     }
     for i, t in rows:
+        t1 = re.sub(PII_EMAIL, "<EMAIL>", t)
+        t2 = re.sub(PII_IPV4, "<IP>", t1)
         want_counts = (
             len(re.findall(PII_EMAIL, t)),
-            len(re.findall(PII_IPV4, t)),
-            len(re.findall(PII_PHONE, t)),
+            len(re.findall(PII_IPV4, t1)),
+            len(re.findall(PII_PHONE, t2)),
         )
-        scrubbed = re.sub(PII_EMAIL, "<EMAIL>", t)
-        scrubbed = re.sub(PII_IPV4, "<IP>", scrubbed)
-        scrubbed = re.sub(PII_PHONE, "<PHONE>", scrubbed)
+        scrubbed = re.sub(PII_PHONE, "<PHONE>", t2)
         assert got[i] == (*want_counts, scrubbed), repr(t)

@@ -129,6 +129,35 @@ def test_ivf_recall_curve_and_exhaustive_exactness(embeddings):
     assert allp == truth
 
 
+def test_ivf_training_sample_is_unbiased_and_seeded(spark):
+    """The coarse quantizer's bounded sample is a seeded HASH draw
+    over the whole corpus, not the id-ordered prefix: on a corpus
+    whose id order correlates with content (ids 0..999 near the
+    origin, ids 1000..1999 near (10, 10)) a prefix sample would never
+    see the late-id cluster and every centroid would sit near the
+    origin. The hash draw must place at least one centroid in each
+    region; same seed → identical centroids; a different seed draws
+    a different sample."""
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    rows = []
+    for i in range(2000):
+        base = 0.0 if i < 1000 else 10.0
+        # deterministic jitter so neither cluster is degenerate
+        rows.append((i, [base + (i % 7) * 0.01, base + (i % 11) * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(df, n_clusters=4, sample_cap=512)
+    firsts = [c[0] for c in cents]
+    assert any(x < 5.0 for x in firsts), firsts   # covers the early-id cluster
+    assert any(x > 5.0 for x in firsts), firsts   # covers the late-id cluster
+    assert train_ivf_centroids(df, n_clusters=4, sample_cap=512) == cents
+    other = train_ivf_centroids(df, n_clusters=4, sample_cap=512, seed=7)
+    assert other != cents  # distinct seed, distinct (but valid) draw
+    assert any(c[0] > 5.0 for c in other)
+
+
 def test_ann_sims_match_exact_values(embeddings):
     """Every pair the ANN path returns must carry the same cosine the
     exact path computes for that pair (the approximation is WHICH

@@ -2,8 +2,10 @@
 
 def test_scrub_pii_golden(spark):
     """Redaction + per-pattern counts on hand-built rows, including
-    the documented edge semantics: counts measure the RAW text per
-    pattern (a span may count in several), redaction is sequential
+    the documented edge semantics: counts measure the SEQUENTIAL
+    INTERMEDIATES (emails on raw, ipv4 on the email-redacted text,
+    phones on the email+ipv4-redacted text), so each count equals the
+    replacements actually performed; redaction is sequential
     email -> ipv4 -> phone so each span rewrites exactly once."""
     from gcp_food_delivery_data_pipeline_spark.operators.text import (
         scrub_pii,
@@ -13,6 +15,9 @@ def test_scrub_pii_golden(spark):
         (1, "mail jo.doe+x@sub.example.co call 555-123-4567 ip 10.0.3.7"),
         (2, "no pii here"),
         (3, "a@b.io c@d.org then 192.168.1.1 and 192.168.001.255"),
+        # a dotted quad INSIDE an email host: shielded by <EMAIL>, so
+        # it must NOT count in n_ipv4 (pre-r10 raw counting said 1)
+        (4, "u@10.0.0.1.com plus a bare 8.8.8.8"),
     ]
     df = spark.createDataFrame(rows, "doc_id int, text string")
     got = {
@@ -23,12 +28,9 @@ def test_scrub_pii_golden(spark):
         1, 1, 1, "mail <EMAIL> call <PHONE> ip <IP>",
     )
     assert got[2] == (0, 0, 0, "no pii here")
-    # both IPs redact as IPs; the dotted-quad substring ALSO counts
-    # as phone-shaped on the raw text (documented multi-count)
     assert got[3][:2] == (2, 2)
-    assert got[3][3] == "a@b.io <EMAIL> then <IP> and <IP>".replace(
-        "a@b.io", "<EMAIL>", 1
-    ) or got[3][3] == "<EMAIL> <EMAIL> then <IP> and <IP>"
+    assert got[3][3] == "<EMAIL> <EMAIL> then <IP> and <IP>"
+    assert got[4] == (1, 1, 0, "<EMAIL> plus a bare <IP>")
 
 
 def test_scrub_pii_plan_is_zero_shuffle_projection(spark):
@@ -54,6 +56,67 @@ def test_scrub_pii_empty(spark):
 
     df = spark.createDataFrame([], "doc_id int, text string")
     assert scrub_pii(df).count() == 0
+
+
+def test_scrub_pii_single_pass_is_fixed_point(spark):
+    """For the shipped angle-bracket tokens one pass IS a fixed
+    point (no pattern's class contains '<' or '>'), so (a) scrubbing
+    the scrubbed text changes nothing — including on the adversarial
+    adjacency case, whose '<EMAIL>@d.ee' residue does NOT re-match —
+    and (b) ``until_stable=True`` returns byte-identical output and
+    identical round-one counts."""
+    import re
+
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        PII_EMAIL,
+        scrub_pii,
+    )
+
+    rows = [
+        (1, "a@b.coc@d.ee"),                     # overlap-consumed tail
+        (2, "plain text"),
+        (3, "x@y.a@b.cc then 9.9.9.9.123-456-7890"),
+        (4, "u@10.0.0.1.com 555-123-4567 10.1.2.3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    single = {r.doc_id: r for r in scrub_pii(df).collect()}
+    stable = {
+        r.doc_id: r for r in scrub_pii(df, until_stable=True).collect()
+    }
+    assert single[1].text_scrubbed == "<EMAIL>@d.ee"
+    assert not re.search(PII_EMAIL, single[1].text_scrubbed)
+    # re-scrub of the scrubbed column is the identity
+    rescrub = {
+        r.doc_id: r.text_scrubbed
+        for r in scrub_pii(
+            df.sparkSession.createDataFrame(
+                [(d, single[d].text_scrubbed) for d in single],
+                "doc_id int, text string",
+            )
+        ).collect()
+    }
+    for d in single:
+        assert rescrub[d] == single[d].text_scrubbed
+        assert stable[d].text_scrubbed == single[d].text_scrubbed
+        assert (
+            single[d].n_emails, single[d].n_ipv4, single[d].n_phones
+        ) == (stable[d].n_emails, stable[d].n_ipv4, stable[d].n_phones)
+
+
+def test_scrub_pii_until_stable_stays_zero_shuffle(spark):
+    """The statically-unrolled fixpoint is still one codegen
+    projection — no exchange, no Python."""
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    p = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        scrub_pii(df, until_stable=True)._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
 def test_gopher_rules_golden(spark):
