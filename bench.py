@@ -229,6 +229,33 @@ def _bench_pipeline_1m(spark) -> float:
     return elapsed
 
 
+def _calibration_probe(spark) -> float:
+    """Fixed pure-CPU probe (best of 3 codegen range-sums) timed at
+    suite START and END. Round-9 post-mortem: a +18% total regression
+    took a full round to adjudicate as session/thermal drift because
+    the artifact carried no environment signal — 23 of 32 queries
+    (including untouched TPC-H) were uniformly slower. With the probe
+    recorded, a cross-round delta can be divided through by the
+    calibration ratio before being read as a plan regression, and a
+    start-vs-end gap exposes IN-RUN drift."""
+    # one untimed iteration first: the probe's own codegen/JIT would
+    # otherwise inflate the START sample ~2x vs END (measured 0.29 vs
+    # 0.14 s) and masquerade as in-run drift
+    probe = lambda: (  # noqa: E731
+        # id % 97 keeps the sum far from long overflow under ANSI
+        # mode while defeating any constant-fold of a bare sum(id)
+        spark.range(400_000_000).selectExpr("sum(id % 97)").collect()
+    )
+    probe()
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        probe()
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -246,6 +273,7 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     except Exception:  # noqa: BLE001 — warmup is best-effort
         pass
+    cal_start = _calibration_probe(spark)
 
     # Fault isolation (round-2 post-mortem): ONE query raising used to
     # void the whole run — two rounds produced zero bench signal. Each
@@ -347,6 +375,7 @@ def main() -> None:
         if el is not None:
             extra[name] = el
 
+    cal_end = _calibration_probe(spark)
     total = round(sum(timings.values()), 3)
     # Full-detail artifact (positions, method, 3-decimal timings,
     # errors) goes to a FILE the round commits; the stdout line stays
@@ -370,6 +399,10 @@ def main() -> None:
         # query's session position is recorded in the detail file, so
         # late-session inflation is both mitigated and diagnosable.
         "method": "headline_min_of_2_extras_adaptive_min2_over_2s",
+        # Environment signal (see _calibration_probe): compare across
+        # rounds BEFORE reading timing deltas as plan changes; a
+        # start/end gap means the box drifted DURING this run.
+        "calibration_sec": {"start": cal_start, "end": cal_end},
         "positions": positions,
     }
     if errors:
@@ -386,6 +419,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "sf": sf,
+            "cal": [cal_start, cal_end],
             "queries": q,
             "extra_queries": x,
         }

@@ -27,19 +27,30 @@ def test_every_query_has_an_oracle():
     assert rows_only == set(), f"lost oracles: {sorted(rows_only)}"
 
 
-def test_part_edges_memo_evicts_replaced_sessions(spark):
-    """The shared-edge-table memo drops entries keyed by a replaced
-    Spark session's applicationId when a new session inserts: a
-    long-lived process cycling sessions must not accumulate dead
-    DataFrame references (their localCheckpoint blocks died with the
-    session)."""
+def test_part_edges_memo_evicts_only_stopped_sessions(spark):
+    """The shared-edge-table memo drops a foreign-app entry only when
+    its OWNING session has actually stopped (a long-lived process
+    cycling sessions must not accumulate dead localCheckpoint
+    references) — while a foreign entry whose session is still LIVE
+    must survive an insert, or two concurrently-live sessions
+    alternating calls would evict each other's entries and thrash
+    fresh checkpoint blocks every cycle."""
     entry._PART_EDGES_MEMO.clear()
+
+    class _StoppedFrame:  # sparkSession access raises -> treated dead
+        def __getattr__(self, name):
+            raise RuntimeError("session stopped")
+
     dead_key = ("app-DEAD", "/tmp/nowhere", True, 2, False)
-    entry._PART_EDGES_MEMO[dead_key] = spark.range(1)
+    live_foreign_key = ("app-OTHER-LIVE", "/tmp/elsewhere", True, 2, False)
+    entry._PART_EDGES_MEMO[dead_key] = _StoppedFrame()
+    # a frame owned by a LIVE session, keyed as another app id
+    entry._PART_EDGES_MEMO[live_foreign_key] = spark.range(1)
     entry._part_edges(spark, "/root/testdata/sf0.001")
     assert dead_key not in entry._PART_EDGES_MEMO
-    live = [k for k in entry._PART_EDGES_MEMO]
-    assert live and all(
-        k[0] == spark.sparkContext.applicationId for k in live
+    assert live_foreign_key in entry._PART_EDGES_MEMO
+    assert any(
+        k[0] == spark.sparkContext.applicationId
+        for k in entry._PART_EDGES_MEMO
     )
     entry._PART_EDGES_MEMO.clear()

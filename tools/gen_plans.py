@@ -67,7 +67,9 @@ KEYS = {
     "d_containment": (
         "containment prefix filter: candidate generation is an "
         "equi-join on rare prefix shingles — ids only; the all-pairs "
-        "shape exists only in the oracle"
+        "shape exists only in the oracle; r10: the shingle table is "
+        "checkpoint-materialized once, so every branch reads Scan "
+        "ExistingRDD and the plan holds ZERO parquet re-scans"
     ),
     "q_ols_trend": (
         "OLS from sufficient statistics: ONE partial-aggregable "
