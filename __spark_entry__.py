@@ -1196,7 +1196,13 @@ def _part_edges(
     # memoized frame's own context — two concurrently-live sessions
     # (distinct app ids) alternating calls must NOT evict each
     # other's entries, or the memo thrashes and both sessions
-    # accumulate fresh checkpoint blocks every cycle.
+    # accumulate fresh checkpoint blocks every cycle. (Classic
+    # PySpark allows one active SparkContext per process, so a
+    # foreign app id today implies a stopped context and this check
+    # degenerates to evict-all-foreign; probing the frame makes that
+    # invariant explicit instead of assumed, and holds if a
+    # multi-context runtime — e.g. Connect-backed sessions — ever
+    # owns entries here.)
     app_id = key[0]
 
     def _dead(df: DataFrame) -> bool:

@@ -229,7 +229,7 @@ def _bench_pipeline_1m(spark) -> float:
     return elapsed
 
 
-def _calibration_probe(spark) -> float:
+def _calibration_probe(spark) -> float | None:
     """Fixed pure-CPU probe (best of 3 codegen range-sums) timed at
     suite START and END. Round-9 post-mortem: a +18% total regression
     took a full round to adjudicate as session/thermal drift because
@@ -237,7 +237,11 @@ def _calibration_probe(spark) -> float:
     (including untouched TPC-H) were uniformly slower. With the probe
     recorded, a cross-round delta can be divided through by the
     calibration ratio before being read as a plan regression, and a
-    start-vs-end gap exposes IN-RUN drift."""
+    start-vs-end gap exposes IN-RUN drift.
+
+    Fault-isolated like every other unit (None on failure): the probe
+    is diagnostics and must never void the run — a cal_end failure
+    after 140 timed queries would otherwise discard them all."""
     # one untimed iteration first: the probe's own codegen/JIT would
     # otherwise inflate the START sample ~2x vs END (measured 0.29 vs
     # 0.14 s) and masquerade as in-run drift
@@ -246,14 +250,17 @@ def _calibration_probe(spark) -> float:
         # mode while defeating any constant-fold of a bare sum(id)
         spark.range(400_000_000).selectExpr("sum(id % 97)").collect()
     )
-    probe()
-    best = None
-    for _ in range(3):
-        t0 = time.time()
+    try:
         probe()
-        el = time.time() - t0
-        best = el if best is None else min(best, el)
-    return round(best, 3)
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            probe()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        return round(best, 3)
+    except Exception:  # noqa: BLE001 — diagnostics, never fatal
+        return None
 
 
 def main() -> None:

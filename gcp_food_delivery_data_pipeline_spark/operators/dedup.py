@@ -1716,7 +1716,12 @@ def containment_join(
     the same non-deterministic-source consistency argument
     ``operators/graph.py`` documents. Measured at sf0.1, local[32]:
     8.4 s → 3.8 s cold, 3.8 s → 3.1 s warm, identical rows. The call
-    therefore RUNS the tokenize+shingle job eagerly. (The
+    therefore RUNS the tokenize+shingle job eagerly, and the
+    checkpoint blocks live OUTSIDE the SQL cache manager —
+    ``spark.catalog.clearCache()`` does not release them; they are
+    freed by the ContextCleaner once the returned frame (and its
+    lineage) is dropped, which a JVM ``System.gc()`` between timed
+    units (bench.py's inter-unit hygiene) drives promptly. (The
     ``prefix_similarity_join`` ≤64-vocab single-long bitmask verify
     does NOT transfer here: it bounds the TOKEN universe, while this
     operator's verify sets are k-token SHINGLES — a 31-token corpus

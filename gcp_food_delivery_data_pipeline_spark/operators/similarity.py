@@ -231,15 +231,18 @@ def _nearest_cells(vec: str, cents: list[list[float]], n: int) -> Column:
     centroid table, shared by candidate assignment (n=1) and query
     probing (n=n_probe).
 
-    The centroid table rides the plan as ONE nested-array Literal
-    (``F.lit(list)``) zipped against a ``sequence`` of cell ids, not
-    a CreateArray tree of n_clusters × dim scalar (cell, cvec) struct
-    literals: a single Literal node keeps analysis + whole-stage-
-    codegen cost flat as the index grows (the struct tree cost ~1 s
-    of first-run compile PER query using it — measured at sf0.1,
-    local[32]: assignment projection 1.4 s → 0.5 s cold, identical
-    cells). Ties still break to the LOWEST cell id via the
-    (dist, cell) struct sort."""
+    The centroid table rides the plan as a flat array-of-arrays
+    (``F.lit(list)`` — which classic PySpark expands to a CreateArray
+    tree of scalar literals, NOT a single Literal node; ConstantFolding
+    collapses the fully-foldable tree into one Literal during
+    optimization, so codegen sees a constant either way) zipped
+    against a ``sequence`` of cell ids. Dropping the former per-cell
+    (cell, cvec) STRUCT wrapping is what cut first-run compile
+    (measured at sf0.1, local[32]: assignment projection 1.4 s →
+    0.5 s cold, identical cells); analysis cost still grows with
+    n_clusters × dim scalar nodes, so very large indexes would want a
+    true Literal route. Ties still break to the LOWEST cell id via
+    the (dist, cell) struct sort."""
     cent_lit = F.lit([[float(x) for x in c] for c in cents])
     dists = F.transform(
         cent_lit,
@@ -671,10 +674,10 @@ def _pq_book_dists(sub: Column, book: list[list[float]]) -> Column:
     single expression tree the engine compiles ONCE and evaluates per
     codeword — vs materializing n_codes separate fold trees, which
     made the encode plan ~16x larger and cost ~5 s of compile for 5 K
-    rows (profiled at sf0.1). The codebook itself is ONE nested-array
-    Literal (``F.lit(list)``), not a CreateArray tree of n_codes x
-    sub_d scalars — same flat-compile rationale as
-    ``_nearest_cells``."""
+    rows (profiled at sf0.1). The codebook rides as ``F.lit(list)``
+    (a CreateArray tree that ConstantFolding collapses to one Literal
+    at optimization — see ``_nearest_cells`` for the accurate cost
+    story)."""
     booklit = F.lit([[float(x) for x in c] for c in book])
     return F.transform(
         booklit,
