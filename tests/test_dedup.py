@@ -888,6 +888,23 @@ def test_prefix_join_leaves_no_persisted_frames(spark):
         assert persistent_ids() - before == set()
 
 
+def test_prefix_join_empty_and_blank_corpora(spark):
+    """Degenerate corpora through the literal-frame probe path: an
+    EMPTY frame (0-row probe -> small-universe with an empty literal
+    table) and an all-blank frame (every doc filtered on token count)
+    both yield zero pairs without erroring."""
+    from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
+        prefix_similarity_join,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert prefix_similarity_join(empty).count() == 0
+    blank = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "  ")], "doc_id long, text string"
+    )
+    assert prefix_similarity_join(blank).count() == 0
+
+
 def test_prefix_join_large_vocab_takes_general_path(spark):
     """A corpus whose global vocabulary exceeds the 64-token universe
     must produce correct exact results through the general path (the
