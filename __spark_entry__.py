@@ -4318,15 +4318,20 @@ def _q_ndcg_topk(spark: SparkSession, sf: str) -> DataFrame:
 #    is honored again); v_topk_ivf probes every cell so its values
 #    are unchanged by construction, v_ivfpq_topk re-verified >= its
 #    pinned recall floor at sf0.001/0.01/0.1.
+#    d_fuzzy_pairs / d_edit_pairs — Levenshtein moved to the bounded
+#    threshold form (banded DP, -1 above max_dist; kept rows carry
+#    the identical exact distance — 58 → ~44 s at sf0.1 for the
+#    fuzzy block join).
 # 2. the brand-new round-10 key: d_prefix_join_slice (the bench-
 #    trackable quarter-corpus PPJoin — first-time evidence).
 # 3. the last 7 r3-era grades (byte-exact pytest-pinned conf/DDL/
 #    writer/format round-trips + md5 sampling determinism) — after
 #    this round no key's driver grade predates r4.
-# 4. the 37 oldest r4-era grades, alphabetical (10 r4 keys remain
-#    for round 11: s_stream_hourly s_stream_sessions
-#    s_stream_user_totals s_time_travel t_bm25 t_bpe_pairs
-#    t_perplexity t_repetition v_kmeans_assign v_quantize_int8).
+# 4. the 35 oldest r4-era grades, alphabetical (12 r4 keys remain
+#    for round 11: s_media_source s_snapshot_diff s_stream_hourly
+#    s_stream_sessions s_stream_user_totals s_time_travel t_bm25
+#    t_bpe_pairs t_perplexity t_repetition v_kmeans_assign
+#    v_quantize_int8).
 _GRADE_FIRST = [
     # -- results/plan changed this round --
     "t_scrub_pii",
@@ -4334,6 +4339,8 @@ _GRADE_FIRST = [
     "d_prefix_join",
     "v_topk_ivf",
     "v_ivfpq_topk",
+    "d_fuzzy_pairs",
+    "d_edit_pairs",
     # -- new key this round --
     "d_prefix_join_slice",
     # -- r3-era grades (the last 7) --
@@ -4351,7 +4358,7 @@ _GRADE_FIRST = [
     "q_mad_outliers", "q_session_window", "q_sketch_rollup",
     "q_unpivot", "q_value_histogram", "q_weighted_sample",
     "q_zorder_buckets", "q_zscore", "s_compact_roundtrip",
-    "s_matview_refresh", "s_media_source", "s_snapshot_diff",
+    "s_matview_refresh",
 ]
 
 
