@@ -4322,16 +4322,23 @@ def _q_ndcg_topk(spark: SparkSession, sf: str) -> DataFrame:
 #    threshold form (banded DP, -1 above max_dist; kept rows carry
 #    the identical exact distance — 58 → ~44 s at sf0.1 for the
 #    fuzzy block join).
+#    d_near_dup_pairs / c_prep_pipeline / d_incremental_dedup /
+#    t_distinctive_terms / d_dup_components / d_minhash_estimate /
+#    c_split_leakage — cache-lifecycle re-plan (session-lifetime
+#    persist() entries replaced by lineage-scoped eager
+#    localCheckpoints in lsh_candidate_pairs / incremental_dedup /
+#    distinctive_terms; identical rows, leak-free).
 # 2. the brand-new round-10 key: d_prefix_join_slice (the bench-
 #    trackable quarter-corpus PPJoin — first-time evidence).
 # 3. the last 7 r3-era grades (byte-exact pytest-pinned conf/DDL/
 #    writer/format round-trips + md5 sampling determinism) — after
 #    this round no key's driver grade predates r4.
-# 4. the 35 oldest r4-era grades, alphabetical (12 r4 keys remain
-#    for round 11: s_media_source s_snapshot_diff s_stream_hourly
-#    s_stream_sessions s_stream_user_totals s_time_travel t_bm25
-#    t_bpe_pairs t_perplexity t_repetition v_kmeans_assign
-#    v_quantize_int8).
+# 4. the 28 oldest r4-era grades, alphabetical (19 r4 keys remain
+#    for round 11: q_unpivot q_value_histogram q_weighted_sample
+#    q_zorder_buckets q_zscore s_compact_roundtrip s_matview_refresh
+#    s_media_source s_snapshot_diff s_stream_hourly s_stream_sessions
+#    s_stream_user_totals s_time_travel t_bm25 t_bpe_pairs
+#    t_perplexity t_repetition v_kmeans_assign v_quantize_int8).
 _GRADE_FIRST = [
     # -- results/plan changed this round --
     "t_scrub_pii",
@@ -4341,6 +4348,13 @@ _GRADE_FIRST = [
     "v_ivfpq_topk",
     "d_fuzzy_pairs",
     "d_edit_pairs",
+    "d_near_dup_pairs",
+    "c_prep_pipeline",
+    "d_incremental_dedup",
+    "t_distinctive_terms",
+    "d_dup_components",
+    "d_minhash_estimate",
+    "c_split_leakage",
     # -- new key this round --
     "d_prefix_join_slice",
     # -- r3-era grades (the last 7) --
@@ -4356,9 +4370,6 @@ _GRADE_FIRST = [
     "q_approx_topk", "q_approx_users", "q_corr_stats",
     "q_dq_orders", "q_incremental_rollup", "q_key_skew",
     "q_mad_outliers", "q_session_window", "q_sketch_rollup",
-    "q_unpivot", "q_value_histogram", "q_weighted_sample",
-    "q_zorder_buckets", "q_zscore", "s_compact_roundtrip",
-    "s_matview_refresh",
 ]
 
 

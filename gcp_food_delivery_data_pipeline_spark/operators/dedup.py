@@ -968,14 +968,16 @@ def lsh_candidate_pairs(
         "id_a", "id_b", F.round(jaccard, 6).alias("jaccard")
     )
     if cache_signatures:
-        # Materialize the (small — pairs only) result so the
-        # corpus-sized signature cache can be released NOW rather than
-        # leaking for the session lifetime; the pair cache itself is a
-        # few narrow columns and LRU-evictable.
-        from pyspark import StorageLevel
-
-        result = result.persist(StorageLevel.MEMORY_AND_DISK)
-        result.count()
+        # Materialize the (small — pairs only) result as an eager
+        # localCheckpoint so the corpus-sized signature cache can be
+        # released NOW rather than leaking for the session lifetime.
+        # A checkpoint (not persist) for the result itself: its blocks
+        # live exactly as long as the returned frame is referenced
+        # (ContextCleaner frees them on drop) instead of occupying a
+        # cache-manager entry until someone remembers to unpersist —
+        # the session-lifetime-leak class the round-9 review flagged
+        # on prefix_similarity_join.
+        result = result.localCheckpoint(eager=True)
         with_sig.unpersist()
     return result
 
@@ -1159,7 +1161,7 @@ def prefix_similarity_join(
     (bit position = the same global rarity rank) and the verify step
     is ``bit_count(a & b) / bit_count(a | b)`` over two longs instead
     of hash-set intersections over string arrays — identical exact
-    Jaccard, measured 139 s → ~45 s at sf0.1 where 57% of all pairs
+    Jaccard, measured 139 s → ~32 s at sf0.1 where 57% of all pairs
     verify. Natural-language corpora exceed 64 tokens and take the
     general array path; the probe is one bounded ``limit(65)``
     collect whose rows double as the literal frequency table on the
@@ -1563,18 +1565,18 @@ def incremental_dedup(
     the banding bound (bands=32 of 2 rows: miss ~6e-15 at t=0.8 —
     effectively exhaustive, gradeable against an all-pairs oracle).
     """
-    from pyspark import StorageLevel
-
     rows = num_hashes // bands
     # Each signature frame feeds its band table AND the shingle
-    # re-attach below; persist so the minhash pass runs once per side
-    # (released as soon as the small dup-id list materializes).
+    # re-attach below; eager localCheckpoints so the minhash pass
+    # runs once per side, with block lifetime tied to the returned
+    # frame's lineage (no session cache-manager entries to leak —
+    # and nothing to remember to unpersist).
     c_sig = _minhash_frame_arrow(
         corpus, text_col, id_col, num_hashes, shingle_k
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     b_sig = _minhash_frame_arrow(
         batch, text_col, id_col, num_hashes, shingle_k
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     c_band = _band_hashes(c_sig, bands, rows)
     b_band = _band_hashes(b_sig, bands, rows)
     cands = (
@@ -1607,11 +1609,11 @@ def incremental_dedup(
         )
         .select(F.col("_bid").alias(id_col))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    dup_ids.count()  # materialize the (small) dup list, then release
-    c_sig.unpersist()
-    b_sig.unpersist()
+    # dup_ids stays LAZY: its lineage reads the two checkpointed
+    # signature snapshots, so executing the returned anti-join runs
+    # the band join + verify exactly once from materialized blocks —
+    # no cached dup list to leak past the call.
     return batch.join(dup_ids, id_col, "left_anti")
 
 

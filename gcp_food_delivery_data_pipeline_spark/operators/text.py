@@ -1051,13 +1051,16 @@ def distinctive_terms(
         F.col(source_col).alias("source"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
-    # persist the aggregated counts: the corpus-total collect below
-    # would otherwise re-run the whole explode+shuffle lineage a
-    # second time when the returned frame executes (per is the
-    # post-aggregation frame — vocab-sized, cheap to cache)
+    # Materialize the aggregated counts (eager localCheckpoint): the
+    # corpus-total collect below would otherwise re-run the whole
+    # explode+shuffle lineage a second time when the returned frame
+    # executes (per is the post-aggregation frame — vocab-sized).
+    # A checkpoint, not persist(): blocks release with the returned
+    # frame's lineage instead of holding a session-lifetime cache
+    # entry no caller ever unpersists.
     per = toks.groupBy("source", "term").agg(
         F.count(F.lit(1)).alias("n_in_source")
-    ).persist()
+    ).localCheckpoint(eager=True)
     total = per.agg(F.sum("n_in_source")).collect()[0][0] or 0
     w_term = Window.partitionBy("term")
     w_src = Window.partitionBy("source")
