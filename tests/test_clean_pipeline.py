@@ -205,3 +205,22 @@ def test_repair_scientific_id_matches_python_model(spark):
             assert r.got == r.want
 
     inner()
+
+
+def test_reader_conveniences(spark, tmp_path):
+    """read_orders_text (raw ReadFromText parity) and load_tables
+    (bulk loader over load_table) — the thin public conveniences."""
+    from gcp_food_delivery_data_pipeline_spark.sources.readers import (
+        load_tables,
+        read_orders_text,
+    )
+
+    p = tmp_path / "f.csv"
+    p.write_text("h1,h2\na,b\n")
+    lines = read_orders_text(spark, str(p))
+    assert lines.columns == ["value"] and lines.count() == 2
+    tabs = load_tables(
+        spark, "/root/testdata/sf0.001", ["region", "nation"]
+    )
+    assert set(tabs) == {"region", "nation"}
+    assert tabs["region"].count() == 5

@@ -134,14 +134,18 @@ def test_connected_components_transitive_closure(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
 
 
-def test_embedding_blocked_pairs_match_expr_baseline(spark):
-    """The distributed blocked kernel (default at scale: no driver
-    collect, no corpus broadcast) must produce bit-identical pairs to
-    the pure-Column BNLJ baseline on the driver's real embeddings."""
+def test_embedding_pair_kernels_all_match_expr_baseline(spark):
+    """ALL THREE pair generators behind embedding_near_dedup's impl
+    switch must produce identical pairs on the driver's real
+    embeddings: the distributed blocked kernel (default at scale: no
+    driver collect, no corpus broadcast), the driver-collected
+    broadcast-matmul 'blas' variant, and the pure-Column BNLJ
+    baseline."""
     import os
 
     from gcp_food_delivery_data_pipeline_spark.operators.dedup import (
         embedding_near_dup_pairs,
+        embedding_near_dup_pairs_blas,
         embedding_near_dup_pairs_blocked,
     )
     from gcp_food_delivery_data_pipeline_spark.sources.readers import (
@@ -155,7 +159,7 @@ def test_embedding_blocked_pairs_match_expr_baseline(spark):
     )
     # force a multi-block grid so diagonal AND off-diagonal kernel
     # branches both execute
-    got = sorted(
+    got_blocked = sorted(
         map(
             tuple,
             embedding_near_dup_pairs_blocked(
@@ -163,7 +167,14 @@ def test_embedding_blocked_pairs_match_expr_baseline(spark):
             ).collect(),
         )
     )
-    assert got == want and len(want) > 0
+    got_blas = sorted(
+        map(
+            tuple,
+            embedding_near_dup_pairs_blas(e, threshold=0.35).collect(),
+        )
+    )
+    assert got_blocked == want and len(want) > 0
+    assert got_blas == want
 
 
 def test_simhash_banded_pairs_equal_brute_force(spark):

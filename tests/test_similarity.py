@@ -586,3 +586,24 @@ def test_ivf_pq_full_probe_full_rerank_is_exact(embeddings):
     a = {(r.query_id, r.rank, r.neighbor_id) for r in ann.collect()}
     e = {(r.query_id, r.rank, r.neighbor_id) for r in exact.collect()}
     assert a == e
+
+
+def test_with_lsh_bucket_packs_sign_bits(spark):
+    """Single-table bucketizer: bit i of the LONG bucket is
+    sign(v · h_i) — verified against a hand computation, including a
+    boundary dot product (>= 0 sets the bit)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.similarity import (
+        with_lsh_bucket,
+    )
+
+    planes = [[1.0, 0.0], [0.0, 1.0], [-1.0, 1.0]]
+    rows = [
+        (1, [2.0, -3.0]),   # dots: 2, -3, -5  -> bits 100 -> 1
+        (2, [1.0, 1.0]),    # dots: 1, 1, 0    -> bits 111 -> 7 (0 counts)
+        (3, [-1.0, -1.0]),  # dots: -1, -1, 0  -> bits 100 via plane 3 -> 4
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {
+        r.vec_id: r.bucket for r in with_lsh_bucket(df, planes).collect()
+    }
+    assert got == {1: 1, 2: 7, 3: 4}

@@ -172,3 +172,27 @@ def test_gopher_rules_empty(spark):
 
     df = spark.createDataFrame([], "doc_id int, text string")
     assert gopher_rules(df).count() == 0
+
+
+def test_word_bigrams_alias(spark):
+    """word_bigrams is the n=2 convenience over word_ngrams_all."""
+    from gcp_food_delivery_data_pipeline_spark.operators.text import (
+        word_bigrams,
+        word_ngrams_all,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo"), (3, "")], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: r.bg
+        for r in df.select("doc_id", word_bigrams("text").alias("bg")).collect()
+    }
+    assert got == {1: ["a b", "b c"], 2: [], 3: []}
+    twin = {
+        r.doc_id: r.bg
+        for r in df.select(
+            "doc_id", word_ngrams_all("text", 2).alias("bg")
+        ).collect()
+    }
+    assert twin == got
