@@ -1168,6 +1168,17 @@ def prefix_similarity_join(
     small path. Pass ``small_universe_max_vocab=0`` to force the
     general path (the equality of both paths is pytest-pinned).
 
+    DETERMINISTIC-SOURCE assumption (small path only): the probe
+    collect and the main query are two separate jobs over ``df``. If
+    ``df`` is non-deterministic between jobs (a re-sampled source, a
+    re-read mutable table) or its vocabulary crosses 64 tokens
+    between them, tokens absent from the literal frequency frame are
+    silently dropped by the inner ``tok_rows.join(freq)`` — wrong
+    Jaccards, not an error. Feed the small path a deterministic
+    snapshot (parquet read, checkpointed frame); for anything else
+    pass ``small_universe_max_vocab=0`` — the general path reads the
+    source under one job and has no cross-job consistency surface.
+
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
     to 6, only pairs >= ``threshold``; blank docs drop out.
     """
@@ -1557,6 +1568,16 @@ def incremental_dedup(
     the band join is a plain keyed equi-join, shuffle ∝ batch + the
     corpus band partitions it touches.
 
+    ONE-ACTION contract: the returned frame is lazy above the two
+    checkpointed signature snapshots, so each action a caller runs
+    re-executes the band join + Jaccard verify (from materialized
+    signatures — the minhash pass itself never re-runs). A
+    count-then-write consumer therefore pays the verify twice; if you
+    need multiple actions, materialize the result yourself
+    (``df.localCheckpoint(eager=False)`` keeps blocks lineage-scoped
+    and defers the job to the first action) — the builder does not
+    pre-pay that job for the common write-once path.
+
     100 TB shape: the corpus band table is a pure function of the
     corpus, so production materializes it ONCE (bucketed by
     (band, band_hash)) and every batch joins against the bucketed
@@ -1734,7 +1755,22 @@ def containment_join(
     ``spark.catalog.clearCache()`` does not release them; they are
     freed by the ContextCleaner once the returned frame (and its
     lineage) is dropped, which a JVM ``System.gc()`` between timed
-    units (bench.py's inter-unit hygiene) drives promptly. (The
+    units (bench.py's inter-unit hygiene) drives promptly. Two
+    cluster-scale caveats of that choice: (1) calling this builder
+    executes the tokenize+shingle Spark job EAGERLY even if the
+    returned frame is never acted on — callers composing plans
+    speculatively should defer the call, not the action; (2)
+    ``localCheckpoint`` blocks are NOT fault-tolerant — they truncate
+    lineage, so losing an executor that holds blocks fails the query
+    instead of recomputing (a ``persist(MEMORY_AND_DISK)`` subtree
+    would recompute; a reliable ``checkpoint()`` to HDFS/object
+    storage would survive). On a 1000-executor run where executor
+    loss is routine, swap the ``localCheckpoint(eager=True)`` for
+    ``spark.sparkContext.setCheckpointDir(...)`` + ``checkpoint()``
+    (durable, one extra write) or ``persist(MEMORY_AND_DISK)`` with
+    an explicit ``unpersist()`` after the consuming action — the
+    single-JVM bench harness here cannot lose an executor, so the
+    zero-copy local form is the right local[32] default. (The
     ``prefix_similarity_join`` ≤64-vocab single-long bitmask verify
     does NOT transfer here: it bounds the TOKEN universe, while this
     operator's verify sets are k-token SHINGLES — a 31-token corpus
