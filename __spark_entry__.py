@@ -4299,77 +4299,40 @@ def _q_ndcg_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ndcg_at_k(emb, emb.filter(F.col("vec_id") < 50), k=10)
 
 
-# Round-10 grading priority (the driver grades the first 50 keys of
+# Round-11 grading priority (the driver grades the first 50 keys of
 # queries() in order; see GRADE_MANIFEST.json for per-key staleness):
-# 1. results/plan changed this round (must re-grade):
-#    t_scrub_pii — per-pattern counts moved from raw-text to
-#    sequential-intermediate measurement (count == replacements
-#    actually performed), oracle SQL updated in lockstep; plus the
-#    until_stable fixpoint flag (default path byte-identical).
-#    d_containment — the shingle table is now checkpoint-materialized
-#    once instead of re-scanned per branch (10 parquet scans -> 0;
-#    8.4 -> 3.8 s cold at sf0.1, identical rows, plan-pinned).
-#    d_prefix_join — the small-universe probe no longer persists the
-#    frequency frame (probe rows become a literal local frame);
-#    identical rows, leak-free (pytest-pinned persistent-RDD census).
-#    v_topk_ivf / v_ivfpq_topk — the IVF coarse quantizer now trains
-#    on a seeded md5-hash draw over the whole corpus instead of the
-#    id-ordered prefix (unbiased under id-content correlation; seed
-#    is honored again); v_topk_ivf probes every cell so its values
-#    are unchanged by construction, v_ivfpq_topk re-verified >= its
-#    pinned recall floor at sf0.001/0.01/0.1.
-#    d_fuzzy_pairs / d_edit_pairs — Levenshtein moved to the bounded
-#    threshold form (banded DP, -1 above max_dist; kept rows carry
-#    the identical exact distance — 58 → ~44 s at sf0.1 for the
-#    fuzzy block join).
-#    d_near_dup_pairs / c_prep_pipeline / d_incremental_dedup /
-#    t_distinctive_terms / d_dup_components / d_minhash_estimate /
-#    c_split_leakage — cache-lifecycle re-plan (session-lifetime
-#    persist() entries replaced by lineage-scoped eager
-#    localCheckpoints in lsh_candidate_pairs / incremental_dedup /
-#    distinctive_terms; identical rows, leak-free).
-# 2. the brand-new round-10 key: d_prefix_join_slice (the bench-
-#    trackable quarter-corpus PPJoin — first-time evidence).
-# 3. the last 7 r3-era grades (byte-exact pytest-pinned conf/DDL/
-#    writer/format round-trips + md5 sampling determinism) — after
-#    this round no key's driver grade predates r4.
-# 4. the 28 oldest r4-era grades, alphabetical (19 r4 keys remain
-#    for round 11: q_unpivot q_value_histogram q_weighted_sample
-#    q_zorder_buckets q_zscore s_compact_roundtrip s_matview_refresh
-#    s_media_source s_snapshot_diff s_stream_hourly s_stream_sessions
-#    s_stream_user_totals s_time_travel t_bm25 t_bpe_pairs
-#    t_perplexity t_repetition v_kmeans_assign v_quantize_int8).
+# Round 11 changed no query results or physical plans (evidence-
+# hygiene round: docstring contracts, scale measurement, grading
+# rotation), so the list is pure staleness rotation from
+# GRADE_MANIFEST.json oldest_first:
+# 1. the last 19 r4-era grades — includes the five s_stream_* keys
+#    VERDICT r10 item 6 asked to re-grade after the r9/r10 streaming
+#    refactors (stream==batch is the stronger contract than pytest).
+#    After this round no key's driver grade predates r5.
+# 2. the 31 oldest r5-era grades, alphabetical (16 r5 keys remain
+#    for round 12's rotation).
+# Exactly 50 unique keys (pinned by tests/test_entry_contract.py).
 _GRADE_FIRST = [
-    # -- results/plan changed this round --
-    "t_scrub_pii",
-    "d_containment",
-    "d_prefix_join",
-    "v_topk_ivf",
-    "v_ivfpq_topk",
-    "d_fuzzy_pairs",
-    "d_edit_pairs",
-    "d_near_dup_pairs",
-    "c_prep_pipeline",
-    "d_incremental_dedup",
-    "t_distinctive_terms",
-    "d_dup_components",
-    "d_minhash_estimate",
-    "c_split_leakage",
-    # -- new key this round --
-    "d_prefix_join_slice",
-    # -- r3-era grades (the last 7) --
-    "o6_conf", "q_hash_sample", "s3_write_readback", "s5_ddl",
-    "s_json_roundtrip", "s_orc_roundtrip", "s_schema_evolution",
-    # -- r4-era grades (37 oldest of 47) --
-    "c_chunks", "c_contamination", "c_mix_sources",
-    "c_pack_sequences", "c_prep_pipeline", "c_redact_pii",
-    "c_shuffle_rank", "c_split_assign", "c_split_leakage",
-    "d_fuzzy_decontam", "d_minhash_estimate", "d_semantic_dedup",
-    "d_simhash_pairs", "m_decode_gif", "m_decode_png",
-    "m_decode_wav", "m_frames", "m_resize", "p_repair_ids",
-    "q_approx_topk", "q_approx_users", "q_corr_stats",
-    "q_dq_orders", "q_incremental_rollup", "q_key_skew",
-    "q_mad_outliers", "q_session_window", "q_sketch_rollup",
+    # -- r4-era grades (all 19 remaining) --
+    "q_unpivot", "q_value_histogram", "q_weighted_sample",
+    "q_zorder_buckets", "q_zscore", "s_compact_roundtrip",
+    "s_matview_refresh", "s_media_source", "s_snapshot_diff",
+    "s_stream_hourly", "s_stream_sessions", "s_stream_user_totals",
+    "s_time_travel", "t_bm25", "t_bpe_pairs",
+    "t_perplexity", "t_repetition", "v_kmeans_assign",
+    "v_quantize_int8",
+    # -- r5-era grades (31 oldest of 78, alphabetical) --
+    "c_length_buckets", "c_split_by_source", "c_temporal_split",
+    "clean_chain", "d_span_dedup", "d_span_removed",
+    "f1_delivered", "f2_other", "g_label_propagation",
+    "g_triangles", "j_scd2_intervals", "m_decode_png_rgb",
+    "p1_strip_colon", "p2_p3_clean", "p4_constant",
+    "p5_projection", "q21_last_shipper", "q_approx_quantiles",
+    "q_benford_audit", "q_entropy_profile", "q_ewma_value",
+    "q_gini_revenue", "q_latest_event", "q_new_vs_returning",
+    "q_ntile_buckets", "q_order_intervals", "q_pareto_front",
+    "q_part_pairs", "q_revenue_trend", "q_session_paths",
+    "q_sessionize",
 ]
 
 

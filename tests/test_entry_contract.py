@@ -27,6 +27,17 @@ def test_every_query_has_an_oracle():
     assert rows_only == set(), f"lost oracles: {sorted(rows_only)}"
 
 
+def test_grade_first_is_50_unique_known_keys():
+    # The driver grades the first 50 keys of queries(); _GRADE_FIRST
+    # pins that budget. Round-10 ADVICE found 3 duplicate entries that
+    # silently shrank the pinned set to 47 — lock the invariant.
+    g = entry._GRADE_FIRST
+    assert len(g) == 50, f"expected exactly 50 pinned keys, got {len(g)}"
+    assert len(set(g)) == len(g), "duplicate keys in _GRADE_FIRST"
+    unknown = set(g) - set(entry.queries())
+    assert not unknown, f"pinned keys with no query: {sorted(unknown)}"
+
+
 def test_part_edges_memo_evicts_only_stopped_sessions(spark):
     """The shared-edge-table memo drops a foreign-app entry only when
     its OWNING session has actually stopped (a long-lived process
