@@ -263,6 +263,39 @@ def _calibration_probe(spark) -> float | None:
         return None
 
 
+def _calibration_probe_io(spark, sf_dir: str) -> float | None:
+    """IO/shuffle-touching probe (best of 3): small parquet scan ->
+    one-exchange groupBy -> noop write. Round-11 post-mortem
+    (SCALE.md): heavy-shuffle residue from a prior process inflated
+    Spark queries up to 1.8x while the pure-CPU probe stayed flat
+    (t_sparse_nn 31.3 s vs 56.2 s on a fresh JVM with cal 0.18 —
+    "clean"). The CPU probe is blind to exactly the pollution class
+    that dominated BENCH_r11.json; this probe exercises the polluted
+    path — file scan, shuffle write+read, sink — so the pair of
+    probes brackets both drift classes. Fault-isolated like the CPU
+    probe: diagnostics must never void the run."""
+    path = os.path.join(sf_dir, "orders.parquet")
+    probe = lambda: (  # noqa: E731
+        spark.read.parquet(path)
+        .groupBy("o_custkey")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    try:
+        probe()  # untimed: codegen/JIT + page-cache first touch
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            probe()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        return round(best, 3)
+    except Exception:  # noqa: BLE001 — diagnostics, never fatal
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -281,6 +314,7 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — warmup is best-effort
         pass
     cal_start = _calibration_probe(spark)
+    cal_io_start = _calibration_probe_io(spark, sf_dir)
 
     # Fault isolation (round-2 post-mortem): ONE query raising used to
     # void the whole run — two rounds produced zero bench signal. Each
@@ -383,6 +417,7 @@ def main() -> None:
             extra[name] = el
 
     cal_end = _calibration_probe(spark)
+    cal_io_end = _calibration_probe_io(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     # Full-detail artifact (positions, method, 3-decimal timings,
     # errors) goes to a FILE the round commits; the stdout line stays
@@ -410,6 +445,10 @@ def main() -> None:
         # rounds BEFORE reading timing deltas as plan changes; a
         # start/end gap means the box drifted DURING this run.
         "calibration_sec": {"start": cal_start, "end": cal_end},
+        # IO/shuffle-touching twin (scan+groupBy+noop): catches the
+        # cross-process shuffle-residue drift class the CPU probe is
+        # proven blind to (r11 post-mortem, SCALE.md).
+        "calibration_io_sec": {"start": cal_io_start, "end": cal_io_end},
         "positions": positions,
     }
     if errors:
@@ -427,6 +466,7 @@ def main() -> None:
             "unit": "sec",
             "sf": sf,
             "cal": [cal_start, cal_end],
+            "cal_io": [cal_io_start, cal_io_end],
             "queries": q,
             "extra_queries": x,
         }
