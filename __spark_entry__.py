@@ -4299,40 +4299,39 @@ def _q_ndcg_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ndcg_at_k(emb, emb.filter(F.col("vec_id") < 50), k=10)
 
 
-# Round-11 grading priority (the driver grades the first 50 keys of
+# Round-12 grading priority (the driver grades the first 50 keys of
 # queries() in order; see GRADE_MANIFEST.json for per-key staleness):
-# Round 11 changed no query results or physical plans (evidence-
-# hygiene round: docstring contracts, scale measurement, grading
-# rotation), so the list is pure staleness rotation from
-# GRADE_MANIFEST.json oldest_first:
-# 1. the last 19 r4-era grades — includes the five s_stream_* keys
-#    VERDICT r10 item 6 asked to re-grade after the r9/r10 streaming
-#    refactors (stream==batch is the stronger contract than pytest).
-#    After this round no key's driver grade predates r5.
-# 2. the 31 oldest r5-era grades, alphabetical (16 r5 keys remain
-#    for round 12's rotation).
+# Round 12 changes no query results (the checkpoint_mode parameter
+# defaults to the prior localCheckpoint behavior, with hash-parity
+# tests pinning mode equivalence), so the list is pure staleness
+# rotation from GRADE_MANIFEST.json oldest_first after folding
+# CORRECTNESS_r11:
+# 1. all 11 remaining r5-era grades — after this round no key's
+#    driver grade predates r7.
+# 2. the 39 oldest r7-era grades, alphabetical (6 r7 keys remain
+#    for round 13's rotation: t_sparse_nn, t_zipf_profile,
+#    v_bitq_topk, v_pq_topk, v_random_projection, v_topk_truncated).
 # Exactly 50 unique keys (pinned by tests/test_entry_contract.py).
 _GRADE_FIRST = [
-    # -- r4-era grades (all 19 remaining) --
-    "q_unpivot", "q_value_histogram", "q_weighted_sample",
-    "q_zorder_buckets", "q_zscore", "s_compact_roundtrip",
-    "s_matview_refresh", "s_media_source", "s_snapshot_diff",
-    "s_stream_hourly", "s_stream_sessions", "s_stream_user_totals",
-    "s_time_travel", "t_bm25", "t_bpe_pairs",
-    "t_perplexity", "t_repetition", "v_kmeans_assign",
-    "v_quantize_int8",
-    # -- r5-era grades (31 oldest of 78, alphabetical) --
-    "c_length_buckets", "c_split_by_source", "c_temporal_split",
-    "clean_chain", "d_span_dedup", "d_span_removed",
-    "f1_delivered", "f2_other", "g_label_propagation",
-    "g_triangles", "j_scd2_intervals", "m_decode_png_rgb",
-    "p1_strip_colon", "p2_p3_clean", "p4_constant",
-    "p5_projection", "q21_last_shipper", "q_approx_quantiles",
-    "q_benford_audit", "q_entropy_profile", "q_ewma_value",
-    "q_gini_revenue", "q_latest_event", "q_new_vs_returning",
-    "q_ntile_buckets", "q_order_intervals", "q_pareto_front",
-    "q_part_pairs", "q_revenue_trend", "q_session_paths",
-    "q_sessionize",
+    # -- r5-era grades (all 11 remaining) --
+    "q_skew_salted_join", "q_stratified_sample", "q_time_to_convert",
+    "q_variant_props", "q_winsorize", "s1_scan_count",
+    "s_bucketed_join", "s_stream_attribution", "s_stream_cdc_upsert",
+    "s_stream_dedup", "s_stream_quality",
+    # -- r7-era grades (39 oldest of 45, alphabetical) --
+    "c_dataset_card", "c_mix_temperature", "c_sample_negatives",
+    "c_shard_assign", "c_token_budget", "c_upsample",
+    "g_bfs_parts", "g_hits", "g_kcore",
+    "g_kcore_stable", "g_link_prediction", "g_lpa_stable",
+    "g_pagerank_parts", "j_asof_nearest", "m_audio_frames",
+    "m_phash", "q11_important_stock", "q16_supplier_attrs",
+    "q20_promo_suppliers", "q2_min_cost_supplier", "q_bloom_semijoin",
+    "q_chi2_independence", "q_cms_counts", "q_cohort_ltv",
+    "q_cusum_changepoint", "q_hilbert_buckets", "q_holt_linear",
+    "q_hourly_interpolate", "q_kmv_overlap", "q_ks_drift",
+    "q_ols_trend", "q_psi_drift", "q_rfm_segments",
+    "q_session_concurrency", "q_sql_api_twin", "s_avro_roundtrip",
+    "s_stream_enrich", "s_stream_left_join", "t_ngram_novelty",
 ]
 
 
