@@ -45,6 +45,16 @@ d_fuzzy_pairs is SKIPPED at x100 by default: its pair output at
 single run. The x1->x30 points pin its exponent; the skip is
 recorded in the JSON, not silent.
 
+A full sweep MERGES into the committed SCALE_CURVE.json rather than
+clobbering it (ADVICE r11): the committed file carries out-of-band
+cells the sweep itself never produces — hand-merged rested-box
+``samples`` arrays, ``note`` annotations, and the d_fuzzy_pairs@x100
+cell measured outside the sweep budget. Any old cell with a measured
+``sec`` whose fresh counterpart is missing/skipped/errored is carried
+forward verbatim; annotation keys on a re-measured cell are kept,
+with the fresh ``sec`` appended to ``samples``. The prior file is
+also backed up to SCALE_CURVE.json.bak before every rewrite.
+
 Usage:
     python tools/scale_curve.py                 # full sweep -> SCALE_CURVE.json
     python tools/scale_curve.py --sizes x1,x10  # subset
@@ -282,9 +292,17 @@ def main() -> int:
                 sys.executable, os.path.abspath(__file__),
                 "--child", size, sf_dir, op,
             ]
-            proc = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=3600
-            )
+            try:
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=3600
+                )
+            except subprocess.TimeoutExpired:
+                # One hung (size, op) child must not abort the whole
+                # ~45-min sweep and lose every completed cell — record
+                # it like any other per-op failure and move on.
+                results[size][op] = {"error": "timeout: child exceeded 3600s"}
+                print(f"  {op}: TIMEOUT (3600s)")
+                continue
             line = [
                 ln
                 for ln in proc.stdout.splitlines()
@@ -296,6 +314,46 @@ def main() -> int:
                 continue
             results[size][op] = json.loads(line[-1].split(" ", 1)[1])[op]
             print(f"  {op}: {results[size][op]}")
+
+    # Merge pass (ADVICE r11 / module doc): carry forward out-of-band
+    # cells from the committed file so a full sweep cannot silently
+    # lose them. Runs BEFORE fitting so exponents see merged points.
+    old_path = os.path.join(REPO, "SCALE_CURVE.json")
+    old_points: dict[tuple[str, str], dict] = {}
+    if os.path.exists(old_path):
+        try:
+            old = json.load(open(old_path))
+            for op, f in (old.get("fits") or {}).items():
+                for s, cell in (f.get("points") or {}).items():
+                    if isinstance(cell, dict):
+                        old_points[(op, s)] = cell
+        except Exception:  # noqa: BLE001 — unreadable old file: no merge
+            pass
+    for size in wanted:
+        for op in ops_filter or OPS:
+            new = results.get(size, {}).get(op)
+            old_cell = old_points.get((op, size))
+            if old_cell is None:
+                continue
+            if not (isinstance(new, dict) and "sec" in new):
+                if "sec" in old_cell:
+                    # fresh sweep has no measurement here (skip/error/
+                    # timeout) but the committed file does: keep it —
+                    # and if the fresh attempt ERRORED (vs a planned
+                    # skip), surface that beside the carried value
+                    # instead of silently masking a new failure
+                    kept = dict(old_cell)
+                    if isinstance(new, dict) and "error" in new:
+                        kept["fresh_error"] = new["error"]
+                    results[size][op] = kept
+            else:
+                for k, v in old_cell.items():
+                    if k in ("sec", "rows"):
+                        continue
+                    if k == "samples" and isinstance(v, list):
+                        results[size][op][k] = v + [new["sec"]]
+                    else:
+                        results[size][op].setdefault(k, v)
 
     mults = {"x1": 1.0, "x10": 10.0, "x30": 30.0, "x100": 100.0}
     fits = {}
@@ -329,6 +387,10 @@ def main() -> int:
     out = {"sizes": {s: SIZES[s][:2] for s in wanted}, "fits": fits}
     if ops_filter is None and set(wanted) == set(SIZES):
         path = os.path.join(REPO, "SCALE_CURVE.json")
+        if os.path.exists(path):
+            import shutil
+
+            shutil.copyfile(path, path + ".bak")
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
         print(f"wrote {path}")
