@@ -37,6 +37,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gcp_food_delivery_data_pipeline_spark.checkpointing import (
+    materialize as _ckpt,
+)
 from gcp_food_delivery_data_pipeline_spark.operators.text import (
     adjacent_pairs,
     tokens,
@@ -98,7 +101,9 @@ def bpe_train(
     """Learn up to ``n_merges`` BPE merges from the corpus; stops early
     when the best remaining pair occurs fewer than ``min_count`` times
     (merging hapax pairs only memorizes noise)."""
-    wt = word_symbol_table(df, text_col).localCheckpoint()
+    # lineage cut durability follows the session conf
+    # spark.foodPipeline.checkpointMode (default localCheckpoint)
+    wt = _ckpt(word_symbol_table(df, text_col))
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         top = (
@@ -111,9 +116,11 @@ def bpe_train(
             break
         left, right = top[0].left, top[0].right
         merges.append((left, right))
-        wt = wt.select(
-            "word", "n", apply_merge("syms", left, right).alias("syms")
-        ).localCheckpoint()
+        wt = _ckpt(
+            wt.select(
+                "word", "n", apply_merge("syms", left, right).alias("syms")
+            )
+        )
     return merges
 
 

@@ -28,6 +28,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gcp_food_delivery_data_pipeline_spark.checkpointing import (
+    materialize as _ckpt,
+)
 from gcp_food_delivery_data_pipeline_spark.operators.scale import (
     ensure_min_partitions,
 )
@@ -185,6 +188,7 @@ def _global_ordered_rank_and_prefix(
     order_cols: list,
     val: Column,
     val2: Column | None = None,
+    checkpoint_mode: str | None = None,
 ) -> DataFrame:
     """Two-phase distributed global rank + exclusive prefix sum over a
     total order: range-repartition on the order key, rank/prefix-sum
@@ -213,8 +217,10 @@ def _global_ordered_rank_and_prefix(
     # offsets no longer match the local ranks: corrupted global ranks
     # that vary run-to-run (observed once at sf0.1 under a loaded
     # session). localCheckpoint makes both consumers read the same
-    # materialized partitions unconditionally.
-    r = r.localCheckpoint(eager=True)
+    # materialized partitions unconditionally; checkpoint_mode (or the
+    # spark.foodPipeline.checkpointMode conf) picks its durability —
+    # see checkpointing.py.
+    r = _ckpt(r, mode=checkpoint_mode)
     w_local = Window.partitionBy("_part").orderBy(*order_cols)
     local = r.withColumn("_lrank", F.row_number().over(w_local)).withColumn(
         "_lbefore",

@@ -32,6 +32,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gcp_food_delivery_data_pipeline_spark.checkpointing import (
+    materialize as _ckpt,
+)
 from gcp_food_delivery_data_pipeline_spark.operators.scale import (
     ensure_min_partitions,
 )
@@ -872,6 +875,7 @@ def lsh_candidate_pairs(
     shingle_k: int = 3,
     cache_signatures: bool = True,
     impl: str = "arrow",
+    checkpoint_mode: str | None = None,
 ) -> DataFrame:
     """Near-duplicate CANDIDATE pairs via LSH banding.
 
@@ -976,8 +980,9 @@ def lsh_candidate_pairs(
         # (ContextCleaner frees them on drop) instead of occupying a
         # cache-manager entry until someone remembers to unpersist —
         # the session-lifetime-leak class the round-9 review flagged
-        # on prefix_similarity_join.
-        result = result.localCheckpoint(eager=True)
+        # on prefix_similarity_join. checkpoint_mode='reliable' makes
+        # this release point survive executor loss (checkpointing.py).
+        result = _ckpt(result, mode=checkpoint_mode)
         with_sig.unpersist()
     return result
 
@@ -1016,6 +1021,7 @@ def connected_components(
     vertices: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 25,
+    checkpoint_mode: str | None = None,
 ) -> DataFrame:
     """Transitive dup clustering: label every vertex with the MINIMUM id
     reachable through the near-dup pair graph (A~B, B~C ⇒ one cluster,
@@ -1039,25 +1045,28 @@ def connected_components(
     # twice per round (once per unionAll branch) — the dominant cost of
     # the whole operator. The pair set itself is tiny relative to the
     # corpus.
-    edges = (
+    edges = _ckpt(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
-        .localCheckpoint()
+        ),
+        mode=checkpoint_mode,
     )
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
-    ).localCheckpoint()
+    labels = _ckpt(
+        vertices.select(
+            F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+        ),
+        mode=checkpoint_mode,
+    )
     for _ in range(max_iterations):
         neighbor = edges.join(
             labels.withColumnRenamed("id", "dst"), "dst"
         ).select(F.col("src").alias("id"), "comp")
-        new_labels = (
+        new_labels = _ckpt(
             labels.unionByName(neighbor)
             .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+            .agg(F.min("comp").alias("comp")),
+            mode=checkpoint_mode,
         )
         changed = (
             new_labels.join(
@@ -1552,6 +1561,7 @@ def incremental_dedup(
     num_hashes: int = 64,
     bands: int = 32,
     shingle_k: int = 3,
+    checkpoint_mode: str | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus: drop every batch
     document whose shingle-Jaccard with ANY corpus document reaches
@@ -1592,12 +1602,18 @@ def incremental_dedup(
     # runs once per side, with block lifetime tied to the returned
     # frame's lineage (no session cache-manager entries to leak —
     # and nothing to remember to unpersist).
-    c_sig = _minhash_frame_arrow(
-        corpus, text_col, id_col, num_hashes, shingle_k
-    ).localCheckpoint(eager=True)
-    b_sig = _minhash_frame_arrow(
-        batch, text_col, id_col, num_hashes, shingle_k
-    ).localCheckpoint(eager=True)
+    c_sig = _ckpt(
+        _minhash_frame_arrow(
+            corpus, text_col, id_col, num_hashes, shingle_k
+        ),
+        mode=checkpoint_mode,
+    )
+    b_sig = _ckpt(
+        _minhash_frame_arrow(
+            batch, text_col, id_col, num_hashes, shingle_k
+        ),
+        mode=checkpoint_mode,
+    )
     c_band = _band_hashes(c_sig, bands, rows)
     b_band = _band_hashes(b_sig, bands, rows)
     cands = (
@@ -1706,6 +1722,7 @@ def containment_join(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     k: int = 3,
+    checkpoint_mode: str | None = None,
 ) -> DataFrame:
     """EXACT asymmetric containment join: ordered pairs (a, b) where
     C(a→b) = |Sa ∩ Sb| / |Sa| >= threshold over k-token shingle sets —
@@ -1765,12 +1782,13 @@ def containment_join(
     instead of recomputing (a ``persist(MEMORY_AND_DISK)`` subtree
     would recompute; a reliable ``checkpoint()`` to HDFS/object
     storage would survive). On a 1000-executor run where executor
-    loss is routine, swap the ``localCheckpoint(eager=True)`` for
-    ``spark.sparkContext.setCheckpointDir(...)`` + ``checkpoint()``
-    (durable, one extra write) or ``persist(MEMORY_AND_DISK)`` with
-    an explicit ``unpersist()`` after the consuming action — the
-    single-JVM bench harness here cannot lose an executor, so the
-    zero-copy local form is the right local[32] default. (The
+    loss is routine, pass ``checkpoint_mode='reliable'`` (after
+    ``spark.sparkContext.setCheckpointDir(...)``; durable, one extra
+    write) or ``checkpoint_mode='persist'`` (recomputes from lineage
+    on loss) — since round 12 that swap is this parameter (or the
+    session conf ``spark.foodPipeline.checkpointMode``), not a code
+    edit; the single-JVM bench harness here cannot lose an executor,
+    so the zero-copy local form is the right local[32] default. (The
     ``prefix_similarity_join`` ≤64-vocab single-long bitmask verify
     does NOT transfer here: it bounds the TOKEN universe, while this
     operator's verify sets are k-token SHINGLES — a 31-token corpus
@@ -1791,8 +1809,8 @@ def containment_join(
         )
         .filter(F.size("_tk") > 0)
         .select("_id", shingles_from_tokens(F.col("_tk"), k).alias("_sh"))
-        .localCheckpoint(eager=True)
     )
+    sh = _ckpt(sh, mode=checkpoint_mode)
 
     rows = sh.select("_id", F.explode("_sh").alias("_str")).select(
         "_id", _shingle_hash(F.col("_str")).alias("_s")

@@ -17,8 +17,12 @@ Scale notes (100 TB / 1000 executors):
   sf0.1: 10 PageRank rounds 10.8 s → 5.2 s from this plus the
   skip-redundant-copy rule below, identical ranks.
 * ``localCheckpoint(eager=True)`` per round bounds plan depth and
-  memory; a production run on a shared cluster would use reliable
-  ``checkpoint`` to survive executor loss across a long loop.
+  memory; a production run on a shared cluster passes
+  ``checkpoint_mode='reliable'`` (or sets the session conf
+  ``spark.foodPipeline.checkpointMode``) to survive executor loss
+  across a long loop — every loop in this module threads the mode
+  through ``checkpointing.materialize`` (result-identical by
+  construction; pinned by tests/test_checkpoint_modes.py).
 * When the caller hands in an ALREADY-materialized edge list (a
   narrow projection over a checkpointed RDD — e.g. a memoized shared
   edge table), ``_materialize`` skips the redundant second copy:
@@ -32,16 +36,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gcp_food_delivery_data_pipeline_spark.checkpointing import (
+    materialize as _ckpt,
+)
+
 _NARROW_OPS = ("Project", "Filter", "SubqueryAlias", "LogicalRDD")
 
 
-def _materialize(df: DataFrame) -> DataFrame:
+def _materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
     """``localCheckpoint(eager=True)`` unless ``df`` is already a
     narrow view — projections/filters only — over a materialized RDD,
     in which case every downstream branch re-reads the existing
     blocks and a second copy buys nothing. Conservative: any operator
     outside the narrow set (joins, aggregates, distinct, repartition)
     falls through to a real checkpoint.
+
+    ``mode`` selects the materialization durability (see
+    ``checkpointing.materialize``: 'local' | 'reliable' | 'persist';
+    None = session conf, default 'local'). The skip rule is
+    mode-independent by design: when the CALLER already materialized
+    the input, its durability is the caller's choice, and copying the
+    blocks again here would buy durability only for this one consumer
+    while doubling storage.
 
     "Materialized" is VERIFIED, not inferred from the node type: a
     ``LogicalRDD`` also appears for ``spark.createDataFrame(rdd)`` /
@@ -57,19 +73,19 @@ def _materialize(df: DataFrame) -> DataFrame:
         analyzed = df._jdf.queryExecution().analyzed()
         plan = analyzed.toString()
     except Exception:  # noqa: BLE001 — connect-mode etc.: checkpoint
-        return df.localCheckpoint(eager=True)
+        return _ckpt(df, mode=mode)
     if "LogicalRDD" not in plan:
-        return df.localCheckpoint(eager=True)
+        return _ckpt(df, mode=mode)
     for ln in plan.splitlines():
         op = ln.lstrip(" +-:")
         if op and not op.startswith(_NARROW_OPS):
-            return df.localCheckpoint(eager=True)
+            return _ckpt(df, mode=mode)
     try:
         leaves = analyzed.collectLeaves()
         for i in range(leaves.size()):
             leaf = leaves.apply(i)
             if leaf.getClass().getSimpleName() != "LogicalRDD":
-                return df.localCheckpoint(eager=True)
+                return _ckpt(df, mode=mode)
             rdd = leaf.rdd()
             lvl = rdd.getStorageLevel()
             if not (
@@ -77,9 +93,9 @@ def _materialize(df: DataFrame) -> DataFrame:
                 or lvl.useMemory()
                 or lvl.useDisk()
             ):
-                return df.localCheckpoint(eager=True)
+                return _ckpt(df, mode=mode)
     except Exception:  # noqa: BLE001 — unknown plan shape: checkpoint
-        return df.localCheckpoint(eager=True)
+        return _ckpt(df, mode=mode)
     return df
 
 
@@ -90,6 +106,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str | None = None,
+    checkpoint_mode: str | None = None,
 ) -> DataFrame:
     """Weighted PageRank with a fixed iteration count. Returns
     ``(node, rank)`` where ranks sum to ~1 over the node set (exactly
@@ -102,6 +119,13 @@ def pagerank(
     ``iterations`` (rather than a convergence test) keeps the result
     a pure function of the input — which is what lets an unrolled SQL
     oracle reproduce it.
+
+    ``checkpoint_mode`` ('local' | 'reliable' | 'persist', None =
+    session conf ``spark.foodPipeline.checkpointMode``, default
+    'local') picks the durability of every lineage cut in the loop —
+    'reliable' survives executor loss on a 1000-executor run at the
+    cost of a FS round-trip per cut (see ``checkpointing``). Result-
+    identical across modes.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"pagerank: damping must be in (0,1), got {damping}")
@@ -117,7 +141,7 @@ def pagerank(
     # pipeline — profiled at 2x a full co-occurrence self-join here.
     # (_materialize skips the copy when the caller's edges are
     # already a view over a checkpointed RDD.)
-    e = _materialize(e)
+    e = _materialize(e, mode=checkpoint_mode)
     out_w = e.groupBy("_src").agg(F.sum("_w").alias("_out"))
     frac = (
         e.join(out_w, "_src")
@@ -126,13 +150,13 @@ def pagerank(
     # cache the (static) fraction table ALREADY PARTITIONED on the
     # per-round join key: localCheckpoint preserves the hash
     # partitioning, so no iteration ever exchanges the edge side
-    frac = frac.repartition("_src").localCheckpoint(eager=True)
-    nodes = (
+    frac = _ckpt(frac.repartition("_src"), mode=checkpoint_mode)
+    nodes = _ckpt(
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
-        .repartition("node")
-        .localCheckpoint(eager=True)
+        .repartition("node"),
+        mode=checkpoint_mode,
     )
     n = nodes.count()
     base = (1.0 - damping) / n
@@ -164,7 +188,7 @@ def pagerank(
         # Checkpoint frequency never changes the arithmetic — only
         # where the plan is cut.
         if it % 3 == 2 or it == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = _ckpt(ranks, mode=checkpoint_mode)
     return ranks
 
 
@@ -223,6 +247,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     keep_prev: bool = False,
+    checkpoint_mode: str | None = None,
 ) -> DataFrame:
     """Community detection by synchronous label propagation: every
     node starts as its own label; each round it adopts the most
@@ -241,18 +266,20 @@ def label_propagation(
     one (node, label) count aggregation, one row_number window
     partitioned by node — all map-side-combinable or hash-partitioned;
     ``localCheckpoint`` truncates lineage as in ``pagerank``.
+    ``checkpoint_mode`` selects lineage-cut durability (see
+    ``pagerank``); result-identical across modes.
     """
     if iterations < 1:
         raise ValueError("label_propagation: need at least one iteration")
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     # checkpointed pre-partitioned on the per-round join key: the
     # neighbor-count join never exchanges the edge side again
-    e = e.repartition("_s").localCheckpoint(eager=True)
-    nodes = (
+    e = _ckpt(e.repartition("_s"), mode=checkpoint_mode)
+    nodes = _ckpt(
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        mode=checkpoint_mode,
     )
     labels = nodes.select("node", F.col("node").alias("label"))
     from pyspark.sql import Window
@@ -277,18 +304,18 @@ def label_propagation(
         # the carry-over is a single left join against the round's
         # winners
         prev = labels
-        labels = (
+        labels = _ckpt(
             labels.join(best, "node", "left")
             .select(
                 "node", F.coalesce("_new", "label").alias("label")
-            )
+            ),
             # Unlike ``pagerank`` (whose rank state is read ONCE per
             # round), labels is read twice per round — by the
             # neighbor-count join AND the carry-over join — so the
             # per-round checkpoint also deduplicates that double
             # evaluation, not just trims lineage. An A/B cadence
             # sweep measured every-3rd-round strictly slower here.
-            .localCheckpoint(eager=True)
+            mode=checkpoint_mode,
         )
     if keep_prev:
         # Stability-probe shape: expose round N-1's label next to
@@ -309,6 +336,7 @@ def kcore(
     rounds: int = 5,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_mode: str | None = None,
 ) -> DataFrame:
     """Fixed-round k-core peeling over a SYMMETRIC edge list: each
     round drops every node whose current degree is below ``k``
@@ -325,13 +353,15 @@ def kcore(
 
     Per round: one degree aggregation + two semi-joins (src side, dst
     side) — all keyed; ``localCheckpoint`` truncates lineage.
+    ``checkpoint_mode`` selects lineage-cut durability (see
+    ``pagerank``); result-identical across modes.
     """
     if k < 1:
         raise ValueError(f"kcore: k must be >= 1, got {k}")
     if rounds < 1:
         raise ValueError("kcore: need at least one round")
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-    e = _materialize(e)
+    e = _materialize(e, mode=checkpoint_mode)
     for _ in range(rounds):
         keep = (
             e.groupBy("_s")
@@ -339,19 +369,19 @@ def kcore(
             .filter(F.col("_deg") >= k)
             .select(F.col("_s").alias("_keep"))
         )
-        e = (
+        e = _ckpt(
             e.join(keep, e["_s"] == keep["_keep"], "left_semi")
             .join(
                 keep.select(F.col("_keep").alias("_keep2")),
                 F.col("_d") == F.col("_keep2"),
                 "left_semi",
-            )
+            ),
             # e is read twice per round (degree agg + the join), so
             # the per-round checkpoint deduplicates that double
             # evaluation as well as trimming lineage — the sparser
             # cadence that pays off in ``pagerank`` (single-reader
             # rank state) measured slower for this loop shape.
-            .localCheckpoint(eager=True)
+            mode=checkpoint_mode,
         )
     return (
         e.groupBy(F.col("_s").alias("node"))
@@ -366,6 +396,7 @@ def bfs_distances(
     src: str = "src",
     dst: str = "dst",
     seed_col: str = "node",
+    checkpoint_mode: str | None = None,
 ) -> DataFrame:
     """Multi-source BFS: minimum hop distance from ANY seed node to
     every node reachable within ``max_hops``. Returns ``(node, dist)``
@@ -384,18 +415,19 @@ def bfs_distances(
     against the settled set — all partitioned by node id; the frontier
     only ever holds ids, never payloads; ``localCheckpoint`` truncates
     lineage so round t+1 does not replay rounds 1..t. The driver
-    holds loop control only (no collect).
+    holds loop control only (no collect). ``checkpoint_mode`` selects
+    lineage-cut durability (see ``pagerank``); result-identical.
     """
     if max_hops < 0:
         raise ValueError(f"bfs_distances: max_hops must be >= 0, got {max_hops}")
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     # pre-partitioned on the frontier-join key (see module docstring)
-    e = e.repartition("_s").localCheckpoint(eager=True)
-    settled = (
+    e = _ckpt(e.repartition("_s"), mode=checkpoint_mode)
+    settled = _ckpt(
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
-        .select("node", F.lit(0).alias("dist"))
-        .localCheckpoint(eager=True)
+        .select("node", F.lit(0).alias("dist")),
+        mode=checkpoint_mode,
     )
     frontier = settled.select("node")
     for hop in range(1, max_hops + 1):
@@ -411,8 +443,8 @@ def bfs_distances(
         # frontier filter), so the per-hop checkpoint deduplicates
         # that triple evaluation as well as trimming lineage — see
         # the cadence note in ``pagerank``/``label_propagation``.
-        settled = settled.unionByName(new_nodes).localCheckpoint(
-            eager=True
+        settled = _ckpt(
+            settled.unionByName(new_nodes), mode=checkpoint_mode
         )
         frontier = settled.filter(F.col("dist") == hop).select("node")
     return settled
@@ -423,6 +455,7 @@ def link_prediction_scores(
     k: int = 50,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_mode: str | None = None,
 ) -> DataFrame:
     """Common-neighbors link prediction: for every NON-adjacent node
     pair sharing at least one neighbor, the common-neighbor count and
@@ -448,7 +481,7 @@ def link_prediction_scores(
         .filter(F.col("_a") != F.col("_b"))
         .distinct()
     )
-    e = e.localCheckpoint(eager=True)
+    e = _ckpt(e, mode=checkpoint_mode)
     # symmetric adjacency (node, neighbor) for wedges + degrees
     adj = e.select(
         F.col("_a").alias("node"), F.col("_b").alias("nb")
@@ -509,6 +542,7 @@ def hits_bipartite(
     iterations: int = 4,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_mode: str | None = None,
 ) -> DataFrame:
     """HITS (Kleinberg 1999) on a bipartite edge list: hub scores for
     the source side, authority scores for the destination side —
@@ -544,10 +578,10 @@ def hits_bipartite(
     # bench scale the score frames broadcast, so the dual layout's
     # two extra materializations measured strictly slower (5.2 s →
     # 7.1 s at sf0.1) and the single copy is kept.
-    e = (
+    e = _ckpt(
         edges.select(F.col(src).alias("_u"), F.col(dst).alias("_p"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        mode=checkpoint_mode,
     )
     hubs = e.select("_u").distinct().select(
         "_u", F.lit(1).cast("long").alias("_h")
@@ -567,8 +601,8 @@ def hits_bipartite(
         # lineage cut every other round (each round adds 2 join+agg
         # layers; the cadence keeps plan depth <= 4 layers)
         if it % 2 == 1 or it == iterations - 1:
-            auth = auth.localCheckpoint(eager=True)
-            hubs = hubs.localCheckpoint(eager=True)
+            auth = _ckpt(auth, mode=checkpoint_mode)
+            hubs = _ckpt(hubs, mode=checkpoint_mode)
     a_tot = auth.agg(F.sum("_a").alias("_t"))
     h_tot = hubs.agg(F.sum("_h").alias("_t"))
     a_rows = auth.crossJoin(F.broadcast(a_tot)).select(
@@ -592,6 +626,7 @@ def personalized_pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str | None = None,
+    checkpoint_mode: str | None = None,
 ) -> DataFrame:
     """Personalized PageRank: like ``pagerank``, but the teleport mass
     returns to the SEED set instead of everywhere — rank concentrates
@@ -618,26 +653,27 @@ def personalized_pagerank(
     e = _materialize(
         edges.select(
             F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")
-        )
+        ),
+        mode=checkpoint_mode,
     )
     out_w = e.groupBy("_src").agg(F.sum("_w").alias("_out"))
     # static tables checkpointed pre-partitioned on their per-round
     # join keys (see module docstring) — no edge-side exchange per round
-    frac = (
+    frac = _ckpt(
         e.join(out_w, "_src")
         .select("_src", "_dst", (F.col("_w") / F.col("_out")).alias("_frac"))
-        .repartition("_src")
-        .localCheckpoint(eager=True)
+        .repartition("_src"),
+        mode=checkpoint_mode,
     )
-    nodes = (
+    nodes = _ckpt(
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
-        .repartition("node")
-        .localCheckpoint(eager=True)
+        .repartition("node"),
+        mode=checkpoint_mode,
     )
-    seed_nodes = (
-        seeds.toDF("node").join(nodes, "node").localCheckpoint(eager=True)
+    seed_nodes = _ckpt(
+        seeds.toDF("node").join(nodes, "node"), mode=checkpoint_mode
     )
     n_seeds = seed_nodes.count()
     if n_seeds == 0:
@@ -652,13 +688,13 @@ def personalized_pagerank(
     # left join as plain pagerank's, and the folded table keeps the
     # node hash-partitioning. Arithmetic identical — the round still
     # computes coalesced_base + damping * coalesced_in.
-    nodes_b = (
+    nodes_b = _ckpt(
         nodes.join(F.broadcast(seed_base), "node", "left")
         .select(
             "node", F.coalesce("_base", F.lit(0.0)).alias("_base")
         )
-        .repartition("node")
-        .localCheckpoint(eager=True)
+        .repartition("node"),
+        mode=checkpoint_mode,
     )
     ranks = nodes_b.join(
         seed_nodes.select("node", F.lit(1.0 / n_seeds).alias("_r")),
@@ -683,5 +719,5 @@ def personalized_pagerank(
             ).alias("rank"),
         )
         if it % 3 == 2 or it == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = _ckpt(ranks, mode=checkpoint_mode)
     return ranks.filter(F.col("rank") > 0.0)

@@ -21,6 +21,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gcp_food_delivery_data_pipeline_spark.checkpointing import (
+    materialize as _ckpt,
+)
+
 # Tiny embedded stopword lists — heuristic language ID without models.
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
@@ -903,7 +907,8 @@ def sparse_nn_tfidf(
     # the self-join's two sides do not share an exchange (different
     # aliases) and norms re-partitions by _id. At warehouse scale the
     # equivalent is materializing the postings to a table once.
-    posting = posting.localCheckpoint(eager=False)
+    # (durability follows spark.foodPipeline.checkpointMode)
+    posting = _ckpt(posting, eager=False)
     norms = posting.groupBy("_id").agg(
         F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_norm")
     )
@@ -1058,9 +1063,11 @@ def distinctive_terms(
     # A checkpoint, not persist(): blocks release with the returned
     # frame's lineage instead of holding a session-lifetime cache
     # entry no caller ever unpersists.
-    per = toks.groupBy("source", "term").agg(
-        F.count(F.lit(1)).alias("n_in_source")
-    ).localCheckpoint(eager=True)
+    per = _ckpt(
+        toks.groupBy("source", "term").agg(
+            F.count(F.lit(1)).alias("n_in_source")
+        )
+    )
     total = per.agg(F.sum("n_in_source")).collect()[0][0] or 0
     w_term = Window.partitionBy("term")
     w_src = Window.partitionBy("source")

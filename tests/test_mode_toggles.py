@@ -21,6 +21,19 @@ consulting the query author, pinned answer-identical here:
    sweep runs each key under both modes at sf0.001 and requires
    byte-identical rows — proving the guards, not the mode, decide
    every output value.
+
+3. (r12, VERDICT r11 item 7) Join-strategy independence: broadcast
+   threshold forced to -1 (every AUTOMATIC broadcast degrades to
+   sort-merge; explicit ``F.broadcast`` hints at call sites still
+   apply, which is precisely the engine's contract — hinted dims
+   broadcast regardless of statistics) must not change any answer.
+   Run over graded keys whose joins are NOT all explicitly hinted,
+   so the toggle actually flips physical strategies.
+
+4. (r12) ``spark.sql.shuffle.partitions`` independence on a
+   two-phase-rank key: the distributed global rank derives offsets
+   from ACTUAL partition totals, so where the range boundaries land
+   (and how many there are) must never show in the output.
 """
 
 from __future__ import annotations
@@ -150,3 +163,47 @@ def test_division_guards_identical_under_ansi_toggle(spark, key):
             got[mode] = _rows(q(spark, SF_DIR))
     assert got["true"] == got["false"]
     assert got["true"], f"{key} returned no rows at sf0.001"
+
+
+NO_BROADCAST = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    # AQE keeps its own threshold for runtime broadcast demotion;
+    # force both off or the optimizer re-broadcasts from runtime stats
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "q4_order_priority",   # EXISTS semi-join, no explicit hint
+        "q13_order_counts",    # left outer join + two-level agg
+        "q18_large_volume",    # HAVING rollup feeding a fact join
+        "d_near_dup_pairs",    # LSH band self-join + 2 verify joins
+        "q_part_pairs",        # basket co-occurrence self-join
+    ],
+)
+def test_answers_identical_with_broadcast_disabled(spark, key):
+    """No result depends on join-strategy selection: forcing every
+    automatic broadcast down to sort-merge must be answer-invariant."""
+    q = entry_mod.queries()[key]
+    base = _rows(q(spark, SF_DIR))
+    with _conf_sweep(spark, **NO_BROADCAST):
+        smj = _rows(q(spark, SF_DIR))
+    assert smj == base
+    assert base, f"{key} returned no rows at sf0.001"
+
+
+@pytest.mark.parametrize("n_shuffle", ["3", "17"])
+def test_two_phase_rank_shuffle_partition_independence(spark, n_shuffle):
+    """q_ntile_buckets routes its global order through the two-phase
+    distributed rank; the answer must be a pure function of the data,
+    not of the partition count the sort/agg stages happen to use."""
+    q = entry_mod.queries()["q_ntile_buckets"]
+    base = _rows(q(spark, SF_DIR))
+    with _conf_sweep(
+        spark, **{"spark.sql.shuffle.partitions": n_shuffle}
+    ):
+        got = _rows(q(spark, SF_DIR))
+    assert got == base
+    assert base, "q_ntile_buckets returned no rows at sf0.001"
