@@ -4301,24 +4301,29 @@ def _q_ndcg_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 # Round-12 grading priority (the driver grades the first 50 keys of
 # queries() in order; see GRADE_MANIFEST.json for per-key staleness):
-# Round 12 changes no query results (the checkpoint_mode parameter
-# defaults to the prior localCheckpoint behavior, with hash-parity
-# tests pinning mode equivalence), so the list is pure staleness
-# rotation from GRADE_MANIFEST.json oldest_first after folding
-# CORRECTNESS_r11:
-# 1. all 11 remaining r5-era grades — after this round no key's
+# 1. the two keys whose PLAN changed this round (the salted
+#    candidate join in prefix_similarity_join — results verified
+#    identical by the oracle gate at sf0.001+sf0.01, but
+#    plan-changed keys grade first by policy). No other key's
+#    results or plan changed (checkpoint_mode defaults to the prior
+#    localCheckpoint behavior, with hash-parity tests pinning mode
+#    equivalence).
+# 2. all 11 remaining r5-era grades — after this round no key's
 #    driver grade predates r7.
-# 2. the 39 oldest r7-era grades, alphabetical (6 r7 keys remain
-#    for round 13's rotation: t_sparse_nn, t_zipf_profile,
-#    v_bitq_topk, v_pq_topk, v_random_projection, v_topk_truncated).
+# 3. the 37 oldest r7-era grades, alphabetical (8 r7 keys remain
+#    for round 13's rotation: s_stream_left_join, t_ngram_novelty,
+#    t_sparse_nn, t_zipf_profile, v_bitq_topk, v_pq_topk,
+#    v_random_projection, v_topk_truncated).
 # Exactly 50 unique keys (pinned by tests/test_entry_contract.py).
 _GRADE_FIRST = [
+    # -- plan changed in r12 (salted prefix-filter candidate join) --
+    "d_prefix_join", "d_prefix_join_slice",
     # -- r5-era grades (all 11 remaining) --
     "q_skew_salted_join", "q_stratified_sample", "q_time_to_convert",
     "q_variant_props", "q_winsorize", "s1_scan_count",
     "s_bucketed_join", "s_stream_attribution", "s_stream_cdc_upsert",
     "s_stream_dedup", "s_stream_quality",
-    # -- r7-era grades (39 oldest of 45, alphabetical) --
+    # -- r7-era grades (37 oldest of 45, alphabetical) --
     "c_dataset_card", "c_mix_temperature", "c_sample_negatives",
     "c_shard_assign", "c_token_budget", "c_upsample",
     "g_bfs_parts", "g_hits", "g_kcore",
@@ -4331,7 +4336,7 @@ _GRADE_FIRST = [
     "q_hourly_interpolate", "q_kmv_overlap", "q_ks_drift",
     "q_ols_trend", "q_psi_drift", "q_rfm_segments",
     "q_session_concurrency", "q_sql_api_twin", "s_avro_roundtrip",
-    "s_stream_enrich", "s_stream_left_join", "t_ngram_novelty",
+    "s_stream_enrich",
 ]
 
 

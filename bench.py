@@ -170,7 +170,8 @@ EXTRA_QUERIES = [
     "t_gopher_rules",       # Gopher quality-rule battery
     # -- round 10 --
     "d_prefix_join_slice",  # exact PPJoin trend proxy (1/4 corpus; the
-                            # full-corpus key is ~32 s at sf0.1 — see
+                            # full-corpus key is ~15.5 s at sf0.1 after
+                            # the r12 salted candidate join — see
                             # BASELINE.md for its out-of-band history)
 ]
 

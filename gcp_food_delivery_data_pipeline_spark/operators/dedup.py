@@ -1244,15 +1244,98 @@ def prefix_similarity_join(
     # candidate join, whose pre-dedup output is ~7x wider than the
     # deduped pair set (the dedup shuffle dominates, so keep its rows
     # minimal). Shared by both verify paths.
-    cands = (
-        prefixes.alias("a")
-        .join(
-            prefixes.alias("b"),
-            (F.col("a._tok") == F.col("b._tok"))
-            & (F.col("a._id") < F.col("b._id")),
+    #
+    # r12 parallelism fix, found by stage-level profiling (REST
+    # metrics; the scale curve's "per-candidate cost growth"): the
+    # prefixes exchange is rows-heavy but BYTES-LIGHT (87k rows =
+    # 0.6 MiB at 15k docs — narrow int/string rows compress to well
+    # under a byte per row), so AQE's byte-based coalescing shrank
+    # the candidate join's input to ONE partition and a single task
+    # generated all 50M candidates, deduped them, verified them, and
+    # counted — 19-25 s of a 31 s run on one core with 31 idle,
+    # scaling linearly with pair volume. On the small-universe path
+    # (where the token frequency table is already a <= 64-row driver
+    # literal) the join is therefore SALTED per token, the repo's
+    # blocked_linkage_salted discipline: nsalt_t sized from the
+    # posting count so each (token, bucket) cell emits ~PAIRS_PER_TASK
+    # candidates, the contained side hashes into a bucket, the other
+    # side replicates across its token's buckets — every pair meets
+    # exactly once per shared token, and the pair SET is identical
+    # (dedup + exact verify follow), so results cannot change. The
+    # salted exchanges and the pair-dedup exchange carry EXPLICIT
+    # partition counts because AQE would re-coalesce them on the
+    # same byte misestimate (user-specified counts are exempt by
+    # contract). The general path keeps the planner's token
+    # equi-join: on real (unbounded-vocabulary) corpora the prefixes
+    # exchange is large in bytes and AQE sizes it correctly.
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    if small_universe:
+        # ~candidates per (token, bucket) task; C(p,2)/PAIRS_PER_TASK
+        # buckets per token, capped so a-side replication stays tiny
+        PAIRS_PER_TASK = 1_500_000
+        salt_rows = [
+            (
+                r["_tok"],
+                max(
+                    1,
+                    min(
+                        64,
+                        -(-(r["_tf"] * (r["_tf"] - 1) // 2)
+                          // PAIRS_PER_TASK),
+                    ),
+                ),
+            )
+            for r in probe_rows
+        ]
+        salt = df.sparkSession.createDataFrame(
+            salt_rows, schema="_tok string, _ns int"
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        a_side = (
+            prefixes.join(F.broadcast(salt), "_tok")
+            .select(
+                "_tok",
+                F.col("_id").alias("id_a"),
+                F.explode(
+                    F.sequence(F.lit(0), F.col("_ns") - 1)
+                ).alias("_g"),
+            )
+            .repartition(n_par, "_tok", "_g")
+        )
+        b_side = (
+            prefixes.join(F.broadcast(salt), "_tok")
+            .select(
+                "_tok",
+                F.col("_id").alias("id_b"),
+                F.pmod(F.xxhash64("_id"), F.col("_ns"))
+                .cast("int")
+                .alias("_g"),
+            )
+            .repartition(n_par, "_tok", "_g")
+        )
+        cands = (
+            a_side.join(b_side, ["_tok", "_g"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+    else:
+        cands = (
+            prefixes.alias("a")
+            .join(
+                prefixes.alias("b"),
+                (F.col("a._tok") == F.col("b._tok"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(
+                F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+            )
+        )
+    # Pair dedup over an EXPLICIT hash exchange on the pair key: in
+    # the salted plan a pair's per-token copies land in different
+    # tasks, so map-side partial dedup saves nothing — a user-pinned
+    # width keeps the final dedup AND the verify that chains on it at
+    # full parallelism instead of AQE's 1-2 byte-sized partitions.
+    cands = cands.repartition(n_par, "id_a", "id_b").dropDuplicates(
+        ["id_a", "id_b"]
     )
     if small_universe:
         # bit position = the same (rarity, token) total order the
