@@ -951,13 +951,27 @@ def lsh_candidate_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])  # same pair from several bands
     )
+    # Width-pin the verify joins (r12, the prefix_similarity_join
+    # lesson): deduped id-pairs compress to well under a byte per
+    # row, so AQE's byte-based coalescing shrank the verify's
+    # exchanges to 3 partitions at 50k docs and 3 tasks absorbed
+    # 162 s of CPU (x100 profile) while 29 cores idled. Explicit
+    # per-join-key repartitions with a user partition count pin the
+    # sort-merge exchanges at cluster width — AQE cannot coalesce a
+    # stage whose exchange carries a user-specified count. The
+    # second pin moves shingle arrays for the already-verify-bound
+    # candidate rows only; pair volume is banding-bounded, so the
+    # extra exchange stays candidate-sized at every scale.
+    n_par = df.sparkSession.sparkContext.defaultParallelism
     verified = (
-        pairs.join(
+        pairs.repartition(n_par, "id_a")
+        .join(
             shingle_side.select(
                 F.col("_id").alias("id_a"), F.col("_shingles").alias("sh_a")
             ),
             "id_a",
         )
+        .repartition(n_par, "id_b")
         .join(
             shingle_side.select(
                 F.col("_id").alias("id_b"), F.col("_shingles").alias("sh_b")
