@@ -4301,29 +4301,32 @@ def _q_ndcg_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 # Round-12 grading priority (the driver grades the first 50 keys of
 # queries() in order; see GRADE_MANIFEST.json for per-key staleness):
-# 1. the two keys whose PLAN changed this round (the salted
-#    candidate join in prefix_similarity_join — results verified
-#    identical by the oracle gate at sf0.001+sf0.01, but
-#    plan-changed keys grade first by policy). No other key's
-#    results or plan changed (checkpoint_mode defaults to the prior
-#    localCheckpoint behavior, with hash-parity tests pinning mode
-#    equivalence).
+# 1. the ten keys whose PLAN changed this round (the salted
+#    prefix-filter candidate join; the width-pinned LSH /
+#    containment verifies; the split-input simhash/edit joins —
+#    results verified identical by the oracle gate at
+#    sf0.001+sf0.01, but plan-changed keys grade first by policy).
+#    No other key's results or plan changed (checkpoint_mode
+#    defaults to the prior localCheckpoint behavior, with
+#    hash-parity tests pinning mode equivalence).
 # 2. all 11 remaining r5-era grades — after this round no key's
 #    driver grade predates r7.
-# 3. the 37 oldest r7-era grades, alphabetical (8 r7 keys remain
-#    for round 13's rotation: s_stream_left_join, t_ngram_novelty,
-#    t_sparse_nn, t_zipf_profile, v_bitq_topk, v_pq_topk,
-#    v_random_projection, v_topk_truncated).
+# 3. the 29 oldest r7-era grades, alphabetical (16 r7 keys remain
+#    for round 13's rotation: q_ks_drift ... v_topk_truncated per
+#    GRADE_MANIFEST oldest_first).
 # Exactly 50 unique keys (pinned by tests/test_entry_contract.py).
 _GRADE_FIRST = [
-    # -- plan changed in r12 (salted prefix-filter candidate join) --
-    "d_prefix_join", "d_prefix_join_slice",
+    # -- plan changed in r12 (AQE width-pinning sweep, SCALE.md) --
+    "d_prefix_join", "d_prefix_join_slice", "d_near_dup_pairs",
+    "d_dup_components", "c_prep_pipeline", "d_minhash_estimate",
+    "c_split_leakage", "d_containment", "d_simhash_pairs",
+    "d_edit_pairs",
     # -- r5-era grades (all 11 remaining) --
     "q_skew_salted_join", "q_stratified_sample", "q_time_to_convert",
     "q_variant_props", "q_winsorize", "s1_scan_count",
     "s_bucketed_join", "s_stream_attribution", "s_stream_cdc_upsert",
     "s_stream_dedup", "s_stream_quality",
-    # -- r7-era grades (37 oldest of 45, alphabetical) --
+    # -- r7-era grades (29 oldest of 45, alphabetical) --
     "c_dataset_card", "c_mix_temperature", "c_sample_negatives",
     "c_shard_assign", "c_token_budget", "c_upsample",
     "g_bfs_parts", "g_hits", "g_kcore",
@@ -4333,10 +4336,7 @@ _GRADE_FIRST = [
     "q20_promo_suppliers", "q2_min_cost_supplier", "q_bloom_semijoin",
     "q_chi2_independence", "q_cms_counts", "q_cohort_ltv",
     "q_cusum_changepoint", "q_hilbert_buckets", "q_holt_linear",
-    "q_hourly_interpolate", "q_kmv_overlap", "q_ks_drift",
-    "q_ols_trend", "q_psi_drift", "q_rfm_segments",
-    "q_session_concurrency", "q_sql_api_twin", "s_avro_roundtrip",
-    "s_stream_enrich",
+    "q_hourly_interpolate", "q_kmv_overlap",
 ]
 
 

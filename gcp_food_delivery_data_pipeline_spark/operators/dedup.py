@@ -344,8 +344,20 @@ def simhash_near_dup_pairs(
         raise ValueError("bits must divide evenly into bands")
     width = bits // bands
     mask = (1 << width) - 1
-    sh = with_simhash(df.select(id_col, text_col), text_col, bits).select(
-        F.col(id_col).alias("_id"), "simhash"
+    # r12 (stage profiling): the simhash projection was recomputed by
+    # THREE plan branches (classes, the member fan-out, the intra
+    # self-join), each over a ONE-split scan — tiny parquet inputs
+    # pack into a single partition via openCostInBytes, so three
+    # concurrent single-task stages each re-paid the full token-fold
+    # (~8 s apiece at sf0.1). Split the input to cluster width BEFORE
+    # the expensive projection, then materialize the narrow
+    # (id, simhash) frame ONCE (durability per checkpoint_mode conf);
+    # every branch now reads blocks.
+    src = ensure_min_partitions(df.select(id_col, text_col))
+    sh = _ckpt(
+        with_simhash(src, text_col, bits).select(
+            F.col(id_col).alias("_id"), "simhash"
+        )
     )
     classes = sh.select("simhash").distinct()
     banded = classes.select(
@@ -1939,12 +1951,24 @@ def containment_join(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    verified = cands.join(
-        sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa")),
-        "id_a",
-    ).join(
-        sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sb")),
-        "id_b",
+    # Width-pin the verify (r12, the prefix/LSH lesson): deduped
+    # id-pairs are bytes-light, so AQE coalesced this verify to 3
+    # tasks carrying 7 of a 10 s sf0.1 run; user-specified partition
+    # counts are exempt from coalescing and the pinned exchanges stay
+    # candidate-sized at every scale (keys are uniform pair ids — no
+    # skew surface).
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    verified = (
+        cands.repartition(n_par, "id_a")
+        .join(
+            sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa")),
+            "id_a",
+        )
+        .repartition(n_par, "id_b")
+        .join(
+            sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sb")),
+            "id_b",
+        )
     )
     containment = (
         F.size(F.array_intersect("_sa", "_sb")).cast("double")
@@ -2007,11 +2031,16 @@ def edit_distance_join(
             )
         ),
     )
-    rows = (
-        df.filter(F.col(col).isNotNull())
-        .select(F.col(id_col).alias("_id"), F.col(col).alias("_v"))
-        .select("_id", "_v", F.explode(variants).alias("_del"))
+    # split tiny single-file inputs before the O(L) variant explode —
+    # openCostInBytes packs small scans into one partition and the
+    # whole neighborhood generation serialized onto one core (r12
+    # stage profiling: a 2.9 s single-task stage in a 5 s sf0.1 run)
+    src = ensure_min_partitions(
+        df.filter(F.col(col).isNotNull()).select(
+            F.col(id_col).alias("_id"), F.col(col).alias("_v")
+        )
     )
+    rows = src.select("_id", "_v", F.explode(variants).alias("_del"))
     cands = (
         rows.alias("a")
         .join(
