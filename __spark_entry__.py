@@ -4299,44 +4299,41 @@ def _q_ndcg_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ndcg_at_k(emb, emb.filter(F.col("vec_id") < 50), k=10)
 
 
-# Round-12 grading priority (the driver grades the first 50 keys of
+# Round-13 grading priority (the driver grades the first 50 keys of
 # queries() in order; see GRADE_MANIFEST.json for per-key staleness):
-# 1. the ten keys whose PLAN changed this round (the salted
-#    prefix-filter candidate join; the width-pinned LSH /
-#    containment verifies; the split-input simhash/edit joins —
-#    results verified identical by the oracle gate at
-#    sf0.001+sf0.01, but plan-changed keys grade first by policy).
-#    No other key's results or plan changed (checkpoint_mode
-#    defaults to the prior localCheckpoint behavior, with
-#    hash-parity tests pinning mode equivalence).
-# 2. all 11 remaining r5-era grades — after this round no key's
-#    driver grade predates r7.
-# 3. the 29 oldest r7-era grades, alphabetical (16 r7 keys remain
-#    for round 13's rotation: q_ks_drift ... v_topk_truncated per
-#    GRADE_MANIFEST oldest_first).
+# 1. all 16 remaining r7-era grades — led by the two streaming keys
+#    (s_stream_left_join, s_stream_enrich) that are driver-graded
+#    only (no local DuckDB re-gate exists for rate-source streams,
+#    VERDICT r12 missing #1); after this round no key's driver grade
+#    predates r8. No key's plan or results changed in r13: the round's
+#    code work is durability hygiene ('persist'-mode cache release +
+#    nondeterministic-pin downgrade, no-ops under the default mode,
+#    pinned by tests/test_checkpoint_modes.py parity) and bench/tool
+#    instrumentation.
+# 2. the 34 oldest r8-era grades (GRADE_MANIFEST oldest_first,
+#    alphabetical within the round).
 # Exactly 50 unique keys (pinned by tests/test_entry_contract.py).
 _GRADE_FIRST = [
-    # -- plan changed in r12 (AQE width-pinning sweep, SCALE.md) --
-    "d_prefix_join", "d_prefix_join_slice", "d_near_dup_pairs",
-    "d_dup_components", "c_prep_pipeline", "d_minhash_estimate",
-    "c_split_leakage", "d_containment", "d_simhash_pairs",
-    "d_edit_pairs",
-    # -- r5-era grades (all 11 remaining) --
-    "q_skew_salted_join", "q_stratified_sample", "q_time_to_convert",
-    "q_variant_props", "q_winsorize", "s1_scan_count",
-    "s_bucketed_join", "s_stream_attribution", "s_stream_cdc_upsert",
-    "s_stream_dedup", "s_stream_quality",
-    # -- r7-era grades (29 oldest of 45, alphabetical) --
-    "c_dataset_card", "c_mix_temperature", "c_sample_negatives",
-    "c_shard_assign", "c_token_budget", "c_upsample",
-    "g_bfs_parts", "g_hits", "g_kcore",
-    "g_kcore_stable", "g_link_prediction", "g_lpa_stable",
-    "g_pagerank_parts", "j_asof_nearest", "m_audio_frames",
-    "m_phash", "q11_important_stock", "q16_supplier_attrs",
-    "q20_promo_suppliers", "q2_min_cost_supplier", "q_bloom_semijoin",
-    "q_chi2_independence", "q_cms_counts", "q_cohort_ltv",
-    "q_cusum_changepoint", "q_hilbert_buckets", "q_holt_linear",
-    "q_hourly_interpolate", "q_kmv_overlap",
+    # -- r7-era grades (all 16; driver-graded-only streaming first) --
+    "s_stream_left_join", "s_stream_enrich",
+    "q_ks_drift", "q_ols_trend", "q_psi_drift", "q_rfm_segments",
+    "q_session_concurrency", "q_sql_api_twin", "s_avro_roundtrip",
+    "t_ngram_novelty", "t_sparse_nn", "t_zipf_profile",
+    "v_bitq_topk", "v_pq_topk", "v_random_projection",
+    "v_topk_truncated",
+    # -- r8-era grades (34 oldest of 47, alphabetical) --
+    "g_ppr", "j_interval_overlap", "m_scene_cuts",
+    "q10_returned_items", "q12_ship_priority", "q13_order_counts",
+    "q14_promo_revenue", "q15_top_supplier", "q17_small_qty_revenue",
+    "q18_large_volume", "q19_discounted_revenue", "q1_pricing_summary",
+    "q22_idle_rich", "q3_top_revenue", "q4_order_priority",
+    "q5_nation_revenue", "q6_forecast_revenue", "q7_nation_trade",
+    "q8_market_share", "q9_product_profit", "q_attribution_mt",
+    "q_autocorr", "q_bootstrap_ci", "q_cube_events",
+    "q_custkeys_both", "q_customers_no_orders", "q_decile_lift",
+    "q_distinct_users", "q_events_hourly", "q_mann_whitney",
+    "q_neyman_sample", "q_price_elasticity", "q_props_extract",
+    "q_rollup_revenue",
 ]
 
 

@@ -297,6 +297,34 @@ def _calibration_probe_io(spark, sf_dir: str) -> float | None:
         return None
 
 
+# Verified-clean probe ceilings (VERDICT r12 missing #2, BASELINE.md
+# "Round-12 open"): on probe-flat windows this box reads cal (pure
+# CPU) 0.11-0.29 s and cal_io (scan+shuffle+noop) 0.15-0.37 s; every
+# adjudicated-polluted run read >=1.4x these ceilings on at least one
+# probe. The artifact now carries the adjudication itself instead of
+# deferring it to BASELINE.md prose.
+CAL_CLEAN_MAX = 0.30
+CAL_IO_CLEAN_MAX = 0.38
+
+
+def _probe_verdict(
+    cal: list[float | None], cal_io: list[float | None]
+) -> tuple[str, float | None]:
+    """('clean'|'drifted'|'unknown', drift_ratio): drift_ratio is the
+    worst probe reading divided by its clean-band ceiling — 1.0 means
+    'at the edge of the clean band'; a polluted run reads >1. 'clean'
+    additionally requires BOTH ends of BOTH probes present, so a
+    probe failure can never masquerade as a clean bill."""
+    ratios: list[float] = []
+    for vals, ceil in ((cal, CAL_CLEAN_MAX), (cal_io, CAL_IO_CLEAN_MAX)):
+        for v in vals:
+            if v is None:
+                return ("unknown", round(max(ratios), 3) if ratios else None)
+            ratios.append(v / ceil)
+    worst = round(max(ratios), 3)
+    return ("clean" if worst <= 1.0 else "drifted", worst)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -419,6 +447,9 @@ def main() -> None:
 
     cal_end = _calibration_probe(spark)
     cal_io_end = _calibration_probe_io(spark, sf_dir)
+    verdict, drift_ratio = _probe_verdict(
+        [cal_start, cal_end], [cal_io_start, cal_io_end]
+    )
     total = round(sum(timings.values()), 3)
     # Full-detail artifact (positions, method, 3-decimal timings,
     # errors) goes to a FILE the round commits; the stdout line stays
@@ -450,6 +481,12 @@ def main() -> None:
         # cross-process shuffle-residue drift class the CPU probe is
         # proven blind to (r11 post-mortem, SCALE.md).
         "calibration_io_sec": {"start": cal_io_start, "end": cal_io_end},
+        # Self-adjudication (r12 missing #2): 'drifted' means at least
+        # one probe reading exceeded its verified-clean ceiling —
+        # read per-key deltas through drift_ratio, or prefer a
+        # probe-flat re-run, before calling anything a regression.
+        "probe_verdict": verdict,
+        "drift_ratio": drift_ratio,
         "positions": positions,
     }
     if errors:
@@ -468,6 +505,8 @@ def main() -> None:
             "sf": sf,
             "cal": [cal_start, cal_end],
             "cal_io": [cal_io_start, cal_io_end],
+            "probe_verdict": verdict,
+            "drift_ratio": drift_ratio,
             "queries": q,
             "extra_queries": x,
         }

@@ -26,18 +26,47 @@ Modes (``materialize(df, mode=...)``):
   plan growth makes this fit for short loops and one-shot pins, not
   deep iteration (plan-depth analysis cost grows every round).
 
+Two caveats of ``'persist'`` are handled here, not left to callers
+(ADVICE r12):
+
+* **Nondeterministic pin sites must not trust lineage recompute.**
+  Some release points exist precisely to freeze a nondeterministic
+  step — e.g. ``corpus._global_ordered_rank_and_prefix`` pins a
+  ``repartitionByRange`` (SAMPLED boundaries) + ``spark_partition_id``
+  frame so its two consumers see ONE partitioning. Under ``'persist'``
+  a lost block recomputes from that sampled lineage and consumers can
+  disagree again — the exact corrupted-global-ranks bug the pin fixed,
+  reintroduced on the multi-executor deployment the mode targets. Such
+  sites pass ``nondeterministic=True`` and a resolved ``'persist'`` is
+  DOWNGRADED to a mode whose blocks are never recomputed from lineage:
+  ``'reliable'`` when a checkpoint dir is configured, else ``'local'``
+  (with a ``RuntimeWarning`` so the durability loss is visible).
+* **Loops must not leak cache-manager entries.** ``'persist'`` is the
+  only mode whose blocks occupy a session-lifetime cache entry until
+  unpersisted. Iterative operators (PageRank ~10 rounds,
+  ``connected_components`` up to 25, one BPE cut per merge) pass the
+  superseded state frame as ``replaces=``; after the new frame is
+  eagerly materialized the old one is ``release()``-d — a no-op for
+  ``'local'``/``'reliable'`` outputs (their blocks are not cache
+  entries; for ``'local'`` they are also NOT recomputable, so
+  ``release`` deliberately never touches them).
+
 Mode resolution order (``resolve_mode``): an explicit ``mode=``
 argument wins; else the session conf ``spark.foodPipeline.
 checkpointMode`` (so a deployment flips the whole engine to
 ``'reliable'`` with one conf, no call-site changes); else ``'local'``.
 
 All three modes are result-identical by construction — they choose
-where materialized blocks live, never what is computed. Pinned by
-``tests/test_checkpoint_modes.py`` (hash-identical results across
-modes on the graph loop, containment dedup, and two-phase rank pin).
+where materialized blocks live, never what is computed (and the
+nondeterministic downgrade exists to keep that true under block loss).
+Pinned by ``tests/test_checkpoint_modes.py`` (hash-identical results
+across modes on the graph loop, containment dedup, and two-phase rank
+pin).
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame
 
@@ -62,19 +91,71 @@ def resolve_mode(df: DataFrame, mode: str | None = None) -> str:
     return mode
 
 
+def release(df: DataFrame | None) -> None:
+    """Free the cache entry of a frame previously returned by
+    ``materialize`` under ``'persist'`` mode. Safe to call on ANY
+    frame: only cache-manager-registered frames (``df.storageLevel``
+    reports memory/disk) are unpersisted — ``'local'``/``'reliable'``
+    outputs are LogicalRDD views with no cache entry, so they pass
+    through untouched (unpersisting a local checkpoint would destroy
+    blocks that are NOT recomputable). No-op on ``None``."""
+    if df is None:
+        return
+    try:
+        lvl = df.storageLevel
+        if lvl.useMemory or lvl.useDisk:
+            df.unpersist()
+    except Exception:  # noqa: BLE001 — hygiene is best-effort
+        pass
+
+
 def materialize(
-    df: DataFrame, eager: bool = True, mode: str | None = None
+    df: DataFrame,
+    eager: bool = True,
+    mode: str | None = None,
+    nondeterministic: bool = False,
+    replaces: DataFrame | None = None,
 ) -> DataFrame:
     """Cut/pin ``df``'s lineage per the resolved durability mode.
 
     Drop-in for the historical ``df.localCheckpoint(eager=...)`` call
     sites: with no explicit ``mode`` and no session conf this IS
     ``localCheckpoint`` — zero behavior change for existing callers.
+
+    ``nondeterministic=True`` marks a pin whose lineage recompute may
+    differ run-to-run (sampled range boundaries, partition ids): a
+    resolved ``'persist'`` is downgraded to ``'reliable'`` (checkpoint
+    dir configured) or ``'local'`` (with a warning) — see the module
+    docstring.
+
+    ``replaces=`` names the frame this materialization supersedes in
+    an iterative loop: after the new frame is EAGERLY materialized the
+    old one is ``release()``-d, so ``'persist'`` loops don't
+    accumulate one session-lifetime cache entry per round. Only pass
+    frames this operator itself materialized — never a caller's input
+    (releasing a caller's persisted frame would clobber their cache).
     """
     mode = resolve_mode(df, mode)
+    if mode == "persist" and nondeterministic:
+        try:
+            ckpt_dir = df.sparkSession.sparkContext.getCheckpointDir()
+        except Exception:  # noqa: BLE001 — older API shape
+            ckpt_dir = None
+        if ckpt_dir:
+            mode = "reliable"
+        else:
+            warnings.warn(
+                "checkpoint mode 'persist' downgraded to 'local' at a "
+                "nondeterministic pin site (lineage recompute could "
+                "change the pinned partitioning); set a checkpoint "
+                "dir to get 'reliable' durability here",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            mode = "local"
     if mode == "local":
-        return df.localCheckpoint(eager=eager)
-    if mode == "reliable":
+        out = df.localCheckpoint(eager=eager)
+    elif mode == "reliable":
         spark = df.sparkSession
         try:
             ckpt_dir = spark.sparkContext.getCheckpointDir()
@@ -86,11 +167,19 @@ def materialize(
                 "directory: call spark.sparkContext.setCheckpointDir("
                 "'hdfs://... or file:///...') first"
             )
-        return df.checkpoint(eager=eager)
-    # 'persist': fault-tolerant via lineage recompute; plan NOT cut.
-    from pyspark import StorageLevel
+        out = df.checkpoint(eager=eager)
+    else:
+        # 'persist': fault-tolerant via lineage recompute; plan NOT
+        # cut. DETERMINISTIC lineage only — see nondeterministic=.
+        from pyspark import StorageLevel
 
-    out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    if eager:
-        out.count()
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if eager:
+            out.count()
+    if replaces is not None and eager:
+        # The new blocks exist (eager), so the superseded frame's
+        # cache entry is pure leak now. Non-eager pins skip the
+        # release: freeing the old frame before the new one is built
+        # would force a full-lineage recompute.
+        release(replaces)
     return out

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from gcp_food_delivery_data_pipeline_spark.checkpointing import (
     materialize as _ckpt,
+    release as _release,
 )
 from gcp_food_delivery_data_pipeline_spark.operators.text import (
     adjacent_pairs,
@@ -119,8 +120,14 @@ def bpe_train(
         wt = _ckpt(
             wt.select(
                 "word", "n", apply_merge("syms", left, right).alias("syms")
-            )
+            ),
+            # one cut per merge: without the release a 'persist'-mode
+            # training run leaks one cache entry per learned merge
+            replaces=wt,
         )
+    # the symbol table is training state only — nothing returned
+    # references it, so its 'persist' entry is freed on exit
+    _release(wt)
     return merges
 
 

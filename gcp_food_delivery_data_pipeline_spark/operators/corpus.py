@@ -219,8 +219,13 @@ def _global_ordered_rank_and_prefix(
     # session). localCheckpoint makes both consumers read the same
     # materialized partitions unconditionally; checkpoint_mode (or the
     # spark.foodPipeline.checkpointMode conf) picks its durability —
-    # see checkpointing.py.
-    r = _ckpt(r, mode=checkpoint_mode)
+    # see checkpointing.py. nondeterministic=True: a 'persist' here
+    # would recompute lost blocks FROM the sampled-boundary lineage
+    # and the two consumers could disagree on _part again — exactly
+    # the bug this pin exists to prevent — so persist is downgraded
+    # to a never-recomputed mode (reliable if a checkpoint dir is
+    # set, else local).
+    r = _ckpt(r, mode=checkpoint_mode, nondeterministic=True)
     w_local = Window.partitionBy("_part").orderBy(*order_cols)
     local = r.withColumn("_lrank", F.row_number().over(w_local)).withColumn(
         "_lbefore",

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from gcp_food_delivery_data_pipeline_spark.checkpointing import (
     materialize as _ckpt,
+    release as _release,
 )
 from gcp_food_delivery_data_pipeline_spark.operators.scale import (
     ensure_min_partitions,
@@ -1101,9 +1102,15 @@ def connected_components(
             .filter(F.col("comp") != F.col("comp_old"))
             .count()
         )
+        # The changed-count above is the last reader of the old label
+        # frame; under 'persist' free its cache entry NOW so the loop
+        # holds at most two label generations, not one per round
+        # (no-op under 'local'/'reliable' — see checkpointing.release).
+        _release(labels)
         labels = new_labels
         if changed == 0:
             break
+    _release(edges)
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
 
 

@@ -27,7 +27,17 @@ Scale notes (100 TB / 1000 executors):
   narrow projection over a checkpointed RDD — e.g. a memoized shared
   edge table), ``_materialize`` skips the redundant second copy:
   re-deriving a projection of a materialized RDD is free, copying
-  millions of edge rows again is not.
+  millions of edge rows again is not. An EXPLICIT
+  ``checkpoint_mode='reliable'`` bypasses the skip (ADVICE r12): the
+  caller asked for blocks that survive executor loss, and a
+  caller-materialized view's blocks are executor-local — honoring the
+  request costs one copy. Conf-defaulted 'reliable' keeps the skip:
+  the caller materialized the input themselves, so its durability is
+  the caller's choice (documented on every ``checkpoint_mode`` kwarg).
+* Superseded loop state is handed back via ``replaces=`` so the
+  ``'persist'`` mode never accumulates one cache-manager entry per
+  round (see ``checkpointing.materialize``); loop-lifetime static
+  pins (edge fractions, node sets) are ``release()``-d on return.
 * No driver-side collection: the driver holds loop control only.
 """
 
@@ -38,6 +48,7 @@ from pyspark.sql import functions as F
 
 from gcp_food_delivery_data_pipeline_spark.checkpointing import (
     materialize as _ckpt,
+    release as _release,
 )
 
 _NARROW_OPS = ("Project", "Filter", "SubqueryAlias", "LogicalRDD")
@@ -59,6 +70,15 @@ def _materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
     blocks again here would buy durability only for this one consumer
     while doubling storage.
 
+    An EXPLICIT ``mode='reliable'`` (the arg, not the session conf —
+    this helper only ever receives the caller's kwarg verbatim)
+    bypasses the skip rule: the caller asked for executor-loss
+    durability, and an already-materialized input's blocks are
+    executor-local, so returning it as-is would silently ignore the
+    request (ADVICE r12). Under the CONF path the skip stands, and the
+    kwarg docstrings state that caller-materialized inputs keep the
+    caller's durability.
+
     "Materialized" is VERIFIED, not inferred from the node type: a
     ``LogicalRDD`` also appears for ``spark.createDataFrame(rdd)`` /
     ``df.rdd`` round-trips whose RDD is plain lineage — skipping the
@@ -69,6 +89,8 @@ def _materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
     MEMORY_AND_DISK, so either signal means downstream branches read
     blocks, not lineage); any leaf that can't prove it falls through
     to a real checkpoint."""
+    if mode == "reliable":
+        return _ckpt(df, mode=mode)
     try:
         analyzed = df._jdf.queryExecution().analyzed()
         plan = analyzed.toString()
@@ -140,8 +162,11 @@ def pagerank(
     # derivation re-runs the caller's (possibly expensive) edge
     # pipeline — profiled at 2x a full co-occurrence self-join here.
     # (_materialize skips the copy when the caller's edges are
-    # already a view over a checkpointed RDD.)
+    # already a view over a checkpointed RDD; identity tells us
+    # whether the pin is OURS to release on return.)
+    e_in = e
     e = _materialize(e, mode=checkpoint_mode)
+    e_owned = e if e is not e_in else None
     out_w = e.groupBy("_src").agg(F.sum("_w").alias("_out"))
     frac = (
         e.join(out_w, "_src")
@@ -161,6 +186,7 @@ def pagerank(
     n = nodes.count()
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    pinned = None  # last rank pin THIS loop made (never a caller frame)
     for it in range(iterations):
         contribs = (
             frac.join(ranks, frac["_src"] == ranks["node"])
@@ -188,7 +214,15 @@ def pagerank(
         # Checkpoint frequency never changes the arithmetic — only
         # where the plan is cut.
         if it % 3 == 2 or it == iterations - 1:
-            ranks = _ckpt(ranks, mode=checkpoint_mode)
+            ranks = _ckpt(ranks, mode=checkpoint_mode, replaces=pinned)
+            pinned = ranks
+    # Loop-lifetime static pins: under 'persist' these hold
+    # cache-manager entries the caller never sees — free them now
+    # (no-op under 'local'/'reliable'; the returned ranks are
+    # eagerly materialized, so nothing the caller reads is lost).
+    _release(e_owned)
+    _release(frac)
+    _release(nodes)
     return ranks
 
 
@@ -285,6 +319,10 @@ def label_propagation(
     from pyspark.sql import Window
 
     prev = labels
+    # Two-generation release lag: round N's pin may still be read as
+    # `prev` (keep_prev) while round N+1 runs, so the frame freed at
+    # each pin is the one from TWO rounds back.
+    retired = None
     for _ in range(iterations):
         counts = (
             e.join(labels, e["_s"] == labels["node"])
@@ -316,7 +354,11 @@ def label_propagation(
             # evaluation, not just trims lineage. An A/B cadence
             # sweep measured every-3rd-round strictly slower here.
             mode=checkpoint_mode,
+            replaces=retired,
         )
+        retired = prev
+    _release(e)
+    _release(nodes)
     if keep_prev:
         # Stability-probe shape: expose round N-1's label next to
         # round N's so `label <> prev_label` counts the nodes still
@@ -360,8 +402,11 @@ def kcore(
         raise ValueError(f"kcore: k must be >= 1, got {k}")
     if rounds < 1:
         raise ValueError("kcore: need at least one round")
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-    e = _materialize(e, mode=checkpoint_mode)
+    e_in = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    e = _materialize(e_in, mode=checkpoint_mode)
+    # frames OURS to release: the _materialize pin only if it made a
+    # copy (identity check — a skip returns the caller's frame)
+    owned = e if e is not e_in else None
     for _ in range(rounds):
         keep = (
             e.groupBy("_s")
@@ -382,7 +427,9 @@ def kcore(
             # cadence that pays off in ``pagerank`` (single-reader
             # rank state) measured slower for this loop shape.
             mode=checkpoint_mode,
+            replaces=owned,
         )
+        owned = e
     return (
         e.groupBy(F.col("_s").alias("node"))
         .agg(F.count(F.lit(1)).alias("degree"))
@@ -444,9 +491,14 @@ def bfs_distances(
         # that triple evaluation as well as trimming lineage — see
         # the cadence note in ``pagerank``/``label_propagation``.
         settled = _ckpt(
-            settled.unionByName(new_nodes), mode=checkpoint_mode
+            settled.unionByName(new_nodes),
+            mode=checkpoint_mode,
+            # the initial settled pin is also ours, so every
+            # superseded generation is safe to free
+            replaces=settled,
         )
         frontier = settled.filter(F.col("dist") == hop).select("node")
+    _release(e)
     return settled
 
 
@@ -587,6 +639,8 @@ def hits_bipartite(
         "_u", F.lit(1).cast("long").alias("_h")
     )
     auth = None
+    pinned_a = None
+    pinned_h = None
     for it in range(iterations):
         auth = (
             e.join(hubs, "_u")
@@ -601,8 +655,10 @@ def hits_bipartite(
         # lineage cut every other round (each round adds 2 join+agg
         # layers; the cadence keeps plan depth <= 4 layers)
         if it % 2 == 1 or it == iterations - 1:
-            auth = _ckpt(auth, mode=checkpoint_mode)
-            hubs = _ckpt(hubs, mode=checkpoint_mode)
+            auth = _ckpt(auth, mode=checkpoint_mode, replaces=pinned_a)
+            hubs = _ckpt(hubs, mode=checkpoint_mode, replaces=pinned_h)
+            pinned_a, pinned_h = auth, hubs
+    _release(e)
     a_tot = auth.agg(F.sum("_a").alias("_t"))
     h_tot = hubs.agg(F.sum("_h").alias("_t"))
     a_rows = auth.crossJoin(F.broadcast(a_tot)).select(
@@ -650,12 +706,11 @@ def personalized_pagerank(
     if iterations < 1:
         raise ValueError("personalized_pagerank: need at least one iteration")
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
-    e = _materialize(
-        edges.select(
-            F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")
-        ),
-        mode=checkpoint_mode,
+    e_in = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")
     )
+    e = _materialize(e_in, mode=checkpoint_mode)
+    e_owned = e if e is not e_in else None
     out_w = e.groupBy("_src").agg(F.sum("_w").alias("_out"))
     # static tables checkpointed pre-partitioned on their per-round
     # join keys (see module docstring) — no edge-side exchange per round
@@ -701,6 +756,7 @@ def personalized_pagerank(
         "node",
         "left",
     ).select("node", F.coalesce("_r", F.lit(0.0)).alias("rank"))
+    pinned = None
     for it in range(iterations):
         contribs = (
             frac.join(ranks, frac["_src"] == ranks["node"])
@@ -719,5 +775,11 @@ def personalized_pagerank(
             ).alias("rank"),
         )
         if it % 3 == 2 or it == iterations - 1:
-            ranks = _ckpt(ranks, mode=checkpoint_mode)
+            ranks = _ckpt(ranks, mode=checkpoint_mode, replaces=pinned)
+            pinned = ranks
+    _release(e_owned)
+    _release(frac)
+    _release(nodes)
+    _release(nodes_b)
+    _release(seed_nodes)
     return ranks.filter(F.col("rank") > 0.0)

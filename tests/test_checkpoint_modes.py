@@ -56,15 +56,27 @@ def ckpt_dir(spark, tmp_path_factory):
     return d
 
 
-def test_reliable_mode_needs_checkpoint_dir(spark):
-    # MUST run before any test uses the ckpt_dir fixture: a checkpoint
-    # dir cannot be unset once set on the context. Guarded so a future
-    # reorder degrades to a skip, not a false failure.
-    if spark.sparkContext.getCheckpointDir() is not None:
-        pytest.skip("checkpoint dir already set by an earlier test")
-    df = spark.range(10)
+class _NoDirCtx:
+    def getCheckpointDir(self):
+        return None
+
+
+class _NoDirSession:
+    sparkContext = _NoDirCtx()
+
+
+class _NoDirDF:
+    """Duck-typed frame whose context reports NO checkpoint dir — the
+    fail-fast path is testable in ANY order (a real context's dir
+    cannot be unset once set, so the old real-df version silently
+    degraded to a skip under reordering/xdist — ADVICE r12)."""
+
+    sparkSession = _NoDirSession()
+
+
+def test_reliable_mode_needs_checkpoint_dir():
     with pytest.raises(RuntimeError, match="setCheckpointDir"):
-        materialize(df, mode="reliable")
+        materialize(_NoDirDF(), mode="reliable")
 
 
 def test_invalid_mode_rejected(spark):
@@ -94,8 +106,20 @@ def test_session_conf_reliable_parity(spark, ckpt_dir, key):
         spark.conf.unset(CONF_KEY)
 
 
-def test_session_conf_persist_parity(spark):
-    key = "g_pagerank_parts"
+@pytest.mark.parametrize(
+    "key",
+    [
+        # pagerank loop (pin-cadence release), LPA keep_prev (two-
+        # generation release lag), connected-components (release after
+        # the changed-count read), two-phase rank (nondeterministic
+        # downgrade path)
+        "g_pagerank_parts",
+        "g_lpa_stable",
+        "d_dup_components",
+        "q_ntile_buckets",
+    ],
+)
+def test_session_conf_persist_parity(spark, key):
     base = _run_key(spark, key)
     spark.conf.set(CONF_KEY, "persist")
     try:
@@ -121,6 +145,114 @@ def test_kwarg_overrides_conf(spark, ckpt_dir):
     assert (
         _rows(pagerank(edges, iterations=5, checkpoint_mode="persist")) == base
     )
+
+
+def test_release_only_touches_persist_entries(spark):
+    """release() frees a 'persist' cache entry but passes a local
+    checkpoint through untouched (its blocks are NOT recomputable —
+    unpersisting them would be data loss, not hygiene)."""
+    from gcp_food_delivery_data_pipeline_spark.checkpointing import release
+
+    p = materialize(spark.range(100).withColumn("v", F.col("id") * 3), mode="persist")
+    lvl = p.storageLevel
+    assert lvl.useMemory or lvl.useDisk
+    release(p)
+    lvl = p.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)
+
+    loc = materialize(spark.range(10), mode="local")
+    release(loc)  # must be a no-op
+    assert loc.count() == 10
+    release(None)  # and None is tolerated
+
+
+def test_materialize_replaces_releases_superseded_frame(spark):
+    a = materialize(spark.range(100).withColumn("v", F.col("id") + 1), mode="persist")
+    assert a.storageLevel.useMemory or a.storageLevel.useDisk
+    b = materialize(a.select("id"), mode="persist", replaces=a)
+    # the superseded generation's cache entry is gone; the new one lives
+    assert not (a.storageLevel.useMemory or a.storageLevel.useDisk)
+    assert b.storageLevel.useMemory or b.storageLevel.useDisk
+    assert b.count() == 100
+    b.unpersist()
+
+
+def test_persist_loop_bounds_cache_entries(spark):
+    """A 'persist'-mode PageRank must NOT leak one cache-manager entry
+    per pin: superseded rank generations and the loop's static pins
+    are released, leaving at most the returned frame's own entry
+    (ADVICE r12 — the session-lifetime-leak class)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import pagerank
+
+    jsc_rdds = spark.sparkContext._jsc.getPersistentRDDs()
+    before = jsc_rdds.size()
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(200)], ["src", "dst"]
+    )
+    out = pagerank(edges, iterations=9, checkpoint_mode="persist")
+    assert out.count() > 0
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # 9 iterations pin ranks at it=2,5,8 plus e/frac/nodes: six
+    # persist entries without the release plumbing, one (the returned
+    # ranks) with it. Bound of 2 leaves slack for lazy cache-manager
+    # bookkeeping while still failing the leak.
+    assert after - before <= 2, f"persist loop leaked {after - before} cache entries"
+    from gcp_food_delivery_data_pipeline_spark.checkpointing import release
+
+    release(out)
+
+
+def test_persist_nondeterministic_downgrades_to_local(spark, monkeypatch):
+    """At a nondeterministic pin site 'persist' must not trust lineage
+    recompute: with no checkpoint dir it downgrades to 'local' (with a
+    warning), producing a materialized frame with NO cache entry."""
+    monkeypatch.setattr(spark.sparkContext, "getCheckpointDir", lambda: None)
+    with pytest.warns(RuntimeWarning, match="downgraded"):
+        out = materialize(
+            spark.range(50), mode="persist", nondeterministic=True
+        )
+    lvl = out.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)
+    assert out.count() == 50
+
+
+def test_persist_nondeterministic_downgrades_to_reliable(spark, ckpt_dir):
+    """With a checkpoint dir configured the downgrade takes the MORE
+    durable branch: blocks land in the checkpoint dir, not the cache."""
+    before = sum(len(fs) for _, _, fs in os.walk(ckpt_dir))
+    out = materialize(
+        spark.range(500).withColumn("v", F.col("id") % 7),
+        mode="persist",
+        nondeterministic=True,
+    )
+    lvl = out.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)
+    assert out.count() == 500
+    after = sum(len(fs) for _, _, fs in os.walk(ckpt_dir))
+    assert after > before
+
+
+def test_graph_materialize_explicit_reliable_bypasses_skip(spark, ckpt_dir):
+    """An explicit checkpoint_mode='reliable' on a graph operator's
+    already-materialized input must actually checkpoint (the skip rule
+    would silently keep the blocks executor-local — ADVICE r12); the
+    conf-default path keeps the skip (caller's durability choice)."""
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        _materialize,
+    )
+
+    base = materialize(
+        spark.range(100).selectExpr("id as src", "id + 1 as dst"),
+        mode="local",
+    )
+    view = base.select("src", "dst")  # narrow view over pinned RDD
+    assert _materialize(view) is view  # default path: skip stands
+    before = sum(len(fs) for _, _, fs in os.walk(ckpt_dir))
+    out = _materialize(view, mode="reliable")
+    assert out is not view
+    assert out.count() == 100
+    after = sum(len(fs) for _, _, fs in os.walk(ckpt_dir))
+    assert after > before
 
 
 def test_reliable_writes_to_checkpoint_dir(spark, ckpt_dir):
