@@ -65,3 +65,22 @@ def test_part_edges_memo_evicts_only_stopped_sessions(spark):
         for k in entry._PART_EDGES_MEMO
     )
     entry._PART_EDGES_MEMO.clear()
+
+
+def test_bench_probe_verdict_adjudicates():
+    """The bench artifact's self-adjudication (r12 missing #2): clean
+    needs all four probe readings under their clean-band ceilings;
+    any exceedance is 'drifted' with the worst ratio; a missing probe
+    can never masquerade as clean."""
+    import bench
+
+    v, r = bench._probe_verdict([0.2, 0.25], [0.3, 0.35])
+    assert v == "clean" and r <= 1.0
+    v, r = bench._probe_verdict([0.2, 0.6], [0.3, 0.35])
+    assert v == "drifted" and r == round(0.6 / bench.CAL_CLEAN_MAX, 3)
+    v, r = bench._probe_verdict([0.2, 0.25], [0.3, 1.0])
+    assert v == "drifted" and r == round(1.0 / bench.CAL_IO_CLEAN_MAX, 3)
+    v, _ = bench._probe_verdict([0.2, None], [0.3, 0.35])
+    assert v == "unknown"
+    v, r = bench._probe_verdict([None, None], [None, None])
+    assert v == "unknown" and r is None

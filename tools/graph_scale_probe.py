@@ -177,7 +177,12 @@ def _run_op(spark, op: str, size: str) -> int:
             bfs_distances,
         )
 
-        e = _edges(spark, size, min_n=2, keep_weight=False)
+        # min_n=1 (the graded key filters to min_n=2): repeat
+        # co-orders are vanishingly rare under the synthetic uniform
+        # part draw, so the min_n=2 graph would be near-empty at
+        # x30/x100 — the probe must drive the FULL-size frontier
+        # shuffles, which is the hazard class under test
+        e = _edges(spark, size, min_n=1, keep_weight=False)
         seeds = e.select(F.col("src").alias("node")).filter(
             F.col("node") <= 5
         )
@@ -187,7 +192,10 @@ def _run_op(spark, op: str, size: str) -> int:
             connected_components,
         )
 
-        e = _edges(spark, size, min_n=2, keep_weight=False).filter(
+        # min_n=1 for the same reason as bfs: the label-propagation
+        # loop must shuffle corpus-sized id frames to expose the
+        # AQE byte-coalescing hazard, not a 7k-edge remnant
+        e = _edges(spark, size, min_n=1, keep_weight=False).filter(
             F.col("src") < F.col("dst")
         )
         pairs = e.select(
@@ -237,24 +245,31 @@ def _child(op: str, size: str) -> int:
     slow_serialized = []
     n_stages = 0
     total_run_ms = 0
+    brief = []
     for st in stages:
         n_stages += 1
         rt = st.get("executorRunTime", 0)
         total_run_ms += rt
+        brief.append(
+            {
+                "stageId": st.get("stageId"),
+                "numTasks": st.get("numTasks"),
+                "executorRunTimeMs": rt,
+                "shuffleReadRecords": st.get("shuffleReadRecords", 0),
+                "shuffleWriteRecords": st.get("shuffleWriteRecords", 0),
+                "name": (st.get("name") or "")[:80],
+            }
+        )
         if (
             st.get("numTasks", 0) <= SERIALIZED_MAX_TASKS
             and rt > SERIALIZED_MIN_MS
         ):
-            slow_serialized.append(
-                {
-                    "stageId": st.get("stageId"),
-                    "numTasks": st.get("numTasks"),
-                    "executorRunTimeMs": rt,
-                    "shuffleReadRecords": st.get("shuffleReadRecords", 0),
-                    "shuffleWriteRecords": st.get("shuffleWriteRecords", 0),
-                    "name": (st.get("name") or "")[:80],
-                }
-            )
+            slow_serialized.append(brief[-1])
+    # the 5 hottest stages, so a "no serialized stage" verdict also
+    # records WHERE the time went and at what width
+    hot = sorted(
+        brief, key=lambda s: s["executorRunTimeMs"], reverse=True
+    )[:5]
     out = {
         "op": op,
         "size": size,
@@ -264,6 +279,7 @@ def _child(op: str, size: str) -> int:
         "executor_run_total_ms": total_run_ms,
         "serialized_stages": slow_serialized,
         "n_serialized": len(slow_serialized),
+        "hot_stages": hot,
     }
     print("GRAPH_PROBE " + json.dumps(out, separators=(",", ":")))
     spark.stop()
@@ -321,8 +337,25 @@ def main() -> int:
                 )
                 continue
             point = json.loads(line[len("GRAPH_PROBE "):])
-            # merge: newest measurement of a (op, size) wins, older
-            # errors are dropped
+            # merge: newest stage data wins, but every prior wall
+            # sample is retained (this box's drift only inflates —
+            # min-of-samples is the comparable number)
+            prev = next(
+                (
+                    p
+                    for p in results
+                    if p.get("op") == op and p.get("size") == size
+                ),
+                None,
+            )
+            if prev and prev.get("samples"):
+                samples = list(prev["samples"])
+            elif prev and prev.get("wall_sec") is not None:
+                samples = [prev["wall_sec"]]
+            else:
+                samples = []
+            point["samples"] = samples + [point["wall_sec"]]
+            point["wall_min_sec"] = min(point["samples"])
             results = [
                 p
                 for p in results
