@@ -305,22 +305,34 @@ def _calibration_probe_io(spark, sf_dir: str) -> float | None:
 # deferring it to BASELINE.md prose.
 CAL_CLEAN_MAX = 0.30
 CAL_IO_CLEAN_MAX = 0.38
+# Max start/end spread WITHIN a probe pair on a genuinely flat run:
+# the committed clean base read 1.20 (cal) / 1.35 (cal_io); the first
+# r13 borderline run read 1.85 on both while passing the band test —
+# and carried 21% early-position inflation that decayed mid-run. A
+# spread above this flags "started polluted, recovered" even when
+# every absolute reading squeaks under its ceiling.
+CAL_SPREAD_MAX = 1.6
 
 
 def _probe_verdict(
     cal: list[float | None], cal_io: list[float | None]
 ) -> tuple[str, float | None]:
     """('clean'|'drifted'|'unknown', drift_ratio): drift_ratio is the
-    worst probe reading divided by its clean-band ceiling — 1.0 means
-    'at the edge of the clean band'; a polluted run reads >1. 'clean'
-    additionally requires BOTH ends of BOTH probes present, so a
-    probe failure can never masquerade as a clean bill."""
+    worst of (a) each probe reading / its clean-band ceiling and (b)
+    each probe pair's start/end spread / CAL_SPREAD_MAX — 1.0 means
+    'at the edge of clean'; a polluted OR in-run-drifting run reads
+    >1. 'clean' additionally requires BOTH ends of BOTH probes
+    present, so a probe failure can never masquerade as a clean
+    bill."""
     ratios: list[float] = []
     for vals, ceil in ((cal, CAL_CLEAN_MAX), (cal_io, CAL_IO_CLEAN_MAX)):
         for v in vals:
             if v is None:
                 return ("unknown", round(max(ratios), 3) if ratios else None)
             ratios.append(v / ceil)
+        lo, hi = min(vals), max(vals)
+        if lo > 0:
+            ratios.append((hi / lo) / CAL_SPREAD_MAX)
     worst = round(max(ratios), 3)
     return ("clean" if worst <= 1.0 else "drifted", worst)
 

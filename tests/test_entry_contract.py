@@ -84,3 +84,11 @@ def test_bench_probe_verdict_adjudicates():
     assert v == "unknown"
     v, r = bench._probe_verdict([None, None], [None, None])
     assert v == "unknown" and r is None
+    # in-run spread: both ends in band but start 1.85x end = "started
+    # polluted, recovered" (the first r13 bench run's signature, which
+    # carried 21% early-position inflation) -> drifted
+    v, r = bench._probe_verdict([0.294, 0.159], [0.295, 0.179])
+    assert v == "drifted" and r > 1.0
+    # the committed r12 clean base must stay clean under the spread rule
+    v, r = bench._probe_verdict([0.239, 0.286], [0.273, 0.368])
+    assert v == "clean"
