@@ -496,3 +496,73 @@ def test_stream_window_topk_matches_batch_and_is_replay_idempotent(
     q2 = run_window_topk_stream(spark, in_dir, ckpt, out)
     assert q2.awaitTermination(360)
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_stream_left_join_matches_batch_left_join(spark, tmp_path):
+    """LEFT OUTER watermarked stream-stream join == the batch LEFT
+    JOIN, including null-click rows for unmatched purchases. Null
+    emission is watermark-driven state expiry, so the drain protocol
+    mirrors __spark_entry__._q_stream_left_join: typed far-future
+    flush sentinels (this query filters click/purchase BEFORE its
+    watermark nodes) and TWO drains on one checkpoint — the second
+    drain's batch executes under the first sentinel's watermark and
+    flushes every real unmatched purchase. All real data arrives as
+    ONE file so no real row is ever late against the watermark; only
+    the outer-emission machinery is under test."""
+    import shutil
+
+    from gcp_food_delivery_data_pipeline_spark.streaming.events import (
+        append_watermark_flush,
+        run_click_attribution_left_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    (tmp_path / "in").mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", in_dir)
+    append_watermark_flush(spark, in_dir, event_types=("click", "purchase"))
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    for i in range(2):
+        q = run_click_attribution_left_stream(
+            spark, in_dir, ckpt, out, horizon_seconds=3600
+        )
+        assert q.awaitTermination(360), "left-join stream did not drain"
+        if i == 0:
+            append_watermark_flush(
+                spark, in_dir, event_types=("click", "purchase")
+            )
+    streamed = {
+        (r.purchase_id, r.click_id, r.p_user, r.purchase_value)
+        for r in spark.read.parquet(out)
+        .filter(F.col("p_user") != -1)  # sentinel purchases excluded
+        .collect()
+    }
+
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = {
+        (r.purchase_id, r.click_id, r.p_user, r.purchase_value)
+        for r in purchases.join(
+            clicks,
+            F.expr(
+                "c_user = p_user AND click_ts <= purchase_ts AND "
+                "click_ts >= purchase_ts - INTERVAL 3600 SECONDS"
+            ),
+            "left",
+        )
+        .select("purchase_id", "click_id", "p_user", "purchase_value")
+        .collect()
+    }
+    assert streamed == batch
+    # both code paths must be exercised: matched and null-click rows
+    assert any(c is not None for _, c, _, _ in streamed)
+    assert any(c is None for _, c, _, _ in streamed)
