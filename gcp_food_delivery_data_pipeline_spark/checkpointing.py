@@ -66,12 +66,25 @@ pin).
 
 from __future__ import annotations
 
+import logging
 import warnings
 
 from pyspark.sql import DataFrame
 
 CONF_KEY = "spark.foodPipeline.checkpointMode"
 VALID_MODES = ("local", "reliable", "persist")
+
+_LOG = logging.getLogger(__name__)
+
+#: ``release()`` failures observed this process (VERDICT r13 #4): the
+#: except arm keeps its no-raise contract (hygiene is best-effort),
+#: but a PERSISTENT unpersist failure — e.g. a future Spark API change
+#: making ``storageLevel`` raise — would silently reintroduce the
+#: per-round cache leak r13 fixed. Each failure is appended here
+#: (capped) and logged at DEBUG, so a leak investigation has a signal
+#: to find instead of silence.
+RELEASE_FAILURES: list[str] = []
+_RELEASE_FAILURES_CAP = 100
 
 
 def resolve_mode(df: DataFrame, mode: str | None = None) -> str:
@@ -98,15 +111,50 @@ def release(df: DataFrame | None) -> None:
     reports memory/disk) are unpersisted — ``'local'``/``'reliable'``
     outputs are LogicalRDD views with no cache entry, so they pass
     through untouched (unpersisting a local checkpoint would destroy
-    blocks that are NOT recomputable). No-op on ``None``."""
+    blocks that are NOT recomputable). No-op on ``None``.
+
+    Failures never raise (callers run this on every return path), but
+    they are NOT silent: each is recorded in ``RELEASE_FAILURES`` and
+    logged at DEBUG, so a persistent unpersist failure — the one way
+    the per-round cache leak could quietly come back — leaves a
+    trace."""
     if df is None:
         return
     try:
         lvl = df.storageLevel
         if lvl.useMemory or lvl.useDisk:
             df.unpersist()
-    except Exception:  # noqa: BLE001 — hygiene is best-effort
-        pass
+    except Exception as ex:  # noqa: BLE001 — hygiene is best-effort
+        if len(RELEASE_FAILURES) < _RELEASE_FAILURES_CAP:
+            RELEASE_FAILURES.append(f"{type(ex).__name__}: {ex}"[:200])
+        _LOG.debug("checkpointing.release failed (leak risk): %s", ex)
+
+
+def own_result(
+    out: DataFrame,
+    mode: str | None = None,
+    pins: tuple[DataFrame, ...] | list[DataFrame] = (),
+) -> DataFrame:
+    """Make the frame an operator RETURNS the releasable handle under
+    ``'persist'`` mode (ADVICE r13): operators whose result is a lazy
+    derivation of their final pin (a filter / rename / union over it)
+    would otherwise leave that pin's cache entry unreachable — the
+    caller holds the derivation, whose plan doesn't match the cached
+    subtree, so no ``release()`` the caller can issue frees it.
+
+    Under a resolved ``'persist'``: eagerly persist ``out`` itself,
+    then ``release()`` every internal pin in ``pins`` — the caller now
+    holds exactly one cache entry, and it is theirs to free. Under
+    ``'local'`` / ``'reliable'``: returns ``out`` untouched (those
+    pins hold no cache-manager entries, so nothing leaks and the
+    historical zero-extra-materialization plan is preserved
+    bit-for-bit)."""
+    if resolve_mode(out, mode) != "persist":
+        return out
+    out = materialize(out, eager=True, mode="persist")
+    for p in pins:
+        release(p)
+    return out
 
 
 def materialize(
@@ -134,7 +182,18 @@ def materialize(
     accumulate one session-lifetime cache entry per round. Only pass
     frames this operator itself materialized — never a caller's input
     (releasing a caller's persisted frame would clobber their cache).
+    ``replaces=`` REQUIRES ``eager=True``: releasing the old frame
+    before the new one is built would force a full-lineage recompute,
+    so a non-eager call cannot honor the release — it raises instead
+    of silently leaking the superseded entry (ADVICE r13).
     """
+    if replaces is not None and not eager:
+        raise ValueError(
+            "materialize(replaces=...) requires eager=True: a lazy "
+            "pin cannot release the superseded frame (the new blocks "
+            "don't exist yet), and skipping the release silently "
+            "would leak its cache entry"
+        )
     mode = resolve_mode(df, mode)
     if mode == "persist" and nondeterministic:
         try:
@@ -176,10 +235,9 @@ def materialize(
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
         if eager:
             out.count()
-    if replaces is not None and eager:
-        # The new blocks exist (eager), so the superseded frame's
-        # cache entry is pure leak now. Non-eager pins skip the
-        # release: freeing the old frame before the new one is built
-        # would force a full-lineage recompute.
+    if replaces is not None:
+        # The new blocks exist (eager is guaranteed by the guard
+        # above), so the superseded frame's cache entry is pure leak
+        # now.
         release(replaces)
     return out

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from gcp_food_delivery_data_pipeline_spark.checkpointing import (
     materialize as _ckpt,
+    own_result as _own,
     release as _release,
 )
 from gcp_food_delivery_data_pipeline_spark.operators.scale import (
@@ -1111,7 +1112,17 @@ def connected_components(
         if changed == 0:
             break
     _release(edges)
-    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
+    # The rename is a derivation over the loop's final label pin:
+    # under 'persist' re-pin it as the caller's one releasable entry
+    # and free the internal pin (ADVICE r13); no-op — and the
+    # historical plan — under 'local'/'reliable'.
+    return _own(
+        labels.select(
+            F.col("id").alias(id_col), F.col("comp").alias("component")
+        ),
+        checkpoint_mode,
+        (labels,),
+    )
 
 
 def fuzzy_name_pairs(

@@ -48,14 +48,20 @@ from pyspark.sql import functions as F
 
 from gcp_food_delivery_data_pipeline_spark.checkpointing import (
     materialize as _ckpt,
+    own_result as _own,
     release as _release,
 )
 
 _NARROW_OPS = ("Project", "Filter", "SubqueryAlias", "LogicalRDD")
 
 
-def _materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
-    """``localCheckpoint(eager=True)`` unless ``df`` is already a
+def _materialize_owned(
+    df: DataFrame, mode: str | None = None
+) -> tuple[DataFrame, DataFrame | None]:
+    """``(materialized, owned_pin)``: ``localCheckpoint(eager=True)``
+    — with ``owned_pin`` naming the frame THIS call pinned (the
+    caller must ``release()`` it on return; None when the skip rule
+    returned the caller's frame untouched) — unless ``df`` is already a
     narrow view — projections/filters only — over a materialized RDD,
     in which case every downstream branch re-reads the existing
     blocks and a second copy buys nothing. Conservative: any operator
@@ -90,24 +96,29 @@ def _materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
     blocks, not lineage); any leaf that can't prove it falls through
     to a real checkpoint."""
     if mode == "reliable":
-        return _ckpt(df, mode=mode)
+        out = _ckpt(df, mode=mode)
+        return out, out
     try:
         analyzed = df._jdf.queryExecution().analyzed()
         plan = analyzed.toString()
     except Exception:  # noqa: BLE001 — connect-mode etc.: checkpoint
-        return _ckpt(df, mode=mode)
+        out = _ckpt(df, mode=mode)
+        return out, out
     if "LogicalRDD" not in plan:
-        return _ckpt(df, mode=mode)
+        out = _ckpt(df, mode=mode)
+        return out, out
     for ln in plan.splitlines():
         op = ln.lstrip(" +-:")
         if op and not op.startswith(_NARROW_OPS):
-            return _ckpt(df, mode=mode)
+            out = _ckpt(df, mode=mode)
+            return out, out
     try:
         leaves = analyzed.collectLeaves()
         for i in range(leaves.size()):
             leaf = leaves.apply(i)
             if leaf.getClass().getSimpleName() != "LogicalRDD":
-                return _ckpt(df, mode=mode)
+                out = _ckpt(df, mode=mode)
+                return out, out
             rdd = leaf.rdd()
             lvl = rdd.getStorageLevel()
             if not (
@@ -115,10 +126,23 @@ def _materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
                 or lvl.useMemory()
                 or lvl.useDisk()
             ):
-                return _ckpt(df, mode=mode)
+                out = _ckpt(df, mode=mode)
+                return out, out
     except Exception:  # noqa: BLE001 — unknown plan shape: checkpoint
-        return _ckpt(df, mode=mode)
-    return df
+        out = _ckpt(df, mode=mode)
+        return out, out
+    return df, None
+
+
+def _materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
+    """Back-compat shim over ``_materialize_owned`` for callers that
+    don't track ownership (the skip-rule tests). Operator loops use
+    ``_materialize_owned``: under 'persist', ``DataFrame.persist()``
+    returns SELF, so the old ``out is not input`` identity test could
+    never see the pin this call created — the r14 leak the
+    releasability suite caught."""
+    out, _owned = _materialize_owned(df, mode=mode)
+    return out
 
 
 def pagerank(
@@ -161,12 +185,11 @@ def pagerank(
     # both derive from e, and without this checkpoint each eager
     # derivation re-runs the caller's (possibly expensive) edge
     # pipeline — profiled at 2x a full co-occurrence self-join here.
-    # (_materialize skips the copy when the caller's edges are
-    # already a view over a checkpointed RDD; identity tells us
-    # whether the pin is OURS to release on return.)
-    e_in = e
-    e = _materialize(e, mode=checkpoint_mode)
-    e_owned = e if e is not e_in else None
+    # (_materialize_owned skips the copy when the caller's edges are
+    # already a view over a checkpointed RDD; its owned_pin return
+    # names the frame OURS to release — identity checks can't, since
+    # DataFrame.persist() returns self.)
+    e, e_owned = _materialize_owned(e, mode=checkpoint_mode)
     out_w = e.groupBy("_src").agg(F.sum("_w").alias("_out"))
     frac = (
         e.join(out_w, "_src")
@@ -357,18 +380,37 @@ def label_propagation(
             replaces=retired,
         )
         retired = prev
+    if keep_prev and iterations == 1:
+        # prev is still the UNPINNED init view over `nodes` (no round
+        # ever superseded it): pin it before the statics are released,
+        # or under 'persist' the caller's evaluation of the returned
+        # join would recompute the full edge pipeline from lineage —
+        # inheriting any caller-side nondeterminism into prev_label
+        # (ADVICE r13).
+        prev = _ckpt(prev, mode=checkpoint_mode)
     _release(e)
     _release(nodes)
     if keep_prev:
         # Stability-probe shape: expose round N-1's label next to
         # round N's so `label <> prev_label` counts the nodes still
         # moving — the fixed-point evidence for the fixed round count.
-        return labels.join(
-            prev.select(
-                "node", F.col("label").alias("prev_label")
+        # The join is a derivation over the labels/prev pins: under
+        # 'persist' re-pin it as the caller's one releasable entry
+        # (ADVICE r13); no-op under 'local'/'reliable'.
+        return _own(
+            labels.join(
+                prev.select(
+                    "node", F.col("label").alias("prev_label")
+                ),
+                "node",
             ),
-            "node",
+            checkpoint_mode,
+            (labels, prev),
         )
+    # Round N-1's pin (kept alive by the two-generation release lag)
+    # has no reader once the caller only gets round N — free it so
+    # 'persist' exits holding exactly one entry, the returned frame.
+    _release(prev)
     return labels
 
 
@@ -403,10 +445,7 @@ def kcore(
     if rounds < 1:
         raise ValueError("kcore: need at least one round")
     e_in = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-    e = _materialize(e_in, mode=checkpoint_mode)
-    # frames OURS to release: the _materialize pin only if it made a
-    # copy (identity check — a skip returns the caller's frame)
-    owned = e if e is not e_in else None
+    e, owned = _materialize_owned(e_in, mode=checkpoint_mode)
     for _ in range(rounds):
         keep = (
             e.groupBy("_s")
@@ -430,9 +469,15 @@ def kcore(
             replaces=owned,
         )
         owned = e
-    return (
+    # The survivor-degree agg is a derivation over the loop's final
+    # edge pin: under 'persist' re-pin it as the caller's one
+    # releasable entry and free the internal pin (ADVICE r13 leak
+    # class); no-op under 'local'/'reliable'.
+    return _own(
         e.groupBy(F.col("_s").alias("node"))
-        .agg(F.count(F.lit(1)).alias("degree"))
+        .agg(F.count(F.lit(1)).alias("degree")),
+        checkpoint_mode,
+        (owned,),
     )
 
 
@@ -581,12 +626,20 @@ def link_prediction_scores(
             ).alias("jaccard"),
         )
     )
-    return scored.orderBy(
-        F.col("jaccard").desc(),
-        F.col("cn").desc(),
-        F.col("node_a"),
-        F.col("node_b"),
-    ).limit(k)
+    # Top-k is a derivation over the pinned edge table, which was
+    # never released: under 'persist' re-pin the k-row result as the
+    # caller's one releasable entry and free the edge pin (ADVICE r13
+    # leak class); no-op under 'local'/'reliable'.
+    return _own(
+        scored.orderBy(
+            F.col("jaccard").desc(),
+            F.col("cn").desc(),
+            F.col("node_a"),
+            F.col("node_b"),
+        ).limit(k),
+        checkpoint_mode,
+        (e,),
+    )
 
 
 def hits_bipartite(
@@ -671,7 +724,13 @@ def hits_bipartite(
         F.col("_u").alias("node"),
         (F.col("_h").cast("double") / F.col("_t")).alias("score"),
     )
-    return a_rows.unionByName(h_rows)
+    # The normalized union is a derivation over the loop's auth/hubs
+    # pins: under 'persist' re-pin it as the caller's one releasable
+    # entry and free the internal pins (ADVICE r13); no-op — and the
+    # historical plan — under 'local'/'reliable'.
+    return _own(
+        a_rows.unionByName(h_rows), checkpoint_mode, (pinned_a, pinned_h)
+    )
 
 
 def personalized_pagerank(
@@ -709,8 +768,7 @@ def personalized_pagerank(
     e_in = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")
     )
-    e = _materialize(e_in, mode=checkpoint_mode)
-    e_owned = e if e is not e_in else None
+    e, e_owned = _materialize_owned(e_in, mode=checkpoint_mode)
     out_w = e.groupBy("_src").agg(F.sum("_w").alias("_out"))
     # static tables checkpointed pre-partitioned on their per-round
     # join keys (see module docstring) — no edge-side exchange per round
@@ -774,7 +832,16 @@ def personalized_pagerank(
                 + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
             ).alias("rank"),
         )
-        if it % 3 == 2 or it == iterations - 1:
+        last = it == iterations - 1
+        if last:
+            # Apply the unreachable-node drop BEFORE the final pin so
+            # the frame the caller holds IS the pin — a post-pin
+            # filter would leave the pinned cache entry unreleasable
+            # under 'persist' (ADVICE r13). Same rows either way
+            # (rank values are computed before the pin in both
+            # orderings), and the pin materializes strictly fewer.
+            ranks = ranks.filter(F.col("rank") > 0.0)
+        if it % 3 == 2 or last:
             ranks = _ckpt(ranks, mode=checkpoint_mode, replaces=pinned)
             pinned = ranks
     _release(e_owned)
@@ -782,4 +849,4 @@ def personalized_pagerank(
     _release(nodes)
     _release(nodes_b)
     _release(seed_nodes)
-    return ranks.filter(F.col("rank") > 0.0)
+    return ranks

@@ -193,10 +193,11 @@ def test_persist_loop_bounds_cache_entries(spark):
     assert out.count() > 0
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     # 9 iterations pin ranks at it=2,5,8 plus e/frac/nodes: six
-    # persist entries without the release plumbing, one (the returned
-    # ranks) with it. Bound of 2 leaves slack for lazy cache-manager
-    # bookkeeping while still failing the leak.
-    assert after - before <= 2, f"persist loop leaked {after - before} cache entries"
+    # persist entries without the release plumbing, exactly one (the
+    # returned ranks) with it. The r13 bound of 2 hid the edge-pin
+    # ownership leak (DataFrame.persist() returns self, so the old
+    # identity check never saw the pin) — exact now.
+    assert after - before <= 1, f"persist loop leaked {after - before} cache entries"
     from gcp_food_delivery_data_pipeline_spark.checkpointing import release
 
     release(out)
@@ -265,3 +266,182 @@ def test_reliable_writes_to_checkpoint_dir(spark, ckpt_dir):
     assert out.count() == 1000
     after = sum(len(fs) for _, _, fs in os.walk(ckpt_dir))
     assert after > before
+
+
+def test_release_failure_is_recorded(spark):
+    """release() keeps its no-raise contract, but a failure must leave
+    a trace (VERDICT r13 #4): a persistent unpersist failure — e.g. a
+    future Spark API change making storageLevel raise — would silently
+    reintroduce the per-round cache leak otherwise."""
+    from gcp_food_delivery_data_pipeline_spark import checkpointing
+
+    class _BrokenDF:
+        @property
+        def storageLevel(self):
+            raise AttributeError("storageLevel went away")
+
+    before = len(checkpointing.RELEASE_FAILURES)
+    checkpointing.release(_BrokenDF())  # must not raise
+    assert len(checkpointing.RELEASE_FAILURES) == before + 1
+    assert "storageLevel went away" in checkpointing.RELEASE_FAILURES[-1]
+    del checkpointing.RELEASE_FAILURES[before:]
+
+
+def test_replaces_requires_eager(spark):
+    """materialize(eager=False, replaces=...) must raise, not silently
+    drop the release (ADVICE r13): a lazy pin can't free the
+    superseded frame, and skipping quietly would leak its entry."""
+    a = materialize(spark.range(10), mode="persist")
+    try:
+        with pytest.raises(ValueError, match="eager"):
+            materialize(a.select("id"), eager=False, replaces=a)
+        # the guard fires BEFORE any mode work: a's entry is intact
+        assert a.storageLevel.useMemory or a.storageLevel.useDisk
+    finally:
+        from gcp_food_delivery_data_pipeline_spark.checkpointing import release
+
+        release(a)
+
+
+def test_own_result_noop_under_local(spark):
+    """own_result must preserve the historical local-mode plan
+    bit-for-bit: the same object comes back and nothing is pinned."""
+    from gcp_food_delivery_data_pipeline_spark.checkpointing import own_result
+
+    pin = materialize(spark.range(20), mode="local")
+    out = pin.select((F.col("id") * 2).alias("v"))
+    assert own_result(out, "local", (pin,)) is out
+    assert out.count() == 20
+
+
+def test_own_result_persist_transfers_ownership(spark):
+    """Under 'persist', own_result re-pins the derivation as the
+    caller's ONE releasable entry and frees the internal pins
+    (ADVICE r13: a returned filter/select over a pin left the pin's
+    cache entry unreachable)."""
+    from gcp_food_delivery_data_pipeline_spark.checkpointing import (
+        own_result,
+        release,
+    )
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    pin = materialize(
+        spark.range(100).withColumn("v", F.col("id") % 9), mode="persist"
+    )
+    out = own_result(pin.filter(F.col("v") > 0), "persist", (pin,))
+    # internal pin freed; the caller's handle is the cache entry
+    assert not (pin.storageLevel.useMemory or pin.storageLevel.useDisk)
+    assert out.storageLevel.useMemory or out.storageLevel.useDisk
+    assert out.count() > 0
+    release(out)
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after - before <= 0, "ownership transfer leaked a cache entry"
+
+
+@pytest.mark.parametrize(
+    "opname",
+    [
+        "personalized_pagerank",
+        "hits_bipartite",
+        "kcore",
+        "link_prediction_scores",
+        "label_propagation_keep_prev",
+        "connected_components",
+    ],
+)
+def test_persist_derivation_returns_are_releasable(spark, opname):
+    """ADVICE r13: operators whose result is a derivation of their
+    final pin must not leave unreleasable 'persist' entries — after
+    release()-ing the returned frame, the cache manager is back to
+    its baseline entry count."""
+    from gcp_food_delivery_data_pipeline_spark.checkpointing import release
+    from gcp_food_delivery_data_pipeline_spark.operators import dedup, graph
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 40) for i in range(160)], ["src", "dst"]
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    if opname == "personalized_pagerank":
+        seeds = spark.createDataFrame([(1,), (2,)], ["node"])
+        out = graph.personalized_pagerank(
+            edges, seeds, iterations=4, checkpoint_mode="persist"
+        )
+    elif opname == "hits_bipartite":
+        out = graph.hits_bipartite(edges, iterations=3, checkpoint_mode="persist")
+    elif opname == "kcore":
+        # symmetric ring + chords: every node keeps degree 4, so a
+        # k=2 core survives (the shared functional-graph edges have
+        # out-degree 1 everywhere and would peel to empty)
+        ring = [(i, (i + 1) % 40) for i in range(40)] + [
+            (i, (i + 2) % 40) for i in range(40)
+        ]
+        sym = spark.createDataFrame(
+            ring + [(b, a) for a, b in ring], ["src", "dst"]
+        )
+        out = graph.kcore(sym, k=2, rounds=3, checkpoint_mode="persist")
+    elif opname == "link_prediction_scores":
+        out = graph.link_prediction_scores(edges, k=10, checkpoint_mode="persist")
+    elif opname == "label_propagation_keep_prev":
+        out = graph.label_propagation(
+            edges, iterations=3, keep_prev=True, checkpoint_mode="persist"
+        )
+    else:
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(0, 60, 2)], ["id_a", "id_b"]
+        )
+        verts = spark.createDataFrame([(i,) for i in range(61)], ["doc_id"])
+        out = dedup.connected_components(pairs, verts, checkpoint_mode="persist")
+    assert out.count() > 0
+    release(out)
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after - before <= 0, (
+        f"{opname} under 'persist' left {after - before} unreleasable entries"
+    )
+
+
+def test_lpa_keep_prev_single_iteration_persist(spark):
+    """ADVICE r13 (graph.py:360): keep_prev=True with iterations=1
+    under 'persist' — prev is the loop's INIT view, and releasing the
+    statics before the caller evaluates used to force a full-lineage
+    recompute of the edge pipeline into prev_label. The pinned path
+    must return prev_label == the init label (the node id itself)."""
+    from gcp_food_delivery_data_pipeline_spark.checkpointing import release
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], ["src", "dst"]
+    )
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    out = label_propagation(
+        edges, iterations=1, keep_prev=True, checkpoint_mode="persist"
+    )
+    rows = {r["node"]: (r["label"], r["prev_label"]) for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    # round-0 labels are the node ids themselves
+    assert all(prev == node for node, (_, prev) in rows.items())
+    # round-1 adoption: smallest/most-frequent neighbor label
+    assert rows[1][0] == 2 and rows[2][0] == 1 and rows[3][0] == 2
+    release(out)
+
+
+def test_lpa_keep_prev_parity_across_modes(spark):
+    """keep_prev output is mode-invariant (the ADVICE fixes changed
+    where blocks live for the keep_prev path, never the rows)."""
+    edges = spark.createDataFrame(
+        [(i % 17, (i * 5 + 2) % 17) for i in range(60)], ["src", "dst"]
+    )
+    from gcp_food_delivery_data_pipeline_spark.checkpointing import release
+    from gcp_food_delivery_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    base = _rows(
+        label_propagation(edges, iterations=3, keep_prev=True)
+    )
+    per = label_propagation(
+        edges, iterations=3, keep_prev=True, checkpoint_mode="persist"
+    )
+    assert _rows(per) == base
+    release(per)
