@@ -312,10 +312,52 @@ CAL_IO_CLEAN_MAX = 0.38
 # spread above this flags "started polluted, recovered" even when
 # every absolute reading squeaks under its ceiling.
 CAL_SPREAD_MAX = 1.6
+# Hypervisor steal ceiling, percent of all cpu-ticks over the run
+# (r14 post-mortem): an oversubscribed HOST is invisible to every
+# guest-side timing probe — the r14 round-open run read cal/cal_io
+# in-band (drift 0.979) yet its headline queries ran a median 2.7x
+# the r12 clean base, because steal throttles sustained 32-wide
+# stages while sub-second best-of-N probes slip between steal bursts.
+# /proc/stat's steal counter is the kernel's own account of cycles
+# the hypervisor withheld; clean-base-class windows read ~0%, the
+# r14 stolen host read 12.7% mid-run. Above this ceiling no wall
+# number on this box is comparable to a clean base.
+STEAL_CLEAN_MAX_PCT = 2.0
+
+
+def _read_steal_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu
+    line; None where unreadable (non-Linux). Diagnostics only — must
+    never void the run."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts[0] != "cpu" or len(parts) < 9:
+            return None
+        vals = [int(x) for x in parts[1:]]
+        return vals[7], sum(vals)
+    except Exception:  # noqa: BLE001 — diagnostics, never fatal
+        return None
+
+
+def _steal_pct(
+    start: tuple[int, int] | None, end: tuple[int, int] | None
+) -> float | None:
+    """Percent of all cpu-ticks the hypervisor stole between the two
+    /proc/stat snapshots; None when either snapshot is missing or no
+    time elapsed."""
+    if start is None or end is None:
+        return None
+    dt = end[1] - start[1]
+    if dt <= 0:
+        return None
+    return round((end[0] - start[0]) / dt * 100.0, 2)
 
 
 def _probe_verdict(
-    cal: list[float | None], cal_io: list[float | None]
+    cal: list[float | None],
+    cal_io: list[float | None],
+    steal_pct: float | None = None,
 ) -> tuple[str, float | None]:
     """('clean'|'drifted'|'unknown', drift_ratio): drift_ratio is the
     worst of (a) each probe reading / its clean-band ceiling and (b)
@@ -323,12 +365,27 @@ def _probe_verdict(
     'at the edge of clean'; a polluted OR in-run-drifting run reads
     >1. 'clean' additionally requires BOTH ends of BOTH probes
     present, so a probe failure can never masquerade as a clean
-    bill."""
-    ratios: list[float] = []
+    bill. On 'unknown' the drift_ratio is None, NEVER a partial
+    maximum (ADVICE r13): a ratio computed over only the readings
+    that preceded the failed probe — and missing the spread terms —
+    could read <= 1.0 and invite a consumer to treat a
+    diagnostically blind run as near-clean.
+
+    ``steal_pct`` (run-wide hypervisor steal, from /proc/stat) joins
+    the ratio family against STEAL_CLEAN_MAX_PCT — the r14 drift
+    class BOTH guest-side probes are proven blind to. None means the
+    counter was unreadable: treated like a missing probe reading
+    ('unknown'), because a run that cannot prove its host was not
+    oversubscribed cannot earn a clean bill."""
+    if (
+        any(v is None for v in cal)
+        or any(v is None for v in cal_io)
+        or steal_pct is None
+    ):
+        return ("unknown", None)
+    ratios: list[float] = [steal_pct / STEAL_CLEAN_MAX_PCT]
     for vals, ceil in ((cal, CAL_CLEAN_MAX), (cal_io, CAL_IO_CLEAN_MAX)):
         for v in vals:
-            if v is None:
-                return ("unknown", round(max(ratios), 3) if ratios else None)
             ratios.append(v / ceil)
         lo, hi = min(vals), max(vals)
         if lo > 0:
@@ -354,6 +411,7 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     except Exception:  # noqa: BLE001 — warmup is best-effort
         pass
+    steal_start = _read_steal_ticks()
     cal_start = _calibration_probe(spark)
     cal_io_start = _calibration_probe_io(spark, sf_dir)
 
@@ -459,8 +517,9 @@ def main() -> None:
 
     cal_end = _calibration_probe(spark)
     cal_io_end = _calibration_probe_io(spark, sf_dir)
+    steal = _steal_pct(steal_start, _read_steal_ticks())
     verdict, drift_ratio = _probe_verdict(
-        [cal_start, cal_end], [cal_io_start, cal_io_end]
+        [cal_start, cal_end], [cal_io_start, cal_io_end], steal
     )
     total = round(sum(timings.values()), 3)
     # Full-detail artifact (positions, method, 3-decimal timings,
@@ -493,6 +552,11 @@ def main() -> None:
         # cross-process shuffle-residue drift class the CPU probe is
         # proven blind to (r11 post-mortem, SCALE.md).
         "calibration_io_sec": {"start": cal_io_start, "end": cal_io_end},
+        # Hypervisor steal over the whole run, percent of all
+        # cpu-ticks (r14 post-mortem: the drift class both guest-side
+        # probes are blind to — a stolen host ran probe-clean yet
+        # 2.7x the clean base per-key). Part of the verdict.
+        "steal_pct": steal,
         # Self-adjudication (r12 missing #2): 'drifted' means at least
         # one probe reading exceeded its verified-clean ceiling —
         # read per-key deltas through drift_ratio, or prefer a
@@ -517,6 +581,7 @@ def main() -> None:
             "sf": sf,
             "cal": [cal_start, cal_end],
             "cal_io": [cal_io_start, cal_io_end],
+            "steal_pct": steal,
             "probe_verdict": verdict,
             "drift_ratio": drift_ratio,
             "queries": q,

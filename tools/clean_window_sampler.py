@@ -42,12 +42,14 @@ def _probe() -> tuple[str, float, float, float]:
         "import sys; sys.path.insert(0, %r)\n"
         "from gcp_food_delivery_data_pipeline_spark.session import get_spark\n"
         "import bench, json\n"
+        "steal0 = bench._read_steal_ticks()\n"
         "spark = get_spark(app_name='probe')\n"
         "spark.range(1_000_000).selectExpr('sum(id)').collect()\n"
         "cal = bench._calibration_probe(spark)\n"
         "cal_io = bench._calibration_probe_io(spark, %r)\n"
-        "v, r = bench._probe_verdict([cal, cal], [cal_io, cal_io])\n"
-        "print('PROBE ' + json.dumps([v, r, cal, cal_io]))\n"
+        "steal = bench._steal_pct(steal0, bench._read_steal_ticks())\n"
+        "v, r = bench._probe_verdict([cal, cal], [cal_io, cal_io], steal)\n"
+        "print('PROBE ' + json.dumps([v, r, cal, cal_io, steal]))\n"
         "spark.stop()\n"
     ) % (REPO, SF01)
     proc = subprocess.run(
@@ -56,9 +58,9 @@ def _probe() -> tuple[str, float, float, float]:
     )
     for ln in proc.stdout.splitlines():
         if ln.startswith("PROBE "):
-            v, r, cal, cal_io = json.loads(ln[6:])
-            return v, r, cal, cal_io
-    return "unknown", -1.0, -1.0, -1.0
+            v, r, cal, cal_io, steal = json.loads(ln[6:])
+            return v, r, cal, cal_io, steal
+    return "unknown", -1.0, -1.0, -1.0, None
 
 
 def _run_slice_x100() -> dict:
@@ -124,20 +126,27 @@ def main() -> int:
             )
 
     while (time.time() - t_start) / 60.0 < max_minutes:
-        v, r, cal, cal_io = _probe()
-        print(f"probe: {v} ratio={r} cal={cal} cal_io={cal_io}", flush=True)
+        v, r, cal, cal_io, steal = _probe()
+        print(
+            f"probe: {v} ratio={r} cal={cal} cal_io={cal_io} "
+            f"steal={steal}",
+            flush=True,
+        )
         if v != "clean":
             attempts.append(
-                {"pre_probe": [v, r, cal, cal_io], "action": "skipped"}
+                {"pre_probe": [v, r, cal, cal_io, steal], "action": "skipped"}
             )
             _save()
             time.sleep(POLL_SEC)
             continue
-        rec = {"pre_probe": [v, r, cal, cal_io], "action": "sampled"}
+        rec = {
+            "pre_probe": [v, r, cal, cal_io, steal],
+            "action": "sampled",
+        }
         rec["slice_x100"] = _run_slice_x100()
         rec["full_corpus_prefix_join"] = _run_full_corpus()
-        v2, r2, cal2, cal_io2 = _probe()
-        rec["post_probe"] = [v2, r2, cal2, cal_io2]
+        v2, r2, cal2, cal_io2, steal2 = _probe()
+        rec["post_probe"] = [v2, r2, cal2, cal_io2, steal2]
         rec["verdict"] = (
             "clean" if v2 == "clean" else "polluted-in-flight"
         )
