@@ -4299,41 +4299,45 @@ def _q_ndcg_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ndcg_at_k(emb, emb.filter(F.col("vec_id") < 50), k=10)
 
 
-# Round-13 grading priority (the driver grades the first 50 keys of
+# Round-14 grading priority (the driver grades the first 50 keys of
 # queries() in order; see GRADE_MANIFEST.json for per-key staleness):
-# 1. all 16 remaining r7-era grades — led by the two streaming keys
-#    (s_stream_left_join, s_stream_enrich) that are driver-graded
-#    only (no local DuckDB re-gate exists for rate-source streams,
-#    VERDICT r12 missing #1); after this round no key's driver grade
-#    predates r8. No key's plan or results changed in r13: the round's
-#    code work is durability hygiene ('persist'-mode cache release +
-#    nondeterministic-pin downgrade, no-ops under the default mode,
-#    pinned by tests/test_checkpoint_modes.py parity) and bench/tool
-#    instrumentation.
-# 2. the 34 oldest r8-era grades (GRADE_MANIFEST oldest_first,
-#    alphabetical within the round).
+# 1. all 13 remaining r8-era grades (VERDICT r13 missing #2) — led by
+#    s_stream_topk, the only one with no local DuckDB oracle (its
+#    replay-idempotence is pytest-pinned; the driver grade is its
+#    only end-to-end check); after this round no key's driver grade
+#    predates r9.
+# 2. every key whose implementing code the r14 diff touched (the
+#    ADVICE r13 'persist'-mode ownership fixes in graph.py /
+#    dedup.connected_components — default-mode no-ops pinned by the
+#    three-mode parity suite, except g_ppr whose unreachable-node
+#    filter moved BEFORE the final pin, result-identical by
+#    construction; the driver grade is the independent proof).
+# 3. the 29 oldest r9-era grades (GRADE_MANIFEST oldest_first,
+#    alphabetical within the round) — the remaining 14 r9 keys head
+#    round 15.
 # Exactly 50 unique keys (pinned by tests/test_entry_contract.py).
 _GRADE_FIRST = [
-    # -- r7-era grades (all 16; driver-graded-only streaming first) --
-    "s_stream_left_join", "s_stream_enrich",
-    "q_ks_drift", "q_ols_trend", "q_psi_drift", "q_rfm_segments",
-    "q_session_concurrency", "q_sql_api_twin", "s_avro_roundtrip",
-    "t_ngram_novelty", "t_sparse_nn", "t_zipf_profile",
-    "v_bitq_topk", "v_pq_topk", "v_random_projection",
-    "v_topk_truncated",
-    # -- r8-era grades (34 oldest of 47, alphabetical) --
-    "g_ppr", "j_interval_overlap", "m_scene_cuts",
-    "q10_returned_items", "q12_ship_priority", "q13_order_counts",
-    "q14_promo_revenue", "q15_top_supplier", "q17_small_qty_revenue",
-    "q18_large_volume", "q19_discounted_revenue", "q1_pricing_summary",
-    "q22_idle_rich", "q3_top_revenue", "q4_order_priority",
-    "q5_nation_revenue", "q6_forecast_revenue", "q7_nation_trade",
-    "q8_market_share", "q9_product_profit", "q_attribution_mt",
-    "q_autocorr", "q_bootstrap_ci", "q_cube_events",
-    "q_custkeys_both", "q_customers_no_orders", "q_decile_lift",
-    "q_distinct_users", "q_events_hourly", "q_mann_whitney",
-    "q_neyman_sample", "q_price_elasticity", "q_props_extract",
-    "q_rollup_revenue",
+    # -- r8-era grades (all 13; the oracle-less streaming key first) --
+    "s_stream_topk",
+    "q_running_spend", "q_seasonal_naive", "q_survival_km",
+    "q_top3_per_segment", "q_top_words", "t_lang_confusion",
+    "t_pmi_pairs", "t_rake_keywords", "t_vocab_profile",
+    "v_auc_rank", "v_centroid_drift", "v_cluster_purity",
+    # -- keys whose implementing module the r14 diff touched --
+    "g_ppr", "g_hits", "g_label_propagation", "g_lpa_stable",
+    "g_kcore", "g_kcore_stable", "g_link_prediction",
+    "d_dup_components",
+    # -- r9-era grades (29 oldest of 43, alphabetical) --
+    "c1_c3_counts", "d_blocked_linkage", "d_blocked_linkage_salted",
+    "d_dedup_exact", "d_dedup_groups", "d_embedding_dedup",
+    "d_simhash", "j_asof_click_purchase", "j_asof_forward",
+    "j_range_click_purchase", "m_features", "m_meta_filter",
+    "q_balance_quartiles", "q_cuped", "q_custkeys_only_open",
+    "q_did_estimate", "q_events_sliding", "q_grouping_sets",
+    "q_hourly_gapfill", "q_srm_check", "q_stats_profile",
+    "q_status_pivot", "q_value_moving_1h", "q_welch_t",
+    "s_merge_upsert", "t_bpe_tokens", "t_corpus_stats",
+    "t_fingerprint", "t_gopher_rules",
 ]
 
 
