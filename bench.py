@@ -335,7 +335,43 @@ def _read_steal_ticks() -> tuple[int, int] | None:
         if parts[0] != "cpu" or len(parts) < 9:
             return None
         vals = [int(x) for x in parts[1:]]
-        return vals[7], sum(vals)
+        # Denominator is the first 8 fields only (user nice system
+        # idle iowait irq softirq steal): the kernel already folds
+        # guest/guest_nice INTO user/nice, so including them would
+        # double-count guest time and understate steal_pct on hosts
+        # running nested VMs (ADVICE r14).
+        return vals[7], sum(vals[:8])
+    except Exception:  # noqa: BLE001 — diagnostics, never fatal
+        return None
+
+
+def _source_snapshot() -> dict | None:
+    """HEAD sha + working-tree state of every tracked/untracked .py
+    (VERDICT r14 wrong #2): the one probe-flat full-suite window of
+    round 14 was burned because ``operators/graph.py`` was edited
+    while the run was live — the lazy import crashed all 7 graph keys
+    mid-run. Snapshot at start AND end; a mismatch flags the artifact
+    ``sources_frozen: false`` so a mid-run edit can never silently
+    produce a number that mixes two source states. Diagnostics only —
+    never voids the run (None where git is unavailable)."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=here, capture_output=True,
+            text=True, timeout=10,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"], cwd=here,
+            capture_output=True, text=True, timeout=10,
+        ).stdout
+        # Only .py files can change a measured plan mid-run; artifact
+        # files (PROGRESS.jsonl, BENCH_*.json) churn legitimately.
+        py_dirty = sorted(
+            ln[3:] for ln in dirty.splitlines() if ln[3:].endswith(".py")
+        )
+        return {"head": head, "py_dirty": py_dirty}
     except Exception:  # noqa: BLE001 — diagnostics, never fatal
         return None
 
@@ -412,6 +448,7 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — warmup is best-effort
         pass
     steal_start = _read_steal_ticks()
+    src_start = _source_snapshot()
     cal_start = _calibration_probe(spark)
     cal_io_start = _calibration_probe_io(spark, sf_dir)
 
@@ -565,6 +602,29 @@ def main() -> None:
         "drift_ratio": drift_ratio,
         "positions": positions,
     }
+    # Source-freeze evidence (VERDICT r14 wrong #2): HEAD + dirty-.py
+    # set at start vs end. False means a .py changed while the run was
+    # live — the r14 attempt-1 failure class — and NO number in this
+    # artifact is trustworthy as a single-source-state measurement.
+    src_end = _source_snapshot()
+    detail["sources_frozen"] = (
+        None
+        if src_start is None or src_end is None
+        else src_start == src_end
+    )
+    detail["source_snapshot"] = {"start": src_start, "end": src_end}
+    # Cache-release hygiene (VERDICT r14 next #7): a silently failing
+    # unpersist would reintroduce the per-round cache leak; surface
+    # the in-process ring here so the round that breaks release()
+    # sees it in its own bench artifact.
+    try:
+        from gcp_food_delivery_data_pipeline_spark.checkpointing import (
+            RELEASE_FAILURES,
+        )
+
+        detail["release_failures"] = list(RELEASE_FAILURES)
+    except Exception:  # noqa: BLE001 — diagnostics, never fatal
+        detail["release_failures"] = None
     if errors:
         detail["errors"] = errors
     detail_path = os.path.join(
@@ -584,6 +644,7 @@ def main() -> None:
             "steal_pct": steal,
             "probe_verdict": verdict,
             "drift_ratio": drift_ratio,
+            "sources_frozen": detail["sources_frozen"],
             "queries": q,
             "extra_queries": x,
         }

@@ -50,6 +50,7 @@ from gcp_food_delivery_data_pipeline_spark.checkpointing import (
     materialize as _ckpt,
     own_result as _own,
     release as _release,
+    resolve_mode,
 )
 
 _NARROW_OPS = ("Project", "Filter", "SubqueryAlias", "LogicalRDD")
@@ -380,13 +381,21 @@ def label_propagation(
             replaces=retired,
         )
         retired = prev
-    if keep_prev and iterations == 1:
+    if (
+        keep_prev
+        and iterations == 1
+        and resolve_mode(prev, checkpoint_mode) == "persist"
+    ):
         # prev is still the UNPINNED init view over `nodes` (no round
-        # ever superseded it): pin it before the statics are released,
-        # or under 'persist' the caller's evaluation of the returned
-        # join would recompute the full edge pipeline from lineage —
-        # inheriting any caller-side nondeterminism into prev_label
-        # (ADVICE r13).
+        # ever superseded it): under 'persist' — the only mode where
+        # releasing the statics below actually frees blocks — pin it
+        # first, or the caller's evaluation of the returned join would
+        # recompute the full edge pipeline from lineage, inheriting
+        # any caller-side nondeterminism into prev_label (ADVICE r13).
+        # Under 'local'/'reliable' the releases are no-ops and the
+        # historical zero-extra-materialization plan is kept bit-for-
+        # bit (ADVICE r14: the unconditional pin added an eager
+        # localCheckpoint on the default path for nothing).
         prev = _ckpt(prev, mode=checkpoint_mode)
     _release(e)
     _release(nodes)

@@ -380,9 +380,10 @@ def run_user_totals_stream_v2(
     protobuf-based; without the ``protobuf`` package the driver-side
     state worker crashes opaquely mid-query, so fail fast here with
     the fix and the working-equivalent fallback. Probe history:
-    absent r10-r13; re-probed 2026-08-16 (r14, `import
-    google.protobuf` → ModuleNotFoundError), still absent — the
-    v1==v2 parity test remains gated on the import.
+    absent r10-r14; re-probed 2026-08-17 (r15, `import
+    google.protobuf` → ModuleNotFoundError: No module named
+    'google'), still absent — the v1==v2 parity test remains gated
+    on the import.
     """
     try:
         from google.protobuf import descriptor  # noqa: F401

@@ -20,7 +20,23 @@ def spark():
         extra_conf={"spark.sql.warehouse.dir": "/tmp/engine-tests-warehouse"},
     )
     yield s
+    # Cache-release hygiene gate (VERDICT r14 next #7): release()
+    # never raises by contract, but every failure lands in this ring —
+    # a suite that exercised every release path and left entries here
+    # means an unpersist is silently failing and the per-round cache
+    # leak is back. Tests that INJECT failures (the monkeypatch test)
+    # clean up after themselves, so a non-empty ring at teardown is a
+    # real regression, seen the round it starts.
+    from gcp_food_delivery_data_pipeline_spark.checkpointing import (
+        RELEASE_FAILURES,
+    )
+
+    leftover = list(RELEASE_FAILURES)
     s.stop()
+    assert not leftover, (
+        "checkpointing.release() failed during the suite (cache-leak "
+        f"risk): {leftover}"
+    )
 
 
 @pytest.fixture(scope="session")

@@ -705,18 +705,37 @@ def _walk_jvm_plan(node, visit):
 
 def _subtree_is_bounded(node) -> bool:
     """True when the subtree provably yields a bounded/aggregated
-    frame: it contains an Aggregate (group-level cardinality — the
-    documented top-k / per-group-stat shape) or a GlobalLimit. A
-    partition-less window directly over a row-scale scan has
-    neither."""
-    found = []
+    frame ON ITS OWN DERIVATION PATH (VERDICT r14 wrong #3 — the old
+    anywhere-below rule accepted a global window over
+    ``rows.crossJoin(broadcast(scalar_agg))`` because the scalar
+    aggregate sat SOMEWHERE in the subtree while the row-scale scan
+    flowed straight through the join into the window).
 
-    def visit(n):
-        if n.getClass().getSimpleName() in ("Aggregate", "GlobalLimit"):
-            found.append(True)
+    Cardinality rules, applied recursively from the window input down:
 
-    _walk_jvm_plan(node, visit)
-    return bool(found)
+    * ``Aggregate`` / ``GlobalLimit`` — bounded (group-level /
+      limited cardinality; the documented top-k / per-group-stat
+      shape).
+    * ``LocalRelation`` / ``OneRowRelation`` — driver-materialized
+      literal frames, bounded by construction.
+    * any other LEAF (relation scan, LogicalRDD) — NOT bounded.
+    * multi-child node (Join, Union, …) — bounded only when EVERY
+      child is: a join's output is |L|x|R|-scale in the worst case,
+      so one unbounded side makes the whole frame unbounded no matter
+      what the other side aggregates.
+    * unary node — bounded iff its child is (Project/Filter/Sort
+      never raise cardinality; Generate multiplies by per-row array
+      arity, which keeps a group-level input at group-level scale —
+      the B-row replicate-frame shape).
+    """
+    name = node.getClass().getSimpleName()
+    if name in ("Aggregate", "GlobalLimit", "LocalRelation", "OneRowRelation"):
+        return True
+    ch = node.children()
+    n = ch.size()
+    if n == 0:
+        return False
+    return all(_subtree_is_bounded(ch.apply(i)) for i in range(n))
 
 
 # Partition-less windows allowed on frames whose boundedness the
@@ -778,4 +797,61 @@ def test_partitionless_windows_only_on_bounded_frames(spark):
     assert not offenders, (
         "global-window regressions (single-task sort at scale):\n  "
         + "\n  ".join(offenders)
+    )
+
+
+def test_bounded_subtree_rule_rejects_join_smuggled_aggregate(spark):
+    """Negative control for the rule above (VERDICT r14 wrong #3): a
+    partition-less window over ``rows.crossJoin(broadcast(scalar_agg))``
+    is a ROW-scale frame — the scalar aggregate in the join's other
+    arm must not launder it as bounded. The old anywhere-in-subtree
+    rule passed this shape; the derivation-path rule must fail it,
+    while still accepting the genuine window-over-aggregate shape."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = spark.range(100).withColumn("v", F.col("id") * 2)
+    scalar = rows.agg(F.sum("v").alias("total"))
+    smuggled = (
+        rows.crossJoin(F.broadcast(scalar))
+        .withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    )
+    plan = smuggled._jdf.queryExecution().optimizedPlan()
+    windows = []
+
+    def visit(n):
+        if (
+            n.getClass().getSimpleName() == "Window"
+            and n.partitionSpec().isEmpty()
+        ):
+            windows.append(n)
+
+    _walk_jvm_plan(plan, visit)
+    assert windows, "shape under test lost its partition-less window"
+    assert not _subtree_is_bounded(windows[0].children().apply(0)), (
+        "join-smuggled scalar aggregate laundered a row-scale frame "
+        "as bounded"
+    )
+
+    # ...and the legitimate shape (window over the aggregate itself)
+    # still passes, so the tightening is not a blanket ban.
+    grouped = (
+        rows.groupBy((F.col("id") % 5).alias("g"))
+        .agg(F.sum("v").alias("s"))
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("s"))))
+    )
+    gplan = grouped._jdf.queryExecution().optimizedPlan()
+    gwindows = []
+
+    def gvisit(n):
+        if (
+            n.getClass().getSimpleName() == "Window"
+            and n.partitionSpec().isEmpty()
+        ):
+            gwindows.append(n)
+
+    _walk_jvm_plan(gplan, gvisit)
+    assert gwindows, "control shape lost its partition-less window"
+    assert _subtree_is_bounded(gwindows[0].children().apply(0)), (
+        "window over a group-level aggregate must stay accepted"
     )

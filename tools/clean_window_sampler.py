@@ -35,7 +35,7 @@ SF01 = "/root/testdata/sf0.1"
 POLL_SEC = 420
 
 
-def _probe() -> tuple[str, float, float, float]:
+def _probe() -> tuple[str, float, float, float, float | None]:
     """One fresh-JVM dual-probe reading (own process so the probe JVM
     never warms the sample JVM)."""
     code = (

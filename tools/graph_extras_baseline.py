@@ -115,9 +115,15 @@ def main() -> int:
     doc = {"doc": __doc__.strip().splitlines()[0], "samples": []}
     if os.path.exists(OUT_PATH):
         try:
-            doc = json.load(open(OUT_PATH))
+            with open(OUT_PATH) as f:
+                loaded = json.load(f)
+            if isinstance(loaded, dict):
+                doc = loaded
         except Exception:  # noqa: BLE001 — truncated artifact
             pass
+    # A hand-edited / differently-shaped artifact must not KeyError
+    # AFTER the (long) sampling loop already started (ADVICE r14).
+    doc.setdefault("samples", [])
     for key in keys:
         for _ in range(samples):
             proc = subprocess.run(
