@@ -43,6 +43,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gcp_food_delivery_data_pipeline_spark.functions.lits import dense_lit
 from gcp_food_delivery_data_pipeline_spark.functions.vectors import (
     cosine_similarity,
     dot_product,
@@ -88,7 +89,7 @@ def _best_cluster(centroids: Sequence[Centroid]) -> Column:
             F.struct(
                 dot_product(
                     F.col("_unit"),
-                    F.array(*[F.lit(x) for x in _unit(cv)]),
+                    dense_lit(_unit(cv), "array<double>"),
                 ).alias("sim"),
                 F.lit(-int(cid)).alias("neg_cid"),
             )

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gcp_food_delivery_data_pipeline_spark.functions.lits import dense_lit
+
 
 def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Guarantee at least ``min_parts`` partitions (default: the
@@ -414,12 +416,15 @@ def bloom_semijoin(
     (if required) then runs over the pre-filtered survivor stream.
     """
     words = bloom_bitmap(build, build_col, m_bits, n_hashes)
-    warr = F.array(*[F.lit(w) for w in words])
+    # m_bits/64 words (1024 at the default) as ONE folded literal —
+    # the CreateArray route put a thousand scalar nodes in every
+    # analysis pass of the probe plan (functions.lits.dense_lit)
+    warr = dense_lit([int(w) for w in words], "array<bigint>")
     # single-bit masks as literals (shiftleft takes only a Python
     # int for the distance, so the variable shift is a lookup)
     masks = [1 << i for i in range(64)]
     masks = [m - (1 << 64) if m >= (1 << 63) else m for m in masks]
-    marr = F.array(*[F.lit(m) for m in masks])
+    marr = dense_lit(masks, "array<bigint>")
     checks = []
     for r in range(n_hashes):
         pos = _bloom_pos(probe_col, r, m_bits)

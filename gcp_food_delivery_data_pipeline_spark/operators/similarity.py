@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gcp_food_delivery_data_pipeline_spark.functions.lits import dense_lit
 from gcp_food_delivery_data_pipeline_spark.functions.vectors import (
     cosine_similarity,
     dot_product,
@@ -129,7 +130,7 @@ def with_lsh_bucket(
     """
     bits = []
     for i, h in enumerate(hyperplanes):
-        hp = F.array(*[F.lit(float(x)) for x in h])
+        hp = dense_lit([float(x) for x in h], "array<double>")
         bits.append(
             F.when(dot_product(F.col(vec_col), hp) >= 0, F.lit(1 << i)).otherwise(
                 F.lit(0)
@@ -149,7 +150,7 @@ def _with_lsh_tables(
     for t, planes in enumerate(tables):
         bucket = F.lit(0)
         for i, h in enumerate(planes):
-            hp = F.array(*[F.lit(float(x)) for x in h])
+            hp = dense_lit([float(x) for x in h], "array<double>")
             bucket = bucket + F.when(
                 dot_product(F.col(vec_col), hp) >= 0, F.lit(1 << i)
             ).otherwise(F.lit(0))
@@ -231,19 +232,20 @@ def _nearest_cells(vec: str, cents: list[list[float]], n: int) -> Column:
     centroid table, shared by candidate assignment (n=1) and query
     probing (n=n_probe).
 
-    The centroid table rides the plan as a flat array-of-arrays
-    (``F.lit(list)`` — which classic PySpark expands to a CreateArray
-    tree of scalar literals, NOT a single Literal node; ConstantFolding
-    collapses the fully-foldable tree into one Literal during
-    optimization, so codegen sees a constant either way) zipped
-    against a ``sequence`` of cell ids. Dropping the former per-cell
-    (cell, cvec) STRUCT wrapping is what cut first-run compile
-    (measured at sf0.1, local[32]: assignment projection 1.4 s →
-    0.5 s cold, identical cells); analysis cost still grows with
-    n_clusters × dim scalar nodes, so very large indexes would want a
-    true Literal route. Ties still break to the LOWEST cell id via
-    the (dist, cell) struct sort."""
-    cent_lit = F.lit([[float(x) for x in c] for c in cents])
+    The centroid table rides the plan as ONE folded literal
+    (``dense_lit`` — a ``from_json`` of a single string literal that
+    ConstantFolding collapses to one array Literal at optimization, so
+    codegen sees the same constant as the old ``F.lit(list)``
+    CreateArray route) zipped against a ``sequence`` of cell ids.
+    Dropping the former per-cell (cell, cvec) STRUCT wrapping cut
+    first-run compile (1.4 s → 0.5 s cold); the r15 dense-literal
+    route removes the remaining n_clusters × dim scalar nodes from
+    ANALYSIS, which dominated the ANN builders' wall time (guide
+    §7.3; see OPTIMIZATION_r15.md). Ties still break to the LOWEST
+    cell id via the (dist, cell) struct sort."""
+    cent_lit = dense_lit(
+        [[float(x) for x in c] for c in cents], "array<array<double>>"
+    )
     dists = F.transform(
         cent_lit,
         lambda cv: F.aggregate(
@@ -414,9 +416,10 @@ def quantize_embeddings_int8(
         .orderBy("dim")
         .collect()
     )
-    mins = F.array(*[F.lit(float(r.mn)) for r in stats])
-    scales = F.array(
-        *[F.lit((float(r.mx) - float(r.mn)) / 255.0) for r in stats]
+    mins = dense_lit([float(r.mn) for r in stats], "array<double>")
+    scales = dense_lit(
+        [(float(r.mx) - float(r.mn)) / 255.0 for r in stats],
+        "array<double>",
     )
     centered = F.zip_with(
         F.col(vec_col), mins, lambda x, mn: x.cast("double") - mn
@@ -468,9 +471,10 @@ def with_dequantized_embeddings(
         .orderBy("dim")
         .collect()
     )
-    mins = F.array(*[F.lit(float(r.mn)) for r in stats])
-    scales = F.array(
-        *[F.lit((float(r.mx) - float(r.mn)) / 255.0) for r in stats]
+    mins = dense_lit([float(r.mn) for r in stats], "array<double>")
+    scales = dense_lit(
+        [(float(r.mx) - float(r.mn)) / 255.0 for r in stats],
+        "array<double>",
     )
     centered = F.zip_with(
         F.col(vec_col), mins, lambda x, mn: x.cast("double") - mn
@@ -530,7 +534,7 @@ def _rp_components(
     scale = 1.0 / math.sqrt(out_dim)
     comps = []
     for j in range(out_dim):
-        sign_row = F.array(*[F.lit(s) for s in signs[j]])
+        sign_row = dense_lit(list(signs[j]), "array<double>")
         folded = F.aggregate(
             F.zip_with(
                 F.col(vec_col).cast("array<double>"),
@@ -659,7 +663,7 @@ def _pq_sub(vec_col: str, s: int, sub_d: int) -> Column:
 
 def _pq_dist2(sub: Column, cent: list[float]) -> Column:
     """Squared euclidean distance of ``sub`` to a literal centroid."""
-    lit = F.lit([float(x) for x in cent])
+    lit = dense_lit([float(x) for x in cent], "array<double>")
     return F.aggregate(
         F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -674,11 +678,13 @@ def _pq_book_dists(sub: Column, book: list[list[float]]) -> Column:
     single expression tree the engine compiles ONCE and evaluates per
     codeword — vs materializing n_codes separate fold trees, which
     made the encode plan ~16x larger and cost ~5 s of compile for 5 K
-    rows (profiled at sf0.1). The codebook rides as ``F.lit(list)``
-    (a CreateArray tree that ConstantFolding collapses to one Literal
-    at optimization — see ``_nearest_cells`` for the accurate cost
-    story)."""
-    booklit = F.lit([[float(x) for x in c] for c in book])
+    rows (profiled at sf0.1). The codebook rides as ``dense_lit`` —
+    one folded Literal instead of a CreateArray tree, removing its
+    n_codes × sub_d scalar nodes from every analysis pass (see
+    ``_nearest_cells`` / OPTIMIZATION_r15.md for the cost story)."""
+    booklit = dense_lit(
+        [[float(x) for x in c] for c in book], "array<array<double>>"
+    )
     return F.transform(
         booklit,
         lambda cent: F.aggregate(
