@@ -1829,14 +1829,13 @@ def _q_topk_ann(spark: SparkSession, sf: str) -> DataFrame:
     driver-graded row (pytest pins the same bound per run)."""
     e = load_table(spark, sf, "embeddings")
     queries_df = e.filter(F.col("vec_id") < 5)
-    # localCheckpoint the two (tiny) top-k lists before the recall
-    # join: the LSH bucket expressions are wide literal hyperplane
-    # trees, and letting them re-inline into every join branch
-    # multiplies plan-compile time ~4x for zero data benefit.
-    ann = (
-        lsh_bucketed_topk(e, queries_df, _lsh_tables(), k=10)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint()
+    # localCheckpoint only the REUSED list (exact feeds both the hits
+    # join and per-query totals); ann is consumed once, so its r8-era
+    # checkpoint bought nothing but an extra serialized job — and the
+    # wide-literal compile cost that once justified cutting plans
+    # early is gone since dense_lit (OPTIMIZATION_r15.md #1/#3).
+    ann = lsh_bucketed_topk(e, queries_df, _lsh_tables(), k=10).select(
+        "query_id", "neighbor_id"
     )
     exact = (
         topk_exact(e, queries_df, k=10)
@@ -1882,10 +1881,10 @@ def _q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load_table(spark, sf, "embeddings")
     queries_df = e.filter(F.col("vec_id") < 5)
-    ann = (
-        pq_topk(e, queries_df, k=10, rerank=250)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint()
+    # ann is consumed once — no checkpoint (see _q_topk_ann); exact is
+    # reused twice and keeps its lineage cut.
+    ann = pq_topk(e, queries_df, k=10, rerank=250).select(
+        "query_id", "neighbor_id"
     )
     exact = (
         topk_exact(e, queries_df, k=10)
@@ -1920,10 +1919,10 @@ def _q_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load_table(spark, sf, "embeddings")
     queries_df = e.filter(F.col("vec_id") < 5)
-    ann = (
-        ivf_pq_topk(e, queries_df, n_probe=8, k=10, rerank=250)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint()
+    # ann is consumed once — no checkpoint (see _q_topk_ann); exact is
+    # reused twice and keeps its lineage cut.
+    ann = ivf_pq_topk(e, queries_df, n_probe=8, k=10, rerank=250).select(
+        "query_id", "neighbor_id"
     )
     exact = (
         topk_exact(e, queries_df, k=10)
@@ -2931,8 +2930,14 @@ def _q_media_source(spark: SparkSession, sf: str) -> DataFrame:
         "kind",
         "payload",
     )
-    stats = decode_png_stats(keyed)
-    return stats.join(keyed.select("doc_id", "kind"), "doc_id").select(
+    # kind rides THROUGH the decode pass (a short string per row in
+    # the Arrow batch) instead of a join-back: the media source has no
+    # column pruning, so the old metadata re-scan re-read every PNG
+    # byte and SortMergeJoined two full scans (3 exchanges) just to
+    # re-attach one scan column. Same rows either way — doc_id is
+    # unique per file and decode emits exactly one row per input row.
+    stats = decode_png_stats(keyed, passthrough=("kind",))
+    return stats.select(
         "doc_id",
         "kind",
         "width",

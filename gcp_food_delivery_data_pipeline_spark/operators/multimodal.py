@@ -362,7 +362,10 @@ def attach_png_payload(
 
 
 def decode_png_stats(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """REAL image decode over the payload column: parse the PNG
     (signature, chunks, CRCs), inflate IDAT with zlib, reconstruct all
@@ -372,6 +375,16 @@ def decode_png_stats(
     stub: same Arrow batching, same payload-drop-before-shuffle shape,
     but the bytes actually round-trip through a working codec
     (``functions.png``).
+
+    ``passthrough`` names extra input columns echoed onto each output
+    row (appended after the stats columns). When a caller needs scan
+    metadata (e.g. the media source's ``kind``) alongside the decoded
+    stats, carrying it through the Arrow batch costs a few bytes per
+    row — versus the join-back alternative, which re-scans the whole
+    media source (the Python Data Source API has no column pruning, so
+    the "metadata" scan re-reads every payload byte) and shuffles both
+    sides (guide §4.1: pass the columns the plan needs; §2.4: remove
+    the join's exchanges outright).
     """
     from gcp_food_delivery_data_pipeline_spark.functions.png import (
         decode_png_gray,
@@ -386,12 +399,23 @@ def decode_png_stats(
                 ws.append(w)
                 hs.append(h)
                 means.append(sum(pixels) / (w * h))
-            yield pd.DataFrame(
-                {"doc_id": ids, "width": ws, "height": hs, "mean_px": means}
-            )
+            out = {
+                "doc_id": ids, "width": ws, "height": hs, "mean_px": means
+            }
+            for c in passthrough:
+                # row-aligned with the id/stat lists: the loop above
+                # consumes pdf rows in order and never drops any
+                out[c] = list(pdf[c])
+            yield pd.DataFrame(out)
 
-    src = ensure_min_partitions(df.select(id_col, payload_col))
-    return src.mapInPandas(process, PNG_STATS_SCHEMA)
+    src = ensure_min_partitions(
+        df.select(id_col, payload_col, *passthrough)
+    )
+    schema = StructType(
+        PNG_STATS_SCHEMA.fields
+        + [df.schema[c] for c in passthrough]
+    )
+    return src.mapInPandas(process, schema)
 
 
 PNG_RGB_STATS_SCHEMA = StructType(

@@ -2131,11 +2131,20 @@ def q2_min_cost_supplier(
     (part, supplier) frame; ties keep every minimal supplier, exactly
     like Q2.
 
-    Scale shape: lineitem collapses FIRST via one keyed aggregation
-    (map-side combine shrinks 100 TB of lines to |part|x|supp| rows
-    that actually traded); the window and all later joins run on that
-    collapsed frame. Supplier+nation+region fold into one broadcast
-    dimension; part filters push into the parquet scan.
+    Scale shape: the selective dimension predicates are applied to
+    lineitem FIRST as broadcast semi-joins (guide §3.2 — pre-filter
+    the big side before its shuffle): only lines of wanted parts
+    (p_type/p_size) from in-region suppliers enter the keyed
+    aggregation, cutting the exchange to the ~2-3% of (part, supplier)
+    groups the query can ever return. Result-identical by
+    construction: the aggregation groups by exactly (l_partkey,
+    l_suppkey), the window min is per l_partkey over in-region
+    suppliers only, and the final join keeps only wanted parts — so
+    dropping other parts'/suppliers' rows before the aggregation
+    removes only groups the old plan discarded later. Then lineitem
+    collapses via one keyed aggregation (map-side combine), the window
+    and later joins run on that collapsed frame, and
+    supplier+nation+region fold into one broadcast dimension.
     """
     # Quantity-weighted unit cost: sum(price)/sum(qty). Both sums are
     # exact decimals (order-independent, engine-identical); ONE double
@@ -2144,8 +2153,36 @@ def q2_min_cost_supplier(
     # divergence (Spark casts via the double's shortest decimal repr,
     # other engines via its binary value), and round(double, k) has
     # the same failure class — so neither appears anywhere here.
+    eligible_supp = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(
+                        region.filter(F.col("r_name") == region_name)
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    wanted_parts = part.filter(
+        (F.col("p_type") == part_type) & (F.col("p_size") >= min_size)
+    ).select("p_partkey", "p_type", "p_size")
+    # Broadcast semi-joins BEFORE the aggregation: its exchange (and
+    # the window's) then carry only groups that can reach the output.
+    lines = lineitem.join(
+        F.broadcast(wanted_parts.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "semi",
+    ).join(
+        F.broadcast(eligible_supp.select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "semi",
+    )
     cost = (
-        lineitem.groupBy("l_partkey", "l_suppkey")
+        lines.groupBy("l_partkey", "l_suppkey")
         .agg(
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,4)")
@@ -2163,20 +2200,6 @@ def q2_min_cost_supplier(
             ).alias("supply_cost"),
         )
     )
-    eligible_supp = (
-        supplier.join(
-            F.broadcast(
-                nation.join(
-                    F.broadcast(
-                        region.filter(F.col("r_name") == region_name)
-                    ),
-                    F.col("n_regionkey") == F.col("r_regionkey"),
-                ).select("n_nationkey", "n_name")
-            ),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    )
     in_region = cost.join(
         F.broadcast(eligible_supp),
         F.col("l_suppkey") == F.col("s_suppkey"),
@@ -2185,9 +2208,6 @@ def q2_min_cost_supplier(
     cheapest = in_region.withColumn(
         "min_cost", F.min("supply_cost").over(w)
     ).filter(F.col("supply_cost") == F.col("min_cost"))
-    wanted_parts = part.filter(
-        (F.col("p_type") == part_type) & (F.col("p_size") >= min_size)
-    ).select("p_partkey", "p_type", "p_size")
     return (
         cheapest.join(
             wanted_parts, F.col("l_partkey") == F.col("p_partkey")

@@ -486,6 +486,20 @@ def test_q2_part_filters_pushed(plans):
     assert "GreaterThanOrEqual(p_size,10)" in p
 
 
+def test_q2_fact_prefiltered_before_aggregation(plans):
+    """r15: the selective part/region predicates reach lineitem as
+    broadcast semi-joins BELOW the (part, supplier) aggregation (guide
+    §3.2), so the exchange carries only groups that can reach the
+    output — the old plan aggregated the full fact table first."""
+    p = plans("q2_min_cost_supplier")
+    assert p.count("LeftSemi") >= 2
+    # the semi joins must sit under the partial aggregate: the scan's
+    # section is followed by LeftSemi before any partial_sum
+    agg_pos = p.find("partial_sum")
+    semi_pos = p.find("LeftSemi")
+    assert 0 <= semi_pos < agg_pos
+
+
 def test_bfs_round_is_semi_plus_anti_join(spark):
     """The iterative result is localCheckpointed (its final plan is an
     RDD scan, like pagerank's), so pin the shape of ONE round's

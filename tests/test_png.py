@@ -264,3 +264,27 @@ def test_wav_truncated_data_chunk_raises_value_error():
     good = encode_wav_pcm16([1, 2, 3, 4], 8000)
     with pytest.raises(ValueError):
         decode_wav_pcm16(good[:-3])  # frames shorter than header claims
+
+
+def test_decode_stats_passthrough_equals_join_back(spark):
+    """r15: ``passthrough`` must echo input columns row-aligned with
+    the decoded stats — exactly the rows the old join-back produced
+    (OPTIMIZATION_r15.md: it replaced a second full media scan +
+    SortMergeJoin in s_media_source)."""
+    docs = spark.range(0, 25).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("k"), (F.col("id") % 3).cast("string")).alias(
+            "kind"
+        ),
+    )
+    payloads = attach_png_payload(docs).join(
+        docs.select("doc_id", "kind"), "doc_id"
+    )
+    through = decode_png_stats(payloads, passthrough=("kind",))
+    joined = decode_png_stats(payloads).join(
+        payloads.select("doc_id", "kind"), "doc_id"
+    )
+    cols = ["doc_id", "kind", "width", "height", "mean_px"]
+    a = sorted(map(tuple, through.select(*cols).collect()))
+    b = sorted(map(tuple, joined.select(*cols).collect()))
+    assert a == b and len(a) == 25
