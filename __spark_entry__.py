@@ -4325,25 +4325,32 @@ def _q_ndcg_topk(spark: SparkSession, sf: str) -> DataFrame:
 #    round 16.
 # Exactly 50 unique keys (pinned by tests/test_entry_contract.py).
 _GRADE_FIRST = [
-    # -- r9-era grades (all 14 remaining) --
-    "v_topk_exact", "v_topk_scalable", "v_topk_ann", "v_ndcg_topk",
+    # -- r15 OPTIMIZATION-touched keys first (plan/internals changed,
+    #    results identical by construction + local 2-SF oracle gates;
+    #    the driver grade is the independent proof): the dense-literal
+    #    rewrite (similarity/clustering/scale index state), the q2
+    #    semi-join pre-filter, the media decode passthrough, and the
+    #    ann-checkpoint drop — see OPTIMIZATION_r15.md --
+    "q2_min_cost_supplier", "s_media_source", "v_topk_ann",
+    "v_pq_topk", "v_ivfpq_topk", "v_topk_ivf", "v_kmeans_assign",
+    "d_semantic_dedup", "v_quantize_int8", "v_cluster_purity",
+    "v_centroid_drift", "v_random_projection", "q_bloom_semijoin",
+    # -- r9-era grades (the 13 remaining after v_topk_ann moved up) --
+    "v_topk_exact", "v_topk_scalable", "v_ndcg_topk",
     "v_embedding_dims", "v_embedding_pairs", "v_label_centroids",
     "t_token_count", "t_quality", "t_lang_id", "t_sentences",
     "t_readability", "t_rolling_fp", "t_tfidf_top_term",
     # -- r14-touched, not re-graded within the r14 budget --
     "g_pagerank_parts", "g_triangles", "g_bfs_parts",
-    # -- rest of the module the r15 diff touched (graph.py) --
+    # -- rest of graph.py (touched by the r15 pin-gating diff) --
     "g_ppr", "g_hits", "g_label_propagation", "g_lpa_stable",
     "g_kcore", "g_kcore_stable", "g_link_prediction",
-    # -- r10-era grades (26 oldest of 40, alphabetical) --
+    # -- r10-era grades (14 oldest, alphabetical; the rest head r16) --
     "c_chunks", "c_contamination", "c_mix_sources",
     "c_pack_sequences", "c_redact_pii", "c_shuffle_rank",
     "c_split_assign", "d_fuzzy_decontam", "d_fuzzy_pairs",
-    "d_incremental_dedup", "d_semantic_dedup", "m_decode_gif",
-    "m_decode_png", "m_decode_wav", "m_frames", "m_resize",
-    "o6_conf", "p_repair_ids", "q_approx_topk", "q_approx_users",
-    "q_corr_stats", "q_dq_orders", "q_event_transitions", "q_funnel",
-    "q_hash_sample", "q_incremental_rollup",
+    "d_incremental_dedup", "m_decode_gif", "m_decode_png",
+    "m_decode_wav", "m_frames",
 ]
 
 
