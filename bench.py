@@ -376,6 +376,37 @@ def _source_snapshot() -> dict | None:
         return None
 
 
+# End-of-suite steal-gated retry (r16, VERDICT r15 #1): cap how many
+# keys the retry pass may re-time so a fully-stolen host can at most
+# ~double the suite, never run it open-ended.
+RETRY_MAX_KEYS = 64
+
+
+def _steal_settle(max_wait_s: float, sample_s: float) -> list[float | None]:
+    """Block until a steal sample reads under STEAL_CLEAN_MAX_PCT or
+    ``max_wait_s`` of waiting is spent; returns every sample taken.
+    Rationale (r15 post-mortem): min-of-2 consecutive runs cannot see
+    a steal burst that covers both runs — BENCH_r15 printed 11.2 s
+    for q1_pricing_summary (0.8 s at 8 cores in the same round)
+    because its whole 2-run window was stolen. Starting measurement
+    inside a quiet window is the cheapest mitigation; the per-key
+    retry pass below covers bursts that arrive mid-run. Diagnostics
+    only: an unreadable counter ends the wait immediately."""
+    samples: list[float | None] = []
+    waited = 0.0
+    while True:
+        s0 = _read_steal_ticks()
+        time.sleep(sample_s)
+        pct = _steal_pct(s0, _read_steal_ticks())
+        samples.append(pct)
+        if pct is None or pct <= STEAL_CLEAN_MAX_PCT:
+            return samples
+        if waited >= max_wait_s:
+            return samples
+        time.sleep(15.0)
+        waited += 15.0 + sample_s
+
+
 def _steal_pct(
     start: tuple[int, int] | None, end: tuple[int, int] | None
 ) -> float | None:
@@ -435,6 +466,12 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # Start-of-suite settle gate (r16, VERDICT r15 #1): wait up to 4
+    # minutes for a 10-second window whose hypervisor steal is under
+    # the clean ceiling before any timed work. On a quiet host this
+    # costs exactly one 10 s sample.
+    settle_start = _steal_settle(max_wait_s=240.0, sample_s=10.0)
+
     spark = get_spark(app_name="bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
     # Python-worker warmup: fork the Arrow worker pool once (32 cold
@@ -465,10 +502,17 @@ def main() -> None:
     # fresh-session cost (18s vs 4.5s measured). Units are timed
     # independently, so order is a measurement choice, not a semantic
     # one.
+    # Per-key steal bracketing (r16): /proc/stat steal ticks snapped
+    # around every key's measurement window, so a key whose number was
+    # taken inside a steal burst is identifiable — and retried — from
+    # the artifact itself instead of by cross-round archaeology.
+    key_steal: dict[str, float | None] = {}
     try:
+        st0 = _read_steal_ticks()
         timings["pipeline_1m_rows"] = min(
             _bench_pipeline_1m(spark) for _ in range(2)
         )
+        key_steal["pipeline_1m_rows"] = _steal_pct(st0, _read_steal_ticks())
     except Exception as ex:  # noqa: BLE001
         errors["pipeline_1m_rows"] = f"{type(ex).__name__}: {ex}"[:500]
     # Each query is timed as BEST OF TWO independent cold builds
@@ -505,6 +549,7 @@ def main() -> None:
         if not rerun:
             positions[name] = pos_counter[0]
             pos_counter[0] += 1
+        st0 = _read_steal_ticks()
         best = None
         for _ in range(runs):
             t0 = time.time()
@@ -526,6 +571,12 @@ def main() -> None:
                 # unit is timed independently, so cross-query cache
                 # reuse is never measured.
                 spark.catalog.clearCache()
+        # Record the window's steal under the key (first measurement)
+        # or under "<key>@retry" so the retry pass can tell whether
+        # its own second sample landed in a clean window.
+        key_steal[name + "@retry" if rerun else name] = _steal_pct(
+            st0, _read_steal_ticks()
+        )
         _gc_between_units()
         return best
 
@@ -551,6 +602,64 @@ def main() -> None:
                 el = min(el, el2)
         if el is not None:
             extra[name] = el
+
+    # Steal-gated retry pass (r16, VERDICT r15 #1): any key whose own
+    # measurement window was stolen above the clean ceiling — and that
+    # has no clean second sample from the adaptive extras rerun — is
+    # re-timed ONCE here, maximally separated in time from its first
+    # window, and the min is kept. This is the existing min-of-N
+    # methodology with better-placed samples, not a new timing path:
+    # on a clean host (steal ~0%) zero keys qualify and the suite is
+    # byte-identical to the r15 behaviour. BENCH_r15's failure mode —
+    # q1_pricing_summary printing 11.2 s (0.8 s at 8 cores the same
+    # day) because one burst covered both consecutive runs — becomes
+    # self-healing instead of requiring a whole re-run to land clean.
+    def _window_stolen(name: str) -> bool:
+        first = key_steal.get(name)
+        if first is None or first <= STEAL_CLEAN_MAX_PCT:
+            return False
+        second = key_steal.get(name + "@retry")
+        return second is None or second > STEAL_CLEAN_MAX_PCT
+
+    stolen_keys = [n for n in list(timings) + list(extra) if _window_stolen(n)]
+    retried: dict[str, dict] = {}
+    settle_retry: list[float | None] = []
+    if stolen_keys:
+        # One settle wait for the whole pass (not per key), then
+        # headline keys first (they are the graded geomean), extras by
+        # first-pass cost descending (largest absolute distortion).
+        settle_retry = _steal_settle(max_wait_s=120.0, sample_s=5.0)
+        order = [n for n in timings if n in stolen_keys] + sorted(
+            (n for n in extra if n in stolen_keys), key=lambda n: -extra[n]
+        )
+        for name in order[:RETRY_MAX_KEYS]:
+            if name == "pipeline_1m_rows":
+                st0 = _read_steal_ticks()
+                try:
+                    el = _bench_pipeline_1m(spark)
+                except Exception:  # noqa: BLE001 — keep first sample
+                    el = None
+                key_steal[name + "@retry"] = _steal_pct(
+                    st0, _read_steal_ticks()
+                )
+                _gc_between_units()
+            else:
+                el = timed_best(name, runs=1, rerun=True)
+            if el is None:
+                continue
+            tgt = timings if name in timings else extra
+            retried[name] = {
+                "first": tgt[name],
+                "retry": el,
+                "first_steal": key_steal.get(name),
+                "retry_steal": key_steal.get(name + "@retry"),
+            }
+            tgt[name] = min(tgt[name], el)
+    # Keys whose KEPT number still has no clean-window sample (both
+    # the first window and the retry window were stolen, or the key
+    # fell past RETRY_MAX_KEYS): the count a reader needs before
+    # trusting per-key walls on a steal-flagged run.
+    stolen_unresolved = [n for n in stolen_keys if _window_stolen(n)]
 
     cal_end = _calibration_probe(spark)
     cal_io_end = _calibration_probe_io(spark, sf_dir)
@@ -580,7 +689,7 @@ def main() -> None:
         # Since r5 an explicit JVM GC runs between units and each
         # query's session position is recorded in the detail file, so
         # late-session inflation is both mitigated and diagnosable.
-        "method": "headline_min_of_2_extras_adaptive_min2_over_2s",
+        "method": "headline_min_of_2_extras_adaptive_min2_over_2s+steal_retry",
         # Environment signal (see _calibration_probe): compare across
         # rounds BEFORE reading timing deltas as plan changes; a
         # start/end gap means the box drifted DURING this run.
@@ -601,6 +710,15 @@ def main() -> None:
         "probe_verdict": verdict,
         "drift_ratio": drift_ratio,
         "positions": positions,
+        # r16 steal-retry evidence: per-key steal windows, which keys
+        # were re-timed and what both samples read, the settle-gate
+        # samples, and which kept numbers STILL lack a clean-window
+        # sample (the only per-key walls a reader should distrust on
+        # a steal-flagged run).
+        "key_steal_pct": key_steal,
+        "steal_retried": retried,
+        "steal_settle": {"start": settle_start, "retry": settle_retry},
+        "stolen_unresolved": stolen_unresolved,
     }
     # Source-freeze evidence (VERDICT r14 wrong #2): HEAD + dirty-.py
     # set at start vs end. False means a .py changed while the run was
@@ -644,6 +762,12 @@ def main() -> None:
             "steal_pct": steal,
             "probe_verdict": verdict,
             "drift_ratio": drift_ratio,
+            # r16: how many keys were re-timed after a stolen first
+            # window, and how many kept numbers still lack a clean
+            # sample — 0 unresolved means per-key walls are clean-
+            # window values even when run-wide steal_pct flags.
+            "retried": len(retried),
+            "unresolved": len(stolen_unresolved),
             "sources_frozen": detail["sources_frozen"],
             "queries": q,
             "extra_queries": x,
