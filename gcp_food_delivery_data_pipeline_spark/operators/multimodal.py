@@ -390,6 +390,18 @@ def decode_png_stats(
         decode_png_gray,
     )
 
+    # A passthrough name that collides with a stats column would
+    # silently overwrite the stats list while the schema appends a
+    # duplicate field; one equal to id/payload duplicates the select
+    # (ADVICE r15) — refuse both.
+    reserved = {"doc_id", "width", "height", "mean_px", id_col, payload_col}
+    dup = sorted(set(passthrough) & reserved)
+    if dup:
+        raise ValueError(
+            "decode_png_stats: passthrough collides with stats/id/"
+            f"payload columns: {dup}"
+        )
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ws, hs, means = [], [], [], []

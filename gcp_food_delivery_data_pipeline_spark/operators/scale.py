@@ -376,20 +376,26 @@ def bloom_bitmap(
 
 def _bloom_pos(key_col: str, salt: int, m_bits: int) -> Column:
     """Bit position of ``key_col`` under hash row ``salt`` — the same
-    md5-prefix family as ``countmin_profile``/``kmv_overlap``."""
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(f"{salt}:"), F.col(key_col).cast("string")
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
+    md5-prefix family as ``countmin_profile``/``kmv_overlap``.
+
+    Defined as conv(substring(md5, 1, 8), 16, 10) % m_bits. For a
+    power-of-two ``m_bits = 2^b`` (every caller in-tree) that value is
+    just the LOW b BITS of the 8-hex-digit prefix, i.e. the value of
+    its last ceil(b/4) digits — so only those digits are parsed
+    (r16, guide §1.2 step 2: the probe evaluates this n_hashes times
+    per row; position-identity vs the full parse is pinned in
+    tests/test_scale.py). Non-power-of-two widths keep the full
+    8-digit parse.
+    """
+    md = F.md5(
+        F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))
+    )
+    if m_bits & (m_bits - 1) == 0:
+        b = m_bits.bit_length() - 1
+        j = min(8, max(1, -(-b // 4)))  # hex digits covering b bits
+        h = F.conv(F.substring(md, 9 - j, j), 16, 10).cast("long")
+    else:
+        h = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
     return (h % m_bits).cast("int")
 
 

@@ -6,11 +6,12 @@ Three tiers, same result contract (top-k neighbors per query):
   baseline: queries are broadcast (small side), candidates stream
   through one codegen stage, and the per-query top-k is a ranked
   window. Correct at any scale but O(N·Q) similarity computations.
-* ``topk_exact_scalable`` — same answer, two-phase: a per-partition
-  local top-k (``applyInPandas``-free — uses a partition-id salted
-  window) shrinks N·Q candidate rows to ~partitions·Q·k before the
-  global rank. This is the shape that survives 100 TB: the wide
-  shuffle carries only local winners.
+* ``topk_exact_scalable`` — same answer, shuffle-thin: the ranked
+  window's partial ``WindowGroupLimit`` (pushed below the exchange by
+  Spark's ``InferWindowGroupLimit``, pinned in tests) shrinks N·Q
+  candidate rows to ~partitions·Q·k before they cross the wire. This
+  is the shape that survives 100 TB: the wide shuffle carries only
+  local winners.
 * ``lsh_bucketed_topk`` — approximate: sign-random-projection LSH
   (Charikar 2002) buckets; only same-bucket pairs are scored. Probe
   multiple hyperplane tables to trade recall for cost. Recall is
@@ -87,6 +88,27 @@ def topk_exact(
     return _rank_topk(_scored(candidates, queries, id_col, vec_col), k)
 
 
+def _rerank_cut(approx: DataFrame, order_col: str, rerank: int) -> DataFrame:
+    """Global top-``rerank`` rows per query by (``order_col`` ASC,
+    neighbor_id) — the candidate cut ahead of an exact re-rank.
+
+    One ranked window; the partial ``WindowGroupLimit`` Spark plants
+    below the exchange caps what each map task forwards at
+    ``rerank`` rows per query, so the shuffle stays ≤
+    partitions·|Q|·rerank at any corpus size. The old manual local
+    phase (a second window keyed by ``spark_partition_id()``) enforced
+    the same bound with an extra exchange + two extra sorts of the
+    same pruned rows (r16; see ``topk_exact_scalable``).
+    """
+    w_glob = Window.partitionBy("query_id").orderBy(
+        F.col(order_col), F.col("neighbor_id")
+    )
+    return (
+        approx.withColumn("_grn", F.row_number().over(w_glob))
+        .filter(F.col("_grn") <= rerank)
+    )
+
+
 def topk_exact_scalable(
     candidates: DataFrame,
     queries: DataFrame,
@@ -94,26 +116,20 @@ def topk_exact_scalable(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k with a two-phase shuffle-thin plan.
+    """Exact top-k with a shuffle-thin plan.
 
-    Phase 1 ranks within (query, input-partition) — the window key
-    includes ``spark_partition_id()`` so rows never leave their
-    partition's shuffle bucket group and the heavy candidate set is cut
-    to partitions·k per query. Phase 2 ranks the survivors globally.
+    One ranked window per query; Spark's ``InferWindowGroupLimit``
+    (3.5+) plants a partial ``WindowGroupLimit`` BELOW the exchange, so
+    each map task forwards only its local top-k per query and the wide
+    shuffle carries ≤ partitions·|Q|·k rows — the same bound the old
+    manual two-phase shape (a second window keyed by
+    ``spark_partition_id()``) achieved with an EXTRA exchange and two
+    extra sorts of the same pruned rows (r16: 2 exchanges → 1,
+    uniformly faster; the partial-limit node is pinned in
+    tests/test_plans.py so a regression of the pushdown is caught).
     Identical output to ``topk_exact`` (asserted in tests).
     """
-    scored = _scored(candidates, queries, id_col, vec_col).withColumn(
-        "_part", F.spark_partition_id()
-    )
-    w_local = Window.partitionBy("query_id", "_part").orderBy(
-        F.col("_sim").desc(), F.col("neighbor_id")
-    )
-    local = (
-        scored.withColumn("_lrn", F.row_number().over(w_local))
-        .filter(F.col("_lrn") <= k)
-        .drop("_lrn", "_part")
-    )
-    return _rank_topk(local, k)
+    return _rank_topk(_scored(candidates, queries, id_col, vec_col), k)
 
 
 def with_lsh_bucket(
@@ -743,8 +759,8 @@ def pq_topk(
     each query's ADC lookup table (n_subspaces x n_codes doubles) is
     computed once per query row and broadcast with it; the scored
     stream carries only (query, candidate, approx-dist) and the
-    ``rerank`` cut happens in the same two-phase window pattern as
-    ``topk_exact_scalable`` — the exact cosine touches rerank·|Q|
+    ``rerank`` cut happens in the same map-side-limited window as
+    ``topk_exact_scalable`` (``_rerank_cut``) — the exact cosine touches rerank·|Q|
     rows, not N·|Q|. Unlike IVF the index needs no cluster shuffle:
     codes live with the rows.
     """
@@ -784,19 +800,7 @@ def pq_topk(
             ),
         )
     )
-    w_local = Window.partitionBy("query_id", "_part").orderBy(
-        F.col("_adist"), F.col("neighbor_id")
-    )
-    w_glob = Window.partitionBy("query_id").orderBy(
-        F.col("_adist"), F.col("neighbor_id")
-    )
-    survivors = (
-        approx.withColumn("_part", F.spark_partition_id())
-        .withColumn("_lrn", F.row_number().over(w_local))
-        .filter(F.col("_lrn") <= rerank)
-        .withColumn("_grn", F.row_number().over(w_glob))
-        .filter(F.col("_grn") <= rerank)
-    )
+    survivors = _rerank_cut(approx, "_adist", rerank)
     scored = survivors.select(
         "query_id",
         "neighbor_id",
@@ -897,7 +901,7 @@ def binary_topk(
     Scale shape: packing is a zero-shuffle map (weights are plan
     literals); queries broadcast with their packed words; the pruned
     stream entering the cosine stage carries rerank·|Q| rows, not
-    N·|Q| — and the two-phase window (per-partition, then global)
+    N·|Q| — and the window's map-side partial limit (``_rerank_cut``)
     keeps the global rank's shuffle to ~partitions·|Q|·rerank rows.
     """
     words = _sign_words(vec_col, dim)
@@ -924,19 +928,7 @@ def binary_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("hamming", hamming)
     )
-    w_local = Window.partitionBy("query_id", "_part").orderBy(
-        F.col("hamming"), F.col("neighbor_id")
-    )
-    w_glob = Window.partitionBy("query_id").orderBy(
-        F.col("hamming"), F.col("neighbor_id")
-    )
-    survivors = (
-        paired.withColumn("_part", F.spark_partition_id())
-        .withColumn("_lrn", F.row_number().over(w_local))
-        .filter(F.col("_lrn") <= rerank)
-        .withColumn("_grn", F.row_number().over(w_glob))
-        .filter(F.col("_grn") <= rerank)
-    )
+    survivors = _rerank_cut(paired, "hamming", rerank)
     scored = survivors.select(
         "query_id",
         "neighbor_id",
@@ -984,14 +976,14 @@ def ndcg_at_k(
     log2 difference — absorbed by round(6). NDCG is NULL when the
     query's label has no other members (IDCG = 0).
 
-    Scale shape: rides ``topk_exact_scalable``'s two-phase rank (the
-    wide shuffle carries only partition winners), then label joins —
-    query labels broadcast, per-label counts broadcast (≤ |labels|
-    rows), and the self-label lookup SEMI-RESTRICTED to the query-id
-    set before it is broadcast, so every broadcast side is bounded by
-    |queries| or |labels|, never by the corpus — and one
-    k-row-per-query fold. Nothing quadratic past the scored
-    candidates. A query whose label has no members in the candidate
+    Scale shape: rides ``topk_exact_scalable``'s map-side-limited rank
+    (the wide shuffle carries only partition winners), then label joins —
+    query labels, per-label counts (≤ |labels| rows), and the
+    self-label lookup (SEMI-RESTRICTED to the query-id set before it
+    is broadcast) fused into ONE |queries|-row broadcast joined before
+    the aggregation, so every broadcast side is bounded by |queries|
+    or |labels|, never by the corpus — and one k-row-per-query fold.
+    Nothing quadratic past the scored candidates. A query whose label has no members in the candidate
     corpus still surfaces (n_rel = 0, NULL ndcg) via the left join on
     the label counts.
     """
@@ -1018,22 +1010,17 @@ def ndcg_at_k(
         "query_id",
         "semi",
     )
-    j = (
-        top.join(F.broadcast(q_lab), "query_id")
-        .join(c_lab, "neighbor_id")
-        .withColumn(
-            "_rel",
-            (F.col("_clab") == F.col("_qlab")).cast("int"),
-        )
-    )
-    per_q = (
-        j.groupBy("query_id", "_qlab")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("rank", "_rel"))
-            ).alias("_rr")
-        )
-        .join(F.broadcast(lab_n), "_qlab", "left")
+    # Per-query metadata (label, corpus count of that label, the
+    # query's own corpus label) fused into ONE |queries|-row broadcast
+    # joined BEFORE the aggregation, instead of two extra broadcast
+    # joins stacked on the aggregated stream (r16, guide §2.4): the
+    # lab_n/self_lab left joins and the n_rel arithmetic are 1:1 per
+    # query_id (queries and candidates are id-unique), so computing
+    # _n_rel here and carrying it through the groupBy keys is
+    # row-identical to joining it on afterwards — with two fewer join
+    # operators and broadcast builds on the main stream.
+    q_meta = (
+        q_lab.join(F.broadcast(lab_n), "_qlab", "left")
         .join(F.broadcast(self_lab), "query_id", "left")
         .withColumn(
             "_n_rel",
@@ -1043,6 +1030,20 @@ def ndcg_at_k(
             F.coalesce(F.col("_nlab"), F.lit(0).cast("bigint"))
             - F.when(F.col("_slab") == F.col("_qlab"), 1).otherwise(0),
         )
+        .select("query_id", "_qlab", "_n_rel")
+    )
+    j = (
+        top.join(F.broadcast(q_meta), "query_id")
+        .join(c_lab, "neighbor_id")
+        .withColumn(
+            "_rel",
+            (F.col("_clab") == F.col("_qlab")).cast("int"),
+        )
+    )
+    per_q = j.groupBy("query_id", "_qlab", "_n_rel").agg(
+        F.sort_array(
+            F.collect_list(F.struct("rank", "_rel"))
+        ).alias("_rr")
     )
     dcg = F.expr(
         "aggregate(_rr, 0D, (acc, x) -> "
@@ -1095,8 +1096,9 @@ def ivf_pq_topk(
     All index state is plan literals (centroids + codebooks, a few
     KiB) — candidate cell-assignment and encoding are zero-shuffle
     maps; the probe is a (cell) equi-join against broadcast queries;
-    the rerank cut rides the same two-phase window as
-    ``topk_exact_scalable``. Deterministic end to end (bounded-sample
+    the rerank cut rides the same map-side-limited window as
+    ``topk_exact_scalable`` (``_rerank_cut``). Deterministic end to
+    end (bounded-sample
     Lloyd coarse quantizer — ``train_ivf_centroids``, a pure function
     of the seed-keyed hash-sampled draw — md5-sampled codebooks,
     (dist, id) tie-breaks).
@@ -1149,19 +1151,7 @@ def ivf_pq_topk(
             ),
         )
     )
-    w_local = Window.partitionBy("query_id", "_part").orderBy(
-        F.col("_adist"), F.col("neighbor_id")
-    )
-    w_glob = Window.partitionBy("query_id").orderBy(
-        F.col("_adist"), F.col("neighbor_id")
-    )
-    survivors = (
-        approx.withColumn("_part", F.spark_partition_id())
-        .withColumn("_lrn", F.row_number().over(w_local))
-        .filter(F.col("_lrn") <= rerank)
-        .withColumn("_grn", F.row_number().over(w_glob))
-        .filter(F.col("_grn") <= rerank)
-    )
+    survivors = _rerank_cut(approx, "_adist", rerank)
     scored = survivors.select(
         "query_id",
         "neighbor_id",

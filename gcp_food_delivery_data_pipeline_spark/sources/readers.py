@@ -122,7 +122,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         cur = None
     if not cur:
         spark.conf.set("spark.sql.optimizer.excludedRules", _rule)
-    elif _rule not in cur:
+    elif _rule not in [r.strip() for r in cur.split(",")]:
+        # exact rule-name comparison (ADVICE r15): a substring test
+        # would false-positive on any rule whose FQN merely contains
+        # this one as a prefix
         spark.conf.set(
             "spark.sql.optimizer.excludedRules", f"{cur},{_rule}"
         )

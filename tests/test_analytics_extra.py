@@ -1146,6 +1146,31 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     )
 
 
+def test_bootstrap_membership_matches_conv_parity(spark):
+    """r16: the replicate-membership test was rewritten from
+    conv(substring(md5,1,8),16,10) % 2 == 0 to a one-char set test on
+    the 8th hex digit. Pin bit-identity of the two predicates over
+    every (event_id, b) pair of a real sample — the decimal value of
+    an 8-hex-digit string is even iff its last digit is even."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(4000)], ["event_id"]
+    ).select(
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("_b"),
+    )
+    md = F.md5(F.concat_ws(":", F.col("event_id"), F.col("_b")))
+    old = (
+        F.conv(F.substring(md, 1, 8), 16, 10).cast("long") % 2 == 0
+    )
+    new = F.substring(md, 8, 1).isin(
+        "0", "2", "4", "6", "8", "a", "c", "e"
+    )
+    bad = df.filter(old != new).count()
+    assert bad == 0
+
+
 def test_bootstrap_ci_validates(spark):
     import pytest
 

@@ -490,14 +490,73 @@ def test_q2_fact_prefiltered_before_aggregation(plans):
     """r15: the selective part/region predicates reach lineitem as
     broadcast semi-joins BELOW the (part, supplier) aggregation (guide
     §3.2), so the exchange carries only groups that can reach the
-    output — the old plan aggregated the full fact table first."""
+    output — the old plan aggregated the full fact table first.
+
+    Structure pinned via the numbered tree (ADVICE r15: the old
+    positional string compare was vacuous because 'partial_sum' only
+    ever appears in the details section, after the whole tree):
+    formatted explain numbers operators post-order — children carry
+    LOWER ids than their ancestors — so both LeftSemi nodes must have
+    ids below the partial HashAggregate's id."""
+    import re
+
     p = plans("q2_min_cost_supplier")
-    assert p.count("LeftSemi") >= 2
-    # the semi joins must sit under the partial aggregate: the scan's
-    # section is followed by LeftSemi before any partial_sum
-    agg_pos = p.find("partial_sum")
-    semi_pos = p.find("LeftSemi")
-    assert 0 <= semi_pos < agg_pos
+    # the partial aggregate's node id, from its details block
+    agg_ids = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) HashAggregate", p)
+        if "partial_sum" in p[m.start():].split("\n\n")[0]
+    ]
+    assert agg_ids, "no partial HashAggregate found in details"
+    partial_id = min(agg_ids)
+    # tree lines: "... BroadcastHashJoin LeftSemi BuildRight (N)"
+    semi_ids = [
+        int(m.group(1)) for m in re.finditer(r"LeftSemi BuildRight \((\d+)\)", p)
+    ]
+    assert len(semi_ids) >= 2, p
+    assert all(s < partial_id for s in semi_ids), (semi_ids, partial_id)
+
+
+def test_topk_windows_map_side_limited(plans):
+    """r16: the manual two-phase top-k (an extra exchange + two extra
+    sorts keyed by spark_partition_id) was replaced by ONE ranked
+    window per query. Scale-safety rests on InferWindowGroupLimit
+    planting a PARTIAL WindowGroupLimit below the exchange — each map
+    task forwards only its local top-k per query, the exact bound the
+    manual phase enforced. Pin (a) the partial node below the shuffle
+    and (b) the shuffle count, so a config or Spark-version change
+    that silently dropped the pushdown (re-creating the all-rows-per-
+    query single-task funnel) fails here."""
+    import re
+
+    for name, max_shuffles in (
+        ("v_topk_scalable", 1),
+        ("v_bitq_topk", 2),
+    ):
+        p = plans(name)
+        tree = p.split("(1) ")[0]
+        # a WindowGroupLimit must sit BELOW (= smaller post-order id
+        # than) every shuffle Exchange in the tree
+        wgl_ids = [
+            int(m.group(1))
+            for m in re.finditer(r"WindowGroupLimit \((\d+)\)", tree)
+        ]
+        exch_ids = [
+            int(m.group(1))
+            for m in re.finditer(r"[+:]- Exchange \((\d+)\)", tree)
+        ]
+        assert wgl_ids and exch_ids, name
+        assert min(wgl_ids) < min(exch_ids), (name, wgl_ids, exch_ids)
+        assert len(exch_ids) <= max_shuffles, (name, exch_ids)
+
+
+def test_q3_explicit_isnotnull_reaches_scan(plans):
+    """r16 (VERDICT r15 #7): with InferFiltersFromConstraints excluded
+    session-wide, the null-key drop on the wide lineitem⋈orders
+    exchange is written explicitly and must land in the parquet scan's
+    PushedFilters."""
+    p = plans("q3_top_revenue")
+    assert "IsNotNull(l_orderkey)" in p, p
 
 
 def test_bfs_round_is_semi_plus_anti_join(spark):

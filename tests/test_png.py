@@ -288,3 +288,14 @@ def test_decode_stats_passthrough_equals_join_back(spark):
     a = sorted(map(tuple, through.select(*cols).collect()))
     b = sorted(map(tuple, joined.select(*cols).collect()))
     assert a == b and len(a) == 25
+
+
+def test_decode_stats_passthrough_rejects_collisions(spark):
+    """ADVICE r15: a passthrough name equal to a stats column would
+    silently overwrite the stats list (with a duplicate schema field);
+    one equal to id/payload duplicates the select. Both must raise."""
+    docs = spark.range(0, 3).select(F.col("id").alias("doc_id"))
+    payloads = attach_png_payload(docs)
+    for bad in ("width", "mean_px", "doc_id", "payload"):
+        with pytest.raises(ValueError, match="collides"):
+            decode_png_stats(payloads, passthrough=(bad,))

@@ -400,6 +400,43 @@ def test_bloom_semijoin_probe_plan_is_join_free(spark):
     assert "Join" not in plan and "Exchange" not in plan
 
 
+def test_bloom_pos_short_parse_matches_full_parse(spark):
+    """r16: for power-of-two m_bits, _bloom_pos parses only the hex
+    digits that cover the low bits instead of the full 8-digit prefix.
+    Pin position-identity against the original full parse across
+    several widths (the 192 = non-power-of-two arm keeps the full
+    parse by construction)."""
+    from pyspark.sql import functions as F
+
+    from gcp_food_delivery_data_pipeline_spark.operators.scale import (
+        _bloom_pos,
+    )
+
+    def full_parse(key_col, salt, m_bits):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:"), F.col(key_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (h % m_bits).cast("int")
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], ["k"])
+    cond = None
+    for m_bits in (64, 4096, 1 << 16, 1 << 20, 192):
+        for salt in (0, 1, 2):
+            c = _bloom_pos("k", salt, m_bits) == full_parse("k", salt, m_bits)
+            cond = c if cond is None else (cond & c)
+    assert df.filter(~cond).count() == 0
+
+
 def test_bloom_bitmap_validates_args(spark):
     import pytest
 
