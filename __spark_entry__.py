@@ -4304,53 +4304,40 @@ def _q_ndcg_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ndcg_at_k(emb, emb.filter(F.col("vec_id") < 50), k=10)
 
 
-# Round-15 grading priority (the driver grades the first 50 keys of
+# Round-16 grading priority (the driver grades the first 50 keys of
 # queries() in order; see GRADE_MANIFEST.json for per-key staleness):
-# 1. the 14 remaining r9-era grades (VERDICT r14 next #2) — the
-#    retrieval/text block left stalest after the r14 rotation; after
-#    this round no key's driver grade predates r10.
-# 2. the 3 keys the r14 diff touched but the r14 budget couldn't
-#    re-grade (VERDICT r14 missing #4: the graph cache-ownership diff
-#    is a default-mode no-op pinned by the three-mode parity suite
-#    and an adversarial DuckDB gate passed all three, but the driver
-#    record should catch up).
-# 3. every other key of the module the r15 diff touched (graph.py:
-#    the keep_prev/iterations==1 pin is now gated on a resolved
-#    'persist' mode, ADVICE r14 — a default-path no-op by
-#    construction since the pin only ever mattered where releasing
-#    the statics frees blocks; the driver grade is the independent
-#    proof).
-# 4. the 26 oldest r10-era grades (GRADE_MANIFEST oldest_first,
-#    alphabetical within the round) — the remaining 14 r10 keys head
-#    round 16.
+# 1. the 14 keys the r16 OPTIMIZATION diff touches (plan/internals
+#    changed, results identical by construction + local 2-SF oracle
+#    gates; the driver grade is the independent proof): the two-phase
+#    top-k collapse (similarity.py — v_topk_scalable/pq/bitq/ivfpq and
+#    the ndcg metadata fusion), the q_bootstrap_ci membership-parse
+#    rewrite, the _bloom_pos short parse, the explicit isNotNull
+#    null-key drops on the q2/q3/q5/q7/q10 wide-exchange keys, and the
+#    decode_png_stats passthrough guard (s_media_source/m_decode_png
+#    callers) — see OPTIMIZATION_r16.md.
+# 2. the 36 stalest grades (GRADE_MANIFEST oldest_first — the r10-era
+#    block the r15 rotation left behind), so after this round no key's
+#    driver grade predates r11.
 # Exactly 50 unique keys (pinned by tests/test_entry_contract.py).
 _GRADE_FIRST = [
-    # -- r15 OPTIMIZATION-touched keys first (plan/internals changed,
-    #    results identical by construction + local 2-SF oracle gates;
-    #    the driver grade is the independent proof): the dense-literal
-    #    rewrite (similarity/clustering/scale index state), the q2
-    #    semi-join pre-filter, the media decode passthrough, and the
-    #    ann-checkpoint drop — see OPTIMIZATION_r15.md --
-    "q2_min_cost_supplier", "s_media_source", "v_topk_ann",
-    "v_pq_topk", "v_ivfpq_topk", "v_topk_ivf", "v_kmeans_assign",
-    "d_semantic_dedup", "v_quantize_int8", "v_cluster_purity",
-    "v_centroid_drift", "v_random_projection", "q_bloom_semijoin",
-    # -- r9-era grades (the 13 remaining after v_topk_ann moved up) --
-    "v_topk_exact", "v_topk_scalable", "v_ndcg_topk",
-    "v_embedding_dims", "v_embedding_pairs", "v_label_centroids",
-    "t_token_count", "t_quality", "t_lang_id", "t_sentences",
-    "t_readability", "t_rolling_fp", "t_tfidf_top_term",
-    # -- r14-touched, not re-graded within the r14 budget --
-    "g_pagerank_parts", "g_triangles", "g_bfs_parts",
-    # -- rest of graph.py (touched by the r15 pin-gating diff) --
-    "g_ppr", "g_hits", "g_label_propagation", "g_lpa_stable",
-    "g_kcore", "g_kcore_stable", "g_link_prediction",
-    # -- r10-era grades (14 oldest, alphabetical; the rest head r16) --
-    "c_chunks", "c_contamination", "c_mix_sources",
-    "c_pack_sequences", "c_redact_pii", "c_shuffle_rank",
-    "c_split_assign", "d_fuzzy_decontam", "d_fuzzy_pairs",
-    "d_incremental_dedup", "m_decode_gif", "m_decode_png",
-    "m_decode_wav", "m_frames",
+    # -- r16 OPTIMIZATION-touched keys first --
+    "v_topk_scalable", "v_pq_topk", "v_bitq_topk", "v_ivfpq_topk",
+    "v_ndcg_topk", "q_bootstrap_ci", "q_bloom_semijoin",
+    "q2_min_cost_supplier", "q3_top_revenue", "q5_nation_revenue",
+    "q7_nation_trade", "q10_returned_items", "s_media_source",
+    "m_decode_png",
+    # -- stalest-first (GRADE_MANIFEST oldest_first, r10-era) --
+    "m_resize", "o6_conf", "p_repair_ids", "q_approx_topk",
+    "q_approx_users", "q_corr_stats", "q_dq_orders",
+    "q_event_transitions", "q_funnel", "q_hash_sample",
+    "q_incremental_rollup", "q_key_skew", "q_mad_outliers",
+    "q_retention", "q_session_window", "q_sketch_rollup",
+    "s3_write_readback", "s5_ddl", "s_json_roundtrip",
+    "s_orc_roundtrip", "s_schema_evolution", "t_distinctive_terms",
+    "t_scrub_pii", "c_length_buckets", "c_split_by_source",
+    "c_temporal_split", "clean_chain", "d_span_dedup",
+    "d_span_removed", "f1_delivered", "f2_other", "j_scd2_intervals",
+    "m_decode_png_rgb", "p1_strip_colon", "p2_p3_clean", "p4_constant",
 ]
 
 
