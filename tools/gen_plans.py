@@ -62,7 +62,8 @@ KEYS = {
     "v_bitq_topk": (
         "binary quantization: sign packing is pure codegen (literal "
         "bit weights), queries broadcast with their packed words, "
-        "two-phase hamming prune before the exact-cosine rerank"
+        "map-side-limited hamming prune (partial WindowGroupLimit "
+        "below the one exchange) before the exact-cosine rerank"
     ),
     "d_containment": (
         "containment prefix filter: candidate generation is an "
@@ -115,9 +116,10 @@ KEYS = {
         "window, never a global sort"
     ),
     "v_ndcg_topk": (
-        "NDCG rides the two-phase exact top-k (queries broadcast, "
-        "partition winners only); label counts + query labels "
-        "broadcast; DCG/IDCG are JVM-side rank-ordered folds"
+        "NDCG rides the map-side-limited exact top-k (queries "
+        "broadcast, partition winners only cross the exchange); label "
+        "counts + query labels fused into one per-query broadcast; "
+        "DCG/IDCG are JVM-side rank-ordered folds"
     ),
     "q_mann_whitney": (
         "rank prefix on the two-phase distributed rank (every "
